@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational operators (SURVEY.md §2.1–§2.4, §2.6, §2.7).
+  *
+  * Conventions shared by every graded query (SURVEY.md §0.3):
+  *  - deterministic `orderBy` on a unique key set, mirrored by ORDER BY in
+  *    the oracle SQL;
+  *  - double aggregates rounded to 4 decimals on both sides (per-partition
+  *    fold order of doubles is not deterministic at cluster scale);
+  *  - every aggregate/computed column aliased identically on both sides.
+  *
+  * Scale notes are attached per operator; the common theme is: declarative
+  * plans so Catalyst keeps pushdown/pruning, broadcast for bounded dims,
+  * map-side partial aggregation for all hash aggs (automatic under
+  * `groupBy.agg`), and no driver-side materialization anywhere.
+  */
+object Relational {
+
+  // ---- §2.1 scans -----------------------------------------------------
+
+  /** Plain parquet scan with projection — the pushdown sanity check. At
+    * 100 TB the win is `ReadSchema` containing only 2 of 11 columns. */
+  def scanParquet(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON-in-string ingest: parse `events.props` (`{"k": 87}`) into a
+    * typed column with `get_json_object`. Mirrors the reference's
+    * fetch-JSON→normalize step as a distributed, codegen'd expression. */
+  def scanJsonLines(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .orderBy("event_id")
+
+  // ---- §2.2 projection / filter --------------------------------------
+
+  /** Projection + computed revenue column. */
+  def projectSelect(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Conjunctive predicates: date range + IN set + numeric between.
+    * All of these reach the parquet scan as PushedFilters. */
+  def filterPred(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_returnflag").isin("A", "R") &&
+              col("l_quantity").between(10, 40))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** LIKE / regexp predicates on part.p_type. */
+  def filterLike(s: SparkSession, sf: String): DataFrame =
+    Tables.part(s, sf)
+      .filter(col("p_type").like("PROMO%") &&
+              col("p_name").rlike("[aeiou]$"))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+
+  /** Duplicate elimination on a projected pair. */
+  def distinctRows(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select("event_type", "user_id")
+      .distinct()
+      .orderBy("event_type", "user_id")
+
+  // ---- §2.3 joins -----------------------------------------------------
+
+  /** Equi inner join orders⋈customer. customer is the small side; Spark's
+    * JoinSelection broadcasts it below the 10 MB threshold, and at real
+    * scale AQE re-plans to broadcast when the build side shrinks under a
+    * filter. */
+  def joinInnerHash(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .join(Tables.customer(s, sf),
+            col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"),
+              round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** 5-table star join with aggregation — lineitem⋈orders⋈customer⋈nation
+    * ⋈region. nation/region are broadcast (bounded dims); the fact-side
+    * joins shuffle on their keys and AQE handles skew. */
+  def joinMultiway(s: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(s, sf)
+    val o = Tables.orders(s, sf)
+    val c = Tables.customer(s, sf)
+    val n = broadcast(Tables.nation(s, sf))
+    val r = broadcast(Tables.region(s, sf))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left outer join: all customers, null-extended order aggregates. */
+  def joinLeftOuter(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .join(Tables.orders(s, sf),
+            col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Left semi: customers having at least one urgent order (EXISTS). */
+  def joinSemi(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .join(Tables.orders(s, sf).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left anti: customers with no urgent orders (NOT EXISTS). */
+  def joinAnti(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .join(Tables.orders(s, sf).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Explicit broadcast-hash join: nation is a 25-row dim — at any scale
+    * this must never shuffle the fact side. */
+  def joinBroadcast(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .join(broadcast(Tables.nation(s, sf)),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy("n_name")
+
+  // ---- §2.4 aggregations ----------------------------------------------
+
+  /** FLAGSHIP — TPC-H Q1 shape. Hash aggregate with map-side partial
+    * aggregation; 6 aggregates over 2 grouping keys. The scan prunes to
+    * 7 of 11 columns and the shipdate predicate is pushed to parquet. */
+  def aggGroupBy(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct aggregation. At scale `countDistinct` expands to a
+    * two-phase expand+agg; exactness costs a shuffle of the distinct
+    * pairs — the approx variant below is the 100 TB path. */
+  def aggCountDistinct(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** HLL++ approximate distinct — constant memory per group at any scale.
+    * Oracle-N (DuckDB's approx sketch differs); self-tested against the
+    * exact count within rsd bounds. */
+  def aggApproxDistinct(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Post-aggregation filter (HAVING). */
+  def aggHaving(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(round(avg(col("c_acctbal")), 4).as("avg_bal"),
+           count(lit(1)).as("n_cust"))
+      .filter(col("avg_bal") > 0)
+      .orderBy("c_mktsegment")
+
+  // ---- §2.6 sort / limit / sample ------------------------------------
+
+  /** Multi-key global sort with explicit null ordering. A global sort is a
+    * range-partitioned shuffle (sampled boundaries) — fine once per query,
+    * never inside a loop. */
+  def sortMulti(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy(col("o_orderpriority").asc_nulls_last,
+               col("o_totalprice").desc_nulls_last,
+               col("o_orderkey").asc)
+
+  /** ORDER BY + LIMIT → TakeOrderedAndProject: per-partition top-k then a
+    * single driver merge of k·partitions rows — no global sort at scale. */
+  def limitTopK(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              round(col("l_extendedprice"), 4).as("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+               col("l_linenumber").asc)
+      .limit(10)
+
+  /** Deterministic "sample": modulo on a key — reproducible across engines
+    * (RNG-based `sample()` cannot hash-match an external oracle). */
+  def sampleDeterministic(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  // ---- §2.7 set operations -------------------------------------------
+
+  private def eventUsers(s: SparkSession, sf: String, typ: String): DataFrame =
+    Tables.events(s, sf).filter(col("event_type") === typ)
+      .select(col("user_id"))
+
+  /** Bag union (UNION ALL) of per-type user id streams. */
+  def setUnionAll(s: SparkSession, sf: String): DataFrame =
+    eventUsers(s, sf, "purchase")
+      .unionByName(eventUsers(s, sf, "signup"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+      .orderBy("user_id")
+
+  /** Set union (UNION DISTINCT). */
+  def setUnionDistinct(s: SparkSession, sf: String): DataFrame =
+    eventUsers(s, sf, "purchase")
+      .union(eventUsers(s, sf, "signup")).distinct()
+      .orderBy("user_id")
+
+  /** INTERSECT — users who both clicked and purchased. */
+  def setIntersect(s: SparkSession, sf: String): DataFrame =
+    eventUsers(s, sf, "click").intersect(eventUsers(s, sf, "purchase"))
+      .orderBy("user_id")
+
+  /** EXCEPT — (user, day) pairs with a view but no purchase that day. */
+  def setExcept(s: SparkSession, sf: String): DataFrame = {
+    def userDays(typ: String) =
+      Tables.events(s, sf).filter(col("event_type") === typ)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+    userDays("view").except(userDays("purchase"))
+      .orderBy("user_id", "d")
+  }
+}
