@@ -37,6 +37,21 @@ object SparkEntry {
     "agg_count_distinct" -> Relational.aggCountDistinct _,
     "agg_approx_distinct" -> Relational.aggApproxDistinct _,
     "agg_having"        -> Relational.aggHaving _,
+    // §2.4 advanced aggregations
+    "agg_rollup"        -> AdvancedAggs.aggRollup _,
+    "agg_cube"          -> AdvancedAggs.aggCube _,
+    "agg_grouping_sets" -> AdvancedAggs.aggGroupingSets _,
+    "agg_collect_sorted" -> AdvancedAggs.aggCollectSorted _,
+    "agg_pivot"         -> AdvancedAggs.aggPivot _,
+    "agg_udaf_typed"    -> AdvancedAggs.aggUdafTyped _,
+    // §2.5 windows
+    "win_rank"          -> Windows.winRank _,
+    "win_topk_per_group" -> Windows.winTopKPerGroup _,
+    "win_lag_lead"      -> Windows.winLagLead _,
+    "win_running"       -> Windows.winRunning _,
+    "win_range_frame"   -> Windows.winRangeFrame _,
+    "win_ntile_percent" -> Windows.winNtilePercent _,
+    "win_first_last"    -> Windows.winFirstLast _,
     // §2.6 sort / limit / sample
     "sort_multi"        -> Relational.sortMulti _,
     "limit_topk"        -> Relational.limitTopK _,
@@ -81,6 +96,32 @@ object SparkEntry {
     // self-tested against exact counts within rsd in the scalatest suite).
     "agg_having" ->
       "SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n_cust FROM customer GROUP BY c_mktsegment HAVING round(avg(c_acctbal), 4) > 0 ORDER BY c_mktsegment",
+    "agg_rollup" ->
+      "SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust, GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST",
+    "agg_cube" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
+    "agg_grouping_sets" ->
+      "SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_orders FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
+    "agg_collect_sorted" ->
+      "SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id",
+    "agg_pivot" ->
+      "SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click, round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase, round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup, round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view FROM events GROUP BY user_id ORDER BY user_id",
+    "agg_udaf_typed" ->
+      "SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty, count(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "win_rank" ->
+      "SELECT * FROM (SELECT user_id, event_id, round(value, 4) AS value, row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)) t WHERE rn <= 5 ORDER BY user_id, rn",
+    "win_topk_per_group" ->
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn",
+    "win_lag_lead" ->
+      "SELECT user_id, event_id, ts, date_diff('second', lag(ts, 1) OVER w, ts) AS gap_sec, lead(event_id, 1) OVER w AS next_event_id FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) ORDER BY user_id, ts, event_id",
+    "win_running" ->
+      "WITH daily AS (SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events GROUP BY 1) SELECT d, day_value, round(sum(day_value) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum, round(avg(day_value) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7 FROM daily ORDER BY d",
+    "win_range_frame" ->
+      "SELECT c_mktsegment, c_custkey, round(c_acctbal, 4) AS c_acctbal, count(1) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS peers_within_100 FROM customer ORDER BY c_mktsegment, c_acctbal, c_custkey",
+    "win_ntile_percent" ->
+      "SELECT c_mktsegment, c_custkey, ntile(4) OVER w AS quartile, round(percent_rank() OVER w, 6) AS pct_rank, round(cume_dist() OVER w, 6) AS cume FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) ORDER BY c_mktsegment, c_custkey",
+    "win_first_last" ->
+      "SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, round(first_value(value) OVER w, 4) AS first_value, round(last_value(value) OVER w, 4) AS last_value FROM events WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY user_id, d",
     "sort_multi" ->
       "SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice FROM orders ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC",
     "limit_topk" ->

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multi-dimensional and custom aggregations (SURVEY.md §2.4 remainder).
+  *
+  * Null-ordering trap: rollup/cube emit NULL grouping keys; Spark's
+  * default ASC puts nulls FIRST, DuckDB's puts them LAST — every ORDER BY
+  * here pins `asc_nulls_first` and the oracle SQL pins `NULLS FIRST`.
+  */
+object AdvancedAggs {
+
+  private def revenueByGeo(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .join(broadcast(Tables.nation(s, sf)),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, sf)),
+            col("n_regionkey") === col("r_regionkey"))
+
+  /** ROLLUP (region, nation): per-nation, per-region subtotal, grand total.
+    * grouping() columns disambiguate "real NULL" from "subtotal row". */
+  def aggRollup(s: SparkSession, sf: String): DataFrame =
+    revenueByGeo(s, sf)
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"),
+           count(lit(1)).as("n_cust"),
+           grouping(col("r_name")).as("g_region"),
+           grouping(col("n_name")).as("g_nation"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping combinations. */
+  def aggCube(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** Explicit GROUPING SETS with grouping_id — via SQL (the DataFrame API
+    * has no grouping-sets verb; `spark.sql` over a temp view is the
+    * idiomatic route and optimizes identically to rollup/cube: one Expand
+    * node, no input re-read per set). */
+  def aggGroupingSets(s: SparkSession, sf: String): DataFrame = {
+    Tables.orders(s, sf).createOrReplaceTempView("gs_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       count(*) AS n_orders
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Ordered list aggregation — the reference's chat-transcript-assembly
+    * analog [PK]: per-user sorted distinct event types, joined to a CSV
+    * string (deterministic: set semantics + explicit sort). */
+  def aggCollectSorted(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+             .as("types_csv"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** PIVOT — the reference's Likert-items-to-columns reshape [PK]. The
+    * pivot value list is explicit: without it Spark runs an extra
+    * distinct-collect job over the full input to discover columns. */
+  def aggPivot(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 4))
+      .orderBy("user_id")
+
+  /** Typed Aggregator: numerically-stable geometric mean (sum of logs —
+    * a plain product overflows; log-sum is also order-insensitive up to
+    * fp rounding, which the 4-decimal round absorbs). */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      if (x > 0) (b._1 + math.log(x), b._2 + 1) else b
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double =
+      if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+    def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder = Encoders.scalaDouble
+  }
+
+  /** Custom UDAF surface: geometric mean of l_quantity per returnflag. */
+  def aggUdafTyped(s: SparkSession, sf: String): DataFrame = {
+    val geoMean = udaf(GeoMean)
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(round(geoMean(col("l_quantity")), 4).as("geo_mean_qty"),
+           count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+}

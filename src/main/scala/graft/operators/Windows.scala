@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window functions (SURVEY.md §2.5).
+  *
+  * Determinism rule: every window ORDER BY ends in a unique tiebreak key
+  * (event_id / o_orderkey / c_custkey) — row_number/ntile over a non-unique
+  * ordering is nondeterministic across engines AND across Spark runs.
+  *
+  * Scale note: a window = one shuffle on its partition keys + a
+  * per-partition sort. All windows here partition on a key with bounded or
+  * data-proportional cardinality (user_id, c_custkey, mktsegment) — no
+  * single-partition global windows except over pre-aggregated day counts
+  * (win_running: ~30 rows after the groupBy, safe at any input scale).
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank: rank each user's events by value. */
+  def winRank(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, sf)
+      .select(col("user_id"), col("event_id"),
+              round(col("value"), 4).as("value"),
+              row_number().over(w).as("rn"),
+              rank().over(w).as("rnk"),
+              dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 5)
+      .orderBy("user_id", "rn")
+  }
+
+  /** Top-3 orders per customer by totalprice (rank-then-filter). */
+  def winTopKPerGroup(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice"), 4).as("o_totalprice"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** lag/lead: inter-event gap in seconds per user (sessionization
+    * precursor — the gaps feed stream_session's batch twin). */
+  def winLagLead(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+              (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+                .as("gap_sec"),
+              lead(col("event_id"), 1).over(w).as("next_event_id"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Running sum + 7-row moving average over per-day revenue. Aggregates
+    * first (shuffle to ~days rows), then windows over the tiny result —
+    * the only safe shape for an unpartitioned window at 100 TB. */
+  def winRunning(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val w = Window.orderBy(col("d"))
+    daily.select(col("d"), col("day_value"),
+        round(sum(col("day_value"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("running_sum"),
+        round(avg(col("day_value")).over(w.rowsBetween(-6, 0)), 4)
+          .as("ma7"))
+      .orderBy("d")
+  }
+
+  /** RANGE frame: per market segment, count of customers within 100.0
+    * acctbal below each customer (value-based frame, not row-based). */
+  def winRangeFrame(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .select(col("c_mktsegment"), col("c_custkey"),
+              round(col("c_acctbal"), 4).as("c_acctbal"),
+              // SQL window spec: the Scala rangeBetween DSL only takes Long
+              // offsets, and the ordering column is a double.
+              expr("""count(1) OVER (PARTITION BY c_mktsegment
+                     | ORDER BY c_acctbal
+                     | RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)"""
+                .stripMargin).as("peers_within_100"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+
+  /** ntile / percent_rank / cume_dist: acctbal quartiles per segment. */
+  def winNtilePercent(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, sf)
+      .select(col("c_mktsegment"), col("c_custkey"),
+              ntile(4).over(w).as("quartile"),
+              round(percent_rank().over(w), 6).as("pct_rank"),
+              round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** first/last value in an unbounded frame: first and last event value
+    * per user-day, one row per (user, day). */
+  def winFirstLast(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, sf)
+      .withColumn("d", col("ts").cast("date"))
+      .select(col("user_id"), col("d"),
+              round(first(col("value")).over(w), 4).as("first_value"),
+              round(last(col("value")).over(w), 4).as("last_value"))
+      .distinct()
+      .orderBy("user_id", "d")
+  }
+}

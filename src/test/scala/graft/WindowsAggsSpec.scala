@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{AdvancedAggs, Windows}
+import org.apache.spark.sql.functions._
+
+/** Algebraic invariants for §2.4 advanced aggs and §2.5 windows. */
+class WindowsAggsSpec extends SparkSpecBase {
+
+  test("rollup row count = nations + regions + 1 grand total") {
+    val nNation = Tables.nation(spark, sfSmoke).count()
+    val nRegion = Tables.region(spark, sfSmoke).count()
+    assert(AdvancedAggs.aggRollup(spark, sfSmoke).count() == nNation + nRegion + 1)
+  }
+
+  test("cube contains all four grouping combinations") {
+    val df = AdvancedAggs.aggCube(spark, sfSmoke)
+    val flags = Tables.lineitem(spark, sfSmoke).select("l_returnflag").distinct().count()
+    val stats = Tables.lineitem(spark, sfSmoke).select("l_linestatus").distinct().count()
+    val pairs = Tables.lineitem(spark, sfSmoke)
+      .select("l_returnflag", "l_linestatus").distinct().count()
+    assert(df.count() == pairs + flags + stats + 1)
+  }
+
+  test("running sum last row equals total; ma7 bounded by min/max day") {
+    val rows = Windows.winRunning(spark, sfSmoke).collect()
+    val total = rows.map(_.getAs[Double]("day_value")).sum
+    assert(math.abs(rows.last.getAs[Double]("running_sum") - total) < 0.01)
+  }
+
+  test("topk per group: no customer has more than 3 rows, ranks are 1..k") {
+    val df = Windows.winTopKPerGroup(spark, sfSmoke)
+    val maxPer = df.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 3)
+    assert(df.agg(min("rn"), max("rn")).head().getInt(0) == 1)
+  }
+
+  test("udaf geo mean lies between min and max of quantities") {
+    val gm = AdvancedAggs.aggUdafTyped(spark, sfSmoke)
+    val bounds = Tables.lineitem(spark, sfSmoke)
+      .groupBy("l_returnflag")
+      .agg(min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+    val joined = gm.join(bounds, "l_returnflag").collect()
+    joined.foreach { r =>
+      val g = r.getAs[Double]("geo_mean_qty")
+      assert(g >= r.getAs[Double]("lo") && g <= r.getAs[Double]("hi"))
+    }
+  }
+
+  test("pivot row sums equal per-user value totals") {
+    val p = AdvancedAggs.aggPivot(spark, sfSmoke)
+      .na.fill(0.0)
+      .select(col("user_id"),
+        (col("click") + col("error") + col("purchase") + col("signup") + col("view"))
+          .as("pivot_total"))
+    val direct = Tables.events(spark, sfSmoke)
+      .groupBy("user_id").agg(sum("value").as("direct_total"))
+    val bad = p.join(direct, "user_id")
+      .filter(abs(col("pivot_total") - col("direct_total")) > 0.01).count()
+    assert(bad == 0)
+  }
+
+  test("lag/lead gaps are non-negative within each user's timeline") {
+    val bad = Windows.winLagLead(spark, sfSmoke)
+      .filter(col("gap_sec") < 0).count()
+    assert(bad == 0)
+  }
+
+  test("ntile quartiles are 1..4 and balanced within ±1 per segment") {
+    val df = Windows.winNtilePercent(spark, sfSmoke)
+    val counts = df.groupBy("c_mktsegment", "quartile").count()
+    val spread = counts.groupBy("c_mktsegment")
+      .agg((max("count") - min("count")).as("spread"))
+      .filter(col("spread") > 1).count()
+    assert(spread == 0)
+  }
+}
