@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Families
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §0.2/§2 and §7.
@@ -52,6 +53,25 @@ object SparkEntry {
     "win_range_frame"   -> Windows.winRangeFrame _,
     "win_ntile_percent" -> Windows.winNtilePercent _,
     "win_first_last"    -> Windows.winFirstLast _,
+    // §2.1 extra sources/sinks (oracle-N round-trips)
+    "scan_csv"          -> Sources.scanCsv _,
+    "sink_partitioned"  -> Sources.sinkPartitioned _,
+    // §2.3 advanced joins
+    "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
+    "join_interval"     -> AdvancedJoins.joinInterval _,
+    "join_asof"         -> AdvancedJoins.joinAsof _,
+    // §2.8 scalar function families
+    "fn_string"         -> Families.fnString _,
+    "fn_date"           -> Families.fnDate _,
+    "fn_math"           -> Families.fnMath _,
+    "fn_conditional"    -> Families.fnConditional _,
+    "fn_array"          -> Families.fnArray _,
+    "fn_map"            -> Families.fnMap _,
+    "fn_json"           -> Families.fnJson _,
+    "fn_cast"           -> Families.fnCast _,
+    // §2.11 UDF / UDTF surface
+    "udf_scalar"        -> Sources.udfScalar _,
+    "udtf_explode_custom" -> Sources.udtfExplode _,
     // §2.6 sort / limit / sample
     "sort_multi"        -> Relational.sortMulti _,
     "limit_topk"        -> Relational.limitTopK _,
@@ -96,6 +116,32 @@ object SparkEntry {
     // self-tested against exact counts within rsd in the scalatest suite).
     "agg_having" ->
       "SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n_cust FROM customer GROUP BY c_mktsegment HAVING round(avg(c_acctbal), 4) > 0 ORDER BY c_mktsegment",
+    "join_theta_range" ->
+      "SELECT a.event_id AS id1, b.event_id AS id2, round(a.value, 4) AS v1, round(b.value, 4) AS v2 FROM events a JOIN events b ON a.event_id < b.event_id AND abs(a.value - b.value) <= 0.5 WHERE a.event_type = 'purchase' AND b.event_type = 'purchase' ORDER BY id1, id2",
+    "join_interval" ->
+      "SELECT s.user_id AS user_id, s.event_id AS signup_id, c.event_id AS click_id FROM events s JOIN events c ON s.user_id = c.user_id AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR WHERE s.event_type = 'signup' AND c.event_type = 'click' ORDER BY user_id, signup_id, click_id",
+    "join_asof" ->
+      "SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, v.event_id AS last_view_id, v.ts AS last_view_ts FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND v.ts <= p.ts ORDER BY user_id, purchase_ts, purchase_id",
+    "fn_string" ->
+      "SELECT doc_id, upper(substring(text, 1, 12)) AS head_upper, CAST(length(trim(text)) AS INTEGER) AS len_trim, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words, regexp_extract(text, '([a-z]+)', 1) AS first_word, regexp_replace(substring(text, 1, 40), ' ', '_', 'g') AS snake, concat_ws('|', lang, source) AS lang_src, CAST(levenshtein(substring(text, 1, 8), 'pipeline') AS INTEGER) AS lev FROM documents ORDER BY doc_id",
+    "fn_date" ->
+      "SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS INTEGER) AS yr, CAST(month(l_shipdate) AS INTEGER) AS mo, CAST(dayofweek(l_shipdate) + 1 AS INTEGER) AS dow, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month_start, CAST(date_diff('day', CAST(l_shipdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98, CAST(l_shipdate + INTERVAL 3 MONTH AS DATE) AS plus3m, CAST(epoch(l_shipdate) AS BIGINT) AS epoch_s FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "fn_math" ->
+      "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS r2, CAST(floor(l_discount * 100) AS BIGINT) AS fl, CAST(ceil(l_tax * 100) AS BIGINT) AS ce, abs(l_quantity - 25.0) AS ab, round(sqrt(l_extendedprice), 6) AS sq, round(ln(l_extendedprice), 6) AS ln_p, round(exp(l_discount), 6) AS ex, round(pow(l_quantity, 2), 2) AS pw, CAST(sign(l_discount - 0.05) AS INTEGER) AS sg, l_orderkey % 7 AS md, l_orderkey // 7 AS dv FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "fn_conditional" ->
+      "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 3000 THEN 'low' WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS band, coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other, round(least(c_acctbal, 5000.0), 4) AS capped, round(greatest(c_acctbal, 0.0), 4) AS floored FROM customer ORDER BY c_custkey",
+    "fn_array" ->
+      "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims, round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim, round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim, round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum, CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive FROM embeddings ORDER BY vec_id",
+    "fn_map" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, array_to_string(json_keys(props), ',') AS keys_csv, CAST(len(json_keys(props)) AS INTEGER) AS n_keys FROM events ORDER BY event_id",
+    "fn_json" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, json_extract_string(props, '$.missing') AS k_missing, regexp_matches(props, '\"k\"') AS has_k, CAST(length(props) AS INTEGER) AS json_len FROM events ORDER BY event_id",
+    "fn_cast" ->
+      "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str, CAST(round(o_totalprice, 0) AS BIGINT) AS price_long, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str, TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast, TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip FROM orders ORDER BY o_orderkey",
+    "udf_scalar" ->
+      "SELECT doc_id, replace(lower(substring(text, 1, 30)), ' ', '-') AS slug FROM documents ORDER BY doc_id",
+    "udtf_explode_custom" ->
+      "SELECT doc_id, unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos, unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id < 100 ORDER BY doc_id, pos",
     "agg_rollup" ->
       "SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust, GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST",
     "agg_cube" ->

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function families (SURVEY.md §2.8) — one composite query per
+  * family, every function a codegen'd built-in (no UDFs in these paths).
+  *
+  * Cross-engine parity notes baked in:
+  *  - Spark `dayofweek` is 1-based (Sunday=1), DuckDB 0-based → oracle adds 1;
+  *  - Spark regexp_replace replaces ALL matches, DuckDB needs the 'g' flag;
+  *  - double→long ANSI cast truncates in Spark but ROUNDS in DuckDB →
+  *    always `round(x, 0)` before casting on both sides;
+  *  - float arrays: multiply via an explicit double cast so both engines
+  *    do the same IEEE double arithmetic.
+  */
+object Families {
+
+  /** String family on documents.text. */
+  def fnString(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_upper"),
+        length(trim(col("text"))).as("len_trim"),
+        size(split(col("text"), " ")).as("n_words"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(substring(col("text"), 1, 40), " ", "_").as("snake"),
+        concat_ws("|", col("lang"), col("source")).as("lang_src"),
+        levenshtein(substring(col("text"), 1, 8), lit("pipeline")).as("lev"))
+      .orderBy("doc_id")
+
+  /** Date/time family on lineitem.l_shipdate. */
+  def fnDate(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"),
+        dayofweek(col("l_shipdate")).as("dow"),
+        date_trunc("month", col("l_shipdate")).as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), col("l_shipdate").cast("date"))
+          .as("days_to_98"),
+        add_months(col("l_shipdate"), 3).cast("date").as("plus3m"),
+        unix_timestamp(col("l_shipdate")).as("epoch_s"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Math family on lineitem. */
+  def fnMath(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("r2"),
+        floor(col("l_discount") * 100).as("fl"),
+        ceil(col("l_tax") * 100).as("ce"),
+        abs(col("l_quantity") - 25.0).as("ab"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(exp(col("l_discount")), 6).as("ex"),
+        round(pow(col("l_quantity"), 2), 2).as("pw"),
+        signum(col("l_discount") - 0.05).cast("int").as("sg"),
+        (col("l_orderkey") % 7).as("md"),
+        expr("l_orderkey div 7").as("dv"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Conditional family on customer. */
+  def fnConditional(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 3000, "low")
+          .when(col("c_acctbal") < 7000, "mid")
+          .otherwise("high").as("band"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg_or_other"),
+        round(least(col("c_acctbal"), lit(5000.0)), 4).as("capped"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 4).as("floored"))
+      .orderBy("c_custkey")
+
+  /** Array family on embeddings.embedding (higher-order functions).
+    * Vectors are unit-normalized, so the interesting scalars are the max
+    * component, a slice sum, and a positive-component count. */
+  def fnArray(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_dim"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_dim"),
+        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 6).as("head8_sum"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_positive"))
+      .orderBy("vec_id")
+
+  /** Map family: JSON string → MapType on events.props. */
+  def fnMap(s: SparkSession, sf: String): DataFrame = {
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+    Tables.events(s, sf)
+      .select(
+        col("event_id"),
+        element_at(m, "k").as("k_val"),
+        array_join(map_keys(m), ",").as("keys_csv"),
+        size(map_keys(m)).as("n_keys"))
+      .orderBy("event_id")
+  }
+
+  /** JSON family on events.props. */
+  def fnJson(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        get_json_object(col("props"), "$.missing").as("k_missing"),
+        col("props").rlike("\"k\"").as("has_k"),
+        length(col("props")).as("json_len"))
+      .orderBy("event_id")
+
+  /** Casts & formatting on orders (ANSI mode: try_cast for the lossy ones). */
+  def fnCast(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        round(col("o_totalprice"), 0).cast("long").as("price_long"),
+        col("o_orderdate").cast("date").cast("string").as("date_str"),
+        expr("try_cast(o_orderstatus AS int)").as("bad_cast"),
+        expr("try_cast(cast(o_orderkey AS string) AS bigint)").as("roundtrip"))
+      .orderBy("o_orderkey")
+}

@@ -27,8 +27,8 @@ object AdvancedAggs {
       .rollup(col("r_name"), col("n_name"))
       .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"),
            count(lit(1)).as("n_cust"),
-           grouping(col("r_name")).as("g_region"),
-           grouping(col("n_name")).as("g_nation"))
+           grouping(col("r_name")).cast("bigint").as("g_region"),
+           grouping(col("n_name")).cast("bigint").as("g_nation"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
 
   /** CUBE over (returnflag, linestatus): all 2^2 grouping combinations. */

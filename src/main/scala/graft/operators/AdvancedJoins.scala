@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Non-equi joins (SURVEY.md §2.3 advanced rows): band (theta), interval
+  * overlap, and as-of. Spark has no native implementations of band or
+  * as-of joins — each is built from shuffle-friendly primitives so the
+  * plan stays hash-join-shaped at any scale (a naive theta join falls back
+  * to BroadcastNestedLoop, which is quadratic and unusable at 100 TB).
+  */
+object AdvancedJoins {
+
+  /** Band (theta) self-join: pairs of purchase events whose values are
+    * within ±0.5 of each other.
+    *
+    * Scale path: bucketize value by the band width, explode the left side
+    * into (bucket, bucket+1), equi-join on bucket, then apply the exact
+    * band predicate. This turns an O(n²) BNLJ into a hash join whose
+    * fan-out is bounded by the bucket occupancy — the standard range-join
+    * technique (DuckDB/Trino do the same with IEJoin internally).
+    */
+  def joinThetaRange(s: SparkSession, sf: String): DataFrame = {
+    val band = 0.5
+    val base = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"),
+              floor(col("value") / band).as("b"))
+    // id1 < id2 does not order the values, so a pair can straddle the
+    // bucket boundary in either direction: probe b-1, b, and b+1.
+    val left = base
+      .withColumn("bucket", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+      .select(col("event_id").as("id1"), col("value").as("v1"), col("bucket"))
+    val right = base
+      .select(col("event_id").as("id2"), col("value").as("v2"),
+              col("b").as("bucket"))
+    left.join(right, "bucket")
+      .filter(col("id1") < col("id2") &&
+              abs(col("v1") - col("v2")) <= band)
+      .select(col("id1"), col("id2"),
+              round(col("v1"), 4).as("v1"), round(col("v2"), 4).as("v2"))
+      .distinct() // bucket+neighbor can emit a pair twice
+      .orderBy("id1", "id2")
+  }
+
+  /** Interval-overlap join: clicks landing inside the hour after a signup
+    * by the same user. Equi component (user_id) keeps it a hash join;
+    * the range predicate is applied post-join. */
+  def joinInterval(s: SparkSession, sf: String): DataFrame = {
+    val signups = Tables.events(s, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+              col("ts").as("t0"),
+              (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"))
+    val clicks = Tables.events(s, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    signups.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") >= col("t0") && col("click_ts") < col("t1"))
+      .select("user_id", "signup_id", "click_id")
+      .orderBy("user_id", "signup_id", "click_id")
+  }
+
+  /** As-of join: for every purchase, the user's most recent view at or
+    * before the purchase timestamp.
+    *
+    * Union-and-window pattern: tag both streams, sort per user by
+    * (ts, tag, event_id) — views sort before a same-instant purchase —
+    * and carry the latest view forward with last(ignoreNulls). One
+    * shuffle on user_id, no join at all; at 100 TB this beats any
+    * join-shaped formulation because the state per key is one row. */
+  def joinAsof(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+              col("event_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+              col("event_id"), lit(null).cast("long").as("view_id"),
+              lit(null).cast("timestamp").as("view_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .select(col("user_id"), col("ts"), col("tag"), col("event_id"),
+              last(col("view_id"), ignoreNulls = true).over(w).as("last_view_id"),
+              last(col("view_ts"), ignoreNulls = true).over(w).as("last_view_ts"))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"),
+              col("last_view_id"), col("last_view_ts"))
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Source/sink round-trips beyond plain parquet (SURVEY.md §2.1) and the
+  * UDF/UDTF surface (§2.11). The round-trip queries are oracle-N (no
+  * stable temp path for DuckDB) — the driver records a rows-only check;
+  * the scalatest suite asserts exact content equality.
+  */
+object Sources {
+
+  /** CSV round-trip: write nation out as headered CSV, read it back with
+    * an explicit schema (schema inference is a full extra pass — never
+    * rely on it at scale), return read-back rows. */
+  def scanCsv(s: SparkSession, sf: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_csv_").toString
+    val src = Tables.nation(s, sf)
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.schema(src.schema).option("header", "true").csv(dir)
+      .orderBy("n_nationkey")
+  }
+
+  /** Partitioned parquet sink: write events partitioned by event_type,
+    * read back a single partition. The read shows partition pruning —
+    * `PartitionFilters` in the scan, only one directory touched. */
+  def sinkPartitioned(s: SparkSession, sf: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    Tables.events(s, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** Scalar Scala UDF — declared to prove the surface; real pipelines
+    * should prefer built-ins (this exact semantic IS expressible with
+    * built-ins, which is what the oracle runs). */
+  def udfScalar(s: SparkSession, sf: String): DataFrame = {
+    val slug = udf((t: String) => if (t == null) null else t.toLowerCase.replace(' ', '-'))
+    Tables.documents(s, sf)
+      .select(col("doc_id"),
+              slug(substring(col("text"), 1, 30)).as("slug"))
+      .orderBy("doc_id")
+  }
+
+  /** Generator/UDTF surface: posexplode over tokenized text (Scala has no
+    * SQL-UDTF registration; built-in generators + Dataset.flatMap cover
+    * the capability). 1-based pos to match the oracle's zipped unnest. */
+  def udtfExplode(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
+              col("col").as("word"))
+      .orderBy("doc_id", "pos")
+}

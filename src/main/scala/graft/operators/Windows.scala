@@ -26,9 +26,9 @@ object Windows {
     Tables.events(s, sf)
       .select(col("user_id"), col("event_id"),
               round(col("value"), 4).as("value"),
-              row_number().over(w).as("rn"),
-              rank().over(w).as("rnk"),
-              dense_rank().over(w).as("drnk"))
+              row_number().over(w).cast("bigint").as("rn"),
+              rank().over(w).cast("bigint").as("rnk"),
+              dense_rank().over(w).cast("bigint").as("drnk"))
       .filter(col("rn") <= 5)
       .orderBy("user_id", "rn")
   }
@@ -40,7 +40,7 @@ object Windows {
     Tables.orders(s, sf)
       .select(col("o_custkey"), col("o_orderkey"),
               round(col("o_totalprice"), 4).as("o_totalprice"),
-              row_number().over(w).as("rn"))
+              row_number().over(w).cast("bigint").as("rn"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -95,7 +95,7 @@ object Windows {
       .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     Tables.customer(s, sf)
       .select(col("c_mktsegment"), col("c_custkey"),
-              ntile(4).over(w).as("quartile"),
+              ntile(4).over(w).cast("bigint").as("quartile"),
               round(percent_rank().over(w), 6).as("pct_rank"),
               round(cume_dist().over(w), 6).as("cume"))
       .orderBy("c_mktsegment", "c_custkey")

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{AdvancedJoins, Sources}
+import org.apache.spark.sql.functions._
+
+/** Invariants for advanced joins and source/sink round-trips. */
+class JoinsSourcesSpec extends SparkSpecBase {
+
+  test("theta band join: every pair satisfies the band and id ordering") {
+    val bad = AdvancedJoins.joinThetaRange(spark, sfSmoke)
+      .filter(col("id1") >= col("id2") ||
+              abs(col("v1") - col("v2")) > 0.5001).count()
+    assert(bad == 0)
+  }
+
+  test("theta band join matches naive cross-join result exactly") {
+    val e = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val naive = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.event_id") < col("b.event_id") &&
+              abs(col("a.value") - col("b.value")) <= 0.5)
+      .count()
+    assert(AdvancedJoins.joinThetaRange(spark, sfSmoke).count() == naive)
+  }
+
+  test("asof join: view always at or before purchase, none missed") {
+    val df = AdvancedJoins.joinAsof(spark, sfSmoke)
+    assert(df.filter(col("last_view_ts") > col("purchase_ts")).count() == 0)
+    val nPurch = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == nPurch)
+  }
+
+  test("interval join: clicks strictly inside [signup, signup+1h)") {
+    val n = AdvancedJoins.joinInterval(spark, sfSmoke).count()
+    assert(n >= 0) // predicate correctness is oracle-checked; smoke here
+  }
+
+  test("csv round-trip preserves nation exactly") {
+    val back = Sources.scanCsv(spark, sfSmoke)
+    val src = Tables.nation(spark, sfSmoke)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("partitioned sink round-trip returns exactly the purchase rows") {
+    val got = Sources.sinkPartitioned(spark, sfSmoke)
+    val want = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "event_type")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("udf_scalar slug equals built-in equivalent") {
+    val viaBuiltins = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"),
+        regexp_replace(lower(substring(col("text"), 1, 30)), " ", "-").as("slug"))
+    val viaUdf = Sources.udfScalar(spark, sfSmoke)
+    assert(viaUdf.exceptAll(viaBuiltins).isEmpty)
+  }
+}

@@ -31,7 +31,7 @@ class WindowsAggsSpec extends SparkSpecBase {
     val df = Windows.winTopKPerGroup(spark, sfSmoke)
     val maxPer = df.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
     assert(maxPer <= 3)
-    assert(df.agg(min("rn"), max("rn")).head().getInt(0) == 1)
+    assert(df.agg(min("rn"), max("rn")).head().getLong(0) == 1L)
   }
 
   test("udaf geo mean lies between min and max of quantities") {

@@ -37,6 +37,17 @@ def main(sf_dir, out_dir):
             continue
         spk = duckdb.connect().execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        # schema check: DuckDB-reported types of oracle vs spark parquet
+        ora_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        spk_types = {r[0]: r[1] for r in duckdb.connect().execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+        norm = lambda t: t.replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMP")
+        tmism = {c: (ora_types.get(c), spk_types.get(c)) for c in ora_types
+                 if c in spk_types and norm(ora_types[c]) != norm(spk_types[c])}
+        if tmism:
+            print(f"FAIL {name}: type mismatch {tmism}")
+            n_fail += 1
+            continue
         # driver compare shape: sort columns by name, then sort rows
         ora = ora[sorted(ora.columns)]
         spk_cols = sorted(spk.columns)
