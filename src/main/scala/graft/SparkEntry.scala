@@ -72,6 +72,28 @@ object SparkEntry {
     // §2.11 UDF / UDTF surface
     "udf_scalar"        -> Sources.udfScalar _,
     "udtf_explode_custom" -> Sources.udtfExplode _,
+    // §2.10 LLM-pipeline: dedup
+    "dedup_exact"        -> Dedup.dedupExact _,
+    "dedup_near_minhash" -> Dedup.dedupNearMinhash _,
+    "dedup_simhash"      -> Dedup.dedupSimhash _,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
+    // §2.10 LLM-pipeline: similarity
+    "sim_cosine_topk"    -> Similarity.simCosineTopk _,
+    "sim_knn_join"       -> Similarity.simKnnJoin _,
+    "dedup_embed_cosine" -> Similarity.dedupEmbedCosine _,
+    "sim_ann_lsh"        -> Similarity.simAnnLsh _,
+    // §2.10 LLM-pipeline: text analysis
+    "text_tokenize_stats" -> TextOps.textTokenizeStats _,
+    "text_ngrams"        -> TextOps.textNgrams _,
+    "text_lang_partition" -> TextOps.textLangPartition _,
+    "text_lang_id"       -> TextOps.textLangId _,
+    "text_quality_score" -> TextOps.textQualityScore _,
+    "text_token_count"   -> TextOps.textTokenCount _,
+    "text_fingerprint"   -> TextOps.textFingerprint _,
+    // §2.10 LLM-pipeline: multimodal
+    "multimodal_struct"  -> Multimodal.multimodalStruct _,
+    "multimodal_binary"  -> Multimodal.multimodalBinary _,
+    "multimodal_decode"  -> Multimodal.multimodalDecode _,
     // §2.6 sort / limit / sample
     "sort_multi"        -> Relational.sortMulti _,
     "limit_topk"        -> Relational.limitTopK _,
@@ -142,6 +164,38 @@ object SparkEntry {
       "SELECT doc_id, replace(lower(substring(text, 1, 30)), ' ', '-') AS slug FROM documents ORDER BY doc_id",
     "udtf_explode_custom" ->
       "SELECT doc_id, unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos, unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id < 100 ORDER BY doc_id, pos",
+    // dedup_near_minhash, dedup_simhash, sim_ann_lsh: oracle-N (engine-
+    // specific hash families) — self-tested in DedupSimilaritySpec.
+    "dedup_exact" ->
+      "SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY h ORDER BY h",
+    "dedup_ngram_jaccard" ->
+      "WITH w AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents) SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.9 ORDER BY source, id1, id2",
+    "sim_cosine_topk" ->
+      "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) SELECT e.vec_id AS vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * qv[i])), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10",
+    "sim_knn_join" ->
+      "WITH pairs AS (SELECT q.label AS label, q.vec_id AS qid, c.vec_id AS nid, round(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i])), 6) AS cos FROM embeddings q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id WHERE q.vec_id < 50) SELECT label, qid, nid, cos, rn FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn FROM pairs) t WHERE rn <= 3 ORDER BY qid, rn",
+    "dedup_embed_cosine" ->
+      "SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2, round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])), 6) AS cos FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])), 6) >= 0.35 ORDER BY label, id1, id2",
+    "text_tokenize_stats" ->
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word), dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word), n AS (SELECT count(*) AS n_docs FROM documents) SELECT t.doc_id AS doc_id, t.word AS word, t.tf AS tf, d.df AS df, round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf FROM tf t JOIN dfq d USING (word) CROSS JOIN n ORDER BY doc_id, word",
+    "text_ngrams" ->
+      "SELECT doc_id, pos, a || ' ' || b AS bigram FROM (SELECT doc_id, unnest(range(1, len(w))) AS pos, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100) t1) t2 ORDER BY doc_id, pos",
+    "text_lang_partition" ->
+      "SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars, min(doc_id) AS first_doc FROM documents GROUP BY lang, source ORDER BY lang, source",
+    "text_lang_id" ->
+      "WITH s AS (SELECT doc_id, lang AS actual_lang, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['der','die','und','das','ist'])) AS BIGINT) AS s_de, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','and','of','to','in'])) AS BIGINT) AS s_en, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['el','la','de','que','los'])) AS BIGINT) AS s_es, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['le','la','et','les','des'])) AS BIGINT) AS s_fr, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['的','是','了','在','我'])) AS BIGINT) AS s_zh FROM documents) SELECT doc_id, actual_lang, CASE WHEN best = 0 THEN 'und' WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' ELSE 'zh' END AS predicted, best FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s) t ORDER BY doc_id",
+    "text_quality_score" ->
+      "SELECT *, round(CASE WHEN n_words < 5 THEN 0.0 ELSE (1.0 - non_alpha_ratio) * vocab_diversity END, 6) AS quality FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len, round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS non_alpha_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS vocab_diversity FROM documents) t ORDER BY doc_id",
+    "text_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens FROM documents ORDER BY doc_id",
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS h_exact, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h_bag, list_reduce(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), (acc, c) -> (acc * 131 + c) % 2147483647) AS h_roll FROM documents ORDER BY doc_id",
+    "multimodal_struct" ->
+      "SELECT d.doc_id AS doc_id, CAST(to_json(struct_pack(lang := lang, source := source, n_chars := n_chars)) AS VARCHAR) AS meta_json, CAST(len(embedding) AS BIGINT) AS emb_dim, round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY doc_id",
+    "multimodal_binary" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, md5(text) AS content_md5, substring(text, 1, 4) AS head4 FROM documents ORDER BY doc_id",
+    "multimodal_decode" ->
+      "SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + octet_length(CAST(text AS BLOB)) % 512) * (64 + ascii(substring(text, 1, 1)) % 512) * 3 AS BIGINT) AS n_pixels FROM documents ORDER BY doc_id",
     "agg_rollup" ->
       "SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust, GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST",
     "agg_cube" ->

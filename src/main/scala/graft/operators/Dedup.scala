@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design: nothing here ever forms an unblocked pair space.
+  *  - exact dedup: one hash-groupBy (shuffle on the content hash);
+  *  - MinHash: candidate pairs come only from LSH band buckets — the
+  *    join key is (band, band_hash), so the shuffle is proportional to
+  *    the number of colliding docs, not n²;
+  *  - SimHash / Jaccard: pairs are blocked on `source` (a real pipeline
+  *    blocks on shard/domain); an unblocked variant is the LSH one.
+  */
+object Dedup {
+
+  private def ws = array_distinct(split(col("text"), " "))
+
+  /** Exact duplicate elimination on the order-insensitive bag-of-words
+    * hash (the corpus plants word-permuted duplicates: same word set,
+    * different order). Keep-first = min doc_id per group. */
+  def dedupExact(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(ws)).cast("binary")).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy("h")
+
+  /** MinHash + LSH near-duplicate candidates.
+    *
+    * 16 hash functions (xxhash64 with the function index as an extra
+    * hashed column = a seeded family), signature = per-function min over
+    * the word set; 4 LSH bands of 4 rows each. Docs sharing any band
+    * hash become candidates; estimated Jaccard = fraction of matching
+    * signature components. Oracle-N (hash family is engine-specific);
+    * the spec plants known near-dup pairs and checks the estimate
+    * against exact Jaccard. */
+  def dedupNearMinhash(s: SparkSession, sf: String): DataFrame =
+    minhashPairs(Tables.documents(s, sf).select(col("doc_id"), ws.as("ws")))
+      .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
+
+  /** Max docs per LSH bucket before the bucket is skipped as a "stop
+    * bucket" (the LSH analog of stopword removal). Unbounded buckets are
+    * the one way LSH goes quadratic — a bucket of b docs emits b²/2
+    * pairs, so capping b bounds the pair space at any corpus size. */
+  private val MaxBucket = 64
+
+  /** Core MinHash pipeline over (doc_id, ws: array<string>) — shared with
+    * the fixture-based spec.
+    *
+    * Shape: signatures are computed ONCE per doc (cached column, not
+    * re-derived per band), buckets are formed by groupBy — not a
+    * self-join — and pairs are generated inside each bucket with a
+    * bounded nested transform. Oversized buckets are dropped (see
+    * MaxBucket); with a healthy shingle space they do not occur. */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .withColumn("sig", expr(
+        """transform(sequence(0, 15),
+          |  s -> array_min(transform(ws, w -> xxhash64(w, s))))""".stripMargin))
+      .select(col("doc_id"), col("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band,
+            |  xxhash64(element_at(sig, b*4+1), element_at(sig, b*4+2),
+            |           element_at(sig, b*4+3), element_at(sig, b*4+4)) AS bh))"""
+            .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val buckets = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(expr("sort_array(collect_list(struct(doc_id, sig)))").as("members"))
+      .filter(size(col("members")).between(2, MaxBucket))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(members, (m1, i) ->
+          |  transform(slice(members, i + 2, size(members)), m2 ->
+          |    struct(m1.doc_id AS id1, m2.doc_id AS id2,
+          |      size(filter(zip_with(m1.sig, m2.sig, (a, b) -> a = b),
+          |           x -> x)) AS n_eq))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"),
+              round(col("p.n_eq").cast("double") / 16.0, 4).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash near-dup detection: 48-bit signature (bit j = sign of the
+    * sum of ±1 votes from each word-hash's j-th bit), pairs within the
+    * same source at Hamming distance ≤ 3. Oracle-N (engine hash). */
+  def dedupSimhash(s: SparkSession, sf: String): DataFrame = {
+    val sigs = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"),
+        // hoist the word hashes: computed once per doc, not once per bit
+        expr("transform(array_distinct(split(text, ' ')), w -> xxhash64(w))")
+          .as("hs"))
+      .select(col("doc_id"), col("source"), expr(
+        """aggregate(sequence(0, 47), 0L, (acc, j) ->
+          |  acc + shiftleft(CAST(
+          |    aggregate(hs, 0L,
+          |      (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)) >= 0
+          |    AS BIGINT), j))""".stripMargin).as("simhash"))
+      // the self-join below would otherwise duplicate the signature
+      // computation (two lineage subtrees); materialize once — at real
+      // scale signatures are checkpointed to storage for the same reason
+      .persist()
+    val l = sigs.select(col("source"), col("doc_id").as("id1"),
+                        col("simhash").as("sh1"))
+    val r = sigs.select(col("source"), col("doc_id").as("id2"),
+                        col("simhash").as("sh2"))
+    l.join(r, "source")
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", expr("bit_count(sh1 ^ sh2)"))
+      .filter(col("hamming") <= 3)
+      .select("source", "id1", "id2", "hamming")
+      .orderBy("source", "id1", "id2")
+  }
+
+  /** Exact word-set (1-gram) Jaccard near-dup pairs, blocked on source,
+    * J ≥ 0.9. Fully oracle-checkable — DuckDB computes the same
+    * intersection/union arithmetic with list functions. */
+  def dedupNgramJaccard(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"), array_sort(ws).as("ws"))
+    val l = docs.select(col("source"), col("doc_id").as("id1"), col("ws").as("w1"))
+    val r = docs.select(col("source"), col("doc_id").as("id2"), col("ws").as("w2"))
+    l.join(r, "source")
+      .filter(col("id1") < col("id2"))
+      .withColumn("n_inter", expr("size(array_intersect(w1, w2))").cast("bigint"))
+      .withColumn("jac", round(col("n_inter").cast("double") /
+        (expr("size(w1)") + expr("size(w2)") - col("n_inter")), 6))
+      .filter(col("jac") >= 0.9)
+      .select("source", "id1", "id2", "jac")
+      .orderBy("source", "id1", "id2")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Vector similarity search over the 64-dim embeddings table.
+  *
+  * Vectors are unit-normalized, so cosine ≡ dot product. The dot product
+  * is a zip_with/aggregate higher-order expression with an explicit
+  * double cast on the float components — both engines then do the same
+  * left-to-right IEEE double summation, making results oracle-exact.
+  *
+  * Scale paths: brute force is the top-k baseline (one pass, no shuffle
+  * beyond the final top-k); knn-join and near-dup block on `label`; the
+  * ANN variant buckets by random-hyperplane LSH so the candidate join is
+  * hash-shaped. Never an unblocked n² pair space.
+  */
+object Similarity {
+
+  private val dot = (a: String, b: String) =>
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), " +
+         s"0D, (acc, v) -> acc + v)")
+
+  /** Brute-force cosine top-10 against an in-data query vector (vec_id 0).
+    * The single query row is broadcast; TakeOrderedAndProject keeps the
+    * top-k per partition, so nothing global is sorted. */
+  def simCosineTopk(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dot("embedding", "qv"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** k-NN join blocked on label: 3 nearest same-label neighbors for each
+    * query vector (vec_id < 50). The label is the blocking key — the
+    * join shuffles on it, and per-block fan-out is |block|², bounded by
+    * the label cardinality design, not the table size. */
+  def simKnnJoin(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("label"), col("vec_id").as("nid"),
+                     col("embedding").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    q.join(c, "label")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("label"), col("qid"), col("nid"),
+              round(dot("qv", "nv"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (label-blocked, cos ≥ 0.35 —
+    * calibrated: the corpus' max blocked cosine is ~0.47). */
+  def dedupEmbedCosine(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val l = e.select(col("label"), col("vec_id").as("id1"),
+                     col("embedding").as("v1"))
+    val r = e.select(col("label"), col("vec_id").as("id2"),
+                     col("embedding").as("v2"))
+    l.join(r, "label")
+      .filter(col("id1") < col("id2"))
+      .select(col("label"), col("id1"), col("id2"),
+              round(dot("v1", "v2"), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("label", "id1", "id2")
+  }
+
+  /** ANN via random-hyperplane LSH: 8 deterministic pseudo-random
+    * hyperplanes (components derived from xxhash64 of (plane, dim)),
+    * signature bit j = sign(v · h_j), bucket = the 8-bit signature.
+    * Candidates = same-bucket vectors; rank candidates by true cosine,
+    * top-5 per query (queries: vec_id < 20). Oracle-N (engine hash);
+    * the spec checks bucketing determinism and that same-bucket cosine
+    * beats the global average. */
+  def simAnnLsh(s: SparkSession, sf: String): DataFrame = {
+    val bucketed = Tables.embeddings(s, sf).withColumn("bucket", expr(
+      """aggregate(sequence(0, 7), 0L, (acc, j) ->
+        |  acc + shiftleft(CAST(
+        |    aggregate(zip_with(embedding, sequence(1, 64),
+        |        (x, i) -> CAST(x AS DOUBLE) *
+        |          ((CAST(xxhash64(j, i) % 2001 AS DOUBLE)) / 1000.0)),
+        |      0D, (a, v) -> a + v) >= 0 AS BIGINT), j))""".stripMargin))
+    val q = bucketed.filter(col("vec_id") < 20)
+      .select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = bucketed.select(col("bucket"), col("vec_id").as("nid"),
+                            col("embedding").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    q.join(c, "bucket")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("bucket"),
+              round(dot("qv", "nv"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+}

