@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.Families
 import graft.operators._
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §0.2/§2 and §7.
   *
@@ -94,6 +95,13 @@ object SparkEntry {
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
     "multimodal_decode"  -> Multimodal.multimodalDecode _,
+    // §2.9 streaming batch twins + a real streaming run
+    "stream_tumbling"   -> Streaming.tumblingBatch _,
+    "stream_sliding"    -> Streaming.slidingBatch _,
+    "stream_session"    -> Streaming.sessionBatch _,
+    "stream_dedup"      -> Streaming.dedupBatch _,
+    "stream_stateful"   -> Streaming.statefulBatch _,
+    "stream_agg_sink"   -> Streaming.streamAggSink _,
     // §2.6 sort / limit / sample
     "sort_multi"        -> Relational.sortMulti _,
     "limit_topk"        -> Relational.limitTopK _,
@@ -196,6 +204,18 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, md5(text) AS content_md5, substring(text, 1, 4) AS head4 FROM documents ORDER BY doc_id",
     "multimodal_decode" ->
       "SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + octet_length(CAST(text AS BLOB)) % 512) * (64 + ascii(substring(text, 1, 1)) % 512) * 3 AS BIGINT) AS n_pixels FROM documents ORDER BY doc_id",
+    "stream_tumbling" ->
+      "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
+    "stream_sliding" ->
+      "SELECT TIMESTAMP '1970-01-01 00:00:00' + (CAST(floor(epoch(ts)/900) AS BIGINT)*900 - j*900) * INTERVAL 1 SECOND AS w_start, event_type, count(*) AS n_events FROM events, (SELECT unnest([0,1,2,3]) AS j) js GROUP BY 1, 2 ORDER BY w_start, event_type",
+    "stream_session" ->
+      "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start",
+    "stream_dedup" ->
+      "SELECT user_id, event_type, event_id, ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id, event_type",
+    "stream_stateful" ->
+      "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY user_id ORDER BY user_id",
+    "stream_agg_sink" ->
+      "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
     "agg_rollup" ->
       "SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust, GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST",
     "agg_cube" ->

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming semantics (SURVEY.md §2.9): batch-twin
+  * equivalence on in-order data, watermark late-data dropping, streaming
+  * dedup, and arbitrary state. All driven through MemoryStream so batch
+  * boundaries (and therefore watermark advancement) are controlled. */
+class StreamingSpec extends SparkSpecBase {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+                 typ: String = "click", value: Double = 1.0): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, typ, value)
+
+  private def runBatches[T](events: Seq[Seq[Ev]],
+                            build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                            mode: OutputMode): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"t_${System.nanoTime()}"
+    val q = build(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      events.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling stream equals batch twin on in-order data (append after watermark close)") {
+    // batch 1: events in hour 10; batch 2: an event far ahead that pushes
+    // the watermark past hour 10, forcing the 10:00 window to finalize
+    val b1 = Seq(ev(1, 0), ev(2, 5), ev(3, 30))
+    val b2 = Seq(Ev(4, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
+    val rows = runBatches(Seq(b1, b2), Streaming.applyTumbling, OutputMode.Append())
+    val hour10 = rows.find(_.getAs[Timestamp]("w_start") ==
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(hour10.isDefined && hour10.get.getAs[Long]("n_events") == 3L)
+  }
+
+  test("late data beyond the watermark is dropped") {
+    val b1 = Seq(ev(1, 0), ev(2, 5))
+    // push watermark to 12:50 (13:00 - 10m)
+    val b2 = Seq(Ev(3, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
+    // late arrival back in hour 10 — must be dropped, not re-emitted
+    val b3 = Seq(ev(99, 7))
+    val b4 = Seq(Ev(5, Timestamp.valueOf("2024-01-01 15:00:00"), 1, "click", 1.0))
+    val rows = runBatches(Seq(b1, b2, b3, b4),
+      Streaming.applyTumbling, OutputMode.Append())
+    val hour10 = rows.filter(_.getAs[Timestamp]("w_start") ==
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(hour10.map(_.getAs[Long]("n_events")).sum == 2L,
+      s"late event must not count: $hour10")
+  }
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val b1 = Seq(ev(1, 0), ev(1, 0), ev(2, 5))
+    val b2 = Seq(ev(1, 6), ev(3, 8))
+    val rows = runBatches(Seq(b1, b2), Streaming.applyDedup, OutputMode.Append())
+    assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("session windows merge events within the 30m gap") {
+    val b1 = Seq(ev(1, 0), ev(2, 20), ev(3, 45))  // one session: gaps < 30m
+    val b2 = Seq(Ev(4, Timestamp.valueOf("2024-01-01 14:00:00"), 1, "click", 1.0))
+    val rows = runBatches(Seq(b1, b2), Streaming.applySession, OutputMode.Append())
+    val s1 = rows.filter(_.getAs[Timestamp]("session_start") ==
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(s1.nonEmpty && s1.head.getAs[Long]("n_events") == 3L)
+    assert(s1.head.getAs[Timestamp]("session_end") ==
+      Timestamp.valueOf("2024-01-01 11:15:00"))
+  }
+
+  test("stateful counters accumulate across batches") {
+    val b1 = Seq(ev(1, 0, user = 7, value = 2.0), ev(2, 1, user = 7, value = 3.0))
+    val b2 = Seq(ev(3, 2, user = 7, value = 5.0))
+    val rows = runBatches(Seq(b1, b2),
+      df => Streaming.applyStateful(spark, df), OutputMode.Update())
+    val last = rows.filter(_.getAs[Long]("user_id") == 7L)
+      .maxBy(_.getAs[Long]("n_events"))
+    assert(last.getAs[Long]("n_events") == 3L)
+    assert(math.abs(last.getAs[Double]("sum_value") - 10.0) < 1e-9)
+  }
+
+  test("stream_agg_sink end-to-end run equals the batch twin") {
+    val streamed = Streaming.streamAggSink(spark, sfSmoke)
+    val batch = Streaming.tumblingBatch(spark, sfSmoke)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session batch twin matches gaps-and-islands window formulation") {
+    val sw = Streaming.sessionBatch(spark, sfSmoke)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val islands = Tables.events(spark, sfSmoke)
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+             col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") >= 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid").agg(count(lit(1)).as("n_events"))
+    assert(sw.count() == islands.count())
+  }
+}
