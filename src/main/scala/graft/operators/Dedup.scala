@@ -122,12 +122,25 @@ object Dedup {
     * J ≥ 0.9. Fully oracle-checkable — DuckDB computes the same
     * intersection/union arithmetic with list functions. */
   def dedupNgramJaccard(s: SparkSession, sf: String): DataFrame = {
+    // hash words to 64-bit longs before pairing: the pair join then moves
+    // and intersects fixed-width longs instead of strings — same
+    // intersection cardinality (collision odds ~n²/2^64), same Jaccard
     val docs = Tables.documents(s, sf)
-      .select(col("doc_id"), col("source"), array_sort(ws).as("ws"))
-    val l = docs.select(col("source"), col("doc_id").as("id1"), col("ws").as("w1"))
-    val r = docs.select(col("source"), col("doc_id").as("id2"), col("ws").as("w2"))
+      .select(col("doc_id"), col("source"),
+              expr("transform(array_distinct(split(text, ' ')), w -> xxhash64(w))")
+                .as("ws"),
+              size(ws).as("n"))
+    val l = docs.select(col("source"), col("doc_id").as("id1"),
+                        col("ws").as("w1"), col("n").as("n1"))
+    val r = docs.select(col("source"), col("doc_id").as("id2"),
+                        col("ws").as("w2"), col("n").as("n2"))
     l.join(r, "source")
       .filter(col("id1") < col("id2"))
+      // size prefilter: J ≥ 0.9 implies max(n1,n2) ≤ 1.11·min(n1,n2) —
+      // a pure subset optimization (result-identical, oracle unchanged)
+      // that skips the expensive intersect for most pairs
+      .filter(greatest(col("n1"), col("n2")) <=
+              least(col("n1"), col("n2")) * 1.12)
       .withColumn("n_inter", expr("size(array_intersect(w1, w2))").cast("bigint"))
       .withColumn("jac", round(col("n_inter").cast("double") /
         (expr("size(w1)") + expr("size(w2)") - col("n_inter")), 6))
