@@ -19,9 +19,13 @@ import graft.Tables
   */
 object Similarity {
 
-  private val dot = (a: String, b: String) =>
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), " +
-         s"0D, (acc, v) -> acc + v)")
+  /** Codegen'd native dot product (graft.functions.DotProduct) — same
+    * left-to-right double fold as the declarative
+    * `aggregate(zip_with(...))` form, compiled instead of interpreted. */
+  private def dot(s: SparkSession)(a: String, b: String) = {
+    graft.functions.DotProduct.register(s)
+    expr(s"graft_dot($a, $b)")
+  }
 
   /** Brute-force cosine top-10 against an in-data query vector (vec_id 0).
     * The single query row is broadcast; TakeOrderedAndProject keeps the
@@ -31,7 +35,7 @@ object Similarity {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(dot("embedding", "qv"), 6).as("cos"))
+      .select(col("vec_id"), round(dot(s)("embedding", "qv"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -51,7 +55,7 @@ object Similarity {
     q.join(c, "label")
       .filter(col("qid") =!= col("nid"))
       .select(col("label"), col("qid"), col("nid"),
-              round(dot("qv", "nv"), 6).as("cos"))
+              round(dot(s)("qv", "nv"), 6).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 3)
       .orderBy("qid", "rn")
@@ -68,7 +72,7 @@ object Similarity {
     l.join(r, "label")
       .filter(col("id1") < col("id2"))
       .select(col("label"), col("id1"), col("id2"),
-              round(dot("v1", "v2"), 6).as("cos"))
+              round(dot(s)("v1", "v2"), 6).as("cos"))
       .filter(col("cos") >= 0.35)
       .orderBy("label", "id1", "id2")
   }
@@ -97,7 +101,7 @@ object Similarity {
     q.join(c, "bucket")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("bucket"),
-              round(dot("qv", "nv"), 6).as("cos"))
+              round(dot(s)("qv", "nv"), 6).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 5)
       .orderBy("qid", "rn")

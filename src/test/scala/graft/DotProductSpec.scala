@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.functions._
+
+/** Native DotProduct expression: parity with the declarative HOF form,
+  * null semantics, codegen path. */
+class DotProductSpec extends SparkSpecBase {
+
+  test("graft_dot is bit-identical to aggregate(zip_with(...)) on the corpus") {
+    DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfSmoke).limit(200)
+    val both = e.crossJoin(
+        Tables.embeddings(spark, sfSmoke).limit(1)
+          .select(col("embedding").as("qv")))
+      .select(
+        expr("graft_dot(embedding, qv)").as("native"),
+        expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("null array yields null; self-dot of unit vectors is ~1") {
+    DotProduct.register(spark)
+    val df = Tables.embeddings(spark, sfSmoke).limit(50)
+      .select(expr("graft_dot(embedding, embedding)").as("selfdot"),
+              expr("graft_dot(embedding, CAST(NULL AS ARRAY<FLOAT>))").as("n"))
+    assert(df.filter(col("n").isNotNull).count() == 0)
+    assert(df.filter(abs(col("selfdot") - 1.0) > 1e-3).count() == 0)
+  }
+
+  test("type check rejects non-float arrays") {
+    DotProduct.register(spark)
+    val err = intercept[Exception] {
+      Tables.embeddings(spark, sfSmoke)
+        .select(expr("graft_dot(array(1L, 2L), array(1L, 2L))")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<float>"))
+  }
+}
