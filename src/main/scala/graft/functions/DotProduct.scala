@@ -96,6 +96,8 @@ object DotProduct {
 /** The idiomatic hook for deployments that control session construction:
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((DotProduct.ident, DotProduct.info, DotProduct.builder))
+    ext.injectFunction((SimHash48.ident, SimHash48.info, SimHash48.builder))
+  }
 }

@@ -41,7 +41,9 @@ object AdvancedJoins {
               abs(col("v1") - col("v2")) <= band)
       .select(col("id1"), col("id2"),
               round(col("v1"), 4).as("v1"), round(col("v2"), 4).as("v2"))
-      .distinct() // bucket+neighbor can emit a pair twice
+      // no dedup needed: the right side keeps its single home bucket, so
+      // orientation (id1, id2) matches exactly once — id2's home bucket
+      // is one value inside id1's probed {b-1, b, b+1}
       .orderBy("id1", "id2")
   }
 

@@ -91,17 +91,14 @@ object Dedup {
     * sum of ±1 votes from each word-hash's j-th bit), pairs within the
     * same source at Hamming distance ≤ 3. Oracle-N (engine hash). */
   def dedupSimhash(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.SimHash48.register(s)
     val sigs = Tables.documents(s, sf)
       .select(col("doc_id"), col("source"),
-        // hoist the word hashes: computed once per doc, not once per bit
-        expr("transform(array_distinct(split(text, ' ')), w -> xxhash64(w))")
-          .as("hs"))
-      .select(col("doc_id"), col("source"), expr(
-        """aggregate(sequence(0, 47), 0L, (acc, j) ->
-          |  acc + shiftleft(CAST(
-          |    aggregate(hs, 0L,
-          |      (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)) >= 0
-          |    AS BIGINT), j))""".stripMargin).as("simhash"))
+        // word hashes via built-in xxhash64, signature via the native
+        // codegen expression (graft.functions.SimHash48) — the
+        // interpreted two-level HOF formulation was the bench bottleneck
+        expr("graft_simhash48(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))")
+          .as("simhash"))
       // the self-join below would otherwise duplicate the signature
       // computation (two lineage subtrees); materialize once — at real
       // scale signatures are checkpointed to storage for the same reason
