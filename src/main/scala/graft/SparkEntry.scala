@@ -46,6 +46,7 @@ object SparkEntry {
     "agg_collect_sorted" -> AdvancedAggs.aggCollectSorted _,
     "agg_pivot"         -> AdvancedAggs.aggPivot _,
     "agg_udaf_typed"    -> AdvancedAggs.aggUdafTyped _,
+    "agg_percentile"    -> AdvancedAggs.aggPercentile _,
     // §2.5 windows
     "win_rank"          -> Windows.winRank _,
     "win_topk_per_group" -> Windows.winTopKPerGroup _,
@@ -228,6 +229,8 @@ object SparkEntry {
       "SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click, round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase, round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup, round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view FROM events GROUP BY user_id ORDER BY user_id",
     "agg_udaf_typed" ->
       "SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty, count(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "agg_percentile" ->
+      "SELECT l_returnflag, list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS price_quartiles, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "win_rank" ->
       "SELECT * FROM (SELECT user_id, event_id, round(value, 4) AS value, row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)) t WHERE rn <= 5 ORDER BY user_id, rn",
     "win_topk_per_group" ->

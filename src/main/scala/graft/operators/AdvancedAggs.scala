@@ -92,6 +92,19 @@ object AdvancedAggs {
     def outputEncoder = Encoders.scalaDouble
   }
 
+  /** Exact percentiles (linear interpolation — same algorithm as
+    * DuckDB's quantile_cont). Exact percentile needs the full sorted
+    * group; at 100 TB use approx_percentile (t-digest, mergeable) — the
+    * exact form is the oracle-checkable correctness anchor. */
+  def aggPercentile(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        """transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)),
+          |  x -> round(x, 4))""".stripMargin).as("price_quartiles"),
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("median_qty"))
+      .orderBy("l_returnflag")
+
   /** Custom UDAF surface: geometric mean of l_quantity per returnflag. */
   def aggUdafTyped(s: SparkSession, sf: String): DataFrame = {
     val geoMean = udaf(GeoMean)

@@ -121,10 +121,12 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, sf: String): DataFrame = {
     // hash words to 64-bit longs before pairing: the pair join then moves
     // and intersects fixed-width longs instead of strings — same
-    // intersection cardinality (collision odds ~n²/2^64), same Jaccard
+    // intersection cardinality (collision odds ~n²/2^64), same Jaccard.
+    // Sorted once per doc so the per-pair intersect is a linear merge.
+    graft.functions.SortedIntersectSize.register(s)
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"), col("source"),
-              expr("transform(array_distinct(split(text, ' ')), w -> xxhash64(w))")
+              expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))")
                 .as("ws"),
               size(ws).as("n"))
     val l = docs.select(col("source"), col("doc_id").as("id1"),
@@ -138,7 +140,7 @@ object Dedup {
       // that skips the expensive intersect for most pairs
       .filter(greatest(col("n1"), col("n2")) <=
               least(col("n1"), col("n2")) * 1.12)
-      .withColumn("n_inter", expr("size(array_intersect(w1, w2))").cast("bigint"))
+      .withColumn("n_inter", expr("graft_sorted_intersect_size(w1, w2)"))
       .withColumn("jac", round(col("n_inter").cast("double") /
         (expr("size(w1)") + expr("size(w2)") - col("n_inter")), 6))
       .filter(col("jac") >= 0.9)

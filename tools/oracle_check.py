@@ -56,6 +56,16 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         spk = spk[spk_cols]
+        # array-typed cells (numpy arrays) are unhashable — stringify for
+        # sorting and comparison (both engines come through duckdb fetchdf,
+        # so representations agree)
+        import numpy as np
+        for df_ in (ora, spk):
+            for c in df_.columns:
+                if df_[c].dtype == object and df_[c].map(
+                        lambda v: isinstance(v, (list, np.ndarray))).any():
+                    df_[c] = df_[c].map(lambda v: str(list(v)) if isinstance(
+                        v, (list, np.ndarray)) else str(v))
         if len(ora) != len(spk):
             print(f"FAIL {name}: rows spark={len(spk)} oracle={len(ora)}")
             n_fail += 1
