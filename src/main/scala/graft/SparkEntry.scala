@@ -47,6 +47,10 @@ object SparkEntry {
     "agg_pivot"         -> AdvancedAggs.aggPivot _,
     "agg_udaf_typed"    -> AdvancedAggs.aggUdafTyped _,
     "agg_percentile"    -> AdvancedAggs.aggPercentile _,
+    "agg_stats"         -> AdvancedAggs.aggStats _,
+    "join_cross"        -> Relational.joinCross _,
+    "fn_bitwise"        -> Families.fnBitwise _,
+    "fn_hash"           -> Families.fnHash _,
     // §2.5 windows
     "win_rank"          -> Windows.winRank _,
     "win_topk_per_group" -> Windows.winTopKPerGroup _,
@@ -229,6 +233,14 @@ object SparkEntry {
       "SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click, round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase, round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup, round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view FROM events GROUP BY user_id ORDER BY user_id",
     "agg_udaf_typed" ->
       "SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty, count(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "agg_stats" ->
+      "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qp_corr, round(covar_pop(l_quantity, l_extendedprice), 4) AS qp_covar_pop, round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar_samp, round(stddev_samp(l_quantity), 6) AS q_stddev, round(stddev_pop(l_quantity), 6) AS q_stddev_pop, round(var_samp(l_quantity), 6) AS q_var, round(var_pop(l_quantity), 6) AS q_var_pop FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "fn_bitwise" ->
+      "SELECT o_orderkey, o_orderkey & 255 AS b_and, o_orderkey | 4096 AS b_or, xor(o_orderkey, 1023) AS b_xor, (o_orderkey % 16) << 2 AS b_shl, o_orderkey >> 3 AS b_shr, ~o_orderkey AS b_not, CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop FROM orders ORDER BY o_orderkey",
+    "fn_hash" ->
+      "SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256, to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64, substring(text, 1, 12) AS b64_roundtrip FROM documents ORDER BY doc_id",
     "agg_percentile" ->
       "SELECT l_returnflag, list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS price_quartiles, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "win_rank" ->

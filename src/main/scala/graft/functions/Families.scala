@@ -119,6 +119,32 @@ object Families {
         length(col("props")).as("json_len"))
       .orderBy("event_id")
 
+  /** Bitwise family on orders keys. */
+  def fnBitwise(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255)).as("b_and"),
+        (col("o_orderkey").bitwiseOR(4096)).as("b_or"),
+        (col("o_orderkey").bitwiseXOR(1023)).as("b_xor"),
+        shiftleft(col("o_orderkey") % 16, 2).as("b_shl"),
+        shiftright(col("o_orderkey"), 3).as("b_shr"),
+        bitwise_not(col("o_orderkey")).as("b_not"),
+        bit_count(col("o_orderkey")).cast("bigint").as("b_pop"))
+      .orderBy("o_orderkey")
+
+  /** Hash/encoding family on documents (md5, sha2-256, base64 both ways). */
+  def fnHash(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("h_md5"),
+        sha2(col("text").cast("binary"), 256).as("h_sha256"),
+        base64(substring(col("text"), 1, 12).cast("binary")).as("b64"),
+        unbase64(base64(substring(col("text"), 1, 12).cast("binary")))
+          .cast("string").as("b64_roundtrip"))
+      .orderBy("doc_id")
+
   /** Casts & formatting on orders (ANSI mode: try_cast for the lossy ones). */
   def fnCast(s: SparkSession, sf: String): DataFrame =
     Tables.orders(s, sf)

@@ -105,6 +105,24 @@ object AdvancedAggs {
         round(expr("percentile(l_quantity, 0.5D)"), 4).as("median_qty"))
       .orderBy("l_returnflag")
 
+  /** Statistical aggregates: correlation, covariance, stddev/variance
+    * (sample + population). Skewness/kurtosis are deliberately absent —
+    * Spark uses population formulas, DuckDB bias-corrected sample ones. */
+  def aggStats(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qp_covar_pop"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qp_covar_samp"),
+        round(stddev_samp(col("l_quantity")), 6).as("q_stddev"),
+        round(stddev_pop(col("l_quantity")), 6).as("q_stddev_pop"),
+        round(var_samp(col("l_quantity")), 6).as("q_var"),
+        round(var_pop(col("l_quantity")), 6).as("q_var_pop"))
+      .orderBy("l_returnflag")
+
   /** Custom UDAF surface: geometric mean of l_quantity per returnflag. */
   def aggUdafTyped(s: SparkSession, sf: String): DataFrame = {
     val geoMean = udaf(GeoMean)

@@ -146,6 +146,15 @@ object Relational {
            round(avg(col("c_acctbal")), 4).as("avg_bal"))
       .orderBy("n_name")
 
+  /** Explicit cross join of two bounded dims — the only sanctioned cross
+    * join shape (both sides provably tiny; anything larger must go
+    * through a blocked/banded formulation). */
+  def joinCross(s: SparkSession, sf: String): DataFrame =
+    Tables.region(s, sf)
+      .crossJoin(Tables.nation(s, sf))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
   // ---- §2.4 aggregations ----------------------------------------------
 
   /** FLAGSHIP — TPC-H Q1 shape. Hash aggregate with map-side partial
