@@ -89,6 +89,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(math.abs(last.getAs[Double]("sum_value") - 10.0) < 1e-9)
   }
 
+  test("transformWithState counters accumulate across batches (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq(ev(1, 0, user = 9, value = 1.5), ev(2, 1, user = 9, value = 2.5))
+      val b2 = Seq(ev(3, 2, user = 9, value = 6.0))
+      val rows = runBatches(Seq(b1, b2),
+        df => Streaming.applyStatefulTws(spark, df), OutputMode.Update())
+      val last = rows.filter(_.getAs[Long]("user_id") == 9L)
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("n_events") == 3L)
+      assert(math.abs(last.getAs[Double]("sum_value") - 10.0) < 1e-9)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream_agg_sink end-to-end run equals the batch twin") {
     val streamed = Streaming.streamAggSink(spark, sfSmoke)
     val batch = Streaming.tumblingBatch(spark, sfSmoke)
