@@ -61,6 +61,10 @@ object SparkEntry {
     "win_first_last"    -> Windows.winFirstLast _,
     // §2.1 extra sources/sinks (oracle-N round-trips)
     "scan_csv"          -> Sources.scanCsv _,
+    "scan_json_file"    -> Sources.scanJsonFile _,
+    "subquery_scalar"   -> Subqueries.subqueryScalar _,
+    "subquery_correlated" -> Subqueries.subqueryCorrelated _,
+    "join_lateral"      -> Subqueries.joinLateral _,
     "sink_partitioned"  -> Sources.sinkPartitioned _,
     // §2.3 advanced joins
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
@@ -151,6 +155,12 @@ object SparkEntry {
     // self-tested against exact counts within rsd in the scalatest suite).
     "agg_having" ->
       "SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n_cust FROM customer GROUP BY c_mktsegment HAVING round(avg(c_acctbal), 4) > 0 ORDER BY c_mktsegment",
+    "subquery_scalar" ->
+      "SELECT c_custkey, round((SELECT max(o_totalprice) FROM orders), 4) AS global_max FROM customer ORDER BY c_custkey",
+    "subquery_correlated" ->
+      "SELECT c_custkey, (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders FROM customer ORDER BY c_custkey",
+    "join_lateral" ->
+      "SELECT c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS o_totalprice FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ORDER BY c_custkey, o_orderkey",
     "join_theta_range" ->
       "SELECT a.event_id AS id1, b.event_id AS id2, round(a.value, 4) AS v1, round(b.value, 4) AS v2 FROM events a JOIN events b ON a.event_id < b.event_id AND abs(a.value - b.value) <= 0.5 WHERE a.event_type = 'purchase' AND b.event_type = 'purchase' ORDER BY id1, id2",
     "join_interval" ->

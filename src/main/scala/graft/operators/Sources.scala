@@ -23,6 +23,16 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** JSON-lines round-trip (the reference ingests API JSON [PK]): write
+    * nation as JSON lines, read back with an explicit schema. */
+  def scanJsonFile(s: SparkSession, sf: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_json_").toString
+    val src = Tables.nation(s, sf)
+    src.write.mode("overwrite").json(dir)
+    s.read.schema(src.schema).json(dir)
+      .orderBy("n_nationkey")
+  }
+
   /** Partitioned parquet sink: write events partitioned by event_type,
     * read back a single partition. The read shows partition pruning —
     * `PartitionFilters` in the scan, only one directory touched. */
