@@ -36,6 +36,8 @@ object SparkEntry {
     "join_broadcast"    -> Relational.joinBroadcast _,
     // §2.4 aggregations
     "agg_groupby"       -> Relational.aggGroupBy _,
+    "q3_shipping_priority" -> Relational.q3ShippingPriority _,
+    "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "agg_count_distinct" -> Relational.aggCountDistinct _,
     "agg_approx_distinct" -> Relational.aggApproxDistinct _,
     "agg_having"        -> Relational.aggHaving _,
@@ -151,6 +153,10 @@ object SparkEntry {
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type",
+    "q3_shipping_priority" ->
+      "SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-15' AND l_shipdate > TIMESTAMP '1997-06-15' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
+    "q6_forecast_revenue" ->
+      "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
     // agg_approx_distinct: intentionally omitted (sketch differs across engines;
     // self-tested against exact counts within rsd in the scalatest suite).
     "agg_having" ->

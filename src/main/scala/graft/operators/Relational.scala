@@ -174,6 +174,35 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q3 shape: shipping priority — filtered three-way join,
+    * grouped revenue, top-10 by revenue. The segment/date filters reach
+    * both scans; the join shuffles only surviving rows. */
+  def q3ShippingPriority(s: SparkSession, sf: String): DataFrame = {
+    val cutoff = lit("1997-06-15").cast("timestamp")
+    val c = Tables.customer(s, sf).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, sf).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, sf).filter(col("l_shipdate") > cutoff)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q6 shape: forecast revenue change — pure scan+filter+agg, the
+    * pushdown showcase (no join, no shuffle beyond one partial+final). */
+  def q6ForecastRevenue(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** Exact distinct aggregation. At scale `countDistinct` expands to a
     * two-phase expand+agg; exactness costs a shuffle of the distinct
     * pairs — the approx variant below is the 100 TB path. */
