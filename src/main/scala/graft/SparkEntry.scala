@@ -229,8 +229,11 @@ object SparkEntry {
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
     "stream_sliding" ->
       "SELECT TIMESTAMP '1970-01-01 00:00:00' + (CAST(floor(epoch(ts)/900) AS BIGINT)*900 - j*900) * INTERVAL 1 SECOND AS w_start, event_type, count(*) AS n_events FROM events, (SELECT unnest([0,1,2,3]) AS j) js GROUP BY 1, 2 ORDER BY w_start, event_type",
+    // gap compare must be exact microseconds: date_diff('second') counts
+    // boundary crossings, splitting sessions on sub-second gaps that
+    // Spark's exact timestamp arithmetic keeps together
     "stream_session" ->
-      "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start",
+      "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start",
     "stream_dedup" ->
       "SELECT user_id, event_type, event_id, ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id, event_type",
     "stream_stateful" ->

@@ -123,7 +123,7 @@ class StreamingSpec extends SparkSpecBase {
     val islands = Tables.events(spark, sfSmoke)
       .withColumn("new_s",
         when(lag(col("ts"), 1).over(w).isNull ||
-             col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") >= 1800, 1)
+             unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= 1800000000L, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("new_s"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
