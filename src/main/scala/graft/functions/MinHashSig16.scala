@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 16-component MinHash signature over a word array in one pass.
+  *
+  * Bit-identical to the declarative
+  * `transform(sequence(0,15), s -> array_min(transform(ws, w -> xxhash64(w, s))))`
+  * — Spark's `xxhash64(w, s)` chains: h0 = xxh64(bytes of w, seed 42),
+  * then folds s with hashInt. That structure means each word's string
+  * hash can be computed ONCE and reused for all 16 components
+  * (16 cheap int-folds), where the HOF form re-hashes the string 16
+  * times through interpreted lambdas.
+  *
+  * CodegenFallback: the per-row work is one tight JVM loop; what matters
+  * is escaping the per-element lambda interpretation, not inlining into
+  * generated Java.
+  */
+case class MinHashSig16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash16 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash16"
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i < ws.numElements()) {
+      if (!ws.isNullAt(i)) {
+        val h0 = XxHash64Function.hash(ws.getUTF8String(i), StringType, 42L)
+        var s = 0
+        while (s < 16) {
+          val v = XXH64.hashInt(s, h0)
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig16 =
+    copy(child = newChild)
+}
+
+object MinHashSig16 {
+  private[functions] val ident = new FunctionIdentifier("graft_minhash16")
+  private[functions] val info =
+    new ExpressionInfo(classOf[MinHashSig16].getName, "graft_minhash16")
+  private[functions] val builder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 1, "graft_minhash16 takes exactly 1 argument")
+    MinHashSig16(exprs.head)
+  }
+
+  /** Idempotent per-session registration (see DotProduct.register). */
+  def register(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.registerFunction(ident, info, builder)
+}

@@ -59,10 +59,11 @@ object Dedup {
     * bounded nested transform. Oversized buckets are dropped (see
     * MaxBucket); with a healthy shingle space they do not occur. */
   private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashSig16.register(docs.sparkSession)
     val sig = docs
-      .withColumn("sig", expr(
-        """transform(sequence(0, 15),
-          |  s -> array_min(transform(ws, w -> xxhash64(w, s))))""".stripMargin))
+      // native one-pass signature (graft.functions.MinHashSig16) — equals
+      // transform(sequence(0,15), s -> array_min(transform(ws, w -> xxhash64(w, s))))
+      .withColumn("sig", expr("graft_minhash16(ws)"))
       .select(col("doc_id"), col("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr(

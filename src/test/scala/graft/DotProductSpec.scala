@@ -28,6 +28,18 @@ class DotProductSpec extends SparkSpecBase {
     assert(df.filter(abs(col("selfdot") - 1.0) > 1e-3).count() == 0)
   }
 
+  test("graft_minhash16 equals the declarative seeded-family formulation") {
+    graft.functions.MinHashSig16.register(spark)
+    val both = Tables.documents(spark, sfSmoke)
+      .select(array_distinct(split(col("text"), " ")).as("ws"))
+      .select(
+        expr("graft_minhash16(ws)").as("native"),
+        expr("""transform(sequence(0, 15),
+               |  s -> array_min(transform(ws, w -> xxhash64(w, s))))"""
+          .stripMargin).as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+  }
+
   test("type check rejects non-float arrays") {
     DotProduct.register(spark)
     val err = intercept[Exception] {
