@@ -202,6 +202,14 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+    // State-store count = shuffle partitions at first checkpoint, forever
+    // (it is part of the checkpointed layout) — size it to the state
+    // volume (here: #windows × #types, tiny), not to the core count;
+    // with 32 cores the default spawns 32 state stores per micro-batch
+    // for a handful of keys, all overhead.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
     val q = agg.writeStream
       .format("memory").queryName("graft_stream_sink")
@@ -213,5 +221,6 @@ object Streaming {
     val out = Files.createTempDirectory("graft_stream_out_").toString
     s.table("graft_stream_sink").write.mode("overwrite").parquet(out)
     s.read.parquet(out).orderBy("w_start", "event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }
