@@ -52,6 +52,8 @@ object SparkEntry {
     "agg_stats"         -> AdvancedAggs.aggStats _,
     "join_cross"        -> Relational.joinCross _,
     "fn_bitwise"        -> Families.fnBitwise _,
+    "fn_string2"        -> Families.fnString2 _,
+    "fn_date2"          -> Families.fnDate2 _,
     "fn_hash"           -> Families.fnHash _,
     // §2.5 windows
     "win_rank"          -> Windows.winRank _,
@@ -258,6 +260,10 @@ object SparkEntry {
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "fn_bitwise" ->
       "SELECT o_orderkey, o_orderkey & 255 AS b_and, o_orderkey | 4096 AS b_or, xor(o_orderkey, 1023) AS b_xor, (o_orderkey % 16) << 2 AS b_shl, o_orderkey >> 3 AS b_shr, ~o_orderkey AS b_not, CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop FROM orders ORDER BY o_orderkey",
+    "fn_string2" ->
+      "SELECT doc_id, split_part(text, ' ', 2) AS second_word, translate(text, 'ae', 'xy') AS translated, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_padded, rpad(lang, 4, '.') AS lang_padded, reverse(lang) AS lang_rev, repeat(lang, 2) AS lang_x2, CAST(strpos(text, 'data') AS BIGINT) AS data_pos, CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_ascii, chr(CAST(65 + doc_id % 26 AS INTEGER)) AS letter FROM documents ORDER BY doc_id",
+    "fn_date2" ->
+      "SELECT o_orderkey, last_day(CAST(o_orderdate AS DATE)) AS month_end, CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week, CAST(quarter(o_orderdate) AS BIGINT) AS qtr, CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), CAST(dayofmonth(o_orderdate) AS INTEGER)) AS rebuilt_date FROM orders ORDER BY o_orderkey",
     "fn_hash" ->
       "SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256, to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64, substring(text, 1, 12) AS b64_roundtrip FROM documents ORDER BY doc_id",
     "agg_percentile" ->

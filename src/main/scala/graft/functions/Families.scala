@@ -119,6 +119,36 @@ object Families {
         length(col("props")).as("json_len"))
       .orderBy("event_id")
 
+  /** Second string family: split_part, translate, pads, reverse, repeat,
+    * position functions. */
+  def fnString2(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(
+        col("doc_id"),
+        expr("split_part(text, ' ', 2)").as("second_word"),
+        translate(col("text"), "ae", "xy").as("translated"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("id_padded"),
+        rpad(col("lang"), 4, ".").as("lang_padded"),
+        reverse(col("lang")).as("lang_rev"),
+        repeat(col("lang"), 2).as("lang_x2"),
+        instr(col("text"), "data").cast("bigint").as("data_pos"),
+        ascii(substring(col("text"), 1, 1)).cast("bigint").as("first_ascii"),
+        expr("char(65 + doc_id % 26)").as("letter"))
+      .orderBy("doc_id")
+
+  /** Second date family: calendar navigation and construction. */
+  def fnDate2(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select(
+        col("o_orderkey"),
+        last_day(col("o_orderdate")).as("month_end"),
+        weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"),
+        quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("bigint").as("doy"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+                  dayofmonth(col("o_orderdate"))).as("rebuilt_date"))
+      .orderBy("o_orderkey")
+
   /** Bitwise family on orders keys. */
   def fnBitwise(s: SparkSession, sf: String): DataFrame =
     Tables.orders(s, sf)
