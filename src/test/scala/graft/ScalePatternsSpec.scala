@@ -54,4 +54,34 @@ class ScalePatternsSpec extends SparkSpecBase {
       .agg(min("n_salts")).head().getLong(0)
     assert(perKeySalts > 8, s"hot keys should spread over >8 of 16 salts")
   }
+
+  test("AQE splits a skewed join partition (skew=true in final plan)") {
+    import spark.implicits._
+    // 90% of left rows share one hot key; thresholds lowered so local
+    // data volumes trigger the same re-planning a hot key does at scale
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (1 to 50000).map(i =>
+        (if (i % 10 == 0) i.toLong % 100 else 7L, s"payload_$i"))
+        .toDF("k", "v")
+      val right = (0L to 99L).map(k => (k, s"dim_$k")).toDF("k", "w")
+      val joined = left.join(right.hint("shuffle_hash"), "k")
+      // materialize THIS QueryExecution — AQE finalizes (and annotates
+      // skew) only on the executed plan instance, not on a fresh one
+      assert(joined.collect().length == 50000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
