@@ -94,6 +94,28 @@ object Families {
         size(filter(col("embedding"), x => x > lit(0.0f))).as("n_positive"))
       .orderBy("vec_id")
 
+  /** Second array family: set algebra, search, flatten over word arrays
+    * (results sorted on both engines — Spark and DuckDB deduplicate set
+    * results in different internal orders). */
+  def fnArray2(s: SparkSession, sf: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val hw = slice(w, 1, 5)
+    val tw = slice(w, 6, 5)
+    Tables.documents(s, sf)
+      .select(
+        col("doc_id"),
+        array_position(w, "data").as("pos_data"),
+        array_sort(array_union(hw, tw)).as("union_sorted"),
+        array_sort(array_except(hw, tw)).as("except_sorted"),
+        arrays_overlap(hw, tw).as("head_tail_overlap"),
+        flatten(array(hw, tw)).as("first10"),
+        array_sort(array_remove(w, "data")).as("removed_sorted"),
+        array_min(w).as("w_min"),
+        array_max(w).as("w_max"),
+        array_contains(w, "pipeline").as("has_pipeline"))
+      .orderBy("doc_id")
+  }
+
   /** Map family: JSON string → MapType on events.props. */
   def fnMap(s: SparkSession, sf: String): DataFrame = {
     val m = from_json(col("props"),
