@@ -116,6 +116,22 @@ object Families {
       .orderBy("doc_id")
   }
 
+  /** Regex family: extract-all, match counting, boolean match, anchored
+    * replace-first (Spark regexp_replace replaces all — first-only needs
+    * an anchored pattern, which both engines treat identically). */
+  def fnRegex(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(
+        col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("all_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("bigint")
+          .as("n_tokens"),
+        expr("size(regexp_extract_all(text, '(da|pi)[a-z]*', 0))").cast("bigint")
+          .as("n_dapi"),
+        col("text").rlike("^[a-z]").as("starts_lower"),
+        regexp_replace(col("text"), "^[a-z]+", "HEAD").as("head_replaced"))
+      .orderBy("doc_id")
+
   /** Map family: JSON string → MapType on events.props. */
   def fnMap(s: SparkSession, sf: String): DataFrame = {
     val m = from_json(col("props"),
