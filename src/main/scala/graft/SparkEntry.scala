@@ -98,6 +98,7 @@ object SparkEntry {
     "sim_knn_join"       -> Similarity.simKnnJoin _,
     "dedup_embed_cosine" -> Similarity.dedupEmbedCosine _,
     "sim_ann_lsh"        -> Similarity.simAnnLsh _,
+    "sim_ann_ivf"        -> Similarity.simIvfTopk _,
     // §2.10 LLM-pipeline: text analysis
     "text_tokenize_stats" -> TextOps.textTokenizeStats _,
     "text_ngrams"        -> TextOps.textNgrams _,

@@ -77,6 +77,51 @@ object Similarity {
       .orderBy("label", "id1", "id2")
   }
 
+  /** ANN via IVF (inverted-file index): a deterministic subset of the
+    * vectors acts as the coarse quantizer's centroids (every 29th vector
+    * — a real pipeline would k-means; the index structure and probe path
+    * are identical), every vector is assigned to its nearest centroid
+    * (one broadcast pass, n×C dot products with C ≈ √n at scale), and a
+    * query scans only the `nprobe`=2 nearest cells instead of the whole
+    * collection. Candidate ranking uses true cosine. Oracle-N; the spec
+    * checks cell containment, determinism, and measures recall against
+    * brute force. */
+  def simIvfTopk(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val cents = e.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // nearest-centroid assignment: argmax dot, tiebreak centroid id
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+              dot(s)("embedding", "cv").as("cdot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id"), col("embedding"))
+    // queries probe their nprobe=2 nearest cells
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cent_id"),
+              dot(s)("qv", "cv").as("cdot"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("qv"), col("cent_id"))
+    // rank true cosine within the probed cells
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    probes.join(assigned, "cent_id")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), col("cent_id"),
+              round(dot(s)("qv", "embedding"), 6).as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast("bigint"))
+      .filter(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
   /** ANN via random-hyperplane LSH: 8 deterministic pseudo-random
     * hyperplanes (components derived from xxhash64 of (plane, dim)),
     * signature bit j = sign(v · h_j), bucket = the 8-bit signature.

@@ -78,6 +78,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("ivf ann: candidates come from probed cells, deterministic, recall measured") {
+    val ivf = Similarity.simIvfTopk(spark, sfOracle)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    // deterministic across runs
+    assert(Similarity.simIvfTopk(spark, sfOracle).collect().sameElements(rows))
+    // recall@5 vs brute force (informational lower bound: must beat
+    // picking 5 of N at random by a wide margin)
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfOracle)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    val brute = q.join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+              expr("round(graft_dot(qv, nv), 6)").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall (nprobe=2)")
+    val n = e.count().toDouble
+    assert(recall > 5.0 / n * 10,
+      s"recall $recall should far exceed random selection")
+  }
+
   test("multimodal decode: schema and determinism of the stub pipeline") {
     val df = Multimodal.multimodalDecode(spark, sfSmoke)
     assert(df.columns.toSeq ==
