@@ -92,6 +92,19 @@ object AdvancedAggs {
     def outputEncoder = Encoders.scalaDouble
   }
 
+  /** UNPIVOT/melt — the inverse reshape of aggPivot: the wide per-user
+    * matrix back to (user, event_type, value) long form. Null cells (a
+    * user with no events of a type) are dropped, matching SQL UNPIVOT. */
+  def aggUnpivot(s: SparkSession, sf: String): DataFrame =
+    aggPivot(s, sf)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"),
+              col("signup"), col("view")),
+        "event_type", "sum_value")
+      .filter(col("sum_value").isNotNull)
+      .orderBy("user_id", "event_type")
+
   /** Exact percentiles (linear interpolation — same algorithm as
     * DuckDB's quantile_cont). Exact percentile needs the full sorted
     * group; at 100 TB use approx_percentile (t-digest, mergeable) — the
