@@ -92,6 +92,21 @@ object AdvancedAggs {
     def outputEncoder = Encoders.scalaDouble
   }
 
+  /** Scale scoring — the reference's Likert-score pattern [PK: row-wise
+    * mean over item columns, e.g. team-viability from survey items]: the
+    * per-user pivoted sums act as items; score = mean of the non-null
+    * items. Pure row-wise array arithmetic, no extra shuffle beyond the
+    * pivot's. */
+  def derivedScaleScore(s: SparkSession, sf: String): DataFrame =
+    aggPivot(s, sf)
+      .withColumn("items", expr(
+        "filter(array(click, error, purchase, signup, view), x -> x IS NOT NULL)"))
+      .select(col("user_id"),
+        size(col("items")).cast("bigint").as("n_items"),
+        round(expr("aggregate(items, 0D, (acc, x) -> acc + x)") /
+              size(col("items")), 4).as("scale_score"))
+      .orderBy("user_id")
+
   /** UNPIVOT/melt — the inverse reshape of aggPivot: the wide per-user
     * matrix back to (user, event_type, value) long form. Null cells (a
     * user with no events of a type) are dropped, matching SQL UNPIVOT. */
