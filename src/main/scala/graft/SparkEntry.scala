@@ -49,6 +49,7 @@ object SparkEntry {
     "agg_pivot"         -> AdvancedAggs.aggPivot _,
     "agg_unpivot"       -> AdvancedAggs.aggUnpivot _,
     "derived_scale_score" -> AdvancedAggs.derivedScaleScore _,
+    "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
     "agg_udaf_typed"    -> AdvancedAggs.aggUdafTyped _,
     "agg_percentile"    -> AdvancedAggs.aggPercentile _,
     "agg_stats"         -> AdvancedAggs.aggStats _,
@@ -261,6 +262,8 @@ object SparkEntry {
       "WITH p AS (SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click, round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase, round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup, round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view FROM events GROUP BY user_id) SELECT user_id, event_type, sum_value FROM (SELECT user_id, 'click' AS event_type, click AS sum_value FROM p UNION ALL SELECT user_id, 'error', error FROM p UNION ALL SELECT user_id, 'purchase', purchase FROM p UNION ALL SELECT user_id, 'signup', signup FROM p UNION ALL SELECT user_id, 'view', view FROM p) u WHERE sum_value IS NOT NULL ORDER BY user_id, event_type",
     "derived_scale_score" ->
       "WITH p AS (SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click, round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase, round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup, round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view FROM events GROUP BY user_id) SELECT user_id, CAST(len(list_filter([click, error, purchase, signup, view], x -> x IS NOT NULL)) AS BIGINT) AS n_items, round(list_sum(list_filter([click, error, purchase, signup, view], x -> x IS NOT NULL)) / len(list_filter([click, error, purchase, signup, view], x -> x IS NOT NULL)), 4) AS scale_score FROM p ORDER BY user_id",
+    "pipeline_clean_corpus" ->
+      "WITH scored AS (SELECT doc_id, lang, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS vocab_diversity, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash FROM documents), filtered AS (SELECT * FROM scored WHERE n_words >= 10 AND vocab_diversity >= 0.5), deduped AS (SELECT *, row_number() OVER (PARTITION BY bag_hash ORDER BY doc_id ASC) AS rn FROM filtered) SELECT doc_id, lang, n_words, round(vocab_diversity, 6) AS vocab_diversity, CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens FROM deduped WHERE rn = 1 ORDER BY doc_id",
     "agg_udaf_typed" ->
       "SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty, count(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "agg_stats" ->
