@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON; sbt's
+// trailing "[success] Total time: ..." line breaks that, and the default
+// logger prefixes every forked-process line with "[info] "/"[error] ",
+// which would make the JSON line itself unparseable. Suppress the success
+// line and pass forked output through verbatim.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

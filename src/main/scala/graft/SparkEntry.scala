@@ -275,15 +275,15 @@ object SparkEntry {
     "fn_string2" ->
       "SELECT doc_id, split_part(text, ' ', 2) AS second_word, translate(text, 'ae', 'xy') AS translated, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_padded, rpad(lang, 4, '.') AS lang_padded, reverse(lang) AS lang_rev, repeat(lang, 2) AS lang_x2, CAST(strpos(text, 'data') AS BIGINT) AS data_pos, CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_ascii, chr(CAST(65 + doc_id % 26 AS INTEGER)) AS letter FROM documents ORDER BY doc_id",
     "fn_array2" ->
-      "SELECT doc_id, coalesce(CAST(list_position(string_split(text, ' '), 'data') AS BIGINT), 0) AS pos_data, list_sort(list_distinct(list_cat(string_split(text, ' ')[1:5], string_split(text, ' ')[6:10]))) AS union_sorted, list_sort(list_distinct(list_filter(string_split(text, ' ')[1:5], x -> NOT list_contains(string_split(text, ' ')[6:10], x)))) AS except_sorted, len(list_intersect(string_split(text, ' ')[1:5], string_split(text, ' ')[6:10])) > 0 AS head_tail_overlap, flatten([string_split(text, ' ')[1:5], string_split(text, ' ')[6:10]]) AS first10, list_sort(list_filter(string_split(text, ' '), x -> x <> 'data')) AS removed_sorted, list_min(string_split(text, ' ')) AS w_min, list_max(string_split(text, ' ')) AS w_max, list_contains(string_split(text, ' '), 'pipeline') AS has_pipeline FROM documents ORDER BY doc_id",
+      "SELECT doc_id, coalesce(CAST(list_position(string_split(text, ' '), 'data') AS BIGINT), 0) AS pos_data, array_to_string(list_sort(list_distinct(list_cat(string_split(text, ' ')[1:5], string_split(text, ' ')[6:10]))), ',') AS union_sorted, array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' ')[1:5], x -> NOT list_contains(string_split(text, ' ')[6:10], x)))), ',') AS except_sorted, len(list_intersect(string_split(text, ' ')[1:5], string_split(text, ' ')[6:10])) > 0 AS head_tail_overlap, array_to_string(flatten([string_split(text, ' ')[1:5], string_split(text, ' ')[6:10]]), ',') AS first10, array_to_string(list_sort(list_filter(string_split(text, ' '), x -> x <> 'data')), ',') AS removed_sorted, list_min(string_split(text, ' ')) AS w_min, list_max(string_split(text, ' ')) AS w_max, list_contains(string_split(text, ' '), 'pipeline') AS has_pipeline FROM documents ORDER BY doc_id",
     "fn_regex" ->
-      "SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS all_tokens, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '(da|pi)[a-z]*')) AS BIGINT) AS n_dapi, regexp_matches(text, '^[a-z]') AS starts_lower, regexp_replace(text, '^[a-z]+', 'HEAD') AS head_replaced FROM documents ORDER BY doc_id",
+      "SELECT doc_id, array_to_string(regexp_extract_all(text, '[a-z]+'), ',') AS all_tokens, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '(da|pi)[a-z]*')) AS BIGINT) AS n_dapi, regexp_matches(text, '^[a-z]') AS starts_lower, regexp_replace(text, '^[a-z]+', 'HEAD') AS head_replaced FROM documents ORDER BY doc_id",
     "fn_date2" ->
       "SELECT o_orderkey, last_day(CAST(o_orderdate AS DATE)) AS month_end, CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week, CAST(quarter(o_orderdate) AS BIGINT) AS qtr, CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), CAST(dayofmonth(o_orderdate) AS INTEGER)) AS rebuilt_date FROM orders ORDER BY o_orderkey",
     "fn_hash" ->
       "SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256, to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64, substring(text, 1, 12) AS b64_roundtrip FROM documents ORDER BY doc_id",
     "agg_percentile" ->
-      "SELECT l_returnflag, list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS price_quartiles, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 4) AS price_q25, round(quantile_cont(l_extendedprice, 0.5), 4) AS price_q50, round(quantile_cont(l_extendedprice, 0.75), 4) AS price_q75, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "win_rank" ->
       "SELECT * FROM (SELECT user_id, event_id, round(value, 4) AS value, row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)) t WHERE rn <= 5 ORDER BY user_id, rn",
     "win_topk_per_group" ->

