@@ -38,6 +38,9 @@ object SparkEntry {
     "agg_groupby"       -> Relational.aggGroupBy _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
+    "q9_product_profit" -> Relational.q9ProductProfit _,
+    "agg_salted"        -> ScalePatterns.aggSalted _,
+    "join_bucketed"     -> ScalePatterns.joinBucketed _,
     "agg_count_distinct" -> Relational.aggCountDistinct _,
     "agg_approx_distinct" -> Relational.aggApproxDistinct _,
     "agg_having"        -> Relational.aggHaving _,
@@ -165,6 +168,12 @@ object SparkEntry {
       "SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-15' AND l_shipdate > TIMESTAMP '1997-06-15' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
     "q6_forecast_revenue" ->
       "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+    "q9_product_profit" ->
+      "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS profit, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%red%' GROUP BY n_name, o_year ORDER BY n_name, o_year",
+    "agg_salted" ->
+      "SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n_rows FROM events GROUP BY user_id ORDER BY user_id",
+    "join_bucketed" ->
+      "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     // agg_approx_distinct: intentionally omitted (sketch differs across engines;
     // self-tested against exact counts within rsd in the scalatest suite).
     "agg_having" ->
@@ -275,9 +284,9 @@ object SparkEntry {
     "fn_string2" ->
       "SELECT doc_id, split_part(text, ' ', 2) AS second_word, translate(text, 'ae', 'xy') AS translated, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_padded, rpad(lang, 4, '.') AS lang_padded, reverse(lang) AS lang_rev, repeat(lang, 2) AS lang_x2, CAST(strpos(text, 'data') AS BIGINT) AS data_pos, CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_ascii, chr(CAST(65 + doc_id % 26 AS INTEGER)) AS letter FROM documents ORDER BY doc_id",
     "fn_array2" ->
-      "SELECT doc_id, coalesce(CAST(list_position(string_split(text, ' '), 'data') AS BIGINT), 0) AS pos_data, array_to_string(list_sort(list_distinct(list_cat(string_split(text, ' ')[1:5], string_split(text, ' ')[6:10]))), ',') AS union_sorted, array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' ')[1:5], x -> NOT list_contains(string_split(text, ' ')[6:10], x)))), ',') AS except_sorted, len(list_intersect(string_split(text, ' ')[1:5], string_split(text, ' ')[6:10])) > 0 AS head_tail_overlap, array_to_string(flatten([string_split(text, ' ')[1:5], string_split(text, ' ')[6:10]]), ',') AS first10, array_to_string(list_sort(list_filter(string_split(text, ' '), x -> x <> 'data')), ',') AS removed_sorted, list_min(string_split(text, ' ')) AS w_min, list_max(string_split(text, ' ')) AS w_max, list_contains(string_split(text, ' '), 'pipeline') AS has_pipeline FROM documents ORDER BY doc_id",
+      "SELECT doc_id, coalesce(CAST(list_position(string_split(text, ' '), 'data') AS BIGINT), 0) AS pos_data, coalesce(array_to_string(list_sort(list_distinct(list_cat(string_split(text, ' ')[1:5], string_split(text, ' ')[6:10]))), ','), '') AS union_sorted, coalesce(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' ')[1:5], x -> NOT list_contains(string_split(text, ' ')[6:10], x)))), ','), '') AS except_sorted, len(list_intersect(string_split(text, ' ')[1:5], string_split(text, ' ')[6:10])) > 0 AS head_tail_overlap, coalesce(array_to_string(flatten([string_split(text, ' ')[1:5], string_split(text, ' ')[6:10]]), ','), '') AS first10, coalesce(array_to_string(list_sort(list_filter(string_split(text, ' '), x -> x <> 'data')), ','), '') AS removed_sorted, list_min(string_split(text, ' ')) AS w_min, list_max(string_split(text, ' ')) AS w_max, list_contains(string_split(text, ' '), 'pipeline') AS has_pipeline FROM documents ORDER BY doc_id",
     "fn_regex" ->
-      "SELECT doc_id, array_to_string(regexp_extract_all(text, '[a-z]+'), ',') AS all_tokens, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '(da|pi)[a-z]*')) AS BIGINT) AS n_dapi, regexp_matches(text, '^[a-z]') AS starts_lower, regexp_replace(text, '^[a-z]+', 'HEAD') AS head_replaced FROM documents ORDER BY doc_id",
+      "SELECT doc_id, coalesce(array_to_string(regexp_extract_all(text, '[a-z]+'), ','), '') AS all_tokens, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '(da|pi)[a-z]*')) AS BIGINT) AS n_dapi, regexp_matches(text, '^[a-z]') AS starts_lower, regexp_replace(text, '^[a-z]+', 'HEAD') AS head_replaced FROM documents ORDER BY doc_id",
     "fn_date2" ->
       "SELECT o_orderkey, last_day(CAST(o_orderdate AS DATE)) AS month_end, CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week, CAST(quarter(o_orderdate) AS BIGINT) AS qtr, CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), CAST(dayofmonth(o_orderdate) AS INTEGER)) AS rebuilt_date FROM orders ORDER BY o_orderkey",
     "fn_hash" ->

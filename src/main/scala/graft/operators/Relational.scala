@@ -191,6 +191,31 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q9 shape (lite: the corpus has no partsupp, so profit is
+    * discounted revenue): 5-table star — lineitem fact against part,
+    * supplier, orders, nation dims — profit by nation and order year.
+    * The p_name filter prunes part before the join; nation (25 rows) is
+    * explicitly broadcast; the remaining dims are AQE-sized. The fact
+    * table shuffles once per join key — at 100 TB, bucketing lineitem
+    * and orders on orderkey (see ScalePatterns) removes the largest. */
+  def q9ProductProfit(s: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(s, sf)
+    val p = Tables.part(s, sf).filter(col("p_name").contains("red"))
+    val sup = Tables.supplier(s, sf)
+    val o = Tables.orders(s, sf)
+    val n = Tables.nation(s, sf)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+               year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+             .as("profit"),
+           count(lit(1)).as("n_items"))
+      .orderBy("n_name", "o_year")
+  }
+
   /** TPC-H Q6 shape: forecast revenue change — pure scan+filter+agg, the
     * pushdown showcase (no join, no shuffle beyond one partial+final). */
   def q6ForecastRevenue(s: SparkSession, sf: String): DataFrame =

@@ -18,6 +18,15 @@ object ScalePatterns {
   def bucketedCoLocatedJoin(s: SparkSession, left: DataFrame, right: DataFrame,
                             key: String, buckets: Int,
                             leftName: String, rightName: String): DataFrame = {
+    // A fresh session's in-memory catalog does not know about table dirs
+    // a previous session left in the warehouse; saveAsTable then refuses
+    // the "new" table because its location exists. Drop both layers.
+    Seq(leftName, rightName).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     left.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(leftName)
     right.write.mode("overwrite")
@@ -42,4 +51,27 @@ object ScalePatterns {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("sum_value"),
            sum(col("__n")).as("n_rows"))
+
+  /** Graded twin of saltedSumBy on events.user_id — oracle-identical to
+    * a plain GROUP BY sum/count by decomposability. */
+  def aggSalted(s: SparkSession, sf: String): DataFrame =
+    saltedSumBy(graft.Tables.events(s, sf), "user_id", "value", 8)
+      .select(col("user_id"), round(col("sum_value"), 4).as("sum_value"),
+              col("n_rows"))
+      .orderBy("user_id")
+
+  /** Graded twin of bucketedCoLocatedJoin: orders ⋈ customer on custkey
+    * through bucketed tables (the join itself is exchange-free — asserted
+    * in ScalePatternsSpec), aggregated per market segment. Oracle = the
+    * plain join, which the bucketed plan is result-identical to. */
+  def joinBucketed(s: SparkSession, sf: String): DataFrame = {
+    val o = graft.Tables.orders(s, sf).withColumnRenamed("o_custkey", "custkey")
+    val c = graft.Tables.customer(s, sf).withColumnRenamed("c_custkey", "custkey")
+    bucketedCoLocatedJoin(s, o, c, "custkey", 8,
+                          "graft_bkt_orders", "graft_bkt_customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 4).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
 }
