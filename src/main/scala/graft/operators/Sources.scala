@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -16,7 +15,7 @@ object Sources {
     * an explicit schema (schema inference is a full extra pass — never
     * rely on it at scale), return read-back rows. */
   def scanCsv(s: SparkSession, sf: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_csv_").toString
+    val dir = graft.Scratch.dir("graft_csv_")
     val src = Tables.nation(s, sf)
     src.write.mode("overwrite").option("header", "true").csv(dir)
     s.read.schema(src.schema).option("header", "true").csv(dir)
@@ -26,7 +25,7 @@ object Sources {
   /** JSON-lines round-trip (the reference ingests API JSON [PK]): write
     * nation as JSON lines, read back with an explicit schema. */
   def scanJsonFile(s: SparkSession, sf: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_json_").toString
+    val dir = graft.Scratch.dir("graft_json_")
     val src = Tables.nation(s, sf)
     src.write.mode("overwrite").json(dir)
     s.read.schema(src.schema).json(dir)
@@ -37,7 +36,7 @@ object Sources {
     * read back a single partition. The read shows partition pruning —
     * `PartitionFilters` in the scan, only one directory touched. */
   def sinkPartitioned(s: SparkSession, sf: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_part_").toString
+    val dir = graft.Scratch.dir("graft_part_")
     Tables.events(s, sf)
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)
     s.read.parquet(dir)
