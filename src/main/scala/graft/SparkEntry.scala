@@ -39,6 +39,9 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "q9_product_profit" -> Relational.q9ProductProfit _,
+    "q5_local_supplier" -> Relational.q5LocalSupplier _,
+    "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "q14_promo_effect"  -> Relational.q14PromoEffect _,
     "agg_salted"        -> ScalePatterns.aggSalted _,
     "join_bucketed"     -> ScalePatterns.joinBucketed _,
     "agg_count_distinct" -> Relational.aggCountDistinct _,
@@ -170,6 +173,12 @@ object SparkEntry {
       "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
     "q9_product_profit" ->
       "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS profit, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%red%' GROUP BY n_name, o_year ORDER BY n_name, o_year",
+    "q5_local_supplier" ->
+      "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, count(*) AS n_items FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name ASC",
+    "q10_returned_items" ->
+      "SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey ASC LIMIT 20",
+    "q14_promo_effect" ->
+      "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'",
     "agg_salted" ->
       "SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n_rows FROM events GROUP BY user_id ORDER BY user_id",
     "join_bucketed" ->

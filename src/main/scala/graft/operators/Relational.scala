@@ -216,6 +216,71 @@ object Relational {
       .orderBy("n_name", "o_year")
   }
 
+  /** TPC-H Q5 shape: local-supplier volume — 6-table join including the
+    * customer-nation = supplier-nation correlation (a join predicate that
+    * is NOT a key equality, applied as a post-join filter on two dim
+    * keys), revenue per nation for one region and year. nation/region
+    * are broadcast; the fact-side joins AQE-size themselves. */
+  def q5LocalSupplier(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+    val o = Tables.orders(s, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, sf)
+    val sup = Tables.supplier(s, sf)
+    val n = Tables.nation(s, sf)
+    val r = Tables.region(s, sf).filter(col("r_name") === "ASIA")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+                 col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** TPC-H Q10 shape: returned-item reporting — revenue lost to returns
+    * per customer over one quarter, top 20. Join order: orders filtered
+    * to the quarter BEFORE touching lineitem, returnflag pushed to the
+    * lineitem scan. */
+  def q10ReturnedItems(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+    val o = Tables.orders(s, sf)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, sf).filter(col("l_returnflag") === "R")
+    val n = Tables.nation(s, sf)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+             .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape: promotion effect — conditional aggregation (CASE
+    * inside sum) over lineitem ⋈ part for one month; single scalar row.
+    * The date filter prunes lineitem at the scan; only matching rows
+    * join against part. */
+  def q14PromoEffect(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(Tables.part(s, sf), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"),
+                       col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                  .otherwise(lit(0.0))) * 100.0 /
+              sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q6 shape: forecast revenue change — pure scan+filter+agg, the
     * pushdown showcase (no join, no shuffle beyond one partial+final). */
   def q6ForecastRevenue(s: SparkSession, sf: String): DataFrame =
