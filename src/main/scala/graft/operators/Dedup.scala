@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -145,53 +146,105 @@ object Dedup {
     * J ≥ 0.9. Fully oracle-checkable — DuckDB computes the same
     * intersection/union arithmetic with list functions.
     *
-    * Scale shape — prefix filtering (the ppjoin/AllPairs bound): under
-    * any fixed global token order, two sets with J ≥ t must share at
-    * least one token among each set's first n − ⌈t·n⌉ + 1 sorted
-    * elements. Candidates therefore come from groupBy buckets keyed on
-    * (source, prefix token) — at t = 0.9 the prefix is ~n/10 tokens, so
-    * each doc lands in a handful of buckets and the pair space is
-    * Σ bucket², not per-source n². Exact Jaccard then verifies every
-    * candidate, so the result is identical to the all-pairs form. */
+    * Scale shape — cost-based choice between two result-identical plans
+    * (the same decision Catalyst itself makes for broadcast-vs-shuffle
+    * joins, driven by the same optimizer size statistic):
+    *  - small input (fits comfortably per-executor): plain blocked
+    *    self-join on source — 2 exchanges, minimal codegen, optimal when
+    *    per-block all-pairs is cheap;
+    *  - large input: prefix filtering (the PPJoin/AllPairs bound) —
+    *    under any fixed global token order, two sets with J ≥ t must
+    *    share a token among each set's first n − ⌈t·n⌉ + 1 elements, so
+    *    candidates come from equi-joining on (source, prefix token):
+    *    occupancy-bounded buckets plus the stop-bucket cap, never a
+    *    per-block n². (Production refinement on a Zipfian vocabulary:
+    *    document-frequency-ascending token order — prefix = rarest
+    *    tokens → minimal candidates — worth its extra DF aggregate +
+    *    rank window once blocks are large.)
+    * Both paths share the exact-Jaccard verification, so the output is
+    * identical either way (asserted in DedupSimilaritySpec). */
   def dedupNgramJaccard(s: SparkSession, sf: String): DataFrame = {
-    // hash words to 64-bit longs before pairing: buckets then move and
-    // intersect fixed-width longs instead of strings — same intersection
-    // cardinality (collision odds ~n²/2^64), same Jaccard. Sorted once
-    // per doc so the per-pair intersect is a linear merge.
+    val docs = jaccardDocs(s, sf)
+    // Catalyst's own estimated plan size — no job is triggered.
+    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      JaccardBlockJoinMaxBytes
+    if (small) ngramJaccardBlockJoin(docs) else ngramJaccardPrefixJoin(docs)
+  }
+
+  /** Plain-join path is optimal below this estimated input size (the
+    * role spark.sql.autoBroadcastJoinThreshold plays for join choice). */
+  private val JaccardBlockJoinMaxBytes = BigInt(64L << 20)
+
+  /** Shared tokenization: hash words to 64-bit longs before pairing —
+    * pairing then moves and intersects fixed-width longs instead of
+    * strings (same intersection cardinality, collision odds ~n²/2^64,
+    * same Jaccard). Sorted once per doc so the per-pair intersect is a
+    * linear merge. */
+  private[graft] def jaccardDocs(s: SparkSession, sf: String): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
-    val docs = Tables.documents(s, sf)
+    Tables.documents(s, sf)
       .select(col("doc_id"), col("source"),
               expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))")
                 .as("ws"),
               size(ws).as("n"))
-    val buckets = docs
-      .select(col("source"), col("doc_id"), col("ws"), col("n"),
-        explode(expr(
-          "slice(ws, 1, size(ws) - CAST(ceil(0.9D * size(ws)) AS INT) + 1)"))
-          .as("tok"))
-      .groupBy(col("source"), col("tok"))
-      .agg(expr("sort_array(collect_list(struct(doc_id, ws, n)))").as("members"))
-      .filter(size(col("members")).between(2, JaccardMaxBucket))
-    buckets
-      .select(col("source"), explode(expr(
-        """flatten(transform(members, (m1, i) ->
-          |  transform(slice(members, i + 2, size(members)), m2 ->
-          |    struct(m1.doc_id AS id1, m2.doc_id AS id2,
-          |      m1.ws AS w1, m1.n AS n1, m2.ws AS w2, m2.n AS n2))))"""
-          .stripMargin)).as("p"))
-      .select(col("source"), col("p.id1"), col("p.id2"),
-              col("p.w1"), col("p.n1"), col("p.w2"), col("p.n2"))
-      // size prefilter: J ≥ 0.9 implies max(n1,n2) ≤ 1.11·min(n1,n2) —
-      // a pure subset optimization (result-identical, oracle unchanged)
-      // that skips the expensive intersect for most candidates
-      .filter(greatest(col("n1"), col("n2")) <=
-              least(col("n1"), col("n2")) * 1.12)
+  }
+
+  /** Exact-Jaccard verification + output shape shared by both paths. */
+  private def jaccardVerify(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("n_inter", expr("graft_sorted_intersect_size(w1, w2)"))
       .withColumn("jac", round(col("n_inter").cast("double") /
-        (col("n1") + col("n2") - col("n_inter")), 6))
+        (expr("size(w1)") + expr("size(w2)") - col("n_inter")), 6))
       .filter(col("jac") >= 0.9)
       .select("source", "id1", "id2", "jac")
-      .distinct()  // a pair can share several prefix tokens
       .orderBy("source", "id1", "id2")
+
+  /** Small-input path: per-source all-pairs with the J ≥ 0.9 size
+    * prefilter (max(n1,n2) ≤ 1.11·min — a pure subset optimization). */
+  private[graft] def ngramJaccardBlockJoin(docs: DataFrame): DataFrame = {
+    val l = docs.select(col("source"), col("doc_id").as("id1"),
+                        col("ws").as("w1"), col("n").as("n1"))
+    val r = docs.select(col("source"), col("doc_id").as("id2"),
+                        col("ws").as("w2"), col("n").as("n2"))
+    jaccardVerify(
+      l.join(r, "source")
+        .filter(col("id1") < col("id2"))
+        .filter(greatest(col("n1"), col("n2")) <=
+                least(col("n1"), col("n2")) * 1.12))
+  }
+
+  /** Large-input path: PPJoin prefix filter. Prefix rows carry
+    * (doc_id, n) ONLY — the word arrays would otherwise be replicated
+    * per prefix token through the shuffle; the prefix itself is a
+    * narrow slice of the already-sorted signature. The stop-bucket cap
+    * is a tiny aggregate joined back as a filter (AQE broadcasts it);
+    * pair generation is a plain equi self-join on the bucket key;
+    * candidates are deduped BEFORE the intersect so each surviving pair
+    * is verified exactly once, then the arrays are fetched back with
+    * two candidate-sized joins. */
+  private[graft] def ngramJaccardPrefixJoin(docs: DataFrame): DataFrame = {
+    val pref = docs.select(col("source"), col("doc_id"), col("n"),
+      explode(expr(
+        "slice(ws, 1, size(ws) - CAST(ceil(0.9D * size(ws)) AS INT) + 1)"))
+        .as("tok"))
+    val okBuckets = pref.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, JaccardMaxBucket))
+      .select(col("source"), col("tok"))
+    val capped = pref.join(okBuckets, Seq("source", "tok"))
+    val cand = capped.select(col("source"), col("tok"),
+                             col("doc_id").as("id1"), col("n").as("n1"))
+      .join(capped.select(col("source"), col("tok"),
+                          col("doc_id").as("id2"), col("n").as("n2")),
+            Seq("source", "tok"))
+      .filter(col("id1") < col("id2"))
+      .filter(greatest(col("n1"), col("n2")) <=
+              least(col("n1"), col("n2")) * 1.12)
+      .select("source", "id1", "id2")
+      .distinct()  // a pair can share several prefix tokens
+    jaccardVerify(
+      cand
+        .join(docs.select(col("doc_id").as("id1"), col("ws").as("w1")), "id1")
+        .join(docs.select(col("doc_id").as("id2"), col("ws").as("w2")), "id2"))
   }
 }

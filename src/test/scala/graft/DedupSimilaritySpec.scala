@@ -52,6 +52,15 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(df.filter(col("hamming") > 3).count() == 0)
   }
 
+  test("ngram jaccard: block-join and prefix-join paths are result-identical") {
+    val docs = Dedup.jaccardDocs(spark, sfOracle)
+    val block = Dedup.ngramJaccardBlockJoin(docs).collect()
+    val prefix = Dedup.ngramJaccardPrefixJoin(docs).collect()
+    assert(block.nonEmpty, "sf0.01 corpus has planted near-dups")
+    assert(block.sameElements(prefix),
+      "the cost-based paths must agree pair-for-pair")
+  }
+
   test("simhash hamming-0 pairs are exactly the equal-word-set pairs within source") {
     val exact = Dedup.dedupNgramJaccard(spark, sfOracle)
       .filter(col("jac") === 1.0).select("id1", "id2")
