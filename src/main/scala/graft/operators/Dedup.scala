@@ -116,22 +116,28 @@ object Dedup {
         // interpreted two-level HOF formulation was the bench bottleneck
         expr("graft_simhash48(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))")
           .as("simhash"))
-    val buckets = sigs
+    val bands = sigs
       .select(col("source"), col("doc_id"), col("simhash"),
               explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bv", expr("shiftright(simhash, band * 12) & 4095"))
-      .groupBy(col("source"), col("band"), col("bv"))
-      .agg(expr("sort_array(collect_list(struct(doc_id, simhash)))").as("members"))
-      .filter(size(col("members")).between(2, SimhashMaxBucket))
-    buckets
-      .select(col("source"), explode(expr(
-        """flatten(transform(members, (m1, i) ->
-          |  transform(slice(members, i + 2, size(members)), m2 ->
-          |    struct(m1.doc_id AS id1, m2.doc_id AS id2,
-          |      bit_count(m1.simhash ^ m2.simhash) AS hamming))))"""
-          .stripMargin)).as("p"))
-      .select(col("source"), col("p.id1"), col("p.id2"), col("p.hamming"))
+    // stop-bucket cap as a tiny aggregate joined back (AQE broadcasts
+    // it); pair generation is a plain equi self-join on the band key —
+    // small codegen units beat a collect_list + nested-transform
+    // formulation, whose giant generated lambda dominated cold time.
+    val okBuckets = bands.groupBy(col("source"), col("band"), col("bv"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, SimhashMaxBucket))
+      .select(col("source"), col("band"), col("bv"))
+    val capped = bands.join(okBuckets, Seq("source", "band", "bv"))
+    capped.select(col("source"), col("band"), col("bv"),
+                  col("doc_id").as("id1"), col("simhash").as("sh1"))
+      .join(capped.select(col("source"), col("band"), col("bv"),
+                          col("doc_id").as("id2"), col("simhash").as("sh2")),
+            Seq("source", "band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", expr("bit_count(sh1 ^ sh2)"))
       .filter(col("hamming") <= 3)
+      .select("source", "id1", "id2", "hamming")
       .distinct()  // a pair can match on up to 4 bands
       .orderBy("source", "id1", "id2")
   }
