@@ -45,6 +45,9 @@ object SparkEntry {
     "agg_salted"        -> ScalePatterns.aggSalted _,
     "join_bucketed"     -> ScalePatterns.joinBucketed _,
     "agg_count_distinct" -> Relational.aggCountDistinct _,
+    "agg_minmax_by"     -> Relational.aggMinmaxBy _,
+    "agg_bool"          -> Relational.aggBool _,
+    "join_full_outer"   -> Relational.joinFullOuter _,
     "agg_approx_distinct" -> Relational.aggApproxDistinct _,
     "agg_having"        -> Relational.aggHaving _,
     // §2.4 advanced aggregations
@@ -167,6 +170,12 @@ object SparkEntry {
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type",
+    "agg_minmax_by" ->
+      "SELECT event_type, round(arg_max(value, event_id), 4) AS last_value, round(arg_min(value, event_id), 4) AS first_value, max(event_id) AS last_event_id, min(event_id) AS first_event_id FROM events GROUP BY event_type ORDER BY event_type",
+    "agg_bool" ->
+      "SELECT l_returnflag, bool_and(l_quantity > 0) AS all_positive_qty, bool_or(l_discount > 0.06) AS any_big_discount, bool_and(l_extendedprice >= l_quantity) AS all_price_ge_qty, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "join_full_outer" ->
+      "SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal, o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o ON c_custkey = o_custkey ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST",
     "q3_shipping_priority" ->
       "SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-15' AND l_shipdate > TIMESTAMP '1997-06-15' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
     "q6_forecast_revenue" ->

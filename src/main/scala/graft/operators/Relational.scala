@@ -312,6 +312,44 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
       .orderBy("event_type")
 
+  /** max_by/min_by (argmax/argmin) aggregation — the keep-latest /
+    * keep-first record pattern (ordering key = unique event_id, so the
+    * result is deterministic; ordering by a non-unique column is a
+    * nondeterminism bug this corpus actually exhibits at sf0.1). */
+  def aggMinmaxBy(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("max_by(value, event_id)"), 4).as("last_value"),
+        round(expr("min_by(value, event_id)"), 4).as("first_value"),
+        max(col("event_id")).as("last_event_id"),
+        min(col("event_id")).as("first_event_id"))
+      .orderBy("event_type")
+
+  /** Boolean aggregation: bool_and / bool_or (ANSI EVERY/ANY). */
+  def aggBool(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+        expr("bool_or(l_discount > 0.06)").as("any_big_discount"),
+        expr("bool_and(l_extendedprice >= l_quantity)").as("all_price_ge_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Full outer join: both inputs filtered so BOTH null-extension sides
+    * occur; explicit NULLS FIRST ordering (Spark's ASC default) spelled
+    * out in the oracle too, since DuckDB defaults to NULLS LAST. */
+  def joinFullOuter(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), round(col("c_acctbal"), 4).as("c_acctbal"))
+      .join(Tables.orders(s, sf).filter(col("o_totalprice") > 200000)
+              .select(col("o_orderkey"), col("o_custkey"),
+                      round(col("o_totalprice"), 4).as("o_totalprice")),
+            col("c_custkey") === col("o_custkey"), "full")
+      .orderBy(col("c_custkey").asc_nulls_first,
+               col("o_orderkey").asc_nulls_first)
+
   /** Post-aggregation filter (HAVING). */
   def aggHaving(s: SparkSession, sf: String): DataFrame =
     Tables.customer(s, sf)
