@@ -130,6 +130,7 @@ object SparkEntry {
     "stream_dedup"      -> Streaming.dedupBatch _,
     "stream_stateful"   -> Streaming.statefulBatch _,
     "stream_agg_sink"   -> Streaming.streamAggSink _,
+    "stream_join"       -> Streaming.streamJoinBatch _,
     // §2.6 sort / limit / sample
     "sort_multi"        -> Relational.sortMulti _,
     "limit_topk"        -> Relational.limitTopK _,
@@ -262,6 +263,8 @@ object SparkEntry {
       "SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + octet_length(CAST(text AS BLOB)) % 512) * (64 + ascii(substring(text, 1, 1)) % 512) * 3 AS BIGINT) AS n_pixels FROM documents ORDER BY doc_id",
     "stream_tumbling" ->
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
+    "stream_join" ->
+      "SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE WHERE c.event_type = 'click' AND p.event_type = 'purchase' ORDER BY user_id, click_id, purchase_id",
     "stream_sliding" ->
       "SELECT TIMESTAMP '1970-01-01 00:00:00' + (CAST(floor(epoch(ts)/900) AS BIGINT)*900 - j*900) * INTERVAL 1 SECOND AS w_start, event_type, count(*) AS n_events FROM events, (SELECT unnest([0,1,2,3]) AS j) js GROUP BY 1, 2 ORDER BY w_start, event_type",
     // gap compare must be exact microseconds: date_diff('second') counts

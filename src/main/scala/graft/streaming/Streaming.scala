@@ -58,6 +58,43 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: clicks ⋈ purchases by user within a
+    * 30-minute attribution window. Both sides carry watermarks AND the
+    * join condition bounds event time on both sides — that pair of
+    * constraints is what lets Spark evict join state (without them the
+    * buffered sides grow forever). State per key ≈ one watermark-width
+    * of events, independent of stream length. */
+  def applyStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"))
+    c.join(p, col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Batch twin of applyStreamJoin (same attribution semantics on the
+    * bounded corpus) — oracle-paired. */
+  def streamJoinBatch(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"))
+    c.join(p, col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   case class UserCounter(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Arbitrary stateful processing: running per-user counters via

@@ -110,6 +110,29 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-stream join pairs clicks with purchases inside the attribution window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val name = s"t_${System.nanoTime()}"
+    val q = Streaming.applyStreamJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(ev(1, 0, user = 1), ev(2, 0, user = 2))
+      purchases.addData(
+        ev(10, 20, user = 1, typ = "purchase"),   // within 30m of click 1
+        ev(11, 50, user = 2, typ = "purchase"))   // 50m after click 2 → outside
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      val pairs = rows.map(r => (r.getAs[Long]("click_id"),
+                                 r.getAs[Long]("purchase_id"))).toSet
+      assert(pairs == Set((1L, 10L)),
+        s"only the in-window pair must join, got: ${pairs.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream_agg_sink end-to-end run equals the batch twin") {
     val streamed = Streaming.streamAggSink(spark, sfSmoke)
     val batch = Streaming.tumblingBatch(spark, sfSmoke)
