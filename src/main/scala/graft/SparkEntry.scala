@@ -102,6 +102,7 @@ object SparkEntry {
     "udtf_explode_custom" -> Sources.udtfExplode _,
     // §2.10 LLM-pipeline: dedup
     "dedup_exact"        -> Dedup.dedupExact _,
+    "dedup_cluster"      -> Dedup.dedupCluster _,
     "dedup_near_minhash" -> Dedup.dedupNearMinhash _,
     "dedup_simhash"      -> Dedup.dedupSimhash _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
@@ -233,6 +234,8 @@ object SparkEntry {
     // specific hash families) — self-tested in DedupSimilaritySpec.
     "dedup_exact" ->
       "SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY h ORDER BY h",
+    "dedup_cluster" ->
+      "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS cluster_rep FROM documents ORDER BY doc_id",
     "dedup_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents) SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.9 ORDER BY source, id1, id2",
     "sim_cosine_topk" ->

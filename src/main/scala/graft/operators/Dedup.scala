@@ -45,6 +45,58 @@ object Dedup {
     minhashPairs(Tables.documents(s, sf).select(col("doc_id"), ws.as("ws")))
       .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
 
+  /** Connected-component clustering of exact-duplicate docs — the step a
+    * real pipeline runs AFTER pair generation: pairs → clusters → one
+    * representative per cluster. Edges are the within-group adjacency
+    * chain (consecutive doc_ids sharing a bag-of-words hash), so the
+    * algorithm must genuinely propagate: components are found by
+    * iterative min-label propagation with pointer jumping
+    * (label ← label[label]), which converges in ⌈log₂ d⌉ rounds for
+    * diameter d — the Hash-to-Min/GraphX-style CC loop, expressed as
+    * DataFrame joins with a localCheckpoint per round to cut lineage.
+    * The round count is derived from the largest group (one cheap agg),
+    * not hardcoded; every intermediate cache is unpersisted before
+    * returning. Oracle: min(doc_id) OVER the duplicate group. */
+  def dedupCluster(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(ws)).cast("binary")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val edges = docs.withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id").as("a"), col("prev").as("b"))
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)  // reused every round — cut lineage once
+    val maxGroup = docs.groupBy("h").count().agg(max("count")).head().getLong(0)
+    val iters = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxGroup - 1))).toInt
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to iters) {
+      val nbr = sym.join(labels.select(col("doc_id").as("b"), col("label")), "b")
+        .select(col("a").as("doc_id"), col("label"))
+      val prop = labels.union(nbr).groupBy("doc_id")
+        .agg(min(col("label")).as("label"))
+      val jumped = prop
+        .join(prop.select(col("doc_id").as("label"), col("label").as("label2")),
+              Seq("label"))
+        .select(col("doc_id"), col("label2").as("label"))
+      labels = jumped.localCheckpoint(true)
+    }
+    val out = labels.select(col("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+    // materialize the result BEFORE dropping the iteration caches it
+    // still references, then release exactly those caches (snapshotting
+    // persistent-RDD ids around the final checkpoint keeps the result's
+    // own cache alive)
+    val iterCaches = s.sparkContext.getPersistentRDDs.keySet -- before
+    val result = out.localCheckpoint(true)
+    s.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => iterCaches.contains(id) }
+      .foreach { case (_, rdd) => rdd.unpersist(false) }
+    result
+  }
+
   /** Max docs per LSH bucket before the bucket is skipped as a "stop
     * bucket" (the LSH analog of stopword removal). Unbounded buckets are
     * the one way LSH goes quadratic — a bucket of b docs emits b²/2

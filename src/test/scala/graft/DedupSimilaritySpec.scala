@@ -158,6 +158,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(df.count() == Tables.documents(spark, sfSmoke).count())
   }
 
+  test("dedup_cluster labels are a fixpoint and leave no stray caches") {
+    val nBefore = spark.sparkContext.getPersistentRDDs.size
+    val labels = Dedup.dedupCluster(spark, sfOracle)
+    // fixpoint: every doc's representative is itself a cluster member
+    // whose representative is the same value (rep of rep = rep)
+    val reps = labels.select(col("cluster_rep").as("doc_id")).distinct()
+      .join(labels, "doc_id")
+    assert(reps.filter(col("doc_id") =!= col("cluster_rep")).count() == 0,
+      "a representative must represent itself")
+    // non-trivial clusters exist (sf0.01 plants bag-of-words dups)
+    assert(labels.filter(col("doc_id") =!= col("cluster_rep")).count() > 0)
+    // iteration caches released: only the result's own checkpoint remains
+    assert(spark.sparkContext.getPersistentRDDs.size <= nBefore + 1,
+      "iteration localCheckpoints must be unpersisted")
+  }
+
   test("dedup_exact keepers cover all docs: sum of n_copies = doc count") {
     val total = Dedup.dedupExact(spark, sfOracle)
       .agg(sum("n_copies")).head().getLong(0)
