@@ -61,6 +61,9 @@ object SparkEntry {
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
     "agg_udaf_typed"    -> AdvancedAggs.aggUdafTyped _,
     "agg_percentile"    -> AdvancedAggs.aggPercentile _,
+    // agg_approx_percentile: oracle-N (engine sketch) — self-tested vs
+    // exact quartiles; mergeable t-digest-style scale path of the above
+    "agg_approx_percentile" -> AdvancedAggs.aggApproxPercentile _,
     "agg_stats"         -> AdvancedAggs.aggStats _,
     "join_cross"        -> Relational.joinCross _,
     "fn_bitwise"        -> Families.fnBitwise _,

@@ -141,6 +141,27 @@ object AdvancedAggs {
         col("median_qty"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles — the 100 TB twin of aggPercentile: the
+    * sketch (Spark's Greenwald-Khanna variant) is MERGEABLE, so partial
+    * aggregation works and no group ever needs its full sorted values in
+    * one place. Accuracy knob = max relative error 1/10000. Oracle-N
+    * (sketch is engine-specific); self-tested against the exact
+    * quartiles within tolerance in WindowsAggsSpec. */
+  def aggApproxPercentile(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+        .as("pq"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("pq"), 1), 4).as("approx_q25"),
+        round(element_at(col("pq"), 2), 4).as("approx_q50"),
+        round(element_at(col("pq"), 3), 4).as("approx_q75"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Statistical aggregates: correlation, covariance, stddev/variance
     * (sample + population). Skewness/kurtosis are deliberately absent —
     * Spark uses population formulas, DuckDB bias-corrected sample ones. */

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 /** Algebraic invariants for §2.4 advanced aggs and §2.5 windows. */
 class WindowsAggsSpec extends SparkSpecBase {
 
+  test("approx percentiles track exact quartiles within sketch tolerance") {
+    import org.apache.spark.sql.functions._
+    val approx = AdvancedAggs.aggApproxPercentile(spark, sfOracle)
+      .select("l_returnflag", "approx_q25", "approx_q50", "approx_q75")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = AdvancedAggs.aggPercentile(spark, sfOracle)
+      .select("l_returnflag", "price_q25", "price_q50", "price_q75")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (a25, a50, a75)) <- approx; (e25, e50, e75) = exact(k)) {
+      // GK sketch bounds RANK error, not value error; on this price
+      // distribution 1e-4 relative rank ≈ well under 1% value drift
+      assert(math.abs(a25 - e25) / e25 < 0.01, s"$k q25: $a25 vs $e25")
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$k q50: $a50 vs $e50")
+      assert(math.abs(a75 - e75) / e75 < 0.01, s"$k q75: $a75 vs $e75")
+    }
+  }
+
   test("rollup row count = nations + regions + 1 grand total") {
     val nNation = Tables.nation(spark, sfSmoke).count()
     val nRegion = Tables.region(spark, sfSmoke).count()
