@@ -34,6 +34,24 @@ class ScalePatternsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup/similarity candidate joins stay hash-shaped (no nested-loop fallback)") {
+    // the scale rewrites' whole point: candidate generation must plan as
+    // equi hash/sort-merge joins on bucket keys, never cartesian or
+    // broadcast-nested-loop — guard against a refactor reintroducing one
+    val plans = Seq(
+      "dedup_simhash" -> operators.Dedup.dedupSimhash(spark, sfSmoke),
+      "jaccard_prefix" -> operators.Dedup.ngramJaccardPrefixJoin(
+        operators.Dedup.jaccardDocs(spark, sfSmoke)),
+      "sim_knn_join" -> operators.Similarity.simKnnJoin(spark, sfSmoke),
+      "dedup_embed_cosine" -> operators.Similarity.dedupEmbedCosine(spark, sfSmoke))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must not plan an unbounded pair join:\n$plan")
+    }
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     val direct = Tables.events(spark, sfSmoke)
       .groupBy("event_type")
