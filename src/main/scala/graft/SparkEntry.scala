@@ -83,6 +83,10 @@ object SparkEntry {
     // §2.1 extra sources/sinks (oracle-N round-trips)
     "scan_csv"          -> Sources.scanCsv _,
     "scan_json_file"    -> Sources.scanJsonFile _,
+    // scan_orc: oracle-N round-trip (DuckDB reads no ORC) — content
+    // equality asserted in JoinsSourcesSpec
+    "scan_orc"          -> Sources.scanOrc _,
+    "typed_dataset_ops" -> TypedOps.typedDatasetOps _,
     "subquery_scalar"   -> Subqueries.subqueryScalar _,
     "subquery_correlated" -> Subqueries.subqueryCorrelated _,
     "join_lateral"      -> Subqueries.joinLateral _,
@@ -193,6 +197,8 @@ object SparkEntry {
       "SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey ASC LIMIT 20",
     "q14_promo_effect" ->
       "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'",
+    "typed_dataset_ops" ->
+      "SELECT l_returnflag, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, count(*) AS n_items FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag ORDER BY l_returnflag",
     "agg_salted" ->
       "SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n_rows FROM events GROUP BY user_id ORDER BY user_id",
     "join_bucketed" ->

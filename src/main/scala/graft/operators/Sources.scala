@@ -32,6 +32,18 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** ORC round-trip — the second columnar format Spark ships natively
+    * (orc-core is in /opt/spark/jars; there is no spark-avro datasource
+    * jar, so Avro is out of scope). Columnar pushdown/pruning work the
+    * same as parquet. */
+  def scanOrc(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_orc_")
+    val src = Tables.nation(s, sf)
+    src.write.mode("overwrite").orc(dir)
+    s.read.schema(src.schema).orc(dir)
+      .orderBy("n_nationkey")
+  }
+
   /** Partitioned parquet sink: write events partitioned by event_type,
     * read back a single partition. The read shows partition pruning —
     * `PartitionFilters` in the scan, only one directory touched. */

@@ -43,6 +43,12 @@ class JoinsSourcesSpec extends SparkSpecBase {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("orc round-trip preserves nation exactly") {
+    val back = Sources.scanOrc(spark, sfSmoke)
+    val src = Tables.nation(spark, sfSmoke)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("json round-trip preserves nation exactly") {
     val back = Sources.scanJsonFile(spark, sfSmoke)
     val src = Tables.nation(spark, sfSmoke)
