@@ -80,6 +80,7 @@ object SparkEntry {
     "win_range_frame"   -> Windows.winRangeFrame _,
     "win_ntile_percent" -> Windows.winNtilePercent _,
     "win_first_last"    -> Windows.winFirstLast _,
+    "win_distinct_running" -> Windows.winDistinctRunning _,
     // §2.1 extra sources/sinks (oracle-N round-trips)
     "scan_csv"          -> Sources.scanCsv _,
     "scan_json_file"    -> Sources.scanJsonFile _,
@@ -340,6 +341,8 @@ object SparkEntry {
       "SELECT c_mktsegment, c_custkey, ntile(4) OVER w AS quartile, round(percent_rank() OVER w, 6) AS pct_rank, round(cume_dist() OVER w, 6) AS cume FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) ORDER BY c_mktsegment, c_custkey",
     "win_first_last" ->
       "SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, round(first_value(value) OVER w, 4) AS first_value, round(last_value(value) OVER w, 4) AS last_value FROM events WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY user_id, d",
+    "win_distinct_running" ->
+      "SELECT event_id, count(DISTINCT user_id) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_users_so_far FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "sort_multi" ->
       "SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice FROM orders ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC",
     "limit_topk" ->

