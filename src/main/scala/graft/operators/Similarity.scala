@@ -112,17 +112,18 @@ object Similarity {
 
   /** Lloyd iterations for the IVF coarse quantizer. One round moves the
     * deterministic seed centroids to real cluster means (recall@5 on the
-    * corpus: 0.32 seeds → 0.39 trained); each extra round costs a full
-    * assignment pass (n×C dots) and buys little for a probe index —
+    * corpus: 0.32 seeds → 0.40 trained); each extra round costs a
+    * training assignment pass and buys little for a probe index —
     * centroid quality only shapes recall, which the spec measures
     * directly. */
   private val KMeansIters = 1
 
   /** ANN via IVF (inverted-file index): spherical k-means coarse
-    * quantizer — deterministic seeds (every 29th vector), then
-    * `KMeansIters` Lloyd rounds fully in-plan (assign via broadcast
-    * argmax-dot, re-center via 64 per-dimension avg aggregates, means
-    * renormalized to unit so dot = cosine stays valid). Every vector is
+    * quantizer — deterministic seeds (every ⌈√n⌉-th vector → C ≈ √n
+    * cells), then `KMeansIters` Lloyd rounds in-plan (assign via
+    * broadcast argmax-dot, re-center via 64 per-dimension avg
+    * aggregates, means renormalized to unit so dot = cosine stays
+    * valid), codebook materialized once. Every vector is
     * assigned to its nearest centroid (one broadcast pass, n×C dot
     * products with C ≈ √n at scale), and a query scans only the
     * `nprobe`=2 nearest cells instead of the whole collection.
@@ -166,6 +167,12 @@ object Similarity {
           """transform(m, x -> CAST(x / sqrt(aggregate(m, 0D,
             |  (a, v) -> a + v * v)) AS FLOAT))""".stripMargin).as("cv"))
     }
+    // materialize the trained codebook ONCE (C×64 floats ≈ tens of KB —
+    // exactly what gets broadcast anyway): without this, the full Lloyd
+    // training plan would re-execute for each of the two references
+    // below (full assignment + query probes)
+    cents = s.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
     val assigned = assign(e, cents)
     // queries probe their nprobe=2 nearest cells
     val wProbe = Window.partitionBy(col("qid"))
