@@ -132,6 +132,8 @@ object SparkEntry {
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
     "multimodal_decode"  -> Multimodal.multimodalDecode _,
+    "multimodal_resize"  -> Multimodal.multimodalResize _,
+    "multimodal_framesample" -> Multimodal.multimodalFramesample _,
     // §2.9 streaming batch twins + a real streaming run
     "stream_tumbling"   -> Streaming.tumblingBatch _,
     "stream_sliding"    -> Streaming.slidingBatch _,
@@ -274,6 +276,10 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, md5(text) AS content_md5, substring(text, 1, 4) AS head4 FROM documents ORDER BY doc_id",
     "multimodal_decode" ->
       "SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + octet_length(CAST(text AS BLOB)) % 512) * (64 + ascii(substring(text, 1, 1)) % 512) * 3 AS BIGINT) AS n_pixels FROM documents ORDER BY doc_id",
+    "multimodal_resize" ->
+      "WITH d AS (SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height FROM documents) SELECT doc_id, width, height, CAST(floor(width * 224.0 / greatest(width, height)) AS BIGINT) AS out_w, CAST(floor(height * 224.0 / greatest(width, height)) AS BIGINT) AS out_h FROM d ORDER BY doc_id",
+    "multimodal_framesample" ->
+      "WITH d AS (SELECT doc_id, 1 + octet_length(CAST(text AS BLOB)) % 1024 AS n_frames FROM documents), p AS (SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, CAST((n_frames + 15) // 16 AS BIGINT) AS step FROM d) SELECT doc_id, n_frames, step, (n_frames - 1) // step + 1 AS n_sampled, step * ((n_frames - 1) // step) AS last_index FROM p ORDER BY doc_id",
     "stream_tumbling" ->
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
     "stream_join" ->

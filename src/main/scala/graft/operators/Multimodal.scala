@@ -73,4 +73,55 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** Resize plan for the decoded asset: fit into 224×224 preserving
+    * aspect ratio. The geometry (floor(dim × 224 / longest-side)) is
+    * pure integer-exact double arithmetic, so unlike the codec it needs
+    * no stubbing — the oracle recomputes it bit-identically. Shape is
+    * the decode pipeline's: typed mapPartitions, one resizer per
+    * partition. */
+  case class ResizePlan(doc_id: Long, width: Int, height: Int,
+                        out_w: Long, out_h: Long)
+
+  def multimodalResize(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = stubDecode(id, bytes)
+          val longest = math.max(d.width, d.height).toDouble
+          ResizePlan(id, d.width, d.height,
+            math.floor(d.width * 224.0 / longest).toLong,
+            math.floor(d.height * 224.0 / longest).toLong)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame-sampling plan for a fake video: n_frames derived from the
+    * payload length, sample every ⌈n/16⌉-th frame (≤ 16 frames out).
+    * Integer arithmetic only → oracle-exact; scalar columns only (the
+    * sampled index list stays implicit as first/step/count). */
+  case class FramePlan(doc_id: Long, n_frames: Long, step: Long,
+                       n_sampled: Long, last_index: Long)
+
+  def multimodalFramesample(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = 1L + (bytes.length % 1024)
+          val step = (n + 15L) / 16L          // ceil(n/16)
+          val sampled = (n - 1L) / step + 1L  // frames 0, step, 2·step, …
+          FramePlan(id, n, step, sampled, step * (sampled - 1L))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
 }
