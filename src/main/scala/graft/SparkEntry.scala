@@ -84,6 +84,7 @@ object SparkEntry {
     // §2.1 extra sources/sinks (oracle-N round-trips)
     "scan_csv"          -> Sources.scanCsv _,
     "scan_json_file"    -> Sources.scanJsonFile _,
+    "scan_json_nested"  -> Sources.scanJsonNested _,
     // scan_orc: oracle-N round-trip (DuckDB reads no ORC) — content
     // equality asserted in JoinsSourcesSpec
     "scan_orc"          -> Sources.scanOrc _,
@@ -158,6 +159,11 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_json_lines" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k FROM events ORDER BY event_id",
+    // scan_json_nested: Spark nests events per user, writes JSON docs,
+    // re-reads + explodes; the oracle re-derives the rows from the flat
+    // base table — exact equality proves the round trip lost nothing.
+    "scan_json_nested" ->
+      "SELECT user_id, event_id, event_type, round(value, 4) AS value FROM events WHERE user_id < 200 ORDER BY user_id, event_id",
     "project_select" ->
       "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS revenue FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "filter_pred" ->

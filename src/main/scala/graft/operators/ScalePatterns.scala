@@ -18,19 +18,35 @@ object ScalePatterns {
   def bucketedCoLocatedJoin(s: SparkSession, left: DataFrame, right: DataFrame,
                             key: String, buckets: Int,
                             leftName: String, rightName: String): DataFrame = {
-    // A fresh session's in-memory catalog does not know about table dirs
-    // a previous session left in the warehouse; saveAsTable then refuses
-    // the "new" table because its location exists. Drop both layers.
-    Seq(leftName, rightName).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    // Bucketed tables are a per-session investment, not a per-query one:
+    // write them once, then every co-located join reuses them for free.
+    // Reusable = registered in this session's catalog with the same bucket
+    // spec AND the same row count as the requested input (guards against a
+    // different scale factor or stale contents).
+    def reusable(t: String, src: DataFrame): Boolean =
+      s.catalog.tableExists(t) && {
+        val meta = s.sql(s"DESCRIBE FORMATTED $t").collect()
+          .map(r => r.getString(0).trim -> Option(r.getString(1)).getOrElse("").trim)
+          .toMap
+        meta.get("Num Buckets").contains(buckets.toString) &&
+        meta.get("Bucket Columns").exists(_.contains(key)) &&
+        (try s.table(t).count() == src.count() catch { case _: Throwable => false })
+      }
+    if (!(reusable(leftName, left) && reusable(rightName, right))) {
+      // A fresh session's in-memory catalog does not know about table dirs
+      // a previous session left in the warehouse; saveAsTable then refuses
+      // the "new" table because its location exists. Drop both layers.
+      Seq(leftName, rightName).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      left.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(leftName)
+      right.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(rightName)
     }
-    left.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(leftName)
-    right.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(rightName)
     s.table(leftName).join(s.table(rightName), key)
   }
 

@@ -32,6 +32,41 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** Nested-JSON normalization — the reference's core ingest loop
+    * (SURVEY.md §1.1: batch JSON → flatten rounds/teams/users to rows):
+    * build ONE nested document per user (`user_id`, `events:
+    * array<struct>`), write the documents out as JSON, re-read them with
+    * an explicit nested schema (never inference at scale), and flatten
+    * back to relational rows with explode. The oracle re-derives the
+    * same rows from the flat base table, so the whole
+    * nest → serialize → parse → flatten cycle is verified exactly.
+    *
+    * Scale shape: the nest is one groupBy(user) shuffle; the read-back
+    * is a parallel JSON-lines scan; explode is narrow. Nothing touches
+    * the driver. */
+  def scanJsonNested(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = graft.Scratch.dir("graft_jsonnest_")
+    Tables.events(s, sf)
+      .filter(col("user_id") < 200)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col("event_id"), col("event_type"), col("value")))).as("events"))
+      .write.mode("overwrite").json(dir)
+    val nested = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("events", ArrayType(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))))))
+    s.read.schema(nested).json(dir)
+      .select(col("user_id"), explode(col("events")).as("e"))
+      .select(col("user_id"), col("e.event_id").as("event_id"),
+              col("e.event_type").as("event_type"),
+              round(col("e.value"), 4).as("value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** ORC round-trip — the second columnar format Spark ships natively
     * (orc-core is in /opt/spark/jars; there is no spark-avro datasource
     * jar, so Avro is out of scope). Columnar pushdown/pruning work the

@@ -146,10 +146,9 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val recall = (got & brute).size.toDouble / brute.size
-    info(s"IVF recall@5 = $recall (nprobe=2)")
-    val n = e.count().toDouble
-    assert(recall > 5.0 / n * 10,
-      s"recall $recall should far exceed random selection")
+    info(s"IVF recall@5 = $recall (nprobe=6, 2 Lloyd rounds, 50% train)")
+    assert(recall >= 0.6,
+      s"recall $recall below the 0.6 floor for a usable ANN index")
   }
 
   test("multimodal decode: schema and determinism of the stub pipeline") {
