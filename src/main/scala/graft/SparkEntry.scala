@@ -44,6 +44,7 @@ object SparkEntry {
     "q14_promo_effect"  -> Relational.q14PromoEffect _,
     "agg_salted"        -> ScalePatterns.aggSalted _,
     "join_bucketed"     -> ScalePatterns.joinBucketed _,
+    "join_skew_salted"  -> ScalePatterns.joinSkewSalted _,
     "agg_count_distinct" -> Relational.aggCountDistinct _,
     "agg_minmax_by"     -> Relational.aggMinmaxBy _,
     "agg_bool"          -> Relational.aggBool _,
@@ -212,6 +213,10 @@ object SparkEntry {
       "SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n_rows FROM events GROUP BY user_id ORDER BY user_id",
     "join_bucketed" ->
       "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    // join_skew_salted: the salted plan is result-identical to the plain
+    // join — the oracle runs the plain form.
+    "join_skew_salted" ->
+      "SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice), 4) AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
     // agg_approx_distinct: intentionally omitted (sketch differs across engines;
     // self-tested against exact counts within rsd in the scalatest suite).
     "agg_having" ->

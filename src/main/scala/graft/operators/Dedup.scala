@@ -56,7 +56,13 @@ object Dedup {
     * DataFrame joins with a localCheckpoint per round to cut lineage.
     * The round count is derived from the largest group (one cheap agg),
     * not hardcoded; every intermediate cache is unpersisted before
-    * returning. Oracle: min(doc_id) OVER the duplicate group. */
+    * returning. Oracle: min(doc_id) OVER the duplicate group.
+    *
+    * Cost reality check (sf0.1): the corpus has a 248-member duplicate
+    * group, so the chain has diameter 247 and the loop intrinsically
+    * needs ⌈log₂ 247⌉ = 8 rounds (~0.4 s each locally — three shuffles
+    * + an eager checkpoint per round). Corpora with only small groups
+    * take one round and zero checkpoints (single declarative plan). */
   def dedupCluster(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"),
@@ -79,17 +85,34 @@ object Dedup {
       }
       c
     }
-    val sym = cp(edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
     // max(count) over zero groups yields one NULL row — an empty corpus
     // must mean maxGroup = 1 (all-singleton), not an NPE.
     val maxGroup = Option(docs.groupBy("h").count().agg(max("count"))
         .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(1L)
-    val iters = math.max(1,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxGroup - 1))).toInt
+    // maxGroup ≤ 1 → no edges exist: identity labeling, one shuffle-free
+    // plan, done.
+    if (maxGroup <= 1)
+      return docs.select(col("doc_id"), col("doc_id").as("cluster_rep"))
+        .orderBy("doc_id")
+    // Adjacency-chain edges give a group of g members diameter d = g − 1;
+    // min-label propagation + pointer jumping covers distance 2^k after k
+    // rounds, so ⌈log₂ d⌉ rounds suffice — derived from the data, never
+    // hardcoded. (g=3 → one round: the jump resolves the 2-hop chain.)
+    val iters = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, maxGroup - 2))).toInt
+    // The symmetric edge frame is re-read every round; checkpointing it
+    // is only worth a job when there IS more than one round.
+    val symRaw = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val sym = if (iters > 1) cp(symRaw) else symRaw
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-    // maxGroup ≤ 1 → no edges at all: the identity labeling is final.
-    var converged = maxGroup <= 1
+    var converged = false
     var round = 0
+    // Fixpoint probe: labels only ever DECREASE (min-propagation), so the
+    // label sum is strictly monotone and "sum unchanged" ⟺ "no label
+    // changed" — an exact convergence test for the price of one scan-only
+    // aggregate over the just-checkpointed frame (decimal sum: immune to
+    // overflow at any id range). Far cheaper than an anti-join probe.
+    var prevSum: java.math.BigDecimal = null
     while (round < iters && !converged) {
       val nbr = sym.join(labels.select(col("doc_id").as("b"), col("label")), "b")
         .select(col("a").as("doc_id"), col("label"))
@@ -99,23 +122,34 @@ object Dedup {
       // converge in log rounds — but for groups of ≤ 2 every member sees
       // the minimum after ONE neighbor propagation, so the jump join is
       // pure overhead there (and that is the common corpus shape).
-      val next = cp(
+      val jumped =
         if (maxGroup <= 2) prop
         else prop
           .join(prop.select(col("doc_id").as("label"), col("label").as("label2")),
                 Seq("label"))
-          .select(col("doc_id"), col("label2").as("label")))
-      // Early exit: a round that changed no label means a fixpoint —
-      // every later round would recompute the same frame. One cheap
-      // limit-1 anti-join probe per non-final round buys skipping whole
-      // join+agg+checkpoint rounds (each costs seconds of codegen alone).
-      if (round < iters - 1)
-        converged = next.join(labels, Seq("doc_id", "label"), "left_anti").isEmpty
+          .select(col("doc_id"), col("label2").as("label"))
+      // The LAST round's frame feeds straight into the returned plan —
+      // checkpointing it would be one more full job for lineage nobody
+      // re-reads. Intermediate rounds are checkpointed to cut lineage,
+      // then probed for the fixpoint (see prevSum above): a round that
+      // changed no label means every later round would recompute the
+      // same frame, so the probe skips whole join+agg+checkpoint rounds.
+      val isLast = round == iters - 1
+      val next = if (isLast) jumped else cp(jumped)
+      if (!isLast) {
+        val s0 = next.agg(sum(col("label").cast("decimal(38,0)")))
+          .head().getDecimal(0)
+        converged = prevSum != null && prevSum.compareTo(s0) == 0
+        prevSum = s0
+      }
       labels = next
       round += 1
     }
     val out = labels.select(col("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
+    // Single-plan case: nothing was checkpointed, nothing to sweep —
+    // return the declarative plan as-is.
+    if (iterCacheIds.isEmpty) return out
     // materialize the result BEFORE dropping the iteration caches it
     // still references; the result's own checkpoint is not in the tracked
     // set, so it survives the sweep

@@ -76,6 +76,51 @@ object ScalePatterns {
               col("n_rows"))
       .orderBy("user_id")
 
+  /** Salted skew join: when the probe side's join-key distribution has a
+    * hot key, a plain shuffle join sends that key's entire volume to one
+    * reducer. Salting re-keys the shuffle to (key, salt): the probe side
+    * gets a deterministic content-derived salt in [0, saltFactor), the
+    * build side is replicated once per salt value, and the join condition
+    * adds salt equality — the hot key now spreads over `saltFactor`
+    * reducers. Result-identical to the plain join (every probe row still
+    * meets every matching build row exactly once, in the one salt slice
+    * it carries). The price is a saltFactor× build-side replication, so
+    * this fits a big-probe/small-build shape — the same regime as
+    * broadcast, but salting also works when the build side exceeds the
+    * broadcast threshold. (AQE's skew-join split handles sort-merge skew
+    * adaptively; explicit salting is the plan-stable form that also
+    * composes with bucketing and works where AQE can't see the skew.)
+    *
+    * `saltFrom` must distinguish rows WITHIN a join key (a row id, not
+    * the key itself — hashing the key would hand every hot-key row the
+    * same salt and spread nothing); content-derived, so retries and
+    * re-runs salt identically. */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+                 probeKey: String, buildKey: String,
+                 saltFactor: Int,
+                 saltFrom: org.apache.spark.sql.Column): DataFrame = {
+    val pS = probe.withColumn("__salt",
+      pmod(xxhash64(saltFrom), lit(saltFactor)).cast("int"))
+    val bS = build.withColumn("__salt",
+      explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    pS.join(bS, pS(probeKey) === bS(buildKey) && pS("__salt") === bS("__salt"))
+      .drop("__salt")
+  }
+
+  /** Graded twin of saltedJoin: lineitem (probe, skewable key) ⋈ part
+    * (build, replicated 8×), revenue per brand; the salt comes from the
+    * probe row's unique (orderkey, linenumber) identity. Oracle = the
+    * plain join, which the salted plan is result-identical to by
+    * construction. */
+  def joinSkewSalted(s: SparkSession, sf: String): DataFrame =
+    saltedJoin(graft.Tables.lineitem(s, sf), graft.Tables.part(s, sf),
+               "l_partkey", "p_partkey", 8,
+               struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice")), 4).as("revenue"))
+      .orderBy("p_brand")
+
   /** Graded twin of bucketedCoLocatedJoin: orders ⋈ customer on custkey
     * through bucketed tables (the join itself is exchange-free — asserted
     * in ScalePatternsSpec), aggregated per market segment. Oracle = the

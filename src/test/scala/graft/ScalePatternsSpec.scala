@@ -73,6 +73,26 @@ class ScalePatternsSpec extends SparkSpecBase {
     assert(perKeySalts > 8, s"hot keys should spread over >8 of 16 salts")
   }
 
+  test("salted join equals plain join exactly and spreads rows within a key") {
+    val li = Tables.lineitem(spark, sfSmoke)
+    val pt = Tables.part(spark, sfSmoke)
+    val salted = ScalePatterns.saltedJoin(li, pt, "l_partkey", "p_partkey", 8,
+        struct(col("l_orderkey"), col("l_linenumber")))
+      .select("l_orderkey", "l_linenumber", "p_partkey")
+    val plain = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_partkey")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // within a multi-row join key, the salt must VARY (hashing the key
+    // itself would pin every hot-key row to one reducer)
+    val spread = li.withColumn("__salt",
+        pmod(xxhash64(struct(col("l_orderkey"), col("l_linenumber"))), lit(8)))
+      .groupBy("l_partkey")
+      .agg(countDistinct("__salt").as("n_salts"), count(lit(1)).as("n"))
+      .filter(col("n") >= 16)
+      .agg(min("n_salts")).head().getLong(0)
+    assert(spread > 4, s"16+-row keys should spread over >4 of 8 salts, got $spread")
+  }
+
   test("AQE splits a skewed join partition (skew=true in final plan)") {
     import spark.implicits._
     // 90% of left rows share one hot key; thresholds lowered so local
