@@ -42,6 +42,7 @@ object SparkEntry {
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "q10_returned_items" -> Relational.q10ReturnedItems _,
     "q14_promo_effect"  -> Relational.q14PromoEffect _,
+    "sql_text_query"    -> Relational.sqlTextQuery _,
     "agg_salted"        -> ScalePatterns.aggSalted _,
     "join_bucketed"     -> ScalePatterns.joinBucketed _,
     "join_skew_salted"  -> ScalePatterns.joinSkewSalted _,
@@ -209,6 +210,10 @@ object SparkEntry {
       "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'",
     "typed_dataset_ops" ->
       "SELECT l_returnflag, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, count(*) AS n_items FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag ORDER BY l_returnflag",
+    // sql_text_query: same ANSI text shape (CTE + window + rank filter)
+    // runs in both engines.
+    "sql_text_query" ->
+      "WITH cust_rev AS (SELECT c_nationkey, o_custkey, round(sum(o_totalprice), 4) AS total_rev FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey, o_custkey) SELECT c_nationkey, o_custkey, total_rev, rnk FROM (SELECT c_nationkey, o_custkey, total_rev, rank() OVER (PARTITION BY c_nationkey ORDER BY total_rev DESC, o_custkey) AS rnk FROM cust_rev) t WHERE rnk <= 3 ORDER BY c_nationkey, rnk",
     "agg_salted" ->
       "SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n_rows FROM events GROUP BY user_id ORDER BY user_id",
     "join_bucketed" ->

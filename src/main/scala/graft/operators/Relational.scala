@@ -264,6 +264,37 @@ object Relational {
       .limit(20)
   }
 
+  /** Full SQL-text front end: the engine accepts an ENTIRE ANSI query as
+    * text over registered temp views — the surface a SQL-first user
+    * migrates to unchanged. Catalyst parses it into the same logical
+    * plan a DataFrame formulation would build, so every optimization
+    * (pushdown, broadcast, AQE) applies identically. The query is
+    * chosen to exercise SQL-only syntax no other graded key touches
+    * from text: a CTE, a window function inside SQL, and a filter over
+    * the window's result (top-3 customers by order revenue per nation).
+    * The unique o_custkey tiebreak in the window ordering makes ranks —
+    * and therefore the rnk ≤ 3 cut — deterministic for the oracle
+    * hash. */
+  def sqlTextQuery(s: SparkSession, sf: String): DataFrame = {
+    Tables.customer(s, sf).createOrReplaceTempView("v_customer")
+    Tables.orders(s, sf).createOrReplaceTempView("v_orders")
+    s.sql("""
+      WITH cust_rev AS (
+        SELECT c_nationkey, o_custkey,
+               round(sum(o_totalprice), 4) AS total_rev
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, o_custkey
+      )
+      SELECT c_nationkey, o_custkey, total_rev,
+             CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT c_nationkey, o_custkey, total_rev,
+               rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY total_rev DESC, o_custkey) AS rnk
+        FROM cust_rev)
+      WHERE rnk <= 3
+      ORDER BY c_nationkey, rnk""")
+  }
+
   /** TPC-H Q14 shape: promotion effect — conditional aggregation (CASE
     * inside sum) over lineitem ⋈ part for one month; single scalar row.
     * The date filter prunes lineitem at the scan; only matching rows
