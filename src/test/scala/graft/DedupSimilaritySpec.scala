@@ -61,6 +61,16 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "the cost-based paths must agree pair-for-pair")
   }
 
+  test("ngram jaccard: exact prefix path stays exact when buckets trip the cap") {
+    val docs = Dedup.jaccardDocs(spark, sfOracle)
+    val block = Dedup.ngramJaccardBlockJoin(docs).collect()
+    // cap = 2 forces most prefix buckets over the cap; exact mode must
+    // recover every pair through the over-cap branch regardless
+    val exact = Dedup.ngramJaccardPrefixJoin(docs, exact = true, cap = 2).collect()
+    assert(block.sameElements(exact),
+      "exact prefix mode must match the block join under any cap")
+  }
+
   test("simhash hamming-0 pairs are exactly the equal-word-set pairs within source") {
     val exact = Dedup.dedupNgramJaccard(spark, sfOracle)
       .filter(col("jac") === 1.0).select("id1", "id2")
