@@ -131,6 +131,10 @@ object SparkEntry {
     "text_quality_score" -> TextOps.textQualityScore _,
     "text_token_count"   -> TextOps.textTokenCount _,
     "text_fingerprint"   -> TextOps.textFingerprint _,
+    "text_pii_redact"    -> TextOps.textPiiRedact _,
+    "text_contamination" -> TextOps.textContamination _,
+    "pipeline_pack_sequences" -> Pipeline.packSequences _,
+    "sample_stratified"  -> Pipeline.sampleStratified _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -284,6 +288,17 @@ object SparkEntry {
       "SELECT *, round(CASE WHEN n_words < 5 THEN 0.0 ELSE (1.0 - non_alpha_ratio) * vocab_diversity END, 6) AS quality FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len, round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS non_alpha_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS vocab_diversity FROM documents) t ORDER BY doc_id",
     "text_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens FROM documents ORDER BY doc_id",
+    // text_pii_redact: both engines plant identical contact strings from
+    // doc fields, then redact — the regexes fire on every row, so the
+    // hash compare genuinely tests cross-engine regex semantics.
+    "text_pii_redact" ->
+      "WITH r AS (SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') || ' contact ' || source || '@example.org or +' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw FROM documents) SELECT doc_id, regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'), '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted, CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(raw, '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones FROM r ORDER BY doc_id",
+    "text_contamination" ->
+      "WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 3), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS shingle FROM documents WHERE len(string_split(text, ' ')) >= 5) u), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0), hits AS (SELECT doc_id, count(*) AS n_contaminated FROM tr JOIN ev USING (shingle) GROUP BY doc_id), tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id) SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM hits JOIN tot USING (doc_id) ORDER BY doc_id",
+    "pipeline_pack_sequences" ->
+      "WITH t AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) SELECT source, doc_id, n_tokens, CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin FROM t ORDER BY source, doc_id",
+    "sample_stratified" ->
+      "SELECT doc_id, lang, rn, n_lang FROM (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) t WHERE rn <= ceil(n_lang * 0.2) ORDER BY lang, doc_id",
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS h_exact, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h_bag, list_reduce(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), (acc, c) -> (acc * 131 + c) % 2147483647) AS h_roll FROM documents ORDER BY doc_id",
     "multimodal_struct" ->

@@ -99,5 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((DotProduct.ident, DotProduct.info, DotProduct.builder))
     ext.injectFunction((SimHash48.ident, SimHash48.info, SimHash48.builder))
+    ext.injectFunction((MinHashSig16.ident, MinHashSig16.info, MinHashSig16.builder))
+    ext.injectFunction((SortedIntersectSize.ident, SortedIntersectSize.info,
+                        SortedIntersectSize.builder))
   }
 }

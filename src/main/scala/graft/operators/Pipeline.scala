@@ -39,4 +39,52 @@ object Pipeline {
           .stripMargin).as("bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Sequence packing for LLM training: assign each document to a fixed
+    * token-budget bin by running token offset within its source shard —
+    * bin = ⌊exclusive-prefix-sum(tokens) / budget⌋, the standard
+    * offset-packing rule (documents are laid head-to-tail into
+    * budget-sized training sequences; a document straddling a boundary
+    * belongs to the bin it starts in).
+    *
+    * Scale shape: the prefix sum is a window partitioned by `source`, so
+    * packing parallelizes across shards — exactly how a 100 TB corpus is
+    * packed in practice (per input shard, never one global order, which
+    * would serialize the whole corpus through one reducer). */
+  def packSequences(s: SparkSession, sf: String): DataFrame = {
+    val budget = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, sf)
+      .select(col("source"), col("doc_id"),
+              size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+              floor(col("offset") / lit(budget.toDouble)).cast("bigint").as("bin"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Stratified sampling: the smallest-id ⌈20%⌉ of each language stratum
+    * — deterministic, exactly proportional per stratum (the
+    * train/val-split and subsampling step of a data pipeline).
+    *
+    * Scale shape: ranking partitions by `lang`, so parallelism equals
+    * the stratum count and each stratum sorts (and spills) within one
+    * task — fine for language-sized strata. A 100 TB corpus needing
+    * finer strata swaps the exact rank for a deterministic hash
+    * threshold (pmod(xxhash64(id), 1000) < 200): no sort, no shuffle,
+    * approximately proportional — the rank form is the exact-quota
+    * variant of the same contract. */
+  def sampleStratified(s: SparkSession, sf: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n_lang", count(lit(1)).over(wAll))
+      .filter(col("rn") <= ceil(col("n_lang") * 0.2))
+      .orderBy("lang", "doc_id")
+  }
 }

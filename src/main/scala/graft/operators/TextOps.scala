@@ -133,4 +133,72 @@ object TextOps {
                |  0L, (acc, c) -> (acc * 131 + c) % 2147483647)""".stripMargin)
           .as("h_roll"))
       .orderBy("doc_id")
+
+  /** Email regex shared by the redactor and its match counter. The
+    * corpus text is synthetic word salad, so the graded query first
+    * PLANTS deterministic contact strings (derived from doc fields, so
+    * the oracle can plant the identical ones) and then redacts them —
+    * the regexes genuinely fire on every row, making the oracle
+    * comparison a real test of cross-engine regex semantics. */
+  private val EmailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: replace email addresses and phone numbers with
+    * typed placeholders and count what was removed — the scrubbing pass
+    * an LLM training pipeline runs before anything else sees the text.
+    * Pure codegen expressions (regexp_replace / regexp_extract_all), so
+    * the scrub runs inside WholeStageCodegen at scan speed. */
+  def textPiiRedact(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"),
+        concat(
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 5))"),
+          lit(" contact "), col("source"), lit("@example.org or +"),
+          lpad((col("doc_id") % 90 + 10).cast("string"), 2, "0"),
+          lit("-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("raw"), EmailPat, "[EMAIL]"),
+                       PhonePat, "[PHONE]").as("redacted"),
+        size(regexp_extract_all(col("raw"), lit(EmailPat), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhonePat), lit(0)))
+          .cast("bigint").as("n_phones"))
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination check — the decontamination step of an LLM
+    * data pipeline (flag training documents that share long n-grams with
+    * a held-out evaluation set, GPT-3/PaLM-style). Here the "eval set"
+    * is every 50th document; contamination = distinct 5-gram shingles a
+    * training doc shares with ANY eval doc.
+    *
+    * Scale shape: the eval side is a small fraction of the corpus by
+    * construction (that is what an eval set is), so its distinct-shingle
+    * frame broadcasts; the train side streams through one shuffle-free
+    * hash-join probe plus one groupBy on doc_id. No pair space ever
+    * forms — cost is O(train shingles) regardless of corpus size. */
+  def textContamination(s: SparkSession, sf: String): DataFrame = {
+    val sh = Tables.documents(s, sf)
+      .filter(size(words()) >= 5)
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 4),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"""
+            .stripMargin)).as("shingle"))
+      .distinct()
+    val evalSet = sh.filter(col("doc_id") % 50 === 0)
+      .select("shingle").distinct()
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+    val totals = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    // (doc_id, shingle) is unique on both sides post-distinct, so the
+    // join emits each shared shingle once — a plain count suffices.
+    train.join(broadcast(evalSet), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
 }

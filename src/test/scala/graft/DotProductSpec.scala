@@ -48,4 +48,33 @@ class DotProductSpec extends SparkSpecBase {
     }
     assert(err.getMessage.toLowerCase.contains("array<float>"))
   }
+
+  test("GraftExtensions injects all four native functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    // withExtensions only applies at builder time, and getOrCreate
+    // short-circuits to an existing session — detach the suite session,
+    // build a sibling (shares the SparkContext, fresh sessionState), and
+    // restore. The sibling's registry has ONLY the injected functions.
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions()).getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT
+          |  graft_dot(array(CAST(0.5 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS d,
+          |  size(graft_minhash16(array('a', 'b'))) AS m,
+          |  graft_simhash48(array(7L, 9L)) AS s,
+          |  graft_sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i
+          |""".stripMargin).head()
+      assert(math.abs(r.getDouble(0) - 2.0) < 1e-12)
+      assert(r.getInt(1) == 16)
+      assert(r.getLong(3) == 2L)
+    } finally {
+      // never stop s2 — it shares the suite's SparkContext
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
