@@ -66,6 +66,10 @@ object SparkEntry {
     // agg_approx_percentile: oracle-N (engine sketch) — self-tested vs
     // exact quartiles; mergeable t-digest-style scale path of the above
     "agg_approx_percentile" -> AdvancedAggs.aggApproxPercentile _,
+    // agg_hll_partitioned: oracle-N (DataSketches registers are engine-
+    // specific) — spec asserts union-of-partials ≡ direct sketch and
+    // estimate accuracy vs exact distinct counts
+    "agg_hll_partitioned" -> AdvancedAggs.aggHllPartitioned _,
     "agg_stats"         -> AdvancedAggs.aggStats _,
     "join_cross"        -> Relational.joinCross _,
     "fn_bitwise"        -> Families.fnBitwise _,

@@ -162,6 +162,35 @@ object AdvancedAggs {
         col("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Mergeable HLL distinct-count sketches (Apache DataSketches via
+    * Spark's hll_sketch_agg/hll_union_agg) — THE 100 TB distinct-count
+    * pattern: sketch each shard/day partial independently, then merge
+    * partials with a register-max union instead of re-reading raw data.
+    * The query computes the per-event-type distinct-user estimate BOTH
+    * ways — direct one-pass sketch and per-day partials unioned — plus
+    * the exact count: union-of-partials must equal the direct sketch
+    * bit-for-bit (register max is associative/commutative), which the
+    * spec asserts, along with estimate-vs-exact accuracy. Oracle-N by
+    * design (engine-specific sketch registers; DuckDB has no
+    * DataSketches HLL) — driver records rows-only. */
+  def aggHllPartitioned(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+    val lgK = lit(12)
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lgK))
+             .as("est_direct"),
+           countDistinct(col("user_id")).as("n_exact"))
+    val merged = ev.withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n_exact"),
+              col("est_direct"), col("est_merged"))
+      .orderBy("event_type")
+  }
+
   /** Statistical aggregates: correlation, covariance, stddev/variance
     * (sample + population). Skewness/kurtosis are deliberately absent —
     * Spark uses population formulas, DuckDB bias-corrected sample ones. */

@@ -93,4 +93,19 @@ class WindowsAggsSpec extends SparkSpecBase {
       .filter(col("spread") > 1).count()
     assert(spread == 0)
   }
+
+  test("hll: union of per-day partial sketches equals the direct sketch; estimates track exact") {
+    val df = operators.AdvancedAggs.aggHllPartitioned(spark, sfOracle).collect()
+    assert(df.nonEmpty)
+    for (r <- df) {
+      val (exact, direct, merged) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // register-max union is associative: merging per-day partials must
+      // reproduce the direct sketch's estimate exactly, not approximately
+      assert(merged == direct,
+        s"union-of-partials $merged must equal direct sketch $direct")
+      // lgK=12 → relative standard error ~1.6%; allow 5%
+      assert(math.abs(direct - exact).toDouble / exact <= 0.05,
+        s"estimate $direct too far from exact $exact")
+    }
+  }
 }
