@@ -119,6 +119,9 @@ object SparkEntry {
     "dedup_exact"        -> Dedup.dedupExact _,
     "dedup_cluster"      -> Dedup.dedupCluster _,
     "dedup_near_minhash" -> Dedup.dedupNearMinhash _,
+    // dedup_minhash_cluster: oracle-N (engine hash family) — composite
+    // near-dedup (LSH pairs → CC reps), spec-asserted on planted dups
+    "dedup_minhash_cluster" -> Dedup.dedupMinhashCluster _,
     "dedup_simhash"      -> Dedup.dedupSimhash _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     // §2.10 LLM-pipeline: similarity

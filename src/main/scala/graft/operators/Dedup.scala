@@ -71,20 +71,6 @@ object Dedup {
     val edges = docs.withColumn("prev", lag(col("doc_id"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("doc_id").as("a"), col("prev").as("b"))
-    // Track the EXACT persisted RDD behind each localCheckpoint (the
-    // LogicalRDD the checkpointed frame plans to) — never a diff of the
-    // session-global registry, which would also sweep caches a concurrent
-    // query on the shared session created in the meantime.
-    val iterCacheIds = scala.collection.mutable.ArrayBuffer[Int]()
-    def cp(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true)
-      c.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          iterCacheIds += lr.rdd.id
-        case _ => ()
-      }
-      c
-    }
     // max(count) over zero groups yields one NULL row — an empty corpus
     // must mean maxGroup = 1 (all-singleton), not an NPE.
     val maxGroup = Option(docs.groupBy("h").count().agg(max("count"))
@@ -100,11 +86,54 @@ object Dedup {
     // hardcoded. (g=3 → one round: the jump resolves the 2-hop chain.)
     val iters = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1L, maxGroup - 2))).toInt
+    connectedComponents(docs.select(col("doc_id").as("id")), edges,
+                        maxIters = iters, jump = maxGroup > 2)
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Iterative connected components over an undirected edge list —
+    * min-label propagation with pointer jumping (label ← label[label]),
+    * the Hash-to-Min/GraphX-style CC loop expressed as DataFrame joins
+    * with a localCheckpoint per round to cut lineage. Shared engine of
+    * dedup_cluster (known chain diameter → exact round count) and
+    * dedup_minhash_cluster (unknown diameter → fixpoint-probed cap).
+    *
+    * @param nodes one column `id`; every node appears in the output,
+    *              isolated nodes label themselves.
+    * @param edges columns `a`, `b` (one direction; symmetrized here).
+    * @param maxIters upper bound on rounds — pointer jumping covers
+    *              distance 2^k after k rounds, so 16 handles any
+    *              diameter ≤ 65536; the fixpoint probe exits earlier the
+    *              moment a round changes no label.
+    * @param jump disable pointer jumping when the caller knows every
+    *              component has diameter ≤ 1 (the jump join would be
+    *              pure overhead).
+    * @return columns `id`, `label` (= min id of the component). */
+  private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                                         maxIters: Int,
+                                         jump: Boolean = true): DataFrame = {
+    val s = nodes.sparkSession
+    // Track the EXACT persisted RDD behind each localCheckpoint (the
+    // LogicalRDD the checkpointed frame plans to) — never a diff of the
+    // session-global registry, which would also sweep caches a concurrent
+    // query on the shared session created in the meantime.
+    val iterCacheIds = scala.collection.mutable.ArrayBuffer[Int]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      c.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          iterCacheIds += lr.rdd.id
+        case _ => ()
+      }
+      c
+    }
     // The symmetric edge frame is re-read every round; checkpointing it
     // is only worth a job when there IS more than one round.
-    val symRaw = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-    val sym = if (iters > 1) cp(symRaw) else symRaw
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    val symRaw = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val sym = if (maxIters > 1) cp(symRaw) else symRaw
+    var labels = nodes.select(col("id"), col("id").as("label"))
     var converged = false
     var round = 0
     // Fixpoint probe: labels only ever DECREASE (min-propagation), so the
@@ -113,28 +142,28 @@ object Dedup {
     // aggregate over the just-checkpointed frame (decimal sum: immune to
     // overflow at any id range). Far cheaper than an anti-join probe.
     var prevSum: java.math.BigDecimal = null
-    while (round < iters && !converged) {
-      val nbr = sym.join(labels.select(col("doc_id").as("b"), col("label")), "b")
-        .select(col("a").as("doc_id"), col("label"))
-      val prop = labels.union(nbr).groupBy("doc_id")
+    while (round < maxIters && !converged) {
+      val nbr = sym.join(labels.select(col("id").as("b"), col("label")), "b")
+        .select(col("a").as("id"), col("label"))
+      val prop = labels.union(nbr).groupBy("id")
         .agg(min(col("label")).as("label"))
       // Pointer jumping (label ← label[label]) is what makes long chains
-      // converge in log rounds — but for groups of ≤ 2 every member sees
-      // the minimum after ONE neighbor propagation, so the jump join is
-      // pure overhead there (and that is the common corpus shape).
+      // converge in log rounds — but for diameter-≤1 components every
+      // member sees the minimum after ONE neighbor propagation, so the
+      // jump join is pure overhead there.
       val jumped =
-        if (maxGroup <= 2) prop
+        if (!jump) prop
         else prop
-          .join(prop.select(col("doc_id").as("label"), col("label").as("label2")),
+          .join(prop.select(col("id").as("label"), col("label").as("label2")),
                 Seq("label"))
-          .select(col("doc_id"), col("label2").as("label"))
+          .select(col("id"), col("label2").as("label"))
       // The LAST round's frame feeds straight into the returned plan —
       // checkpointing it would be one more full job for lineage nobody
       // re-reads. Intermediate rounds are checkpointed to cut lineage,
       // then probed for the fixpoint (see prevSum above): a round that
       // changed no label means every later round would recompute the
       // same frame, so the probe skips whole join+agg+checkpoint rounds.
-      val isLast = round == iters - 1
+      val isLast = round == maxIters - 1
       val next = if (isLast) jumped else cp(jumped)
       if (!isLast) {
         val s0 = next.agg(sum(col("label").cast("decimal(38,0)")))
@@ -145,19 +174,37 @@ object Dedup {
       labels = next
       round += 1
     }
-    val out = labels.select(col("doc_id"), col("label").as("cluster_rep"))
-      .orderBy("doc_id")
     // Single-plan case: nothing was checkpointed, nothing to sweep —
     // return the declarative plan as-is.
-    if (iterCacheIds.isEmpty) return out
+    if (iterCacheIds.isEmpty) return labels
     // materialize the result BEFORE dropping the iteration caches it
     // still references; the result's own checkpoint is not in the tracked
     // set, so it survives the sweep
-    val result = out.localCheckpoint(true)
+    val result = labels.localCheckpoint(true)
     s.sparkContext.getPersistentRDDs
       .filter { case (id, _) => iterCacheIds.contains(id) }
       .foreach { case (_, rdd) => rdd.unpersist(false) }
     result
+  }
+
+  /** End-to-end near-duplicate removal — the composite a real corpus
+    * pipeline runs: MinHash/LSH candidate pairs at estimated J ≥ 0.9
+    * (never an all-pairs join; see minhashPairs) feed the connected-
+    * components engine, yielding one representative per near-dup
+    * cluster; docs in no qualifying pair stay singletons. Candidate
+    * graphs of duplicate groups are near-complete (every pair collides
+    * in some band), so the fixpoint probe exits after ~2 rounds; the
+    * 8-round cap covers any diameter ≤ 256. Oracle-N (engine hash
+    * family); spec asserts planted dups cluster and controls stay
+    * singleton. */
+  def dedupMinhashCluster(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf).select(col("doc_id"), ws.as("ws"))
+    val edges = minhashPairs(docs).filter(col("est_jaccard") >= 0.9)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    connectedComponents(docs.select(col("doc_id").as("id")), edges,
+                        maxIters = 8)
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
   }
 
   /** Max docs per LSH bucket before the bucket is skipped as a "stop

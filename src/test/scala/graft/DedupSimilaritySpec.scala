@@ -39,6 +39,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!pairs.contains((5L, 6L)), "disjoint docs must not pair")
   }
 
+  test("minhash cluster: planted dups share a representative, controls stay singleton") {
+    val labels = Dedup.connectedComponents(
+        fixture.select(col("doc_id").as("id")),
+        Dedup.minhashPairs(fixture).filter(col("est_jaccard") >= 0.9)
+          .select(col("id1").as("a"), col("id2").as("b")),
+        maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 6, "every node must be labeled")
+    assert(labels(4L) == 3L, "identical word sets must cluster to min id")
+    assert(labels(3L) == 3L)
+    assert(labels(5L) == 5L && labels(6L) == 6L, "controls stay singleton")
+  }
+
   test("minhash estimates are deterministic across runs") {
     val a = Dedup.dedupNearMinhash(spark, sfSmoke).collect()
     val b = Dedup.dedupNearMinhash(spark, sfSmoke).collect()

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan audits: the properties that make these operators hold
+  * at 100 TB are plan shapes, not result values — filters reaching the
+  * parquet scan, scans pruned to referenced columns, map-side partial
+  * aggregation, broadcast of bounded dims, top-k never globally sorting,
+  * and wide WholeStageCodegen spans. Asserting them here pins the shape
+  * against regressions that would still pass every result check.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("filter_pred pushes its predicates into the parquet scan") {
+    val plan = formatted(Relational.filterPred(spark, sfSmoke))
+    assert(plan.contains("PushedFilters:"), plan)
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"shipdate/quantity predicates must reach the scan: $pushed")
+  }
+
+  test("project_select prunes the scan to the referenced columns only") {
+    val plan = formatted(Relational.projectSelect(spark, sfSmoke))
+    val read = plan.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(read.contains("l_extendedprice") && read.contains("l_discount"), read)
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"),
+      s"unreferenced columns must be pruned from the scan: $read")
+  }
+
+  test("flagship aggregation is two-phase (map-side partial + final)") {
+    val plan = Relational.aggGroupBy(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate pair:\n$plan")
+    assert(plan.contains("partial_"), s"map-side combine missing:\n$plan")
+  }
+
+  test("dim join broadcasts; top-k plans TakeOrderedAndProject, never a global sort") {
+    val bPlan = Relational.joinBroadcast(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    val kPlan = Relational.limitTopK(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(kPlan.contains("TakeOrderedAndProject"), kPlan)
+  }
+
+  test("hot paths stay inside WholeStageCodegen") {
+    for ((name, df) <- Seq[(String, DataFrame)](
+        "agg_groupby" -> Relational.aggGroupBy(spark, sfSmoke),
+        "join_multiway" -> Relational.joinMultiway(spark, sfSmoke),
+        "filter_pred" -> Relational.filterPred(spark, sfSmoke))) {
+      // codegen stages exist only in the FINAL adaptive plan — AQE
+      // annotates this QueryExecution instance once it materializes
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("),
+        s"$name lost whole-stage codegen:\n$plan")
+    }
+  }
+}
