@@ -178,12 +178,22 @@ object TextOps {
     * hash-join probe plus one groupBy on doc_id. No pair space ever
     * forms — cost is O(train shingles) regardless of corpus size. */
   def textContamination(s: SparkSession, sf: String): DataFrame = {
+    // Shingle text never leaves the query — only per-doc counts do — so
+    // shingles are hashed to 64-bit longs before any shuffle: the three
+    // aggregations and the probe join move 8-byte keys instead of
+    // ~30-byte strings. (Counts match the oracle's string-equality
+    // counts as long as xxhash64 is injective on the corpus shingle set
+    // — at 2^64 that holds far past any real corpus.)
+    // The token array is projected ONCE per row before the transform:
+    // slice(split(text), i, 5) inside the lambda would re-split the
+    // document at every shingle position — O(len²) per doc.
     val sh = Tables.documents(s, sf)
-      .filter(size(words()) >= 5)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
       .select(col("doc_id"),
         explode(expr(
-          """transform(sequence(1, size(split(text, ' ')) - 4),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"""
+          """transform(sequence(1, size(w) - 4),
+            |  i -> xxhash64(concat_ws(' ', slice(w, i, 5))))"""
             .stripMargin)).as("shingle"))
       .distinct()
     val evalSet = sh.filter(col("doc_id") % 50 === 0)
