@@ -42,6 +42,8 @@ object SparkEntry {
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "q10_returned_items" -> Relational.q10ReturnedItems _,
     "q14_promo_effect"  -> Relational.q14PromoEffect _,
+    "q18_large_orders"  -> Relational.q18LargeOrders _,
+    "q13_order_distribution" -> Relational.q13OrderDistribution _,
     "sql_text_query"    -> Relational.sqlTextQuery _,
     "agg_salted"        -> ScalePatterns.aggSalted _,
     "join_bucketed"     -> ScalePatterns.joinBucketed _,
@@ -221,6 +223,10 @@ object SparkEntry {
       "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'",
     "typed_dataset_ops" ->
       "SELECT l_returnflag, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, count(*) AS n_items FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q18_large_orders" ->
+      "SELECT c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4) AS o_totalprice, round(sum_qty, 2) AS sum_qty FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20",
+    "q13_order_distribution" ->
+      "SELECT c_count, count(*) AS custdist FROM (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
     // sql_text_query: same ANSI text shape (CTE + window + rank filter)
     // runs in both engines.
     "sql_text_query" ->

@@ -312,6 +312,41 @@ object Relational {
           .as("promo_revenue_pct"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q18 shape: large-volume orders — a HAVING aggregate used as a
+    * join filter (agg → filter → fact join → dim join → top-k). The
+    * per-order quantity aggregate shrinks lineitem to order grain BEFORE
+    * any join, and the top-k plans as TakeOrderedAndProject — at scale
+    * the only full-width shuffle is the one aggregation. */
+  def q18LargeOrders(s: SparkSession, sf: String): DataFrame = {
+    val qty = Tables.lineitem(s, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    Tables.orders(s, sf)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              col("o_orderdate"),
+              round(col("o_totalprice"), 4).as("o_totalprice"),
+              round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — aggregation of
+    * an aggregation (left join preserving 0-order customers, per-customer
+    * count, then a histogram over the counts). The second aggregate's
+    * input is customer-grain, so the heavy shuffle happens once. */
+  def q13OrderDistribution(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .join(Tables.orders(s, sf),
+            col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** TPC-H Q6 shape: forecast revenue change — pure scan+filter+agg, the
     * pushdown showcase (no join, no shuffle beyond one partial+final). */
   def q6ForecastRevenue(s: SparkSession, sf: String): DataFrame =
