@@ -157,6 +157,7 @@ object SparkEntry {
     "stream_dedup"      -> Streaming.dedupBatch _,
     "stream_stateful"   -> Streaming.statefulBatch _,
     "stream_agg_sink"   -> Streaming.streamAggSink _,
+    "stream_foreach_batch" -> Streaming.streamForeachBatch _,
     "stream_join"       -> Streaming.streamJoinBatch _,
     // §2.6 sort / limit / sample
     "sort_multi"        -> Relational.sortMulti _,
@@ -341,6 +342,12 @@ object SparkEntry {
       "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY user_id ORDER BY user_id",
     "stream_agg_sink" ->
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
+    // stream_foreach_batch: append mode emits exactly the windows whose
+    // end the final watermark (max ts − 37 min) has passed — the oracle
+    // derives that same finalized set from the batch table. Verified
+    // exact at sf0.001/0.01/0.1.
+    "stream_foreach_batch" ->
+      "WITH agg AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT w_start, event_type, n_events FROM agg, m WHERE w_start + INTERVAL 1 HOUR <= mx - INTERVAL 37 MINUTE ORDER BY w_start, event_type",
     "agg_rollup" ->
       "SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust, GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST",
     "agg_cube" ->

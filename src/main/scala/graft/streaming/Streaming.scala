@@ -231,6 +231,52 @@ object Streaming {
     * production run of the same plan uses append/update mode with a
     * watermark on `ts` (bounding state to open windows) and a durable
     * file/table sink instead of memory. */
+  /** REAL streaming run #2, graded: the foreachBatch sink — the
+    * production hook for upsert/merge sinks that have no native
+    * streaming writer — driving an append-mode watermarked window
+    * aggregate. Append emits a window exactly once, when the watermark
+    * (max event time − 37 min) passes its end: availableNow processes
+    * the backlog, then the engine's no-data micro-batch (eager state
+    * eviction, SPARK-24156 semantics) flushes every finalized window
+    * through foreachBatch before stopping. Each micro-batch appends to
+    * a parquet directory — idempotent re-runs would key on batchId.
+    *
+    * The oracle is the batch derivation: hourly counts for windows whose
+    * end falls at or below max(ts) − 37 min. The un-finalized tail
+    * windows are the ones a continuous run would emit later — append
+    * mode's exactly-once contract, verified against DuckDB. */
+  def streamForeachBatch(s: SparkSession, sf: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val srcDir = java.nio.file.Paths.get(graft.Scratch.dir("graft_fb_src_"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+               srcDir.resolve("events.parquet"))
+    val src = s.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .withWatermark("ts", "37 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+              col("n_events"))
+    val out = graft.Scratch.dir("graft_fb_out_")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val ckpt = graft.Scratch.dir("graft_fb_ckpt_")
+      val q = agg.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy("w_start", "event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   def streamAggSink(s: SparkSession, sf: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$sf/events.parquet").schema
