@@ -3,6 +3,7 @@ package graft
 import graft.operators.Relational
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audits: the properties that make these operators hold
   * at 100 TB are plan shapes, not result values — filters reaching the
@@ -47,6 +48,21 @@ class PlanAuditSpec extends SparkSpecBase {
     val kPlan = Relational.limitTopK(spark, sfSmoke)
       .queryExecution.executedPlan.toString
     assert(kPlan.contains("TakeOrderedAndProject"), kPlan)
+  }
+
+  test("partition-column filters prune at listing time (PartitionFilters, not data filters)") {
+    val dir = graft.Scratch.dir("graft_prune_")
+    Tables.documents(spark, sfSmoke)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = formatted(read)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).mkString
+    assert(pf.contains("lang"),
+      s"lang predicate must prune partitions at listing time: $plan")
+    // the pruned scan must touch only the en partition's rows
+    val en = Tables.documents(spark, sfSmoke)
+      .filter(col("lang") === "en").count()
+    assert(read.count() == en)
   }
 
   test("hot paths stay inside WholeStageCodegen") {

@@ -34,6 +34,27 @@ class ScalePatternsSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed-table reuse rejects a different input with the same row count") {
+    // the round-3 advice hazard: a caller passing DIFFERENT data of equal
+    // cardinality must re-bucket, never silently join stale contents
+    val n = Tables.nation(spark, sfSmoke)
+      .select(col("n_nationkey").as("k"), col("n_name").as("v"))
+    val first = ScalePatterns.bucketedCoLocatedJoin(
+      spark, n, n, "k", 4, "t_fp_left", "t_fp_right")
+    assert(first.count() == 25)
+    // same schema, same 25 rows, different contents (shifted keys)
+    val shifted = n.withColumn("k", col("k") + 1000)
+    try {
+      val second = ScalePatterns.bucketedCoLocatedJoin(
+        spark, shifted, shifted, "k", 4, "t_fp_left", "t_fp_right")
+      val keys = second.select("k").collect()
+        .map(_.getAs[Number](0).longValue)
+      assert(keys.nonEmpty && keys.forall(_ >= 1000),
+        "reuse guard served stale table contents for a different input")
+    } finally Seq("t_fp_left", "t_fp_right").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("dedup/similarity candidate joins stay hash-shaped (no nested-loop fallback)") {
     // the scale rewrites' whole point: candidate generation must plan as
     // equi hash/sort-merge joins on bucket keys, never cartesian or
