@@ -144,6 +144,8 @@ object SparkEntry {
     "text_contamination" -> TextOps.textContamination _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
+    "funnel_stages"      -> Pipeline.funnelStages _,
+    "retention_cohorts"  -> Pipeline.retentionCohorts _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -313,6 +315,10 @@ object SparkEntry {
       "WITH t AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) SELECT source, doc_id, n_tokens, CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin FROM t ORDER BY source, doc_id",
     "sample_stratified" ->
       "SELECT doc_id, lang, rn, n_lang FROM (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) t WHERE rn <= ceil(n_lang * 0.2) ORDER BY lang, doc_id",
+    "funnel_stages" ->
+      "WITH s1 AS (SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), s2 AS (SELECT e.user_id, s1.signup_ts, min(e.ts) AS click_ts FROM events e JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts GROUP BY e.user_id, s1.signup_ts), s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts GROUP BY e.user_id) SELECT s1.user_id AS user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts, CAST(1 + CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY user_id",
+    "retention_cohorts" ->
+      "WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id) SELECT cohort_day, day_offset, count(*) AS n_users FROM (SELECT DISTINCT ev.user_id, f.cohort_day, CAST(date_diff('day', f.cohort_day, ev.d) AS BIGINT) AS day_offset FROM ev JOIN f ON ev.user_id = f.user_id) t GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset",
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS h_exact, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h_bag, list_reduce(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), (acc, c) -> (acc * 131 + c) % 2147483647) AS h_roll FROM documents ORDER BY doc_id",
     "multimodal_struct" ->

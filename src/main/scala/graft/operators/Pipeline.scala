@@ -76,6 +76,57 @@ object Pipeline {
     * threshold (pmod(xxhash64(id), 1000) < 200): no sort, no shuffle,
     * approximately proportional — the rank form is the exact-quota
     * variant of the same contract. */
+  /** Conversion funnel (signup → click → purchase, ordered): per user,
+    * the earliest signup, the earliest click AFTER that signup, and the
+    * earliest purchase AFTER that click — the core behavioral-analytics
+    * query of a user-study platform. One per-user aggregate per stage,
+    * each stage's threshold joined in grain-reduced (user-level) form:
+    * at scale the events table is touched three times filtered by type
+    * (pushed to the scan) and every join is user-grain. Emits one row
+    * per user reaching at least stage 1, with a `depth` of 1-3. */
+  def funnelStages(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val s1 = stage("signup").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("signup_ts"))
+    val s2 = stage("click").join(s1, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("ts")).as("click_ts"))
+    val s3 = stage("purchase")
+      .join(s2.select(col("user_id"), col("click_ts")), "user_id")
+      .filter(col("ts") >= col("click_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("purchase_ts"))
+    s1.join(s2.select(col("user_id"), col("click_ts")), Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("click_ts"),
+              col("purchase_ts"),
+              (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+                      + when(col("purchase_ts").isNotNull, 1).otherwise(0))
+                .cast("bigint").as("depth"))
+      .orderBy("user_id")
+  }
+
+  /** Retention cohorts: users grouped by first-seen day (cohort), counted
+    * by how many distinct day-offsets ≥ 0 they returned on — the other
+    * staple behavioral-analytics matrix, flattened to (cohort_day,
+    * day_offset, n_users). The first-seen aggregate is user-grain and
+    * joins back user-grain; the offset distinct is one shuffle. */
+  def retentionCohorts(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+              datediff(col("d"), col("cohort_day")).cast("bigint")
+                .as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   def sampleStratified(s: SparkSession, sf: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id").asc)
