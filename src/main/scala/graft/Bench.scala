@@ -42,8 +42,10 @@ object Bench {
     // bench's wall clock passes a budget: doubling wall time is fine at
     // sf0.1 (~90 s) but must not breach a harness time limit at a larger
     // SF — past the budget every remaining query is charged single-shot.
-    val rerunBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET_SEC", "300").toDouble
+    // malformed env must degrade to the default, never kill the metric
+    val rerunBudgetSec = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET_SEC", "300").toDouble)
+      .getOrElse(300.0)
     val benchT0 = System.nanoTime()
     def wallSec: Double = (System.nanoTime() - benchT0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>

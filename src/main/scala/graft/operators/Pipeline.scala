@@ -65,17 +65,6 @@ object Pipeline {
       .orderBy("source", "doc_id")
   }
 
-  /** Stratified sampling: the smallest-id ⌈20%⌉ of each language stratum
-    * — deterministic, exactly proportional per stratum (the
-    * train/val-split and subsampling step of a data pipeline).
-    *
-    * Scale shape: ranking partitions by `lang`, so parallelism equals
-    * the stratum count and each stratum sorts (and spills) within one
-    * task — fine for language-sized strata. A 100 TB corpus needing
-    * finer strata swaps the exact rank for a deterministic hash
-    * threshold (pmod(xxhash64(id), 1000) < 200): no sort, no shuffle,
-    * approximately proportional — the rank form is the exact-quota
-    * variant of the same contract. */
   /** Conversion funnel (signup → click → purchase, ordered): per user,
     * the earliest signup, the earliest click AFTER that signup, and the
     * earliest purchase AFTER that click — the core behavioral-analytics
@@ -127,6 +116,17 @@ object Pipeline {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Stratified sampling: the smallest-id ⌈20%⌉ of each language stratum
+    * — deterministic, exactly proportional per stratum (the
+    * train/val-split and subsampling step of a data pipeline).
+    *
+    * Scale shape: ranking partitions by `lang`, so parallelism equals
+    * the stratum count and each stratum sorts (and spills) within one
+    * task — fine for language-sized strata. A 100 TB corpus needing
+    * finer strata swaps the exact rank for a deterministic hash
+    * threshold (pmod(xxhash64(id), 1000) < 200): no sort, no shuffle,
+    * approximately proportional — the rank form is the exact-quota
+    * variant of the same contract. */
   def sampleStratified(s: SparkSession, sf: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id").asc)

@@ -58,16 +58,26 @@ object ScalePatterns {
     s.table(leftName).join(s.table(rightName), key)
   }
 
-  /** Content identity of a bucketed-table input: md5 over the input file
-    * roots, the canonicalized analyzed plan, the schema, and the bucket
-    * spec. Two DataFrames get the same fingerprint only when they read
-    * the same files through the same derivation into the same layout —
-    * equal row counts or look-alike bucket columns are not enough. */
+  /** Content identity of a bucketed-table input: md5 over the input
+    * FILE LISTING (every file's path, length, and modification time —
+    * so data regenerated in place at the same path re-buckets), the
+    * canonicalized analyzed plan, the schema, and the bucket spec. Two
+    * DataFrames get the same fingerprint only when they read the same
+    * bytes through the same derivation into the same layout — equal row
+    * counts or look-alike bucket columns are not enough. The listing is
+    * a driver metadata pass over the input's files, paid once per
+    * bucketed-table (re)build decision. */
   private def fingerprint(df: DataFrame, key: String, buckets: Int): String = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     val inputs = df.queryExecution.analyzed.collect {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case fs: HadoopFsRelation =>
+          fs.location.inputFiles.sorted.map { p =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            val st = path.getFileSystem(hconf).getFileStatus(path)
+            s"$p#${st.getLen}#${st.getModificationTime}"
+          }.mkString(",")
         case other => other.toString
       }
     }.sorted.mkString(";")

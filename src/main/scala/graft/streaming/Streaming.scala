@@ -219,18 +219,33 @@ object Streaming {
            round(sum(col("value")), 4).as("sum_value"))
       .orderBy("user_id")
 
-  /** REAL end-to-end streaming run, graded: file-source readStream over
-    * the events parquet (nanos normalized like Tables.events), tumbling
-    * counts in complete mode to a memory sink, result dumped to parquet
-    * and read back. Output is identical to tumblingBatch, so it shares
-    * that oracle. availableNow processes the backlog then stops —
-    * exactly how a production backfill-then-stream job starts up.
-    *
-    * Scale note: complete mode + memory sink is right ONLY for this
-    * bounded graded backfill — both grow with total state. A continuous
-    * production run of the same plan uses append/update mode with a
-    * watermark on `ts` (bounding state to open windows) and a durable
-    * file/table sink instead of memory. */
+  /** Staging shared by the real streaming runs: the corpus table is a
+    * single parquet file and the streaming file source wants a directory
+    * to list, so the file is staged into a scratch dir and read as a
+    * stream with the same nanos→micros normalization Tables.events
+    * applies on the batch side. */
+  private def stagedEventStream(s: SparkSession, sf: String,
+                                prefix: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val srcDir = java.nio.file.Paths.get(graft.Scratch.dir(prefix))
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+               srcDir.resolve("events.parquet"))
+    s.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** State-store count = shuffle partitions at first checkpoint, forever
+    * (it is part of the checkpointed layout) — size it to the state
+    * volume (here: #windows × #types, tiny), not to the core count; with
+    * 32 cores the default spawns 32 state stores per micro-batch for a
+    * handful of keys, all overhead. Restores the previous setting. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** REAL streaming run #2, graded: the foreachBatch sink — the
     * production hook for upsert/merge sinks that have no native
     * streaming writer — driving an append-mode watermarked window
@@ -246,23 +261,14 @@ object Streaming {
     * windows are the ones a continuous run would emit later — append
     * mode's exactly-once contract, verified against DuckDB. */
   def streamForeachBatch(s: SparkSession, sf: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$sf/events.parquet").schema
-    val srcDir = java.nio.file.Paths.get(graft.Scratch.dir("graft_fb_src_"))
-    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
-               srcDir.resolve("events.parquet"))
-    val src = s.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = src
+    val agg = stagedEventStream(s, sf, "graft_fb_src_")
       .withWatermark("ts", "37 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("w_start"), col("event_type"),
               col("n_events"))
     val out = graft.Scratch.dir("graft_fb_out_")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withStatePartitions(s, 4) {
       val ckpt = graft.Scratch.dir("graft_fb_ckpt_")
       val q = agg.writeStream
         .outputMode("append")
@@ -274,42 +280,39 @@ object Streaming {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy("w_start", "event_type")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
+  /** REAL end-to-end streaming run, graded: file-source readStream over
+    * the events parquet, tumbling counts in complete mode to a memory
+    * sink, result dumped to parquet and read back. Output is identical
+    * to tumblingBatch, so it shares that oracle. availableNow processes
+    * the backlog then stops — exactly how a production
+    * backfill-then-stream job starts up.
+    *
+    * Scale note: complete mode + memory sink is right ONLY for this
+    * bounded graded backfill — both grow with total state. A continuous
+    * production run of the same plan uses append/update mode with a
+    * watermark on `ts` (bounding state to open windows) and a durable
+    * file/table sink instead of memory — streamForeachBatch above IS
+    * that form, graded with its own oracle. */
   def streamAggSink(s: SparkSession, sf: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$sf/events.parquet").schema
-    // the corpus table is a single file; the streaming file source wants
-    // a directory to list — stage the file into one
-    val srcDir = java.nio.file.Paths.get(graft.Scratch.dir("graft_stream_src_"))
-    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
-               srcDir.resolve("events.parquet"))
-    val src = s.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = src
+    val agg = stagedEventStream(s, sf, "graft_stream_src_")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
-    // State-store count = shuffle partitions at first checkpoint, forever
-    // (it is part of the checkpointed layout) — size it to the state
-    // volume (here: #windows × #types, tiny), not to the core count;
-    // with 32 cores the default spawns 32 state stores per micro-batch
-    // for a handful of keys, all overhead.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-    val ckpt = graft.Scratch.dir("graft_ckpt_")
-    val q = agg.writeStream
-      .format("memory").queryName("graft_stream_sink")
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = graft.Scratch.dir("graft_stream_out_")
-    s.table("graft_stream_sink").write.mode("overwrite").parquet(out)
-    s.read.parquet(out).orderBy("w_start", "event_type")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStatePartitions(s, 4) {
+      val ckpt = graft.Scratch.dir("graft_ckpt_")
+      val q = agg.writeStream
+        .format("memory").queryName("graft_stream_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = graft.Scratch.dir("graft_stream_out_")
+      s.table("graft_stream_sink").write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("w_start", "event_type")
+    }
   }
 }

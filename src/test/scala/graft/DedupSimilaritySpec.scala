@@ -40,16 +40,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
   }
 
   test("minhash cluster: planted dups share a representative, controls stay singleton") {
-    val labels = Dedup.connectedComponents(
-        fixture.select(col("doc_id").as("id")),
-        Dedup.minhashPairs(fixture).filter(col("est_jaccard") >= 0.9)
-          .select(col("id1").as("a"), col("id2").as("b")),
-        maxIters = 8)
+    val labels = Dedup.minhashClusterOf(fixture)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 6, "every node must be labeled")
     assert(labels(4L) == 3L, "identical word sets must cluster to min id")
     assert(labels(3L) == 3L)
     assert(labels(5L) == 5L && labels(6L) == 6L, "controls stay singleton")
+  }
+
+  test("minhash cluster: a duplicate group far above the LSH stop-bucket cap still clusters") {
+    import spark.implicits._
+    // 100 identical word sets (> MaxBucket = 64): every LSH band bucket
+    // overflows the stop-bucket cap and yields ZERO pairs — only the
+    // identical-signature chain edges can link the group. Controls check
+    // the chain path does not over-merge.
+    val vocab = (1 to 20).map(i => s"dup$i")
+    val docs = ((1L to 100L).map(i => (i, vocab)) ++
+        Seq((200L, (1 to 20).map(i => s"solo$i"))))
+      .toDF("doc_id", "ws")
+    val labels = Dedup.minhashClusterOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 100L).forall(labels(_) == 1L),
+      "over-cap duplicate group must collapse to one representative")
+    assert(labels(200L) == 200L, "control must stay singleton")
   }
 
   test("minhash estimates are deterministic across runs") {
