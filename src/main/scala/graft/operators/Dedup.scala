@@ -133,6 +133,17 @@ object Dedup {
     val symRaw = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
     val sym = if (maxIters > 1) cp(symRaw) else symRaw
+    // Zero-edge graph: identity labeling, zero rounds. Common when a
+    // contraction stage upstream already absorbed every edge; the probe
+    // reads the just-materialized checkpoint, so it costs one cached
+    // scan, and the checkpoint is released before returning.
+    if (maxIters > 1 && sym.isEmpty) {
+      val identity = nodes.select(col("id"), col("id").as("label"))
+      s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => iterCacheIds.contains(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(false) }
+      return identity
+    }
     var labels = nodes.select(col("id"), col("id").as("label"))
     var converged = false
     var round = 0
