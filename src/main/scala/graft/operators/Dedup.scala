@@ -230,12 +230,19 @@ object Dedup {
     * iterative CC. Final labels compose the two stages. */
   private[graft] def minhashClusterOf(docs: DataFrame): DataFrame = {
     graft.functions.MinHashSig16.register(docs.sparkSession)
+    // The signature subtree appears in several plan branches (band
+    // buckets, contraction joins, CC nodes, final label join); it is
+    // deliberately NOT checkpointed — exchange reuse dedups most of the
+    // recompute, and measurement showed eager materialization of the
+    // narrow codegen'd subtree costs MORE in checkpoint jobs than the
+    // recompute it saves (7.0 s vs 5.0 s at sf0.1). The CC rounds, not
+    // the signatures, dominate this operator's cost.
     val sig = docs.withColumn("sig", expr("graft_minhash16(ws)"))
       .select(col("doc_id"), col("sig"))
     val stage1 = sig
       .withColumn("rep1", min(col("doc_id")).over(Window.partitionBy(col("sig"))))
       .select(col("doc_id"), col("rep1"))
-    val contracted = minhashPairs(docs).filter(col("est_jaccard") >= 0.9)
+    val contracted = minhashPairsOfSig(sig).filter(col("est_jaccard") >= 0.9)
       .join(stage1.select(col("doc_id").as("id1"), col("rep1").as("a")), "id1")
       .join(stage1.select(col("doc_id").as("id2"), col("rep1").as("b")), "id2")
       .select(col("a"), col("b"))
@@ -263,11 +270,17 @@ object Dedup {
     * MaxBucket); with a healthy shingle space they do not occur. */
   private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
     graft.functions.MinHashSig16.register(docs.sparkSession)
-    val sig = docs
+    minhashPairsOfSig(docs
       // native one-pass signature (graft.functions.MinHashSig16) — equals
       // transform(sequence(0,15), s -> array_min(transform(ws, w -> xxhash64(w, s))))
       .withColumn("sig", expr("graft_minhash16(ws)"))
-      .select(col("doc_id"), col("sig"))
+      .select(col("doc_id"), col("sig")))
+  }
+
+  /** Band/bucket/pair stage over a precomputed (doc_id, sig) frame —
+    * split out so callers that already materialized signatures (the
+    * cluster composite) do not pay a second signature pass. */
+  private[graft] def minhashPairsOfSig(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr(
           """transform(sequence(0, 3), b -> struct(b AS band,
