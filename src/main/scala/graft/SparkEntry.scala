@@ -96,6 +96,7 @@ object SparkEntry {
     // scan_orc: oracle-N round-trip (DuckDB reads no ORC) — content
     // equality asserted in JoinsSourcesSpec
     "scan_orc"          -> Sources.scanOrc _,
+    "scan_json_malformed" -> Sources.scanJsonMalformed _,
     "typed_dataset_ops" -> TypedOps.typedDatasetOps _,
     "subquery_scalar"   -> Subqueries.subqueryScalar _,
     "subquery_correlated" -> Subqueries.subqueryCorrelated _,
@@ -348,6 +349,11 @@ object SparkEntry {
       "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY user_id ORDER BY user_id",
     "stream_agg_sink" ->
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
+    // scan_json_malformed: every 20th staged record is broken; the
+    // oracle re-derives the quarantine accounting arithmetically from
+    // the base table (corrupt rows -> the bucket = -1 row).
+    "scan_json_malformed" ->
+      "WITH g AS (SELECT doc_id % 10 AS bucket, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents WHERE doc_id % 20 <> 0 GROUP BY doc_id % 10), b AS (SELECT CAST(-1 AS BIGINT) AS bucket, count(*) AS n_rows, CAST(NULL AS BIGINT) AS sum_chars FROM documents WHERE doc_id % 20 = 0) SELECT bucket, n_rows, sum_chars FROM g UNION ALL SELECT bucket, n_rows, sum_chars FROM b ORDER BY bucket",
     // stream_foreach_batch: append mode emits exactly the windows whose
     // end the final watermark (max ts − 37 min) has passed — the oracle
     // derives that same finalized set from the batch table. Verified
