@@ -44,6 +44,21 @@ object SparkEntry {
     "q14_promo_effect"  -> Relational.q14PromoEffect _,
     "q18_large_orders"  -> Relational.q18LargeOrders _,
     "q13_order_distribution" -> Relational.q13OrderDistribution _,
+    // TPC-H completion set (TpchShapes.scala) — with the shapes above,
+    // all 22 canonical decision-support patterns are covered.
+    "q2_min_cost_supplier"   -> TpchShapes.q2MinCostSupplier _,
+    "q4_priority_exists"     -> TpchShapes.q4PriorityExists _,
+    "q7_volume_shipping"     -> TpchShapes.q7VolumeShipping _,
+    "q8_market_share"        -> TpchShapes.q8MarketShare _,
+    "q11_value_concentration" -> TpchShapes.q11ValueConcentration _,
+    "q12_priority_class"     -> TpchShapes.q12PriorityClass _,
+    "q15_top_supplier"       -> TpchShapes.q15TopSupplier _,
+    "q16_supplier_count"     -> TpchShapes.q16SupplierCount _,
+    "q17_small_qty_avg"      -> TpchShapes.q17SmallQtyAvg _,
+    "q19_disjunctive_join"   -> TpchShapes.q19DisjunctiveJoin _,
+    "q20_qty_threshold_semi" -> TpchShapes.q20QtyThresholdSemi _,
+    "q21_waiting_supplier"   -> TpchShapes.q21WaitingSupplier _,
+    "q22_dormant_customers"  -> TpchShapes.q22DormantCustomers _,
     "sql_text_query"    -> Relational.sqlTextQuery _,
     "agg_salted"        -> ScalePatterns.aggSalted _,
     "join_bucketed"     -> ScalePatterns.joinBucketed _,
@@ -225,6 +240,32 @@ object SparkEntry {
       "SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey ASC LIMIT 20",
     "q14_promo_effect" ->
       "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'",
+    "q2_min_cost_supplier" ->
+      "WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), cand AS (SELECT p_partkey, s_suppkey, s_name, n_name, s_acctbal FROM part JOIN link ON p_partkey = l_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_type = 'LARGE' AND p_size < 16 AND r_name = 'EUROPE'), best AS (SELECT p_partkey AS b_partkey, max(s_acctbal) AS max_bal FROM cand GROUP BY p_partkey), pick AS (SELECT p_partkey AS k_partkey, min(s_suppkey) AS pick_supp FROM cand JOIN best ON p_partkey = b_partkey AND s_acctbal = max_bal GROUP BY p_partkey) SELECT p_partkey, s_suppkey, s_name, n_name, round(s_acctbal, 4) AS s_acctbal FROM cand JOIN pick ON p_partkey = k_partkey AND s_suppkey = pick_supp ORDER BY p_partkey",
+    "q4_priority_exists" ->
+      "SELECT o_orderpriority, count(*) AS n_orders FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q7_volume_shipping" ->
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS volume, count(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+    "q8_market_share" ->
+      "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, round(sum(CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation cn ON c_nationkey = cn.n_nationkey JOIN region ON cn.n_regionkey = r_regionkey JOIN nation sn ON s_nationkey = sn.n_nationkey WHERE p_type = 'PROMO' AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1",
+    "q11_value_concentration" ->
+      "WITH pp AS (SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS value_raw FROM lineitem GROUP BY l_partkey), t AS (SELECT sum(value_raw) AS total_raw, count(*) AS n_parts FROM pp) SELECT l_partkey, round(value_raw, 4) AS part_value FROM pp CROSS JOIN t WHERE value_raw > total_raw / n_parts * 1.5 ORDER BY part_value DESC, l_partkey ASC",
+    "q12_priority_class" ->
+      "SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_linestatus ORDER BY l_linestatus",
+    "q15_top_supplier" ->
+      "WITH rev AS (SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey), m AS (SELECT max(rev_raw) AS max_raw FROM rev) SELECT s_suppkey, s_name, round(rev_raw, 4) AS total_revenue FROM rev CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey WHERE rev_raw = max_raw ORDER BY s_suppkey",
+    "q16_supplier_count" ->
+      "WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt FROM link JOIN part ON l_partkey = p_partkey WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1,4,9,16,25,36,49) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+    "q17_small_qty_avg" ->
+      "WITH branded AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#3'), a AS (SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty FROM branded GROUP BY l_partkey) SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items FROM branded JOIN a ON l_partkey = a_partkey WHERE l_quantity < avg_qty * 0.5",
+    "q19_disjunctive_join" ->
+      "SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 30)",
+    "q20_qty_threshold_semi" ->
+      "SELECT s_suppkey, s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_name LIKE '%red%' GROUP BY l_suppkey HAVING sum(l_quantity) > 300.0) ORDER BY s_suppkey",
+    "q21_waiting_supplier" ->
+      "WITH o AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'), pos AS (SELECT l_orderkey, l_suppkey, max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS is_late FROM lineitem JOIN o ON l_orderkey = o_orderkey GROUP BY l_orderkey, l_suppkey), po AS (SELECT l_orderkey AS g_orderkey, count(*) AS n_suppliers, sum(is_late) AS n_late FROM pos GROUP BY l_orderkey) SELECT s_suppkey, s_name, count(*) AS numwait FROM pos JOIN po ON l_orderkey = g_orderkey JOIN supplier ON l_suppkey = s_suppkey WHERE is_late = 1 AND n_late = 1 AND n_suppliers > 1 GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_suppkey ASC LIMIT 20",
+    "q22_dormant_customers" ->
+      "WITH c AS (SELECT c_custkey, c_acctbal, c_nationkey % 5 AS bucket FROM customer WHERE c_nationkey % 5 IN (0,1,2)), cut AS (SELECT avg(c_acctbal) AS avg_bal FROM c WHERE c_acctbal > 0.0) SELECT bucket, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal FROM c CROSS JOIN cut WHERE c_acctbal > avg_bal AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') GROUP BY bucket ORDER BY bucket",
     "typed_dataset_ops" ->
       "SELECT l_returnflag, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, count(*) AS n_items FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag ORDER BY l_returnflag",
     "q18_large_orders" ->
