@@ -130,6 +130,7 @@ object SparkEntry {
     "fn_map"            -> Families.fnMap _,
     "fn_json"           -> Families.fnJson _,
     "fn_cast"           -> Families.fnCast _,
+    "fn_decimal"        -> Families.fnDecimal _,
     // §2.11 UDF / UDTF surface
     "udf_scalar"        -> Sources.udfScalar _,
     "udtf_explode_custom" -> Sources.udtfExplode _,
@@ -241,7 +242,7 @@ object SparkEntry {
     "q14_promo_effect" ->
       "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'",
     "q2_min_cost_supplier" ->
-      "WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), cand AS (SELECT p_partkey, s_suppkey, s_name, n_name, s_acctbal FROM part JOIN link ON p_partkey = l_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_type = 'LARGE' AND p_size < 16 AND r_name = 'EUROPE'), best AS (SELECT p_partkey AS b_partkey, max(s_acctbal) AS max_bal FROM cand GROUP BY p_partkey), pick AS (SELECT p_partkey AS k_partkey, min(s_suppkey) AS pick_supp FROM cand JOIN best ON p_partkey = b_partkey AND s_acctbal = max_bal GROUP BY p_partkey) SELECT p_partkey, s_suppkey, s_name, n_name, round(s_acctbal, 4) AS s_acctbal FROM cand JOIN pick ON p_partkey = k_partkey AND s_suppkey = pick_supp ORDER BY p_partkey",
+      "WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), cand AS (SELECT p_partkey, s_suppkey, s_name, n_name, s_acctbal FROM part JOIN link ON p_partkey = l_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_type = 'LARGE' AND p_size < 16 AND r_name = 'EUROPE'), w1 AS (SELECT *, max(s_acctbal) OVER (PARTITION BY p_partkey) AS max_bal FROM cand), w2 AS (SELECT *, min(s_suppkey) OVER (PARTITION BY p_partkey) AS pick_supp FROM w1 WHERE s_acctbal = max_bal) SELECT p_partkey, s_suppkey, s_name, n_name, round(s_acctbal, 4) AS s_acctbal FROM w2 WHERE s_suppkey = pick_supp ORDER BY p_partkey",
     "q4_priority_exists" ->
       "SELECT o_orderpriority, count(*) AS n_orders FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q7_volume_shipping" ->
@@ -249,11 +250,11 @@ object SparkEntry {
     "q8_market_share" ->
       "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, round(sum(CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation cn ON c_nationkey = cn.n_nationkey JOIN region ON cn.n_regionkey = r_regionkey JOIN nation sn ON s_nationkey = sn.n_nationkey WHERE p_type = 'PROMO' AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1",
     "q11_value_concentration" ->
-      "WITH pp AS (SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS value_raw FROM lineitem GROUP BY l_partkey), t AS (SELECT sum(value_raw) AS total_raw, count(*) AS n_parts FROM pp) SELECT l_partkey, round(value_raw, 4) AS part_value FROM pp CROSS JOIN t WHERE value_raw > total_raw / n_parts * 1.5 ORDER BY part_value DESC, l_partkey ASC",
+      "WITH pp AS (SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS value_raw FROM lineitem GROUP BY l_partkey), t AS (SELECT sum(value_raw) AS total_raw, count(*) AS n_parts FROM pp) SELECT l_partkey, round(value_raw, 4) AS part_value FROM pp CROSS JOIN t WHERE round(value_raw, 4) > round(total_raw / n_parts * 1.5, 4) ORDER BY part_value DESC, l_partkey ASC",
     "q12_priority_class" ->
       "SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_linestatus ORDER BY l_linestatus",
     "q15_top_supplier" ->
-      "WITH rev AS (SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey), m AS (SELECT max(rev_raw) AS max_raw FROM rev) SELECT s_suppkey, s_name, round(rev_raw, 4) AS total_revenue FROM rev CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey WHERE rev_raw = max_raw ORDER BY s_suppkey",
+      "WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey), m AS (SELECT max(total_revenue) AS max_rev FROM rev) SELECT s_suppkey, s_name, total_revenue FROM rev CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey WHERE total_revenue = max_rev ORDER BY s_suppkey",
     "q16_supplier_count" ->
       "WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt FROM link JOIN part ON l_partkey = p_partkey WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1,4,9,16,25,36,49) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
     "q17_small_qty_avg" ->
@@ -263,9 +264,9 @@ object SparkEntry {
     "q20_qty_threshold_semi" ->
       "SELECT s_suppkey, s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_name LIKE '%red%' GROUP BY l_suppkey HAVING sum(l_quantity) > 300.0) ORDER BY s_suppkey",
     "q21_waiting_supplier" ->
-      "WITH o AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'), pos AS (SELECT l_orderkey, l_suppkey, max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS is_late FROM lineitem JOIN o ON l_orderkey = o_orderkey GROUP BY l_orderkey, l_suppkey), po AS (SELECT l_orderkey AS g_orderkey, count(*) AS n_suppliers, sum(is_late) AS n_late FROM pos GROUP BY l_orderkey) SELECT s_suppkey, s_name, count(*) AS numwait FROM pos JOIN po ON l_orderkey = g_orderkey JOIN supplier ON l_suppkey = s_suppkey WHERE is_late = 1 AND n_late = 1 AND n_suppliers > 1 GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_suppkey ASC LIMIT 20",
+      "WITH o AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'), pos AS (SELECT l_orderkey, l_suppkey, max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS is_late FROM lineitem JOIN o ON l_orderkey = o_orderkey GROUP BY l_orderkey, l_suppkey), w AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_suppliers, sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late FROM pos) SELECT s_suppkey, s_name, count(*) AS numwait FROM w JOIN supplier ON l_suppkey = s_suppkey WHERE is_late = 1 AND n_late = 1 AND n_suppliers > 1 GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_suppkey ASC LIMIT 20",
     "q22_dormant_customers" ->
-      "WITH c AS (SELECT c_custkey, c_acctbal, c_nationkey % 5 AS bucket FROM customer WHERE c_nationkey % 5 IN (0,1,2)), cut AS (SELECT avg(c_acctbal) AS avg_bal FROM c WHERE c_acctbal > 0.0) SELECT bucket, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal FROM c CROSS JOIN cut WHERE c_acctbal > avg_bal AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') GROUP BY bucket ORDER BY bucket",
+      "WITH c AS (SELECT c_custkey, c_acctbal, c_nationkey % 5 AS bucket FROM customer WHERE c_nationkey % 5 IN (0,1,2)), cut AS (SELECT avg(c_acctbal) AS avg_bal FROM c WHERE c_acctbal > 0.0) SELECT bucket, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal FROM c CROSS JOIN cut WHERE c_acctbal > round(avg_bal, 4) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') GROUP BY bucket ORDER BY bucket",
     "typed_dataset_ops" ->
       "SELECT l_returnflag, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, count(*) AS n_items FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag ORDER BY l_returnflag",
     "q18_large_orders" ->
@@ -316,6 +317,10 @@ object SparkEntry {
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, json_extract_string(props, '$.missing') AS k_missing, regexp_matches(props, '\"k\"') AS has_k, CAST(length(props) AS INTEGER) AS json_len FROM events ORDER BY event_id",
     "fn_cast" ->
       "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str, CAST(round(o_totalprice, 0) AS BIGINT) AS price_long, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str, TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast, TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip FROM orders ORDER BY o_orderkey",
+    // fn_decimal: exact decimal money math — both engines pinned to the
+    // same DECIMAL(p,s) output types; no rounding convention needed.
+    "fn_decimal" ->
+      "SELECT l_returnflag, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_price, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_disc_price, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price, max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price, count(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "udf_scalar" ->
       "SELECT doc_id, replace(lower(substring(text, 1, 30)), ' ', '-') AS slug FROM documents ORDER BY doc_id",
     "udtf_explode_custom" ->

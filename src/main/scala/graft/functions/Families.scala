@@ -219,6 +219,36 @@ object Families {
           .cast("string").as("b64_roundtrip"))
       .orderBy("doc_id")
 
+  /** DECIMAL money arithmetic on lineitem (SURVEY §1.3's last uncovered
+    * type): prices as DECIMAL(12,2), discounts as DECIMAL(12,4), the
+    * discounted price as an exactly-representable DECIMAL(18,6) product.
+    * Decimal sums are EXACT and combine-order independent — the aggregate
+    * needs no rounding convention, unlike every double revenue column in
+    * the repo: the same query at 1000 executors produces bit-identical
+    * totals. The corpus doubles are cents/10⁻⁴-exact (verified: zero rows
+    * change under round(,2)/round(,4)), so the input casts are lossless.
+    * Output casts pin both engines to identical DECIMAL(p,s) (DuckDB sums
+    * to DECIMAL(38,s), Spark to (p+10,s); avg/division are excluded —
+    * DuckDB's decimal division degrades to DOUBLE, which would reintroduce
+    * the engine-order hazard this key exists to retire). */
+  def fnDecimal(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(
+        col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+        col("l_discount").cast("decimal(12,4)").as("disc_dec"))
+      .withColumn("disc_price",
+        (col("price_dec") * (lit(1).cast("decimal(5,4)") - col("disc_dec")))
+          .cast("decimal(18,6)"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("price_dec")).cast("decimal(28,2)").as("sum_price"),
+        sum(col("disc_price")).cast("decimal(28,6)").as("sum_disc_price"),
+        min(col("price_dec")).as("min_price"),
+        max(col("price_dec")).as("max_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
   /** Casts & formatting on orders (ANSI mode: try_cast for the lossy ones). */
   def fnCast(s: SparkSession, sf: String): DataFrame =
     Tables.orders(s, sf)

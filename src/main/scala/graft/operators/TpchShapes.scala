@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -33,32 +34,38 @@ object TpchShapes {
   /** TPC-H Q2 shape (lite: "supplied by" = appears in lineitem, cost
     * preference = highest account balance): for each LARGE small-size part
     * shipped by a EUROPE supplier, the best supplier. The correlated
-    * max-per-part subquery is decorrelated into agg + join-back; the
-    * tiebreak (min suppkey among max-balance) is a second tiny agg on the
-    * already-shrunk candidate set. */
+    * max-per-part subquery is a single `max(struct(...))` argmax
+    * aggregation: struct ordering compares fields left-to-right, so
+    * (s_acctbal, -s_suppkey, payload) picks the highest balance and, on
+    * ties, the lowest suppkey — one partial-aggregable shuffle with
+    * map-side combine, where the earlier aggregate-plus-join-back form
+    * executed the 5-way join pipeline three times (its three consumers had
+    * different downstream partitionings, defeating ReuseExchange) and a
+    * window argmax would sort whole partitions without partial
+    * aggregation. The (partkey, suppkey) dedup the join-back form needed
+    * is gone entirely: max() is duplicate-insensitive, so the nearly
+    * duplicate-free 591 k-row pair distinct (measured 0.65 s of the 1.4 s
+    * total at sf0.1) was pure waste. Dims broadcast into the fact scan;
+    * the float argmax compares within ONE aggregation, so combine order
+    * cannot split it across engines or executors. */
   def q2MinCostSupplier(s: SparkSession, sf: String): DataFrame = {
-    val link = Tables.lineitem(s, sf).select("l_partkey", "l_suppkey").distinct()
     val p = Tables.part(s, sf)
       .filter(col("p_type") === "LARGE" && col("p_size") < 16)
+      .select("p_partkey")
     val sup = Tables.supplier(s, sf)
       .join(broadcast(Tables.nation(s, sf)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, sf).filter(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
-    val cand = p.join(link, col("p_partkey") === col("l_partkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"),
-              col("s_acctbal"))
-    val best = cand.groupBy(col("p_partkey").as("b_partkey"))
-      .agg(max(col("s_acctbal")).as("max_bal"))
-    val pick = cand
-      .join(best, col("p_partkey") === col("b_partkey") &&
-                  col("s_acctbal") === col("max_bal"))
-      .groupBy(col("p_partkey").as("k_partkey"))
-      .agg(min(col("s_suppkey")).as("pick_supp"))
-    cand.join(pick, col("p_partkey") === col("k_partkey") &&
-                    col("s_suppkey") === col("pick_supp"))
-      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"),
-              round(col("s_acctbal"), 4).as("s_acctbal"))
+      .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    Tables.lineitem(s, sf).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"))
+      .agg(max(struct(col("s_acctbal"), (-col("s_suppkey")).as("neg_supp"),
+                      col("s_name"), col("n_name"))).as("best"))
+      .select(col("p_partkey"), (-col("best.neg_supp")).as("s_suppkey"),
+              col("best.s_name").as("s_name"), col("best.n_name").as("n_name"),
+              round(col("best.s_acctbal"), 4).as("s_acctbal"))
       .orderBy("p_partkey")
   }
 
@@ -140,7 +147,11 @@ object TpchShapes {
     * computed once and broadcast back into the HAVING predicate — the
     * decorrelated form of Q11's scalar subquery. The relative cut keeps
     * the result non-trivial at every scale factor, unlike Q11's fixed
-    * fraction which empties as the part catalog grows. */
+    * fraction which empties as the part catalog grows. Both sides of the
+    * cut are rounded to 4 decimals before comparing (the repo's
+    * determinism convention): Spark and DuckDB sum doubles in different
+    * orders, so an unrounded boundary part could flip in/out between
+    * engines. */
   def q11ValueConcentration(s: SparkSession, sf: String): DataFrame = {
     val perPart = Tables.lineitem(s, sf)
       .groupBy(col("l_partkey"))
@@ -148,7 +159,8 @@ object TpchShapes {
     val total = perPart.agg(sum(col("value_raw")).as("total_raw"),
                             count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("value_raw") > col("total_raw") / col("n_parts") * 1.5)
+      .filter(round(col("value_raw"), 4) >
+              round(col("total_raw") / col("n_parts") * 1.5, 4))
       .select(col("l_partkey"),
               round(col("value_raw"), 4).as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey").asc)
@@ -172,19 +184,22 @@ object TpchShapes {
   /** TPC-H Q15 shape: top supplier(s) by quarterly revenue. The max-revenue
     * scalar is an aggregate of an aggregate, broadcast back to select the
     * argmax rows — Q15's CREATE VIEW + scalar subquery, decorrelated. The
-    * max is compared on the raw double (identical within one engine's
-    * plan); only the output column is rounded. */
+    * per-supplier revenue is rounded to the repo's 4-decimal convention
+    * BEFORE the max/argmax comparison: double partial sums combine in
+    * shuffle-fetch order, so raw-double equality between two separately
+    * executed branches can miss by an ulp on a big cluster (and a float
+    * tie can differ across engines); rounded equality is reproducible on
+    * both sides. */
   def q15TopSupplier(s: SparkSession, sf: String): DataFrame = {
     val rev = Tables.lineitem(s, sf)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(revenue).as("rev_raw"))
-    val top = rev.agg(max(col("rev_raw")).as("max_raw"))
-    rev.join(broadcast(top), col("rev_raw") === col("max_raw"))
+      .agg(round(sum(revenue), 4).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
       .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"),
-              round(col("rev_raw"), 4).as("total_revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
 
@@ -267,8 +282,10 @@ object TpchShapes {
     * date, no receipt/commit dates): suppliers who were the ONLY late
     * supplier on a finished multi-supplier order. Q21's EXISTS + NOT
     * EXISTS self-join pair is decorrelated into one per-(order, supplier)
-    * aggregate and one per-order aggregate — two shuffles on orderkey
-    * instead of two correlated scans per row. */
+    * aggregate, then the per-order supplier/late counts come from a
+    * window over that aggregate — a single scan of the per-order-supplier
+    * set instead of a second aggregate plus join-back (which read it
+    * twice). */
   def q21WaitingSupplier(s: SparkSession, sf: String): DataFrame = {
     val o = Tables.orders(s, sf).filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
@@ -279,11 +296,11 @@ object TpchShapes {
       .agg(max(when(col("l_shipdate") >
                     col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
                  .otherwise(0L)).as("is_late"))
-    // Per order: how many suppliers, how many late ones?
-    val perOrder = perOrderSupp.groupBy(col("l_orderkey").as("g_orderkey"))
-      .agg(count(lit(1)).as("n_suppliers"), sum(col("is_late")).as("n_late"))
+    // Per order: how many suppliers, how many late ones? (window, one pass)
+    val perOrder = Window.partitionBy(col("l_orderkey"))
     perOrderSupp
-      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      .withColumn("n_suppliers", count(lit(1)).over(perOrder))
+      .withColumn("n_late", sum(col("is_late")).over(perOrder))
       .filter(col("is_late") === 1L && col("n_late") === 1L &&
               col("n_suppliers") > 1L)
       .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
@@ -307,8 +324,11 @@ object TpchShapes {
     val recent = Tables.orders(s, sf)
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       .select(col("o_custkey"))
+    // avg_bal is rounded before the cut: the double average is
+    // combine-order dependent, so a customer sitting exactly at the
+    // boundary could flip between engines on an unrounded compare.
     c.crossJoin(broadcast(cut))
-      .filter(col("c_acctbal") > col("avg_bal"))
+      .filter(col("c_acctbal") > round(col("avg_bal"), 4))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("numcust"),
