@@ -49,20 +49,18 @@ object Dedup {
     * real pipeline runs AFTER pair generation: pairs → clusters → one
     * representative per cluster. Edges are the within-group adjacency
     * chain (consecutive doc_ids sharing a bag-of-words hash), so the
-    * algorithm must genuinely propagate: components are found by
-    * iterative min-label propagation with pointer jumping
-    * (label ← label[label]), which converges in ⌈log₂ d⌉ rounds for
-    * diameter d — the Hash-to-Min/GraphX-style CC loop, expressed as
-    * DataFrame joins with a localCheckpoint per round to cut lineage.
-    * The round count is derived from the largest group (one cheap agg),
-    * not hardcoded; every intermediate cache is unpersisted before
-    * returning. Oracle: min(doc_id) OVER the duplicate group.
+    * algorithm must genuinely propagate — components come from the
+    * two-phase connectedComponents engine (driver union-find when the
+    * contracted edge list fits, the pointer-jumping iterative loop
+    * above the threshold; see that method's scaladoc). The iterative
+    * round count is derived from the largest group (one cheap agg),
+    * not hardcoded. Oracle: min(doc_id) OVER the duplicate group.
     *
-    * Cost reality check (sf0.1): the corpus has a 248-member duplicate
-    * group, so the chain has diameter 247 and the loop intrinsically
-    * needs ⌈log₂ 247⌉ = 8 rounds (~0.4 s each locally — three shuffles
-    * + an eager checkpoint per round). Corpora with only small groups
-    * take one round and zero checkpoints (single declarative plan). */
+    * Cost reality check (sf0.1): ~3 k chain edges dispatch to the
+    * driver finisher — one bounded collect, union-find, one broadcast
+    * join-back. The iterative loop (⌈log₂ d⌉ rounds for diameter d,
+    * three shuffles + an eager checkpoint each) only runs on corpora
+    * whose duplicate-chain edge list tops CcLocalMaxEdges. */
   def dedupCluster(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"),
@@ -92,28 +90,95 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Iterative connected components over an undirected edge list —
-    * min-label propagation with pointer jumping (label ← label[label]),
-    * the Hash-to-Min/GraphX-style CC loop expressed as DataFrame joins
-    * with a localCheckpoint per round to cut lineage. Shared engine of
-    * dedup_cluster (known chain diameter → exact round count) and
-    * dedup_minhash_cluster (unknown diameter → fixpoint-probed cap).
+  /** Largest edge list the CC engine finishes on the driver (two-phase
+    * dispatch, see connectedComponents). 1 M edges ≈ 16 MB collected —
+    * trivial driver memory, and a contracted near-dup graph past this
+    * size means a corpus where >2 M docs sit in non-identical near-dup
+    * chains; the iterative path handles that. */
+  private[graft] val CcLocalMaxEdges: Int = 1 << 20
+
+  /** Driver-side union-find (path compression + union-by-min, so the
+    * root of every set IS its minimum id — the same labeling the
+    * iterative min-propagation converges to). Returns id → min id of its
+    * component, for ids that appear in at least one edge. */
+  private def unionFindMinLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
+  }
+
+  /** Connected components over an undirected edge list, two-phase:
     *
-    * @param nodes one column `id`; every node appears in the output,
-    *              isolated nodes label themselves.
+    * Phase dispatch (the CC-MR / production-dedup pattern — distributed
+    * contraction bounds the graph, a local finisher ends it): if the edge
+    * list fits on the driver (≤ localMaxEdges, probed with a limit+collect,
+    * never an unbounded collect), components are solved exactly by
+    * union-find in microseconds and labels return as one broadcast join —
+    * zero iterative rounds, zero checkpoints. The callers' edge lists are
+    * already contractions (exact-dup chains, LSH pairs contracted to
+    * identical-signature reps), so at 100 TB this path still covers every
+    * non-pathological corpus; only a graph whose CONTRACTED near-dup
+    * structure exceeds a million edges falls through.
+    *
+    * Iterative phase (the scale path): min-label propagation with pointer
+    * jumping (label ← label[label]), the Hash-to-Min/GraphX-style CC loop
+    * expressed as DataFrame joins with a localCheckpoint per round to cut
+    * lineage. Round bound: callers with a known component diameter pass
+    * it via maxIters; maxIters ≤ 0 derives ⌈log₂(nodeCount)⌉ + 1 from the
+    * data — always sufficient, since no diameter exceeds the node count
+    * (the earlier fixed cap of 10 converged on the sf0.1 near-dup chain
+    * at exactly round 10 — one longer chain away from silently returning
+    * unconverged labels). The fixpoint probe still exits early the moment
+    * a round changes no label.
+    *
+    * @param nodes one column `id` (integral); every node appears in the
+    *              output, isolated nodes label themselves.
     * @param edges columns `a`, `b` (one direction; symmetrized here).
-    * @param maxIters upper bound on rounds — pointer jumping covers
-    *              distance 2^k after k rounds, so 16 handles any
-    *              diameter ≤ 65536; the fixpoint probe exits earlier the
-    *              moment a round changes no label.
+    * @param maxIters iterative-phase round bound; ≤ 0 = derive from data.
     * @param jump disable pointer jumping when the caller knows every
     *              component has diameter ≤ 1 (the jump join would be
     *              pure overhead).
+    * @param localMaxEdges driver-finisher threshold; 0 forces the
+    *              iterative path (specs pin it that way).
     * @return columns `id`, `label` (= min id of the component). */
   private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
                                          maxIters: Int,
-                                         jump: Boolean = true): DataFrame = {
+                                         jump: Boolean = true,
+                                         localMaxEdges: Int = CcLocalMaxEdges): DataFrame = {
     val s = nodes.sparkSession
+    if (localMaxEdges > 0) {
+      // Bounded probe: one pass over the edge plan, capped at the
+      // threshold + 1 rows — never an unbounded collect. Only if the cap
+      // is exceeded does the iterative path re-execute the edge subtree.
+      val probe = edges.select(col("a").cast("long").as("a"),
+                               col("b").cast("long").as("b"))
+        .limit(localMaxEdges + 1).collect()
+      if (probe.length <= localMaxEdges) {
+        if (probe.isEmpty)
+          return nodes.select(col("id"), col("id").as("label"))
+        val labelOf = unionFindMinLabels(probe.map(r => (r.getLong(0), r.getLong(1))))
+        import s.implicits._
+        val mapDf = labelOf.toSeq.toDF("id", "uf_label")
+        // Broadcast the (non-singleton nodes only) label map back; nodes
+        // are never collected — a mostly-unique corpus has billions of
+        // nodes and a tiny edge list, and this stays one broadcast join.
+        return nodes.join(broadcast(mapDf), Seq("id"), "left")
+          .select(col("id"),
+                  coalesce(col("uf_label"), col("id")).as("label"))
+      }
+    }
     // Track the EXACT persisted RDD behind each localCheckpoint (the
     // LogicalRDD the checkpointed frame plans to) — never a diff of the
     // session-global registry, which would also sweep caches a concurrent
@@ -128,16 +193,23 @@ object Dedup {
       }
       c
     }
+    // Round bound: caller-supplied diameter bound, or derived from the
+    // node count (diameter < n, pointer jumping covers 2^k after k
+    // rounds ⇒ ⌈log₂ n⌉ + 1 always converges; the probe exits earlier).
+    val iters =
+      if (maxIters > 0) maxIters
+      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, nodes.count() - 1))).toInt + 1
     // The symmetric edge frame is re-read every round; checkpointing it
     // is only worth a job when there IS more than one round.
     val symRaw = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-    val sym = if (maxIters > 1) cp(symRaw) else symRaw
+    val sym = if (iters > 1) cp(symRaw) else symRaw
     // Zero-edge graph: identity labeling, zero rounds. Common when a
     // contraction stage upstream already absorbed every edge; the probe
     // reads the just-materialized checkpoint, so it costs one cached
     // scan, and the checkpoint is released before returning.
-    if (maxIters > 1 && sym.isEmpty) {
+    if (iters > 1 && sym.isEmpty) {
       val identity = nodes.select(col("id"), col("id").as("label"))
       s.sparkContext.getPersistentRDDs
         .filter { case (id, _) => iterCacheIds.contains(id) }
@@ -153,7 +225,7 @@ object Dedup {
     // aggregate over the just-checkpointed frame (decimal sum: immune to
     // overflow at any id range). Far cheaper than an anti-join probe.
     var prevSum: java.math.BigDecimal = null
-    while (round < maxIters && !converged) {
+    while (round < iters && !converged) {
       val nbr = sym.join(labels.select(col("id").as("b"), col("label")), "b")
         .select(col("a").as("id"), col("label"))
       val prop = labels.union(nbr).groupBy("id")
@@ -174,7 +246,7 @@ object Dedup {
       // then probed for the fixpoint (see prevSum above): a round that
       // changed no label means every later round would recompute the
       // same frame, so the probe skips whole join+agg+checkpoint rounds.
-      val isLast = round == maxIters - 1
+      val isLast = round == iters - 1
       val next = if (isLast) jumped else cp(jumped)
       if (!isLast) {
         val s0 = next.agg(sum(col("label").cast("decimal(38,0)")))
@@ -226,17 +298,22 @@ object Dedup {
     * Two-stage contraction: identical-signature groups (where the cap
     * danger lives) collapse via ONE window min — no iteration, linear at
     * any group size; the LSH pair graph is then contracted to those
-    * stage-1 representatives and only that (small) graph runs the
-    * iterative CC. Final labels compose the two stages. */
+    * stage-1 representatives and only that (small) graph goes to the
+    * two-phase CC engine (driver union-find under the edge threshold,
+    * derived-round iterative loop above it — the sf0.1 contracted graph
+    * is 3 085 edges, finished on the driver in one bounded collect +
+    * broadcast join-back, 4.8 s → 1.1 s). Final labels compose the two
+    * stages. */
   private[graft] def minhashClusterOf(docs: DataFrame): DataFrame = {
     graft.functions.MinHashSig16.register(docs.sparkSession)
     // The signature subtree appears in several plan branches (band
     // buckets, contraction joins, CC nodes, final label join); it is
     // deliberately NOT checkpointed — exchange reuse dedups most of the
-    // recompute, and measurement showed eager materialization of the
-    // narrow codegen'd subtree costs MORE in checkpoint jobs than the
-    // recompute it saves (7.0 s vs 5.0 s at sf0.1). The CC rounds, not
-    // the signatures, dominate this operator's cost.
+    // recompute. Measured at sf0.1: before the CC driver finisher an
+    // eager checkpoint cost MORE than it saved (7.0 s vs 5.0 s); after,
+    // it saves ~0.1 s warm (0.87 vs 0.99) — inside host noise and not
+    // worth a per-call leaked cache entry the session can't release
+    // until the result is consumed.
     val sig = docs.withColumn("sig", expr("graft_minhash16(ws)"))
       .select(col("doc_id"), col("sig"))
     val stage1 = sig
@@ -248,7 +325,7 @@ object Dedup {
       .select(col("a"), col("b"))
       .filter(col("a") =!= col("b"))
     val cc = connectedComponents(
-      stage1.select(col("rep1").as("id")).distinct(), contracted, maxIters = 10)
+      stage1.select(col("rep1").as("id")).distinct(), contracted, maxIters = -1)
     stage1.join(cc, stage1("rep1") === cc("id"))
       .select(col("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")

@@ -213,6 +213,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "iteration localCheckpoints must be unpersisted")
   }
 
+  test("CC two-phase paths agree on a >1024-diameter chain (derived round bound)") {
+    import spark.implicits._
+    val n = 1300L
+    // path graph 1-2-…-1300 plus one isolated node: diameter 1299 needs
+    // 11 pointer-jump rounds — the pre-derivation fixed cap of 10
+    // (coverage 2^10 = 1024 < 1299) would have returned unconverged
+    // labels from the iterative path without any error
+    val nodes = ((1L to n) :+ (n + 10L)).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val local = Dedup.connectedComponents(nodes, edges, maxIters = -1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = Dedup.connectedComponents(nodes, edges, maxIters = -1,
+        localMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == iter, "driver union-find and iterative CC must agree")
+    assert((1L to n).forall(local(_) == 1L), "chain must collapse to min id")
+    assert(local(n + 10L) == n + 10L, "isolated node labels itself")
+  }
+
   test("dedup_exact keepers cover all docs: sum of n_copies = doc count") {
     val total = Dedup.dedupExact(spark, sfOracle)
       .agg(sum("n_copies")).head().getLong(0)
