@@ -156,10 +156,15 @@ object SparkEntry {
     "text_lang_id"       -> TextOps.textLangId _,
     "text_quality_score" -> TextOps.textQualityScore _,
     "text_token_count"   -> TextOps.textTokenCount _,
+    // text_bpe_token_count / pipeline_pack_bpe: oracle-N (engine-specific
+    // merge vocab) — hand-tokenized fixtures + lossless-reconstruction
+    // property in BpeTokenSpec.
+    "text_bpe_token_count" -> TextOps.textBpeTokenCount _,
     "text_fingerprint"   -> TextOps.textFingerprint _,
     "text_pii_redact"    -> TextOps.textPiiRedact _,
     "text_contamination" -> TextOps.textContamination _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
+    "pipeline_pack_bpe"  -> Pipeline.packBpe _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,

@@ -65,6 +65,28 @@ object Pipeline {
       .orderBy("source", "doc_id")
   }
 
+  /** packSequences with the budget in SUBWORD tokens (the honest unit a
+    * training pipeline packs by — whitespace counts understate long-word
+    * and non-English text; see graft.functions.BpeTokenizer). Same
+    * per-shard exclusive-prefix-sum offset rule as pack_sequences, token
+    * counter swapped for the native graft_bpe_count expression; the
+    * whitespace twin stays oracle-paired, this one is oracle-N (vocab is
+    * engine-specific) and spec-pinned. */
+  def packBpe(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.BpeTokenCount.register(s)
+    val budget = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, sf)
+      .select(col("source"), col("doc_id"),
+              expr("graft_bpe_count(text)").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+              floor(col("offset") / lit(budget.toDouble)).cast("bigint").as("bin"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Conversion funnel (signup → click → purchase, ordered): per user,
     * the earliest signup, the earliest click AFTER that signup, and the
     * earliest purchase AFTER that click — the core behavioral-analytics

@@ -106,6 +106,26 @@ object TextOps {
           .otherwise((lit(1.0) - col("non_alpha_ratio")) * col("vocab_diversity")), 6))
       .orderBy("doc_id")
 
+  /** Tokenizer-fidelity token counting: whitespace words vs true subword
+    * tokens from the greedy longest-match merge vocab
+    * (graft.functions.BpeTokenizer — native codegen'd expression, no
+    * UDF). Packing budgets computed in ws_tokens understate subword
+    * reality (`bpe_per_word` > 1 everywhere); this key measures the gap
+    * per document. Oracle-N: the merge inventory is engine-specific —
+    * spec pins hand-tokenized fixtures and the lossless-reconstruction
+    * property instead. */
+  def textBpeTokenCount(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.BpeTokenCount.register(s)
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"),
+        size(words()).cast("bigint").as("ws_tokens"),
+        expr("graft_bpe_count(text)").as("bpe_tokens"))
+      .withColumn("bpe_per_word",
+        round(col("bpe_tokens").cast("double") /
+              greatest(col("ws_tokens"), lit(1L)), 4))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish estimate (each word
     * contributes ceil(len/4) subword chunks — the classic chars/4 rule). */
   def textTokenCount(s: SparkSession, sf: String): DataFrame =
