@@ -116,7 +116,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(res.collect().sameElements(res2.collect()))
   }
 
-  test("ann lsh: wider signature (16 planes) buckets deterministically within 2^16") {
+  test("ann lsh: wider signature (16 planes) refines 8-plane buckets, deterministic") {
     graft.functions.DotProduct.register(spark)
     val dotF = (a: String, b: String) => expr(s"graft_dot($a, $b)")
     val e = Tables.embeddings(spark, sfSmoke)
@@ -124,16 +124,15 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val rows = wide.collect()
     assert(rows.nonEmpty)
     assert(Similarity.annLshTopk(e, dotF, nPlanes = 16).collect().sameElements(rows))
-    val buckets = rows.map(_.getAs[Long]("bucket"))
-    assert(buckets.forall(b => b >= 0L && b < (1L << 16)),
-      "16-plane signatures must stay within the 2^16 bucket space")
-    // the extra 8 planes refine (subdivide) the first 8: vectors sharing
-    // a 16-bit bucket necessarily share its low-8-bit prefix bucket, so
-    // wide candidates ⊆ narrow candidates per query, and each query's
-    // wide TOP-K (all survivors of a smaller candidate set) cannot
-    // exceed its narrow top-k count. (Strict result-subset would be too
-    // strong — narrow trims at k — but the per-query count bound is
-    // exact. Holds because no bucket trips the default cap here.)
+    // plane j of table t is seeded by (t, j, dim) regardless of the
+    // plane count, so the extra 8 planes refine (subdivide) the first 8
+    // within every table: vectors sharing a 16-bit bucket necessarily
+    // share its low-8-bit prefix bucket, wide candidates ⊆ narrow
+    // candidates per query (union over the same tables preserves ⊆),
+    // and each query's wide TOP-K (all survivors of a smaller candidate
+    // set) cannot exceed its narrow top-k count. (Strict result-subset
+    // would be too strong — narrow trims at k — but the per-query count
+    // bound is exact. Holds because no bucket trips the default cap.)
     val narrowCounts = Similarity.annLshTopk(e, dotF, nPlanes = 8).collect()
       .groupBy(_.getAs[Long]("qid")).view.mapValues(_.length).toMap
     val wideCounts = rows.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length).toMap
@@ -141,6 +140,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
       assert(wn <= narrowCounts.getOrElse(qid, 0),
         s"query $qid: 16-plane result count $wn exceeds 8-plane count — " +
           "finer buckets invented candidates")
+  }
+
+  test("ann lsh: recall@5 >= 0.5 vs brute force at the default knobs") {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfOracle)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    val brute = q.join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+              expr("round(graft_dot(qv, nv), 6)").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.simAnnLsh(spark, sfOracle)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    info(s"LSH recall@5 = $recall (8 tables x 4 planes; curve in scaladoc)")
+    assert(recall >= 0.5,
+      s"recall $recall below the 0.5 floor for the default 8x4 knobs " +
+        "(measured 0.70 — see simAnnLsh scaladoc for the full curve)")
   }
 
   test("ann lsh: stop-bucket cap drops oversized buckets' candidates") {
