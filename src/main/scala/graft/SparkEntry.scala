@@ -255,15 +255,15 @@ object SparkEntry {
     "q8_market_share" ->
       "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, round(sum(CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation cn ON c_nationkey = cn.n_nationkey JOIN region ON cn.n_regionkey = r_regionkey JOIN nation sn ON s_nationkey = sn.n_nationkey WHERE p_type = 'PROMO' AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1",
     "q11_value_concentration" ->
-      "WITH pp AS (SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS value_raw FROM lineitem GROUP BY l_partkey), t AS (SELECT sum(value_raw) AS total_raw, count(*) AS n_parts FROM pp) SELECT l_partkey, round(value_raw, 4) AS part_value FROM pp CROSS JOIN t WHERE round(value_raw, 4) > round(total_raw / n_parts * 1.5, 4) ORDER BY part_value DESC, l_partkey ASC",
+      "WITH pp AS (SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS value_raw FROM lineitem GROUP BY l_partkey), w AS (SELECT *, sum(value_raw) OVER () AS total_raw, count(*) OVER () AS n_parts FROM pp) SELECT l_partkey, round(value_raw, 4) AS part_value FROM w WHERE round(value_raw, 4) > round(total_raw / n_parts * 1.5, 4) ORDER BY part_value DESC, l_partkey ASC",
     "q12_priority_class" ->
       "SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_linestatus ORDER BY l_linestatus",
     "q15_top_supplier" ->
-      "WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey), m AS (SELECT max(total_revenue) AS max_rev FROM rev) SELECT s_suppkey, s_name, total_revenue FROM rev CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey WHERE total_revenue = max_rev ORDER BY s_suppkey",
+      "WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey), w AS (SELECT *, max(total_revenue) OVER () AS max_rev FROM rev) SELECT s_suppkey, s_name, total_revenue FROM w JOIN supplier ON l_suppkey = s_suppkey WHERE total_revenue = max_rev ORDER BY s_suppkey",
     "q16_supplier_count" ->
       "WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt FROM link JOIN part ON l_partkey = p_partkey WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1,4,9,16,25,36,49) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
     "q17_small_qty_avg" ->
-      "WITH branded AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#3'), a AS (SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty FROM branded GROUP BY l_partkey) SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items FROM branded JOIN a ON l_partkey = a_partkey WHERE l_quantity < avg_qty * 0.5",
+      "WITH branded AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#3'), w AS (SELECT *, avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty FROM branded) SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items FROM w WHERE l_quantity < avg_qty * 0.5",
     "q19_disjunctive_join" ->
       "SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 30)",
     "q20_qty_threshold_semi" ->

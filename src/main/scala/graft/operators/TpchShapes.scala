@@ -156,9 +156,15 @@ object TpchShapes {
     val perPart = Tables.lineitem(s, sf)
       .groupBy(col("l_partkey"))
       .agg(sum(revenue).as("value_raw"))
-    val total = perPart.agg(sum(col("value_raw")).as("total_raw"),
-                            count(lit(1)).as("n_parts"))
-    perPart.crossJoin(broadcast(total))
+    // the HAVING scalar as a global window over the per-part aggregate:
+    // one fact scan (the agg-of-agg broadcast join-back re-ran the
+    // lineitem aggregation for its second consumer). Part-grain rows
+    // through one reducer — SF×200k, fine to ~10⁸ parts; past that, pay
+    // the second fact scan instead (same tradeoff as q15).
+    val w = Window.partitionBy(lit(1))
+    perPart
+      .withColumn("total_raw", sum(col("value_raw")).over(w))
+      .withColumn("n_parts", count(lit(1)).over(w))
       .filter(round(col("value_raw"), 4) >
               round(col("total_raw") / col("n_parts") * 1.5, 4))
       .select(col("l_partkey"),
@@ -181,24 +187,34 @@ object TpchShapes {
                  .otherwise(1L)).as("low_line_count"))
       .orderBy("l_linestatus")
 
-  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue. The max-revenue
-    * scalar is an aggregate of an aggregate, broadcast back to select the
-    * argmax rows — Q15's CREATE VIEW + scalar subquery, decorrelated. The
-    * per-supplier revenue is rounded to the repo's 4-decimal convention
-    * BEFORE the max/argmax comparison: double partial sums combine in
-    * shuffle-fetch order, so raw-double equality between two separately
-    * executed branches can miss by an ulp on a big cluster (and a float
-    * tie can differ across engines); rounded equality is reproducible on
-    * both sides. */
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue (ALL ties —
+    * why a q2-style max(struct) single-winner argmax doesn't apply).
+    * The max-revenue scalar is a global window over the per-supplier
+    * aggregate: one scan of lineitem, then `max(total_revenue) over ()`
+    * on supplier-grain rows — the aggregate-of-aggregate broadcast
+    * join-back it replaces re-executed the whole fact pipeline for the
+    * second consumer (two 100 TB scans). The window funnels only
+    * SF×10⁴ supplier rows through one reducer — fine to ~10⁸ suppliers;
+    * past that, pay the second fact scan instead. The per-supplier
+    * revenue is rounded to the repo's 4-decimal convention BEFORE the
+    * max/argmax comparison: double partial sums combine in
+    * shuffle-fetch order, so raw-double equality between separately
+    * computed values can miss by an ulp (and a float tie can differ
+    * across engines); rounded equality is reproducible on both sides. */
   def q15TopSupplier(s: SparkSession, sf: String): DataFrame = {
     val rev = Tables.lineitem(s, sf)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(round(sum(revenue), 4).as("total_revenue"))
-    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
-    rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
-      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+    val winners = rev
+      .withColumn("max_rev",
+        max(col("total_revenue")).over(Window.partitionBy(lit(1))))
+      .filter(col("total_revenue") === col("max_rev"))
+    // broadcast the argmax survivors (ties only) into the supplier dim,
+    // not the dim into the winners — at scale supplier is the big side
+    Tables.supplier(s, sf)
+      .join(broadcast(winners), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -225,16 +241,22 @@ object TpchShapes {
 
   /** TPC-H Q17 shape: revenue from small-quantity lines of one brand,
     * where "small" is relative to the part's own average quantity — the
-    * correlated AVG subquery, decorrelated into a per-part aggregate
-    * joined back. Quantities are integer-valued doubles, so the average
-    * is order-independent and exact in both engines. */
+    * correlated AVG subquery as `avg(l_quantity) over (partition by
+    * l_partkey)` on the branded fact rows: one scan of lineitem and one
+    * shuffle on partkey, where the aggregate-joined-back decorrelation
+    * read (and brand-joined) the fact twice. The window operates only on
+    * rows surviving the broadcast brand filter (~1/brand-count of the
+    * fact), so nothing unfiltered is sorted. Quantities are
+    * integer-valued doubles, so the average is order-independent and
+    * exact in both engines. */
   def q17SmallQtyAvg(s: SparkSession, sf: String): DataFrame = {
-    val l = Tables.lineitem(s, sf)
     val p = Tables.part(s, sf).filter(col("p_brand") === "Brand#3")
-    val branded = l.join(p, col("l_partkey") === col("p_partkey"))
-    val avgQty = branded.groupBy(col("l_partkey").as("a_partkey"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
-    branded.join(avgQty, col("l_partkey") === col("a_partkey"))
+      .select("p_partkey")
+    Tables.lineitem(s, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
            count(lit(1)).as("n_items"))

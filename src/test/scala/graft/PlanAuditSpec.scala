@@ -65,6 +65,33 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(read.count() == en)
   }
 
+  test("argmax shapes scan their fact table exactly once (q2, q21)") {
+    // the round-5 q2 aggregated-then-joined-back: three consumers of the
+    // same join subtree with different downstream partitionings defeated
+    // ReuseExchange and the 5-way pipeline ran 3x. The max(struct) /
+    // window rewrites have ONE fact scan by construction — pin that, so
+    // a future "just join the aggregate back" edit can't reintroduce
+    // the recompute class silently.
+    def locationScans(df: DataFrame, fact: String): Int =
+      formatted(df).linesIterator
+        .count(l => l.contains("Location:") && l.contains(fact))
+    assert(locationScans(
+      operators.TpchShapes.q2MinCostSupplier(spark, sfSmoke), "lineitem") == 1,
+      "q2 must read lineitem exactly once")
+    assert(locationScans(
+      operators.TpchShapes.q21WaitingSupplier(spark, sfSmoke), "lineitem") == 1,
+      "q21 must read lineitem exactly once")
+    assert(locationScans(
+      operators.TpchShapes.q15TopSupplier(spark, sfSmoke), "lineitem") == 1,
+      "q15 must read lineitem exactly once")
+    assert(locationScans(
+      operators.TpchShapes.q11ValueConcentration(spark, sfSmoke), "lineitem") == 1,
+      "q11 must read lineitem exactly once")
+    assert(locationScans(
+      operators.TpchShapes.q17SmallQtyAvg(spark, sfSmoke), "lineitem") == 1,
+      "q17 must read lineitem exactly once")
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     for ((name, df) <- Seq[(String, DataFrame)](
         "agg_groupby" -> Relational.aggGroupBy(spark, sfSmoke),
