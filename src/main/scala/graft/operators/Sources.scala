@@ -124,9 +124,13 @@ object Sources {
     * `PartitionFilters` in the scan, only one directory touched. */
   def sinkPartitioned(s: SparkSession, sf: String): DataFrame = {
     val dir = graft.Scratch.dir("graft_part_")
-    Tables.events(s, sf)
-      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-    s.read.parquet(dir)
+    val events = Tables.events(s, sf)
+    events.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    // Read back with the writer's schema: a zero-row partitioned write
+    // produces no data files, and schema INFERENCE on that directory
+    // throws UNABLE_TO_INFER_SCHEMA — the writer-side schema is always
+    // known, so carry it instead of re-deriving it from the layout.
+    s.read.schema(events.schema).parquet(dir)
       .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "event_type")
       .orderBy("event_id")

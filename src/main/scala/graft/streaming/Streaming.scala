@@ -279,7 +279,10 @@ object Streaming {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(out).orderBy("w_start", "event_type")
+      // Explicit schema: a backlog with zero finalized windows appends no
+      // files, and inference over the empty sink dir would throw — the
+      // sink's schema is the aggregate's schema by construction.
+      s.read.schema(agg.schema).parquet(out).orderBy("w_start", "event_type")
     }
   }
 
@@ -311,8 +314,11 @@ object Streaming {
         .start()
       q.awaitTermination()
       val out = graft.Scratch.dir("graft_stream_out_")
-      s.table("graft_stream_sink").write.mode("overwrite").parquet(out)
-      s.read.parquet(out).orderBy("w_start", "event_type")
+      val sink = s.table("graft_stream_sink")
+      sink.write.mode("overwrite").parquet(out)
+      // Writer-side schema on the read-back (same reason as
+      // streamForeachBatch: an empty backlog must not crash the dump).
+      s.read.schema(sink.schema).parquet(out).orderBy("w_start", "event_type")
     }
   }
 }

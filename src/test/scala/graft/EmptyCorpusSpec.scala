@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+/** Degenerate-input robustness: every graded key must execute (not
+  * necessarily return rows) against a corpus whose tables all have ZERO
+  * rows. At 100 TB this is not a corner case — any per-partition filter,
+  * per-day ingest shard, or per-language split can legitimately come up
+  * empty, and an operator that crashes on it (a codebook sampled with
+  * `take(k)` that got 0 rows, a connected-components probe that assumed
+  * ≥1 edge, a head() on an empty aggregate) takes the whole job down.
+  * Schemas are copied from the sf0.001 corpus via limit(0), so column
+  * names/types are exactly the graded ones — only the row counts differ.
+  */
+class EmptyCorpusSpec extends SparkSpecBase {
+
+  lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft-empty-corpus").toFile
+    dir.deleteOnExit()
+    // events.parquet carries TIMESTAMP(NANOS); read it the same way
+    // Tables.events does (raw long) so the empty twin round-trips.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.foreach { t =>
+      spark.read.parquet(s"$sfSmoke/$t.parquet")
+        .limit(0)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
+    }
+    dir.getAbsolutePath
+  }
+
+  test("every graded key executes against an all-empty corpus") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, emptyDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} keys crash on an empty corpus:\n  " +
+        failures.mkString("\n  "))
+  }
+
+  test("flagship entry executes against an all-empty corpus") {
+    // entry() reads sf0.001 by contract; the empty-corpus variant of the
+    // same plan is agg_groupby, covered above — here just pin that the
+    // canonical flagship still runs on the real smoke corpus (driver
+    // smoke-check twin).
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
