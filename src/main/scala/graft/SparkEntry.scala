@@ -142,6 +142,7 @@ object SparkEntry {
     // near-dedup (LSH pairs → CC reps), spec-asserted on planted dups
     "dedup_minhash_cluster" -> Dedup.dedupMinhashCluster _,
     "dedup_simhash"      -> Dedup.dedupSimhash _,
+    "dedup_incremental_bloom" -> Dedup.dedupIncrementalBloom _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     // §2.10 LLM-pipeline: similarity
     "sim_cosine_topk"    -> Similarity.simCosineTopk _,
@@ -336,6 +337,12 @@ object SparkEntry {
       "SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY h ORDER BY h",
     "dedup_cluster" ->
       "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS cluster_rep FROM documents ORDER BY doc_id",
+    // dedup_incremental_bloom: the bloom is a pre-filter only (no false
+    // negatives, FPs removed by the confirm anti-join), so the result is
+    // EXACTLY "batch docs whose bag-hash is absent from the historical
+    // half" — plain relational semantics the oracle states directly.
+    "dedup_incremental_bloom" ->
+      "WITH d AS (SELECT doc_id, lang, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h FROM documents), cut AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS c FROM d) SELECT n.doc_id AS doc_id, n.lang AS lang FROM d n, cut WHERE n.doc_id > cut.c AND NOT EXISTS (SELECT 1 FROM d h WHERE h.doc_id <= cut.c AND h.h = n.h) ORDER BY n.doc_id",
     "dedup_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents) SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.9 ORDER BY source, id1, id2",
     "sim_cosine_topk" ->

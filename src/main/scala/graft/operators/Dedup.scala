@@ -598,4 +598,50 @@ object Dedup {
         .join(docs.select(col("doc_id").as("id1"), col("ws").as("w1")), "id1")
         .join(docs.select(col("doc_id").as("id2"), col("ws").as("w2")), "id2"))
   }
+
+  /** Incremental dedup: which documents of a NEW batch are novel against
+    * a HISTORICAL corpus? This is the shape production dedup actually
+    * runs day to day — the corpus was deduped once, and every ingest
+    * batch since is checked against it, not re-clustered from scratch.
+    * Halves are split at max(doc_id)/2 (one bounded scalar agg), dup
+    * identity is the same bag-of-words hash as dedup_exact.
+    *
+    * Scale design — the point is what does NOT shuffle: a Bloom filter
+    * over the historical hashes (built distributed via
+    * `stat.bloomFilter`'s treeAggregate, merged once on the driver,
+    * broadcast) pre-filters the batch map-side. Bloom has no false
+    * negatives, so every true duplicate is a candidate; only candidates
+    * (true dups + ~1% false positives) enter the exact confirm
+    * anti-join. The definite-negative majority — almost the whole batch
+    * at a typical low dup rate — never shuffles at all. At 100 TB /
+    * 10⁹ historical docs the 1%-fpp bloom is ~1.2 GB; a real cluster
+    * either raises fpp (the confirm join absorbs FPs), partitions the
+    * filter by hash prefix, or falls back to the plain anti-join —
+    * the candidate-only shuffle is the win this operator encodes.
+    *
+    * `mightContain` is a UDF by necessity: Spark's
+    * BloomFilterMightContain expression is internal to runtime-filter
+    * injection, with no public function — the UDF runs only on the
+    * batch half and gates a shuffle many times its own cost. */
+  def dedupIncrementalBloom(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws(" ", array_sort(ws)).cast("binary")).as("h"))
+    val maxId = Option(docs.agg(max("doc_id")).head().get(0))
+      .map(_.asInstanceOf[java.lang.Long].longValue)
+    if (maxId.isEmpty)                    // empty corpus: no batch, no bloom
+      return docs.select(col("doc_id"), col("lang")).limit(0)
+    val cutoff = maxId.get / 2            // floor; doc_ids are ≥ 0
+    val hist  = docs.filter(col("doc_id") <= cutoff)
+    val batch = docs.filter(col("doc_id") > cutoff)
+    val bloom = hist.stat.bloomFilter("h", math.max(cutoff + 1, 1L), 0.01)
+    val bBloom = s.sparkContext.broadcast(bloom)
+    val mightDup = udf((h: String) => h != null && bBloom.value.mightContain(h))
+    val novelFast = batch.filter(!mightDup(col("h")))   // map-side, no shuffle
+    val novelSlow = batch.filter(mightDup(col("h")))    // candidates only
+      .join(hist.select("h"), Seq("h"), "left_anti")    // kills bloom FPs
+    novelFast.select("doc_id", "lang")
+      .union(novelSlow.select("doc_id", "lang"))
+      .orderBy("doc_id")
+  }
 }

@@ -261,4 +261,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .agg(sum("n_copies")).head().getLong(0)
     assert(total == Tables.documents(spark, sfOracle).count())
   }
+
+  test("incremental bloom: novel + confirmed-dup partitions the batch exactly") {
+    // The bloom is only a pre-filter: no false negative may lose a true
+    // duplicate, and the confirm join must absorb every false positive.
+    // Cross-check against the definitionally-exact plain anti-join.
+    val docs = Tables.documents(spark, sfOracle)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
+          .cast("binary")).as("h"))
+    val cutoff = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val batchN = docs.filter(col("doc_id") > cutoff).count()
+    val exactNovel = docs.filter(col("doc_id") > cutoff)
+      .join(docs.filter(col("doc_id") <= cutoff).select("h"), Seq("h"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.dedupIncrementalBloom(spark, sfOracle)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == exactNovel, "bloom-prefiltered result must equal plain anti-join")
+    assert(got.size < batchN, "corpus plants cross-half dups; some batch docs must be non-novel")
+  }
 }
