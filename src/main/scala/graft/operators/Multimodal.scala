@@ -65,6 +65,9 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .na.drop()  // typed-land gate: a null id/payload cannot enter the
+                  // primitive-field encoder (a real pipeline quarantines
+                  // these rows; here there is nothing to decode anyway)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder setup would go here (codec init, buffers)
@@ -87,6 +90,9 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .na.drop()  // typed-land gate: a null id/payload cannot enter the
+                  // primitive-field encoder (a real pipeline quarantines
+                  // these rows; here there is nothing to decode anyway)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -112,6 +118,9 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .na.drop()  // typed-land gate: a null id/payload cannot enter the
+                  // primitive-field encoder (a real pipeline quarantines
+                  // these rows; here there is nothing to decode anyway)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

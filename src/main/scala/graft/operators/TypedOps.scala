@@ -23,6 +23,10 @@ object TypedOps {
     val ds = Tables.lineitem(s, sf)
       .select(col("l_returnflag"), col("l_quantity"),
               col("l_extendedprice"), col("l_discount"))
+      // typed-land gate: Li's primitive Double fields cannot encode a
+      // null — drop incomplete rows before .as[] (the SQL twin's filter
+      // and null-skipping aggregates would ignore them anyway).
+      .na.drop()
       .as[Li]
     ds.filter((li: Li) => li.l_quantity > 10)
       .groupByKey((li: Li) => li.l_returnflag)

@@ -42,6 +42,42 @@ class EmptyCorpusSpec extends SparkSpecBase {
         failures.mkString("\n  "))
   }
 
+  /** A 50-row slice of each table plus ONE row whose every column is
+    * NULL. Dirty data at 100 TB always includes null text / null keys /
+    * null timestamps, and the fragile spots are exactly the custom
+    * Catalyst expressions (null must short-circuit in BOTH codegen and
+    * interpreted paths) and `size(split(...))`-style derivations (-1 on
+    * null). The slice keeps real rows so joins/queries still traverse
+    * their full plan shape. */
+  lazy val nullsDir: String = {
+    val dir = Files.createTempDirectory("graft-nulls-corpus").toFile
+    dir.deleteOnExit()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.foreach { t =>
+      val df = spark.read.parquet(s"$sfSmoke/$t.parquet")
+      val allNull = df.limit(1).select(
+        df.schema.fields.map(f =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
+      df.limit(50).union(allNull)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
+    }
+    dir.getAbsolutePath
+  }
+
+  test("every graded key executes against a corpus containing all-null rows") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, nullsDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} keys crash on a null-row corpus:\n  " +
+        failures.mkString("\n  "))
+  }
+
   test("flagship entry executes against an all-empty corpus") {
     // entry() reads sf0.001 by contract; the empty-corpus variant of the
     // same plan is agg_groupby, covered above — here just pin that the
