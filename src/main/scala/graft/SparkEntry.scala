@@ -166,6 +166,7 @@ object SparkEntry {
     "text_contamination" -> TextOps.textContamination _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_pack_bpe"  -> Pipeline.packBpe _,
+    "pipeline_train_val_split" -> Pipeline.trainValSplit _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
@@ -372,6 +373,8 @@ object SparkEntry {
       "WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 3), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS shingle FROM documents WHERE len(string_split(text, ' ')) >= 5) u), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0), hits AS (SELECT doc_id, count(*) AS n_contaminated FROM tr JOIN ev USING (shingle) GROUP BY doc_id), tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id) SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM hits JOIN tot USING (doc_id) ORDER BY doc_id",
     "pipeline_pack_sequences" ->
       "WITH t AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) SELECT source, doc_id, n_tokens, CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin FROM t ORDER BY source, doc_id",
+    "pipeline_train_val_split" ->
+      "WITH d AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS cluster_rep FROM documents) SELECT doc_id, cluster_rep, CASE WHEN substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 1) = 'f' THEN 'val' ELSE 'train' END AS split FROM d ORDER BY doc_id",
     "sample_stratified" ->
       "SELECT doc_id, lang, rn, n_lang FROM (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) t WHERE rn <= ceil(n_lang * 0.2) ORDER BY lang, doc_id",
     "funnel_stages" ->

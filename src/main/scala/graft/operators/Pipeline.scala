@@ -160,4 +160,32 @@ object Pipeline {
       .filter(col("rn") <= ceil(col("n_lang") * 0.2))
       .orderBy("lang", "doc_id")
   }
+
+  /** Train/val split with a dedup-cluster leakage guard — the step that
+    * makes an eval split honest. Hashing each DOC into a split leaks:
+    * near-identical documents land on both sides and the val set scores
+    * memorization. The guard: assign the split by hashing the duplicate
+    * cluster REPRESENTATIVE (min doc_id over the bag-of-words hash, the
+    * dedup_cluster labeling), so an entire duplicate cluster moves as
+    * one unit and train/val can never share a duplicated text.
+    *
+    * Split rule = first hex char of md5(representative) — 16 buckets,
+    * 'f' → val (~6%); md5 is identical across engines, which keeps the
+    * assignment oracle-exact (vs engine-specific hash functions).
+    * Scale: one window shuffle on the bag hash (in practice reused from
+    * the dedup pass that produced the clusters); the assignment itself
+    * is map-side — no extra shuffle, no driver state. */
+  def trainValSplit(s: SparkSession, sf: String): DataFrame = {
+    val ws = array_distinct(split(col("text"), " "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(concat_ws(" ", array_sort(ws)).cast("binary")))
+    Tables.documents(s, sf)
+      .select(col("doc_id"),
+              min(col("doc_id")).over(w).as("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"),
+              when(substring(md5(col("cluster_rep").cast("string")
+                       .cast("binary")), 1, 1) === "f", lit("val"))
+                .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
 }

@@ -280,4 +280,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == exactNovel, "bloom-prefiltered result must equal plain anti-join")
     assert(got.size < batchN, "corpus plants cross-half dups; some batch docs must be non-novel")
   }
+
+  test("train/val split: no duplicate cluster straddles the split boundary") {
+    val split = graft.operators.Pipeline.trainValSplit(spark, sfOracle)
+    // the leakage guard: every cluster maps to exactly one split label
+    val leaky = split.groupBy("cluster_rep")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(leaky == 0, "a duplicate cluster must never appear in both splits")
+    // both sides populated, val fraction near the 1/16 bucket design
+    val n = split.count().toDouble
+    val nVal = split.filter(col("split") === "val").count().toDouble
+    assert(nVal > 0 && nVal < n, "both splits must be non-empty")
+    assert(nVal / n < 0.25, s"val fraction ${nVal / n} should be ~1/16")
+    // and clusters with >1 member actually exercised the guard
+    val multi = split.groupBy("cluster_rep").count().filter(col("count") > 1).count()
+    assert(multi > 0, "corpus must contain multi-member duplicate clusters")
+  }
 }
