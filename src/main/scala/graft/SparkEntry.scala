@@ -117,6 +117,7 @@ object SparkEntry {
     "subquery_correlated" -> Subqueries.subqueryCorrelated _,
     "join_lateral"      -> Subqueries.joinLateral _,
     "sink_partitioned"  -> Sources.sinkPartitioned _,
+    "sink_sorted_layout" -> Sources.sinkSortedLayout _,
     // §2.3 advanced joins
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
     "join_interval"     -> AdvancedJoins.joinInterval _,
@@ -199,6 +200,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // sink_sorted_layout round-trips lineitem unchanged through the
+    // clustered files, so the oracle states the query over the source.
+    "sink_sorted_layout" ->
+      "SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 4) AS sum_qty, round(sum(l_extendedprice), 4) AS sum_price FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000 GROUP BY l_returnflag ORDER BY l_returnflag",
     "scan_json_lines" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k FROM events ORDER BY event_id",
     // scan_json_nested: Spark nests events per user, writes JSON docs,

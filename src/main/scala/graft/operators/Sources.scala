@@ -136,6 +136,32 @@ object Sources {
       .orderBy("event_id")
   }
 
+  /** Clustered-layout parquet sink: range-partition + sort-within-
+    * partitions on the read key before writing, then answer a selective
+    * range query off the written files. The layout is the point — each
+    * output file covers a narrow, disjoint l_orderkey range, so the
+    * read-back's pushed range predicate prunes at FILE and ROW-GROUP
+    * granularity via parquet min/max stats (the single-key form of
+    * Z-order clustering). sink_partitioned shows directory pruning on a
+    * low-cardinality column; this shows stats pruning on a high-
+    * cardinality one — together they are the two layout levers a 100 TB
+    * table has. Writer-side schema on the read-back (empty-input rule). */
+  def sinkSortedLayout(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_sorted_")
+    val li = Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    s.read.schema(li.schema).parquet(dir)
+      .filter(col("l_orderkey") >= 1000 && col("l_orderkey") < 2000)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_quantity")), 4).as("sum_qty"),
+           round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Scalar Scala UDF — declared to prove the surface; real pipelines
     * should prefer built-ins (this exact semantic IS expressible with
     * built-ins, which is what the oracle runs). */

@@ -105,4 +105,41 @@ class PlanAuditSpec extends SparkSpecBase {
         s"$name lost whole-stage codegen:\n$plan")
     }
   }
+
+  test("incremental bloom: half-split bounds reach every documents scan") {
+    // the batch/historical doc_id cutoffs must be parquet PushedFilters —
+    // at 100 TB with date/id-partitioned layout these become partition
+    // and row-group pruning, so neither half ever reads the other.
+    val plan = formatted(
+      graft.operators.Dedup.dedupIncrementalBloom(spark, sfSmoke))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters:")).toSeq
+    assert(pushed.nonEmpty, plan)
+    assert(pushed.forall(l => l.contains("GreaterThan(doc_id")
+                           || l.contains("LessThanOrEqual(doc_id")),
+      s"every scan must carry its half's doc_id bound:\n${pushed.mkString("\n")}")
+  }
+
+  test("sorted-layout sink: range bounds reach the read-back scan") {
+    // pushdown is what turns the clustered layout into row-group
+    // pruning — if the bounds stay a post-scan Filter the layout buys
+    // nothing.
+    val plan = formatted(
+      graft.operators.Sources.sinkSortedLayout(spark, sfSmoke))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_orderkey,1000)")
+        && pushed.contains("LessThan(l_orderkey,2000)"),
+      s"range bounds must be pushed to the clustered files: $pushed")
+  }
+
+  test("train/val split plans exactly one exchange (the cluster window)") {
+    // split assignment must stay map-side: one hash-partitioning
+    // exchange for the bag-hash window, then the output sort — a second
+    // data exchange would mean the guard re-shuffles what dedup already
+    // shuffled.
+    val df = graft.operators.Pipeline.trainValSplit(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange, got $exchanges:\n$plan")
+  }
 }

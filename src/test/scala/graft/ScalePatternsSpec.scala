@@ -64,7 +64,8 @@ class ScalePatternsSpec extends SparkSpecBase {
       "jaccard_prefix" -> operators.Dedup.ngramJaccardPrefixJoin(
         operators.Dedup.jaccardDocs(spark, sfSmoke)),
       "sim_knn_join" -> operators.Similarity.simKnnJoin(spark, sfSmoke),
-      "dedup_embed_cosine" -> operators.Similarity.dedupEmbedCosine(spark, sfSmoke))
+      "dedup_embed_cosine" -> operators.Similarity.dedupEmbedCosine(spark, sfSmoke),
+      "dedup_incremental_bloom" -> operators.Dedup.dedupIncrementalBloom(spark, sfSmoke))
     for ((name, df) <- plans) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
