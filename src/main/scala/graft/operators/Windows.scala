@@ -116,22 +116,59 @@ object Windows {
       .orderBy("user_id", "d")
   }
 
-  /** Running DISTINCT count over a growing frame — Spark disallows
-    * DISTINCT inside window aggregates, so the idiom is
-    * size(collect_set(...)) over the frame (incremental set state per
-    * partition; the set is bounded by the partition's key cardinality —
-    * fine for per-entity streams, NOT for a global frame at 100 TB,
-    * where the windowed approx_count_distinct sketch is the scale
-    * form). Restricted to one event type to keep the graded frame
-    * single-partition-sized. */
-  def winDistinctRunning(s: SparkSession, sf: String): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
+  /** Global running aggregate WITHOUT a single-partition window — the
+    * distributed prefix-sum. A bare `Window.orderBy(k)` moves the whole
+    * input through one task (Spark even warns); the scale shape is:
+    *   1. range-partition on the order key, so partition i's keys all
+    *      precede partition j's for i < j;
+    *   2. per-partition local running sum (window PARTITIONED by the
+    *      chunk id — parallel);
+    *   3. exclusive prefix over the per-chunk totals (a window over
+    *      ≤ nParts rows — the only single-partition step, bounded by
+    *      partition COUNT, not data size) broadcast-joined back;
+    *   4. global running value = chunk offset + local running sum.
+    * The range exchange feeds both the local-sum and totals branches
+    * with identical partitioning, so ReuseExchange materializes it
+    * once. */
+  def distributedRunningSum(df: DataFrame, orderCol: String,
+                            valueCol: String, nParts: Int): DataFrame = {
+    val parted = df.repartitionByRange(nParts, col(orderCol))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy(col("pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, sf)
+    val offsets = parted.groupBy(col("pid"))
+      .agg(sum(col(valueCol)).as("ptotal"))
+      .withColumn("offset",
+        coalesce(sum(col("ptotal")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    parted
+      .withColumn("local_run", sum(col(valueCol)).over(localW))
+      .join(broadcast(offsets), "pid")
+      .withColumn("running_sum", col("local_run") + col("offset"))
+      .drop("pid", "local_run")
+  }
+
+  /** Running DISTINCT count over a growing global frame. Spark disallows
+    * DISTINCT inside window aggregates, and the collect_set-over-
+    * global-window idiom both single-partitions the data and grows its
+    * set state with the input. The exact decomposition used instead:
+    * distinct-so-far(e) = Σ_{e' ≤ e} is_first(e') where is_first marks
+    * a user's first purchase (row_number over the per-user window —
+    * hash-parallel), and the global running sum of the marks is the
+    * distributedRunningSum prefix pattern above. Every stage is
+    * partition-parallel; no set state anywhere. */
+  def winDistinctRunning(s: SparkSession, sf: String): DataFrame = {
+    val marked = Tables.events(s, sf)
       .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("is_first",
+        (row_number().over(Window.partitionBy(col("user_id"))
+           .orderBy(col("event_id"))) === 1).cast("long"))
+    distributedRunningSum(marked, "event_id", "is_first", 8)
       .select(col("event_id"),
-              size(collect_set(col("user_id")).over(w)).cast("bigint")
-                .as("distinct_users_so_far"))
+              col("running_sum").cast("bigint").as("distinct_users_so_far"))
       .orderBy("event_id")
   }
 }

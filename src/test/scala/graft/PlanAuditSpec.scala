@@ -131,6 +131,21 @@ class PlanAuditSpec extends SparkSpecBase {
       s"range bounds must be pushed to the clustered files: $pushed")
   }
 
+  test("running distinct count never single-partitions the fact stream") {
+    // the distributed prefix-sum rewrite: the event stream flows through
+    // a range exchange (parallel), first-occurrence marks through a
+    // per-user hash window (parallel); the only single-partition step
+    // allowed is the prefix over per-chunk TOTALS (≤ nParts rows).
+    val df = graft.operators.Windows.winDistinctRunning(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"),
+      s"set-state-per-row idiom must stay gone:\n$plan")
+    assert(plan.contains("rangepartitioning(event_id"),
+      s"fact stream must range-partition on the order key:\n$plan")
+    assert("Exchange SinglePartition".r.findAllIn(plan).length <= 1,
+      s"only the bounded totals prefix may single-partition:\n$plan")
+  }
+
   test("train/val split plans exactly one exchange (the cluster window)") {
     // split assignment must stay map-side: one hash-partitioning
     // exchange for the bag-hash window, then the output sort — a second
