@@ -78,6 +78,46 @@ class EmptyCorpusSpec extends SparkSpecBase {
         failures.mkString("\n  "))
   }
 
+  /** A monoculture corpus: every document the SAME text, every embedding
+    * the SAME vector. The worst-case duplicate skew — one LSH bucket
+    * holds everything, the duplicate graph is one giant component, all
+    * pairwise similarities tie at 1.0, k-means sees one distinct point.
+    * Caps and tie-breaks must keep every operator bounded and running. */
+  lazy val monoDir: String = {
+    val dir = Files.createTempDirectory("graft-mono-corpus").toFile
+    dir.deleteOnExit()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.foreach { t =>
+      val df = spark.read.parquet(s"$sfSmoke/$t.parquet").limit(50)
+      val skewed = t match {
+        case "documents" =>
+          df.withColumn("text",
+            org.apache.spark.sql.functions.lit("same words every single time " * 5))
+        case "embeddings" =>
+          df.withColumn("embedding",
+            org.apache.spark.sql.functions.expr(
+              "transform(sequence(1, 64), i -> CAST(0.125 AS FLOAT))"))
+        case _ => df
+      }
+      skewed.coalesce(1)
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
+    }
+    dir.getAbsolutePath
+  }
+
+  test("every graded key executes against a monoculture (all-identical) corpus") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, monoDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} keys crash on a monoculture corpus:\n  " +
+        failures.mkString("\n  "))
+  }
+
   test("flagship entry executes against an all-empty corpus") {
     // entry() reads sf0.001 by contract; the empty-corpus variant of the
     // same plan is agg_groupby, covered above — here just pin that the
