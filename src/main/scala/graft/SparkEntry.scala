@@ -118,6 +118,7 @@ object SparkEntry {
     "join_lateral"      -> Subqueries.joinLateral _,
     "sink_partitioned"  -> Sources.sinkPartitioned _,
     "sink_sorted_layout" -> Sources.sinkSortedLayout _,
+    "scan_schema_evolution" -> Sources.scanSchemaEvolution _,
     // §2.3 advanced joins
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
     "join_interval"     -> AdvancedJoins.joinInterval _,
@@ -200,6 +201,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // scan_schema_evolution: old batch lacks n_chars → NULL after the
+    // mergeSchema read; the oracle states the same union relationally.
+    "scan_schema_evolution" ->
+      "SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars FROM documents WHERE doc_id < 250 UNION ALL SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 250 ORDER BY doc_id",
     // sink_sorted_layout round-trips lineitem unchanged through the
     // clustered files, so the oracle states the query over the source.
     "sink_sorted_layout" ->

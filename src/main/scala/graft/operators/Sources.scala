@@ -136,6 +136,39 @@ object Sources {
       .orderBy("event_id")
   }
 
+  /** Schema evolution across parquet batches — the 100 TB table reality:
+    * years of files where newer batches carry columns older ones lack.
+    * An "old" batch (doc_id, lang) and a "new" batch (doc_id, lang,
+    * n_chars) land in the same directory; `mergeSchema` unions the
+    * schemas at footer level and old rows surface the new column as
+    * NULL, no rewrite of historical files. (mergeSchema reads every
+    * footer — at real scale you pin the merged schema explicitly via
+    * `.schema(...)`, which also works here; the key exercises the
+    * drift-discovery path.) Oracle: the same union stated relationally
+    * with a NULL literal for the missing column. */
+  def scanSchemaEvolution(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_evolve_")
+    val docs = Tables.documents(s, sf)
+    val cutoff = 250L
+    docs.filter(col("doc_id") < cutoff)
+      .select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$dir/batch=old")
+    docs.filter(col("doc_id") >= cutoff)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/batch=new")
+    val merged =
+      try s.read.option("mergeSchema", "true").parquet(dir)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // both batches empty → no footers to merge; pin the schema
+        // explicitly (the scale-recommended form regardless)
+        s.read.schema(docs.select("doc_id", "lang", "n_chars").schema)
+          .parquet(dir)
+      }
+    merged
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Clustered-layout parquet sink: range-partition + sort-within-
     * partitions on the read key before writing, then answer a selective
     * range query off the written files. The layout is the point — each
