@@ -398,11 +398,11 @@ object SparkEntry {
     "multimodal_binary" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, md5(text) AS content_md5, substring(text, 1, 4) AS head4 FROM documents ORDER BY doc_id",
     "multimodal_decode" ->
-      "SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + octet_length(CAST(text AS BLOB)) % 512) * (64 + ascii(substring(text, 1, 1)) % 512) * 3 AS BIGINT) AS n_pixels FROM documents ORDER BY doc_id",
+      "SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + octet_length(CAST(text AS BLOB)) % 512) * (64 + ascii(substring(text, 1, 1)) % 512) * 3 AS BIGINT) AS n_pixels FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY doc_id",
     "multimodal_resize" ->
-      "WITH d AS (SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height FROM documents) SELECT doc_id, width, height, CAST(floor(width * 224.0 / greatest(width, height)) AS BIGINT) AS out_w, CAST(floor(height * 224.0 / greatest(width, height)) AS BIGINT) AS out_h FROM d ORDER BY doc_id",
+      "WITH d AS (SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) SELECT doc_id, width, height, CAST(floor(width * 224.0 / greatest(width, height)) AS BIGINT) AS out_w, CAST(floor(height * 224.0 / greatest(width, height)) AS BIGINT) AS out_h FROM d ORDER BY doc_id",
     "multimodal_framesample" ->
-      "WITH d AS (SELECT doc_id, 1 + octet_length(CAST(text AS BLOB)) % 1024 AS n_frames FROM documents), p AS (SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, CAST((n_frames + 15) // 16 AS BIGINT) AS step FROM d) SELECT doc_id, n_frames, step, (n_frames - 1) // step + 1 AS n_sampled, step * ((n_frames - 1) // step) AS last_index FROM p ORDER BY doc_id",
+      "WITH d AS (SELECT doc_id, 1 + octet_length(CAST(text AS BLOB)) % 1024 AS n_frames FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), p AS (SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, CAST((n_frames + 15) // 16 AS BIGINT) AS step FROM d) SELECT doc_id, n_frames, step, (n_frames - 1) // step + 1 AS n_sampled, step * ((n_frames - 1) // step) AS last_index FROM p ORDER BY doc_id",
     "stream_tumbling" ->
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
     "stream_join" ->

@@ -20,13 +20,22 @@ object Dedup {
 
   private def ws = array_distinct(split(col("text"), " "))
 
+  /** THE duplicate-identity key: order-insensitive bag-of-words md5 over
+    * `text`. Single definition on purpose — dedup_exact, dedup_cluster,
+    * dedup_incremental_bloom, text_fingerprint, pipeline_clean_corpus
+    * and pipeline_train_val_split must all agree byte-for-byte on what
+    * "duplicate" means (the train/val leakage guard in particular is
+    * only sound if its cluster key matches dedup_cluster's exactly). */
+  def bagHash: org.apache.spark.sql.Column =
+    md5(concat_ws(" ", array_sort(ws)).cast("binary"))
+
   /** Exact duplicate elimination on the order-insensitive bag-of-words
     * hash (the corpus plants word-permuted duplicates: same word set,
     * different order). Keep-first = min doc_id per group. */
   def dedupExact(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)
       .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(ws)).cast("binary")).as("h"))
+        bagHash.as("h"))
       .groupBy("h")
       .agg(min(col("doc_id")).as("keep_id"),
            count(lit(1)).as("n_copies"))
@@ -64,7 +73,7 @@ object Dedup {
   def dedupCluster(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(ws)).cast("binary")).as("h"))
+        bagHash.as("h"))
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val edges = docs.withColumn("prev", lag(col("doc_id"), 1).over(w))
       .filter(col("prev").isNotNull)
@@ -626,7 +635,7 @@ object Dedup {
   def dedupIncrementalBloom(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"), col("lang"),
-        md5(concat_ws(" ", array_sort(ws)).cast("binary")).as("h"))
+        bagHash.as("h"))
     val maxId = Option(docs.agg(max("doc_id")).head().get(0))
       .map(_.asInstanceOf[java.lang.Long].longValue)
     if (maxId.isEmpty)                    // empty corpus: no batch, no bloom
@@ -634,7 +643,16 @@ object Dedup {
     val cutoff = maxId.get / 2            // floor; doc_ids are ≥ 0
     val hist  = docs.filter(col("doc_id") <= cutoff)
     val batch = docs.filter(col("doc_id") > cutoff)
-    val bloom = hist.stat.bloomFilter("h", math.max(cutoff + 1, 1L), 0.01)
+    // Size the bloom by the historical ROW COUNT, never the id range —
+    // with sparse ids (snowflake-style 64-bit) the range overestimates
+    // by orders of magnitude and the driver allocation explodes. The
+    // count also guards the sparse corner where NO doc falls at or
+    // below maxId/2: an empty bloom has a null bit buffer that NPEs on
+    // mightContain, and with no history everything is novel anyway.
+    val histCount = hist.count()
+    if (histCount == 0L)
+      return batch.select(col("doc_id"), col("lang")).orderBy("doc_id")
+    val bloom = hist.stat.bloomFilter("h", histCount, 0.01)
     val bBloom = s.sparkContext.broadcast(bloom)
     val mightDup = udf((h: String) => h != null && bBloom.value.mightContain(h))
     val novelFast = batch.filter(!mightDup(col("h")))   // map-side, no shuffle

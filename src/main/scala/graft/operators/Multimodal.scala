@@ -65,9 +65,10 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .na.drop()  // typed-land gate: a null id/payload cannot enter the
-                  // primitive-field encoder (a real pipeline quarantines
-                  // these rows; here there is nothing to decode anyway)
+      .na.drop()  // decoder skip-contract (stated in the oracle too):
+                  // a null id cannot enter the primitive-field encoder
+                  // and a null payload has nothing to decode — a real
+                  // pipeline quarantines these rows
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder setup would go here (codec init, buffers)
@@ -90,9 +91,10 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .na.drop()  // typed-land gate: a null id/payload cannot enter the
-                  // primitive-field encoder (a real pipeline quarantines
-                  // these rows; here there is nothing to decode anyway)
+      .na.drop()  // decoder skip-contract (stated in the oracle too):
+                  // a null id cannot enter the primitive-field encoder
+                  // and a null payload has nothing to decode — a real
+                  // pipeline quarantines these rows
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -118,9 +120,10 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .na.drop()  // typed-land gate: a null id/payload cannot enter the
-                  // primitive-field encoder (a real pipeline quarantines
-                  // these rows; here there is nothing to decode anyway)
+      .na.drop()  // decoder skip-contract (stated in the oracle too):
+                  // a null id cannot enter the primitive-field encoder
+                  // and a null payload has nothing to decode — a real
+                  // pipeline quarantines these rows
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

@@ -24,8 +24,7 @@ object Pipeline {
         size(ws).cast("bigint").as("n_words"),
         (size(array_distinct(ws)).cast("double") / size(ws))
           .as("vocab_diversity"),
-        md5(concat_ws(" ", array_sort(array_distinct(ws))).cast("binary"))
-          .as("bag_hash"))
+        Dedup.bagHash.as("bag_hash"))
       .filter(col("n_words") >= 10 && col("vocab_diversity") >= 0.5)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bag_hash")).orderBy(col("doc_id").asc)
@@ -178,7 +177,7 @@ object Pipeline {
   def trainValSplit(s: SparkSession, sf: String): DataFrame = {
     val ws = array_distinct(split(col("text"), " "))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(concat_ws(" ", array_sort(ws)).cast("binary")))
+      .partitionBy(Dedup.bagHash)
     Tables.documents(s, sf)
       .select(col("doc_id"),
               min(col("doc_id")).over(w).as("cluster_rep"))

@@ -156,15 +156,11 @@ object Sources {
     docs.filter(col("doc_id") >= cutoff)
       .select("doc_id", "lang", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/batch=new")
-    val merged =
-      try s.read.option("mergeSchema", "true").parquet(dir)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        // both batches empty → no footers to merge; pin the schema
-        // explicitly (the scale-recommended form regardless)
-        s.read.schema(docs.select("doc_id", "lang", "n_chars").schema)
-          .parquet(dir)
-      }
-    merged
+    // A 0-row NON-partitioned write still emits one schema-bearing part
+    // file (verified; it is partitionBy writes that leave none — see
+    // sinkPartitioned), so both batches always contribute a footer and
+    // the merged schema carries n_chars even when a batch is empty.
+    s.read.option("mergeSchema", "true").parquet(dir)
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
   }

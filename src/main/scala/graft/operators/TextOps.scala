@@ -145,8 +145,7 @@ object TextOps {
     Tables.documents(s, sf)
       .select(col("doc_id"),
         md5(lower(trim(col("text"))).cast("binary")).as("h_exact"),
-        md5(concat_ws(" ", array_sort(array_distinct(words())))
-          .cast("binary")).as("h_bag"),
+        Dedup.bagHash.as("h_bag"),
         expr("""aggregate(
                |  transform(sequence(1, length(text)),
                |            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),

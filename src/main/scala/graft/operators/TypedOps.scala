@@ -15,27 +15,30 @@ import graft.Tables
   */
 object TypedOps {
 
-  case class Li(l_returnflag: String, l_quantity: Double,
-                l_extendedprice: Double, l_discount: Double)
+  /** Option fields, not primitives: a bare Double field cannot encode a
+    * null and one dirty row kills the job with NOT_NULL_ASSERT_VIOLATION;
+    * Option[Double] round-trips nullable columns loss-free AND keeps the
+    * typed lambdas aligned with SQL null semantics (a null quantity fails
+    * the > filter; a null price contributes nothing to the sum but the
+    * row still counts — exactly what the oracle computes). */
+  case class Li(l_returnflag: String, l_quantity: Option[Double],
+                l_extendedprice: Option[Double], l_discount: Option[Double])
 
   def typedDatasetOps(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
     val ds = Tables.lineitem(s, sf)
       .select(col("l_returnflag"), col("l_quantity"),
               col("l_extendedprice"), col("l_discount"))
-      // typed-land gate: Li's primitive Double fields cannot encode a
-      // null — drop incomplete rows before .as[] (the SQL twin's filter
-      // and null-skipping aggregates would ignore them anyway).
-      .na.drop()
       .as[Li]
-    ds.filter((li: Li) => li.l_quantity > 10)
+    ds.filter((li: Li) => li.l_quantity.exists(_ > 10))
       .groupByKey((li: Li) => li.l_returnflag)
       .mapGroups { (flag: String, it: Iterator[Li]) =>
         var n = 0L
         var revenue = 0.0
         it.foreach { li =>
           n += 1
-          revenue += li.l_extendedprice * (1.0 - li.l_discount)
+          revenue += (for (p <- li.l_extendedprice; d <- li.l_discount)
+            yield p * (1.0 - d)).getOrElse(0.0)
         }
         (flag, revenue, n)
       }

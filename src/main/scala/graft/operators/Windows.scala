@@ -119,31 +119,46 @@ object Windows {
   /** Global running aggregate WITHOUT a single-partition window — the
     * distributed prefix-sum. A bare `Window.orderBy(k)` moves the whole
     * input through one task (Spark even warns); the scale shape is:
-    *   1. range-partition on the order key, so partition i's keys all
-    *      precede partition j's for i < j;
-    *   2. per-partition local running sum (window PARTITIONED by the
-    *      chunk id — parallel);
+    *   1. assign each row a chunk id that is monotone in the order key
+    *      (chunk i's keys all precede chunk j's for i < j) and derived
+    *      purely from the key value;
+    *   2. per-chunk local running sum (window PARTITIONED by the chunk
+    *      id — parallel);
     *   3. exclusive prefix over the per-chunk totals (a window over
     *      ≤ nParts rows — the only single-partition step, bounded by
-    *      partition COUNT, not data size) broadcast-joined back;
-    *   4. global running value = chunk offset + local running sum.
-    * The range exchange feeds both the local-sum and totals branches
-    * with identical partitioning, so ReuseExchange materializes it
-    * once. */
+    *      chunk COUNT, not data size) broadcast-joined back;
+    *   4. global running value = chunk offset + local running sum. */
   def distributedRunningSum(df: DataFrame, orderCol: String,
                             valueCol: String, nParts: Int): DataFrame = {
-    val parted = df.repartitionByRange(nParts, col(orderCol))
-      .withColumn("pid", spark_partition_id())
+    // The chunk id must be a PURE FUNCTION OF THE KEY VALUE, never of
+    // physical placement: the chunked frame feeds two plan branches
+    // (local sums, chunk totals), and spark_partition_id() over a range
+    // exchange would only agree between them if the exchange is reused —
+    // with reuse disabled (or a plan change breaking canonical match),
+    // independently-sampled RangePartitioners can draw different
+    // boundaries and the offsets would be silently wrong. Equal-width
+    // buckets over [min, max] are deterministic; skewed keys unbalance
+    // chunks but never break correctness (production swaps in
+    // approxQuantile bounds for balance). Numeric order keys only.
+    val bounds = df.agg(min(col(orderCol)).cast("double").as("lo"),
+                        max(col(orderCol)).cast("double").as("hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        when(col(orderCol).isNull, lit(0))   // nulls order first → chunk 0
+          .otherwise(least(lit(nParts - 1), greatest(lit(0), floor(
+            (col(orderCol).cast("double") - col("lo")) * nParts /
+              greatest(col("hi") - col("lo") + 1d, lit(1d))).cast("int")))))
+      .drop("lo", "hi")
     val localW = Window.partitionBy(col("pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = parted.groupBy(col("pid"))
+    val offsets = bucketed.groupBy(col("pid"))
       .agg(sum(col(valueCol)).as("ptotal"))
       .withColumn("offset",
         coalesce(sum(col("ptotal")).over(
           Window.orderBy(col("pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("offset"))
-    parted
+    bucketed
       .withColumn("local_run", sum(col(valueCol)).over(localW))
       .join(broadcast(offsets), "pid")
       .withColumn("running_sum", col("local_run") + col("offset"))
@@ -164,8 +179,11 @@ object Windows {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"))
       .withColumn("is_first",
+        // the isNotNull guard matches COUNT(DISTINCT user_id) semantics:
+        // a NULL user is no user, not one extra distinct user
         (row_number().over(Window.partitionBy(col("user_id"))
-           .orderBy(col("event_id"))) === 1).cast("long"))
+           .orderBy(col("event_id"))) === 1 &&
+         col("user_id").isNotNull).cast("long"))
     distributedRunningSum(marked, "event_id", "is_first", 8)
       .select(col("event_id"),
               col("running_sum").cast("bigint").as("distinct_users_so_far"))

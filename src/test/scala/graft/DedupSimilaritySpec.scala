@@ -268,8 +268,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // Cross-check against the definitionally-exact plain anti-join.
     val docs = Tables.documents(spark, sfOracle)
       .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
-          .cast("binary")).as("h"))
+        Dedup.bagHash.as("h"))
     val cutoff = docs.agg(max("doc_id")).head().getLong(0) / 2
     val batchN = docs.filter(col("doc_id") > cutoff).count()
     val exactNovel = docs.filter(col("doc_id") > cutoff)

@@ -132,18 +132,28 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("running distinct count never single-partitions the fact stream") {
-    // the distributed prefix-sum rewrite: the event stream flows through
-    // a range exchange (parallel), first-occurrence marks through a
-    // per-user hash window (parallel); the only single-partition step
-    // allowed is the prefix over per-chunk TOTALS (≤ nParts rows).
+    // the distributed prefix-sum rewrite: first-occurrence marks flow
+    // through a per-user hash window and chunk-local sums through a
+    // hash exchange on the value-derived chunk id (both parallel); the
+    // only single-partition step allowed is the prefix over per-chunk
+    // TOTALS (≤ nParts rows).
     val df = graft.operators.Windows.winDistinctRunning(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("collect_set"),
       s"set-state-per-row idiom must stay gone:\n$plan")
-    assert(plan.contains("rangepartitioning(event_id"),
-      s"fact stream must range-partition on the order key:\n$plan")
-    assert("Exchange SinglePartition".r.findAllIn(plan).length <= 1,
-      s"only the bounded totals prefix may single-partition:\n$plan")
+    assert(plan.contains("hashpartitioning(pid"),
+      s"chunk-local sums must hash-partition on the chunk id:\n$plan")
+    // a partitioned Window prints `], [partSpec], [orderSpec]` (two
+    // `], [`), an unpartitioned one only `], [orderSpec]` — every
+    // unpartitioned window must be the per-chunk TOTALS prefix
+    // (≤ nParts rows); the row-level event stream may never appear
+    // under one. (The remaining SinglePartition exchanges are the
+    // min/max bounds scalar agg — also bounded.)
+    val unpartitioned = plan.linesIterator
+      .filter(l => l.contains("Window [") && "\\], \\[".r.findAllIn(l).length == 1)
+      .toSeq
+    assert(unpartitioned.forall(_.contains("ptotal")),
+      s"an unpartitioned window touches row-level data:\n${unpartitioned.mkString("\n")}")
   }
 
   test("train/val split plans exactly one exchange (the cluster window)") {
