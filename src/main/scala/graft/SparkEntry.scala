@@ -169,6 +169,11 @@ object SparkEntry {
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_pack_bpe"  -> Pipeline.packBpe _,
     "pipeline_train_val_split" -> Pipeline.trainValSplit _,
+    "pipeline_domain_mix" -> Pipeline.domainMix _,
+    // table maintenance: CDC merge + SCD2 history + ANALYZE profile
+    "merge_cdc_upsert"   -> Cdc.mergeCdcUpsert _,
+    "scd2_intervals"     -> Cdc.scd2Intervals _,
+    "profile_table"      -> Profiling.profileTable _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
@@ -387,6 +392,14 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS cluster_rep FROM documents) SELECT doc_id, cluster_rep, CASE WHEN substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 1) = 'f' THEN 'val' ELSE 'train' END AS split FROM d ORDER BY doc_id",
     "sample_stratified" ->
       "SELECT doc_id, lang, rn, n_lang FROM (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY lang) AS n_lang FROM documents) t WHERE rn <= ceil(n_lang * 0.2) ORDER BY lang, doc_id",
+    "pipeline_domain_mix" ->
+      "WITH q AS (SELECT CAST(min(c) AS BIGINT) AS quota FROM (SELECT count(*) AS c FROM documents GROUP BY lang)), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn FROM documents) SELECT doc_id, lang FROM r CROSS JOIN q WHERE rn <= quota ORDER BY lang, doc_id",
+    "merge_cdc_upsert" ->
+      "WITH u AS (SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS price, CAST(0 AS BIGINT) AS version, 'I' AS op FROM orders UNION ALL SELECT o_orderkey + 1000000000, 'N', o_totalprice, 1, 'I' FROM orders WHERE o_orderkey % 11 = 3 UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1, 2, 'U' FROM orders WHERE o_orderkey % 5 = 0 UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), 3, 'D' FROM orders WHERE o_orderkey % 7 = 0) SELECT key, status, round(price, 4) AS price, version FROM (SELECT key, status, price, version, op, row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn FROM u) t WHERE rn = 1 AND op <> 'D' ORDER BY key",
+    "scd2_intervals" ->
+      "SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current FROM (SELECT user_id, event_type, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM (SELECT user_id, ts, event_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events WHERE user_id IS NOT NULL) c WHERE prev_type IS NULL OR prev_type <> event_type) i ORDER BY user_id, valid_from",
+    "profile_table" ->
+      "SELECT * FROM (SELECT 'o_custkey' AS column_name, count(*) AS n_rows, count(*) - count(o_custkey) AS n_null, count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_val, CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT CAST(round(o_totalprice, 2) AS DECIMAL(18,2))), CAST(min(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR), CAST(max(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR) FROM orders) p ORDER BY column_name",
     "funnel_stages" ->
       "WITH s1 AS (SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), s2 AS (SELECT e.user_id, s1.signup_ts, min(e.ts) AS click_ts FROM events e JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts GROUP BY e.user_id, s1.signup_ts), s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts GROUP BY e.user_id) SELECT s1.user_id AS user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts, CAST(1 + CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY user_id",
     "retention_cohorts" ->

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Change-data-capture table maintenance: MERGE/upsert application and
+  * SCD-2 history building — the two canonical shapes that keep a 100 TB
+  * table current without rewriting it from scratch (SURVEY §2.10 scope:
+  * what a production pipeline needs day to day).
+  *
+  * Both are pure declarative plans: the merge is one shuffle on the
+  * table key, the history build one shuffle on the entity key. Neither
+  * collects to the driver or needs a transactional table format — the
+  * semantics (latest-version-wins, validity intervals) are exactly
+  * expressible relationally, which also makes them oracle-pairable.
+  */
+object Cdc {
+
+  /** MERGE / CDC-apply: fold a changelog of inserts / updates / deletes
+    * into a base snapshot, latest version per key wins, a winning delete
+    * removes the row. The changelog is derived deterministically from the
+    * orders table so both engines see identical input:
+    *   - I: keys ≡ 3 (mod 11) re-inserted under key+1e9 (novel keys);
+    *   - U: keys ≡ 0 (mod 5) re-priced at 1.1× (version 2);
+    *   - D: keys ≡ 0 (mod 7) deleted (version 3 — outranks the update
+    *     on keys divisible by 35, pinning the op-precedence rule).
+    *
+    * Plan shape: base (version 0) ∪ changelog → one hash shuffle on the
+    * key → per-key max-version argmax → drop deletes. At scale this is
+    * the standard snapshot+changelog compaction: one shuffle of
+    * |base|+|delta| rows, map-side nothing to combine, no driver state.
+    * With a date-bucketed base the same plan prunes to touched buckets —
+    * the partition-overwrite MERGE a lakehouse runs nightly.
+    */
+  def mergeCdcUpsert(s: SparkSession, sf: String): DataFrame = {
+    val base = Tables.orders(s, sf)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+              col("o_totalprice").as("price"), lit(0L).as("version"),
+              lit("I").as("op"))
+    val src = Tables.orders(s, sf)
+    val ins = src.filter(col("o_orderkey") % 11 === 3)
+      .select((col("o_orderkey") + 1000000000L).as("key"),
+              lit("N").as("status"), col("o_totalprice").as("price"),
+              lit(1L).as("version"), lit("I").as("op"))
+    val upd = src.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+              (col("o_totalprice") * 1.1).as("price"),
+              lit(2L).as("version"), lit("U").as("op"))
+    val del = src.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("key"), lit(null).cast("string").as("status"),
+              lit(null).cast("double").as("price"),
+              lit(3L).as("version"), lit("D").as("op"))
+    val w = Window.partitionBy(col("key")).orderBy(col("version").desc)
+    base.unionAll(ins).unionAll(upd).unionAll(del)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("status"), round(col("price"), 4).as("price"),
+              col("version"))
+      .orderBy("key")
+  }
+
+  /** SCD type-2 history build: per user, collapse the event stream into
+    * validity intervals of the tracked attribute (event_type) — a row
+    * per attribute CHANGE carrying [valid_from, valid_to) and a current
+    * flag, the standard slowly-changing-dimension shape.
+    *
+    * Two windows over one shuffle on user_id: lag() marks change points
+    * (consecutive duplicates collapse — a re-emitted identical state is
+    * not a new version), then lead() over the surviving change rows
+    * closes each interval with the next one's start. Scale: both windows
+    * share the (user_id, ts, event_id) sort order, so Catalyst plans ONE
+    * exchange + sort; per-user history fits a task trivially (windows
+    * partition by entity, never globally).
+    */
+  def scd2Intervals(s: SparkSession, sf: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val changes = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(ord))
+      .select(col("user_id"), col("event_type"),
+              col("ts").as("valid_from"), col("valid_to"),
+              col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+}

@@ -160,6 +160,36 @@ object Pipeline {
       .orderBy("lang", "doc_id")
   }
 
+  /** Domain mixing: rebalance a multi-source corpus to a target mix —
+    * here the balanced mix, an equal per-language quota equal to the
+    * smallest language's document count (downsample-to-minority, the
+    * standard recipe for de-biasing a language-skewed training corpus;
+    * any other target mix is the same plan with a different quota
+    * vector). Selection within a language is by md5 hash order — a
+    * deterministic uniform shuffle both engines compute identically —
+    * so the kept subset is a fair sample, not a doc_id-prefix artifact.
+    *
+    * Scale shape: one window shuffle on `lang` ranks candidates; the
+    * quota is a 5-row aggregate broadcast back as a scalar join — no
+    * driver loop, no collect. At 100 TB with finer-than-language strata
+    * the exact rank swaps for a hash threshold (keep iff
+    * pmod(xxhash64(id), 1e6) < quota/stratum_count·1e6), rank-free and
+    * shuffle-free; the rank form is the exact-quota variant. */
+  def domainMix(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf).select(col("doc_id"), col("lang"))
+    val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc,
+               col("doc_id").asc)
+    docs.withColumn("rn", row_number().over(w).cast("bigint"))
+      .crossJoin(broadcast(quota))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Train/val split with a dedup-cluster leakage guard — the step that
     * makes an eval split honest. Hashing each DOC into a split leaks:
     * near-identical documents land on both sides and the val set scores

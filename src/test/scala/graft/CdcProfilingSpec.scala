@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Cdc, Pipeline, Profiling}
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the table-maintenance family (CDC merge, SCD2,
+  * profiling, domain mixing). Result correctness is oracle-scored; these
+  * tests pin the invariants the oracle hash alone doesn't explain. */
+class CdcProfilingSpec extends SparkSpecBase {
+
+  test("merge_cdc_upsert: deletes win over updates, inserts are novel keys") {
+    val out = Cdc.mergeCdcUpsert(spark, sfSmoke).cache()
+    try {
+      // every key divisible by 7 (delete, version 3) is gone — including
+      // keys divisible by 35 that also had a version-2 update
+      assert(out.filter(col("key") < 1000000000L && col("key") % 7 === 0)
+        .count() === 0L)
+      // updated keys carry the re-priced version 2
+      val upd = out.filter(col("key") < 1000000000L && col("key") % 5 === 0 &&
+                           col("key") % 7 =!= 0)
+      assert(upd.filter(col("version") =!= 2L).count() === 0L)
+      // inserted keys live above the 1e9 offset with version 1
+      val ins = out.filter(col("key") >= 1000000000L)
+      assert(ins.count() > 0 && ins.filter(col("version") =!= 1L).count() === 0L)
+      // untouched keys survive at version 0
+      assert(out.filter(col("version") === 0L).count() > 0)
+    } finally out.unpersist()
+  }
+
+  test("scd2_intervals: intervals tile each user's history without overlap") {
+    val iv = Cdc.scd2Intervals(spark, sfSmoke).cache()
+    try {
+      // exactly one open (current) interval per user
+      val bad = iv.groupBy("user_id")
+        .agg(sum(when(col("is_current"), 1).otherwise(0)).as("open"))
+        .filter(col("open") =!= 1)
+      assert(bad.count() === 0L, "each user must have exactly one open interval")
+      // each interval ends exactly where the next begins (no gaps/overlap)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("valid_from")
+      val broken = iv.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+      assert(broken.count() === 0L, "intervals must tile: valid_to == next valid_from")
+      // consecutive intervals always change the attribute value
+      val sameNeighbor = iv.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull && col("next_type") === col("event_type"))
+      assert(sameNeighbor.count() === 0L, "consecutive duplicates must collapse")
+    } finally iv.unpersist()
+  }
+
+  test("profile_table: one scan, stats agree with direct queries") {
+    val df = Profiling.profileTable(spark, sfSmoke)
+    // the multi-distinct aggregate must compile to ONE scan via Expand —
+    // a per-column loop of jobs is the anti-pattern at 100 TB
+    val scans = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.count(l => l.contains("Location:") && l.contains("orders"))
+    assert(scans === 1, s"profile must be a single-scan plan, saw $scans scans")
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    val o = Tables.orders(spark, sfSmoke)
+    assert(rows("o_custkey").getLong(3) === o.select("o_custkey").distinct().count())
+    assert(rows("o_orderstatus").getLong(1) === o.count())
+    assert(rows("o_orderstatus").getLong(2) === o.filter(col("o_orderstatus").isNull).count())
+  }
+
+  test("pipeline_domain_mix: every language hits exactly the minority quota") {
+    val mix = Pipeline.domainMix(spark, sfSmoke)
+    val counts = mix.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = Tables.documents(spark, sfSmoke)
+      .groupBy("lang").count().agg(min("count")).head().getLong(0)
+    assert(counts.values.toSet === Set(quota),
+      s"expected all langs at quota $quota, got $counts")
+    assert(counts.keySet === Set("de", "en", "es", "fr", "zh"))
+  }
+}

@@ -1,0 +1,14 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+object ExplainKey {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.01")
+    println(df.queryExecution.explainString(FormattedMode).take(6000))
+    spark.stop()
+  }
+}
