@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_minhash_cluster" -> Dedup.dedupMinhashCluster _,
     "dedup_simhash"      -> Dedup.dedupSimhash _,
     "dedup_incremental_bloom" -> Dedup.dedupIncrementalBloom _,
+    "dedup_passage"      -> Dedup.dedupPassage _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     // §2.10 LLM-pipeline: similarity
     "sim_cosine_topk"    -> Similarity.simCosineTopk _,
@@ -359,6 +360,12 @@ object SparkEntry {
     // half" — plain relational semantics the oracle states directly.
     "dedup_incremental_bloom" ->
       "WITH d AS (SELECT doc_id, lang, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h FROM documents), cut AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS c FROM d) SELECT n.doc_id AS doc_id, n.lang AS lang FROM d n, cut WHERE n.doc_id > cut.c AND NOT EXISTS (SELECT 1 FROM d h WHERE h.doc_id <= cut.c AND h.h = n.h) ORDER BY n.doc_id",
+    // dedup_passage: first corpus-wide occurrence per 10-word passage
+    // survives; the oracle states first-occurrence as a window rank (the
+    // Spark side computes the same keeper set with a skew-immune
+    // packed-min aggregate — identical result, different plan).
+    "dedup_passage" ->
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), m AS (SELECT doc_id, words, CAST(ceil(len(words) / 10.0) AS BIGINT) AS n_chunks FROM w), e AS (SELECT doc_id, n_chunks, words, unnest(range(0, n_chunks)) AS pos FROM m), c AS (SELECT doc_id, n_chunks, pos, array_to_string(list_slice(words, pos * 10 + 1, pos * 10 + 10), ' ') AS chunk FROM e), k AS (SELECT doc_id, n_chunks, pos, chunk FROM c QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1) SELECT doc_id, n_chunks, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS text_clean FROM k GROUP BY doc_id, n_chunks ORDER BY doc_id",
     "dedup_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents) SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.9 ORDER BY source, id1, id2",
     "sim_cosine_topk" ->

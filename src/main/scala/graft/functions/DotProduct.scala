@@ -102,5 +102,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((MinHashSig16.ident, MinHashSig16.info, MinHashSig16.builder))
     ext.injectFunction((SortedIntersectSize.ident, SortedIntersectSize.info,
                         SortedIntersectSize.builder))
+    ext.injectFunction((BpeTokenCount.ident, BpeTokenCount.info,
+                        BpeTokenCount.builder))
+    ext.injectFunction((BpeTokenCount.identTok, BpeTokenCount.infoTok,
+                        BpeTokenCount.builderTok))
+    ext.injectFunction((LshBuckets.ident, LshBuckets.info, LshBuckets.builder))
+    ext.injectFunction((ShingleHash64.ident, ShingleHash64.info,
+                        ShingleHash64.builder))
   }
 }

@@ -662,4 +662,50 @@ object Dedup {
       .union(novelSlow.select("doc_id", "lang"))
       .orderBy("doc_id")
   }
+
+  /** Passage-level dedup — the C4/CCNet granularity: duplicate text is
+    * removed WITHIN documents, not by dropping whole documents. Each
+    * document is chunked into 10-word passages; a passage survives only
+    * at its first corpus-wide occurrence (lowest (doc_id, position));
+    * survivors reassemble in original order. Web-scale corpora lose far
+    * more bytes to repeated boilerplate passages embedded in otherwise
+    * unique pages than to whole-page duplicates — this is the operator
+    * that removes them.
+    *
+    * Scale shape: "first occurrence per passage" is NOT a window
+    * row_number — boilerplate is precisely the skew case (one passage,
+    * billions of occurrences) and a window sends every occurrence of a
+    * hot passage to one reducer. Instead (doc_id, pos) packs into one
+    * long (pos < 2^20) and the keeper is min(packed) per passage — a
+    * fixed-width HashAggregate with map-side combine, so a hot passage
+    * collapses to one row per map task before the shuffle. Reassembly
+    * is a sorted collect per doc (bounded by document length).
+    */
+  def dedupPassage(s: SparkSession, sf: String): DataFrame = {
+    val chunked = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        ceil(size(col("w")) / 10.0).cast("bigint").as("n_chunks"),
+        posexplode(expr(
+          """transform(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1),
+            |  i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))""".stripMargin))
+          .as(Seq("pos", "chunk")))
+      .withColumn("packed", col("doc_id") * 1048576L + col("pos"))
+    // min_by rides the same fixed-width buffers, so the keeper's own
+    // n_chunks arrives with it — no join-back, no second scan.
+    val keepers = chunked
+      .groupBy(col("chunk"))
+      .agg(min(col("packed")).as("packed"),
+           min_by(col("n_chunks"), col("packed")).as("n_chunks"))
+      .select(expr("packed div 1048576").as("doc_id"),
+              pmod(col("packed"), lit(1048576L)).cast("int").as("pos"),
+              col("n_chunks"), col("chunk"))
+    keepers
+      .groupBy(col("doc_id"), col("n_chunks"))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(expr("transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"),
+                      " ").as("text_clean"))
+      .orderBy("doc_id")
+  }
 }

@@ -198,7 +198,7 @@ object TextOps {
     * forms — cost is O(train shingles) regardless of corpus size. */
   def textContamination(s: SparkSession, sf: String): DataFrame = {
     // Shingle text never leaves the query — only per-doc counts do — so
-    // shingles are hashed to 64-bit longs before any shuffle: the three
+    // shingles are hashed to 64-bit longs before any shuffle: the
     // aggregations and the probe join move 8-byte keys instead of
     // ~30-byte strings. (Counts match the oracle's string-equality
     // counts as long as xxhash64 is injective on the corpus shingle set
@@ -206,25 +206,34 @@ object TextOps {
     // The token array is projected ONCE per row before the transform:
     // slice(split(text), i, 5) inside the lambda would re-split the
     // document at every shingle position — O(len²) per doc.
-    val sh = Tables.documents(s, sf)
+    // Per-doc shingle dedup happens IN THE ROW (array_distinct), not as
+    // a relational distinct: the earlier explode→distinct form shuffled
+    // every (doc_id, shingle) pair — the largest shuffle in the query —
+    // and its subtree fed three consumers (eval set, totals, probe), so
+    // the explode ran three times. Row-local dedup deletes that shuffle,
+    // per-doc totals become size(arr) (no aggregate pass), and totals
+    // ride the probe join as a grouping column — one explode each side.
+    // graft_shingles: native one-pass shingle hashing (ShingleHash64) —
+    // bit-identical to the transform/slice/concat_ws/xxhash64 HOF chain
+    // it replaces, which interpreted at 7 µs/shingle and dominated the
+    // query (measured 1.7 s of a 3.3 s total at sf0.1).
+    graft.functions.ShingleHash64.register(s)
+    val docs = Tables.documents(s, sf)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(1, size(w) - 4),
-            |  i -> xxhash64(concat_ws(' ', slice(w, i, 5))))"""
-            .stripMargin)).as("shingle"))
-      .distinct()
-    val evalSet = sh.filter(col("doc_id") % 50 === 0)
-      .select("shingle").distinct()
-    val train = sh.filter(col("doc_id") % 50 =!= 0)
-    val totals = train.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"))
-    // (doc_id, shingle) is unique on both sides post-distinct, so the
-    // join emits each shared shingle once — a plain count suffices.
-    train.join(broadcast(evalSet), "shingle")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-      .join(totals, "doc_id")
+        expr("array_distinct(graft_shingles(w, 5))").as("sh"))
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    // shingles are distinct within each doc and the eval set is distinct,
+    // so the join emits each shared shingle once — a plain count suffices;
+    // n_shingles is functional in doc_id, so grouping by both is free.
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),
+              explode(col("sh")).as("shingle"))
+      .join(broadcast(evalSet), "shingle")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_contaminated"))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
           .as("contamination"))

@@ -296,4 +296,41 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val multi = split.groupBy("cluster_rep").count().filter(col("count") > 1).count()
     assert(multi > 0, "corpus must contain multi-member duplicate clusters")
   }
+
+  test("dedup_passage: packed-min keeper set equals window-rank semantics, no Window in plan") {
+    val out = Dedup.dedupPassage(spark, sfSmoke)
+    // skew-immunity pin: first-occurrence must NOT be a window (a hot
+    // boilerplate passage would route every occurrence to one reducer) —
+    // the keeper aggregate must be a map-side-combinable HashAggregate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window in passage dedup:\n${plan.take(2000)}")
+    // independent reference: the same semantics AS a window rank
+    val chunked = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        ceil(size(col("w")) / 10.0).cast("bigint").as("n_chunks"),
+        posexplode(expr(
+          """transform(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1),
+            |  i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))""".stripMargin))
+          .as(Seq("pos", "chunk")))
+    val byWindow = chunked
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk")
+          .orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id", "n_chunks")
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(expr("transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"),
+                      " ").as("text_clean"))
+    val a = out.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = byWindow.orderBy("doc_id").collect().map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(a.toSeq == b.toSeq,
+      "packed-min and window-rank forms must agree exactly")
+    // every passage survives exactly once corpus-wide
+    val keptTotal = out.agg(sum("n_kept")).head().getLong(0)
+    assert(keptTotal === chunked.select("chunk").distinct().count())
+    // and the corpus genuinely contains cross-document repeated passages
+    assert(keptTotal < chunked.count(), "corpus must contain duplicate passages")
+  }
 }

@@ -40,6 +40,27 @@ class DotProductSpec extends SparkSpecBase {
     assert(both.filter(expr("native != hof")).count() == 0)
   }
 
+  test("graft_shingles equals the declarative slice/concat_ws/xxhash64 chain") {
+    graft.functions.ShingleHash64.register(spark)
+    val both = Tables.documents(spark, sfSmoke)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(
+        expr("graft_shingles(w, 5)").as("native"),
+        expr("""transform(sequence(1, size(w) - 4),
+               |  i -> xxhash64(concat_ws(' ', slice(w, i, 5))))"""
+          .stripMargin).as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+    // concat_ws edge semantics: null words skipped, empty words kept
+    val edge = spark.sql(
+      """SELECT graft_shingles(array('a', CAST(NULL AS STRING), '', 'b'), 2) AS n,
+        |       transform(sequence(1, 3),
+        |         i -> xxhash64(concat_ws(' ', slice(array('a', CAST(NULL AS STRING), '', 'b'), i, 2)))) AS h,
+        |       graft_shingles(array('a'), 5) AS short""".stripMargin).head()
+    assert(edge.getSeq[Long](0) == edge.getSeq[Long](1))
+    assert(edge.getSeq[Long](2).isEmpty)
+  }
+
   test("type check rejects non-float arrays") {
     DotProduct.register(spark)
     val err = intercept[Exception] {
