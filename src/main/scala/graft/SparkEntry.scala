@@ -123,6 +123,7 @@ object SparkEntry {
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
     "join_interval"     -> AdvancedJoins.joinInterval _,
     "join_asof"         -> AdvancedJoins.joinAsof _,
+    "join_fuzzy_editdist" -> AdvancedJoins.joinFuzzyEditdist _,
     // §2.8 scalar function families
     "fn_string"         -> Families.fnString _,
     "fn_date"           -> Families.fnDate _,
@@ -175,6 +176,7 @@ object SparkEntry {
     "merge_cdc_upsert"   -> Cdc.mergeCdcUpsert _,
     "scd2_intervals"     -> Cdc.scd2Intervals _,
     "profile_table"      -> Profiling.profileTable _,
+    "agg_histogram"      -> Profiling.aggHistogram _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
@@ -405,6 +407,13 @@ object SparkEntry {
       "WITH u AS (SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS price, CAST(0 AS BIGINT) AS version, 'I' AS op FROM orders UNION ALL SELECT o_orderkey + 1000000000, 'N', o_totalprice, 1, 'I' FROM orders WHERE o_orderkey % 11 = 3 UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1, 2, 'U' FROM orders WHERE o_orderkey % 5 = 0 UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), 3, 'D' FROM orders WHERE o_orderkey % 7 = 0) SELECT key, status, round(price, 4) AS price, version FROM (SELECT key, status, price, version, op, row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn FROM u) t WHERE rn = 1 AND op <> 'D' ORDER BY key",
     "scd2_intervals" ->
       "SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current FROM (SELECT user_id, event_type, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM (SELECT user_id, ts, event_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events WHERE user_id IS NOT NULL) c WHERE prev_type IS NULL OR prev_type <> event_type) i ORDER BY user_id, valid_from",
+    // join_fuzzy_editdist: the Spark side blocks via deletion
+    // neighborhoods (FastSS) + broadcast hash join; the oracle states the
+    // same result as a direct levenshtein theta-join over the small vocab.
+    "join_fuzzy_editdist" ->
+      "WITH d AS (SELECT doc_id, string_split(text, ' ')[1] AS w0 FROM documents), d2 AS (SELECT doc_id, substr(w0, 1, CAST(doc_id % length(w0) AS INT)) || substr(w0, CAST(doc_id % length(w0) AS INT) + 2) AS dirty FROM d WHERE length(w0) >= 1), v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS clean FROM documents), v2 AS (SELECT clean FROM v WHERE length(clean) >= 1) SELECT doc_id, dirty, clean, CAST(levenshtein(dirty, clean) AS BIGINT) AS dist FROM d2 JOIN v2 ON levenshtein(dirty, clean) <= 1 ORDER BY doc_id, clean",
+    "agg_histogram" ->
+      "WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), x AS (SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 20.0), 19.0) AS BIGINT) AS bin, lo, hi FROM orders, b) SELECT bin, round(lo + bin * (hi - lo) / 20.0, 4) AS bin_lo, round(lo + (bin + 1) * (hi - lo) / 20.0, 4) AS bin_hi, count(*) AS n FROM x GROUP BY bin, lo, hi ORDER BY bin",
     "profile_table" ->
       "SELECT * FROM (SELECT 'o_custkey' AS column_name, count(*) AS n_rows, count(*) - count(o_custkey) AS n_null, count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_val, CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT CAST(round(o_totalprice, 2) AS DECIMAL(18,2))), CAST(min(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR), CAST(max(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR) FROM orders) p ORDER BY column_name",
     "funnel_stages" ->

@@ -97,4 +97,53 @@ object AdvancedJoins {
               col("last_view_id"), col("last_view_ts"))
       .orderBy("user_id", "purchase_ts", "purchase_id")
   }
+
+  /** Fuzzy (edit-distance ≤ 1) join — record linkage for data cleaning:
+    * each document contributes a deterministically "misspelled" token
+    * (its first word with the char at doc_id mod len dropped) that links
+    * back to the clean vocabulary.
+    *
+    * Scale path: the deletion-neighborhood (FastSS) blocking — a string
+    * and its variants within one edit ALWAYS share a member of
+    * {self} ∪ {one-char deletions}, so expanding BOTH sides into those
+    * keys turns the fuzzy match into a plain equi-join (here a broadcast
+    * hash join — the clean vocabulary is the small side); the exact
+    * levenshtein predicate then prunes the distance-2 collisions the
+    * blocking admits (shared deletion ⇏ distance ≤ 1, e.g. "ab"/"ba").
+    * No all-pairs product anywhere: candidate fan-out is bounded by key
+    * occupancy, the standard similarity-join shape. A naive
+    * levenshtein(a,b) <= 1 theta-join would plan BroadcastNestedLoop —
+    * quadratic, unusable at 100 TB.
+    */
+  def joinFuzzyEditdist(s: SparkSession, sf: String): DataFrame = {
+    // {self} ∪ {delete char i : i < len} as an expansion expression
+    def delNeighborhood(c: String) = expr(
+      s"""array_union(array($c),
+         |  array_distinct(transform(sequence(1, length($c)),
+         |    i -> concat(substring($c, 1, i - 1), substring($c, i + 1)))))"""
+        .stripMargin)
+    val dirty = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").getItem(0).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("doc_id"), expr(
+        """concat(substring(w0, 1, CAST(doc_id % length(w0) AS INT)),
+          |       substring(w0, CAST(doc_id % length(w0) AS INT) + 2))"""
+          .stripMargin).as("dirty"))
+    val vocab = Tables.documents(s, sf)
+      .select(explode(split(col("text"), " ")).as("clean"))
+      .filter(length(col("clean")) >= 1).distinct()
+    val dirtyKeys = dirty
+      .select(col("doc_id"), col("dirty"),
+              explode(delNeighborhood("dirty")).as("k"))
+    val cleanKeys = vocab
+      .select(col("clean"), explode(delNeighborhood("clean")).as("k"))
+    dirtyKeys
+      .join(broadcast(cleanKeys), "k")
+      .select(col("doc_id"), col("dirty"), col("clean")).distinct()
+      .filter(levenshtein(col("dirty"), col("clean")) <= 1)
+      .select(col("doc_id"), col("dirty"), col("clean"),
+              levenshtein(col("dirty"), col("clean")).cast("bigint").as("dist"))
+      .orderBy("doc_id", "clean")
+  }
 }

@@ -50,4 +50,34 @@ object Profiling {
            coalesce(max_by(col("val"), col("num")), max(col("val"))).as("max_val"))
       .orderBy("column_name")
   }
+
+  /** Equi-width histogram of o_totalprice in 20 bins — profile_table's
+    * companion: distribution shape, not just min/max. Scale shape: the
+    * (min, max) bounds are one scalar aggregate broadcast back into the
+    * binning projection (no driver round-trip, no second pass logic on
+    * the driver), then the bin assignment is a map-side expression and
+    * the bin counts one tiny shuffle of ≤ 20 groups with map-side
+    * combine. Two passes over the column total — the same contract as
+    * every engine's equi-width histogram (bounds must exist before
+    * binning; a streaming single-pass variant would use a sketch).
+    */
+  def aggHistogram(s: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(s, sf)
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+                       max(col("o_totalprice")).as("hi"))
+    o.select(col("o_totalprice").as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(least(floor(((col("v") - col("lo")) / (col("hi") - col("lo")))
+                      * 20.0), lit(19.0)).cast("bigint").as("bin"),
+              col("lo"), col("hi"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+              round(col("lo") + col("bin") * (col("hi") - col("lo")) / 20.0, 4)
+                .as("bin_lo"),
+              round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / 20.0, 4)
+                .as("bin_hi"),
+              col("n"))
+      .orderBy("bin")
+  }
 }

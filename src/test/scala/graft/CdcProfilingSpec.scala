@@ -63,6 +63,59 @@ class CdcProfilingSpec extends SparkSpecBase {
     assert(rows("o_orderstatus").getLong(2) === o.filter(col("o_orderstatus").isNull).count())
   }
 
+  test("cdc plans: scd2 windows share one shuffle; merge gets map-side group limit") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // scd2: lag and lead share (user_id, ts, event_id) partitioning+order
+    // → exactly 2 exchanges total: the window shuffle + the output sort
+    val scd2 = plan(Cdc.scd2Intervals(spark, sfSmoke))
+    assert("Exchange".r.findAllIn(scd2).length == 2,
+      s"scd2 must shuffle once for both windows (+1 output sort):\n$scd2")
+    // merge: latest-version-per-key must push a WindowGroupLimit below
+    // the shuffle — each map task forwards one candidate per key, so the
+    // changelog fold shuffles survivors, not the whole union
+    val merge = plan(Cdc.mergeCdcUpsert(spark, sfSmoke))
+    assert(merge.contains("WindowGroupLimit"),
+      s"merge must keep the map-side rank-1 pushdown:\n$merge")
+    assert("Exchange".r.findAllIn(merge).length == 2,
+      s"merge must be one key shuffle (+1 output sort):\n$merge")
+  }
+
+  test("join_fuzzy_editdist: FastSS blocking is complete and stays an equi-join") {
+    val out = graft.operators.AdvancedJoins.joinFuzzyEditdist(spark, sfSmoke)
+    // the deletion-neighborhood join must never degrade to a product plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join must stay an equi-join:\n${plan.take(1500)}")
+    val got = out.select("doc_id", "dirty", "clean").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // reference: direct levenshtein filter over the (small) cross space
+    val dirty = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), split(col("text"), " ").getItem(0).as("w0"))
+      .select(col("doc_id"), expr(
+        """concat(substring(w0, 1, CAST(doc_id % length(w0) AS INT)),
+          |       substring(w0, CAST(doc_id % length(w0) AS INT) + 2))"""
+          .stripMargin).as("dirty"))
+    val vocab = Tables.documents(spark, sfSmoke)
+      .select(explode(split(col("text"), " ")).as("clean")).distinct()
+    val want = dirty.crossJoin(vocab)
+      .filter(levenshtein(col("dirty"), col("clean")) <= 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want, s"blocking must find exactly the distance<=1 pairs " +
+      s"(missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)})")
+    assert(got.nonEmpty, "fixture must produce links")
+  }
+
+  test("agg_histogram: bins cover all rows with monotone bounds") {
+    val h = Profiling.aggHistogram(spark, sfSmoke).collect()
+    assert(h.map(_.getLong(3)).sum === Tables.orders(spark, sfSmoke).count())
+    assert(h.length <= 20 && h.nonEmpty)
+    h.foreach(r => assert(r.getDouble(1) < r.getDouble(2)))
+    // bins arrive ordered and distinct
+    val bins = h.map(_.getLong(0))
+    assert(bins.sameElements(bins.sorted) && bins.distinct.length == bins.length)
+  }
+
   test("pipeline_domain_mix: every language hits exactly the minority quota") {
     val mix = Pipeline.domainMix(spark, sfSmoke)
     val counts = mix.groupBy("lang").count().collect()
