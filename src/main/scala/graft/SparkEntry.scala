@@ -177,6 +177,7 @@ object SparkEntry {
     "scd2_intervals"     -> Cdc.scd2Intervals _,
     "profile_table"      -> Profiling.profileTable _,
     "agg_histogram"      -> Profiling.aggHistogram _,
+    "profile_heavy_hitters" -> Profiling.profileHeavyHitters _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
@@ -412,6 +413,8 @@ object SparkEntry {
     // same result as a direct levenshtein theta-join over the small vocab.
     "join_fuzzy_editdist" ->
       "WITH d AS (SELECT doc_id, string_split(text, ' ')[1] AS w0 FROM documents), d2 AS (SELECT doc_id, substr(w0, 1, CAST(doc_id % length(w0) AS INT)) || substr(w0, CAST(doc_id % length(w0) AS INT) + 2) AS dirty FROM d WHERE length(w0) >= 1), v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS clean FROM documents), v2 AS (SELECT clean FROM v WHERE length(clean) >= 1) SELECT doc_id, dirty, clean, CAST(levenshtein(dirty, clean) AS BIGINT) AS dist FROM d2 JOIN v2 ON levenshtein(dirty, clean) <= 1 ORDER BY doc_id, clean",
+    "profile_heavy_hitters" ->
+      "WITH t AS (SELECT count(*) AS total FROM events), u AS (SELECT 'user_id' AS column_name, CAST(user_id AS VARCHAR) AS value, count(*) AS n FROM events GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10), e AS (SELECT 'event_type' AS column_name, CAST(event_type AS VARCHAR) AS value, count(*) AS n FROM events GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10), b AS (SELECT * FROM u UNION ALL SELECT * FROM e) SELECT column_name, value, n, round(CAST(n AS DOUBLE) / total, 6) AS share FROM b CROSS JOIN t ORDER BY column_name, n DESC, value",
     "agg_histogram" ->
       "WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), x AS (SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 20.0), 19.0) AS BIGINT) AS bin, lo, hi FROM orders, b) SELECT bin, round(lo + bin * (hi - lo) / 20.0, 4) AS bin_lo, round(lo + (bin + 1) * (hi - lo) / 20.0, 4) AS bin_hi, count(*) AS n FROM x GROUP BY bin, lo, hi ORDER BY bin",
     "profile_table" ->

@@ -80,4 +80,33 @@ object Profiling {
               col("n"))
       .orderBy("bin")
   }
+
+  /** Heavy hitters — the skew diagnostic run BEFORE a big join: top-10
+    * most frequent values per key column with their traffic share. A
+    * key this report surfaces is the key you salt
+    * (ScalePatterns.joinSkewSalted) or let AQE skew-split.
+    *
+    * Scale shape: one hash aggregate per column bounds reducer input by
+    * CARDINALITY (map-side combine absorbs the very skew being
+    * measured — a hot key arrives pre-counted per task); top-10 is
+    * TakeOrderedAndProject over the aggregated counts, never a global
+    * sort of raw rows. Values surface as strings so both columns share
+    * one schema; ties at the cutoff break on the string value, which
+    * both engines compare identically.
+    */
+  def profileHeavyHitters(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+    val total = ev.agg(count(lit(1)).as("total"))
+    def top10(c: String): DataFrame = ev
+      .groupBy(col(c).cast("string").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(10)
+      .select(lit(c).as("column_name"), col("value"), col("n"))
+    top10("user_id").unionAll(top10("event_type"))
+      .crossJoin(broadcast(total))
+      .select(col("column_name"), col("value"), col("n"),
+              round(col("n").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("column_name"), col("n").desc, col("value"))
+  }
 }

@@ -116,6 +116,20 @@ class CdcProfilingSpec extends SparkSpecBase {
     assert(bins.sameElements(bins.sorted) && bins.distinct.length == bins.length)
   }
 
+  test("profile_heavy_hitters: top-k is TakeOrdered over aggregated counts") {
+    val df = Profiling.profileHeavyHitters(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must never be a global sort of raw rows:\n${plan.take(1200)}")
+    val rows = df.collect()
+    assert(rows.count(_.getString(0) == "event_type") == 5) // only 5 types exist
+    assert(rows.count(_.getString(0) == "user_id") == 10)
+    // shares of the full event_type partition sum to 1
+    val typeShare = rows.filter(_.getString(0) == "event_type")
+      .map(_.getDouble(3)).sum
+    assert(math.abs(typeShare - 1.0) < 1e-4)
+  }
+
   test("pipeline_domain_mix: every language hits exactly the minority quota") {
     val mix = Pipeline.domainMix(spark, sfSmoke)
     val counts = mix.groupBy("lang").count().collect()
