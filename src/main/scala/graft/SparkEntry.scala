@@ -178,6 +178,7 @@ object SparkEntry {
     "profile_table"      -> Profiling.profileTable _,
     "agg_histogram"      -> Profiling.aggHistogram _,
     "profile_heavy_hitters" -> Profiling.profileHeavyHitters _,
+    "quality_constraints" -> Profiling.qualityConstraints _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
@@ -413,6 +414,8 @@ object SparkEntry {
     // same result as a direct levenshtein theta-join over the small vocab.
     "join_fuzzy_editdist" ->
       "WITH d AS (SELECT doc_id, string_split(text, ' ')[1] AS w0 FROM documents), d2 AS (SELECT doc_id, substr(w0, 1, CAST(doc_id % length(w0) AS INT)) || substr(w0, CAST(doc_id % length(w0) AS INT) + 2) AS dirty FROM d WHERE length(w0) >= 1), v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS clean FROM documents), v2 AS (SELECT clean FROM v WHERE length(clean) >= 1) SELECT doc_id, dirty, clean, CAST(levenshtein(dirty, clean) AS BIGINT) AS dist FROM d2 JOIN v2 ON levenshtein(dirty, clean) <= 1 ORDER BY doc_id, clean",
+    "quality_constraints" ->
+      "WITH s AS (SELECT count(*) - count(o_custkey) AS v_notnull, count(*) - count(DISTINCT o_orderkey) AS v_unique, coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 END), 0) AS v_range, coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END), 0) AS v_accepted FROM orders), f AS (SELECT count(*) AS v_fk FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)), r AS (SELECT 'o_custkey_not_null' AS rule, CAST(v_notnull AS BIGINT) AS violations FROM s UNION ALL SELECT 'o_orderkey_unique', CAST(v_unique AS BIGINT) FROM s UNION ALL SELECT 'o_totalprice_positive', CAST(v_range AS BIGINT) FROM s UNION ALL SELECT 'o_orderstatus_accepted', CAST(v_accepted AS BIGINT) FROM s UNION ALL SELECT 'l_orderkey_fk_orders', CAST(v_fk AS BIGINT) FROM f) SELECT rule, violations, violations = 0 AS pass FROM r ORDER BY rule",
     "profile_heavy_hitters" ->
       "WITH t AS (SELECT count(*) AS total FROM events), u AS (SELECT 'user_id' AS column_name, CAST(user_id AS VARCHAR) AS value, count(*) AS n FROM events GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10), e AS (SELECT 'event_type' AS column_name, CAST(event_type AS VARCHAR) AS value, count(*) AS n FROM events GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10), b AS (SELECT * FROM u UNION ALL SELECT * FROM e) SELECT column_name, value, n, round(CAST(n AS DOUBLE) / total, 6) AS share FROM b CROSS JOIN t ORDER BY column_name, n DESC, value",
     "agg_histogram" ->

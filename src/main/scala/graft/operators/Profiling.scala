@@ -109,4 +109,44 @@ object Profiling {
               round(col("n").cast("double") / col("total"), 6).as("share"))
       .orderBy(col("column_name"), col("n").desc, col("value"))
   }
+
+  /** Data-quality constraint suite — the Deequ/dbt-tests shape: declared
+    * expectations validated in bulk, one row per rule with its violation
+    * count. The gate a production pipeline runs before publishing a
+    * table version.
+    *
+    * Scale shape: all single-table rules (not-null, range,
+    * accepted-values, uniqueness) fold into ONE scan of orders — each is
+    * a conditional count inside the same aggregate, so adding a rule
+    * costs an expression, not a pass. The referential rule is the one
+    * that must touch two tables: orphan lineitem rows via a left-anti
+    * join on the key (hash join, AQE-broadcastable when the filtered dim
+    * is small). Uniqueness = rows minus distinct keys, exact.
+    */
+  def qualityConstraints(s: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(s, sf)
+    val single = o.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("o_custkey"))).as("v_notnull"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+      coalesce(sum(when(col("o_totalprice") <= 0, 1L)), lit(0L)).as("v_range"),
+      coalesce(sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)),
+               lit(0L)).as("v_accepted"))
+    val orphans = Tables.lineitem(s, sf).select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    single.crossJoin(broadcast(orphans))
+      .select(expr(
+        """stack(5,
+          |  'o_custkey_not_null',      v_notnull,
+          |  'o_orderkey_unique',       v_unique,
+          |  'o_totalprice_positive',   v_range,
+          |  'o_orderstatus_accepted',  v_accepted,
+          |  'l_orderkey_fk_orders',    v_fk
+          |) AS (rule, violations)""".stripMargin))
+      .select(col("rule"), col("violations"),
+              (col("violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
 }

@@ -130,6 +130,36 @@ class CdcProfilingSpec extends SparkSpecBase {
     assert(math.abs(typeShare - 1.0) < 1e-4)
   }
 
+  test("quality_constraints: every rule fires on a planted-violations corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc").toString
+    Seq(
+      (1L, Some(10L), "F", 100.0, "1996-01-01 00:00:00", "1-URGENT"),
+      (1L, Some(11L), "O", 200.0, "1996-01-02 00:00:00", "2-HIGH"),   // dup key
+      (2L, None,      "O", 300.0, "1996-01-03 00:00:00", "3-MEDIUM"), // null custkey
+      (3L, Some(12L), "X", -50.0, "1996-01-04 00:00:00", "4-NOT SPECIFIED") // bad status + negative
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+           "d", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1), (99L, 1))                                            // 99 = orphan
+      .toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Profiling.qualityConstraints(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "o_custkey_not_null" -> 1L, "o_orderkey_unique" -> 1L,
+      "o_totalprice_positive" -> 1L, "o_orderstatus_accepted" -> 1L,
+      "l_orderkey_fk_orders" -> 1L), s"each planted violation must fire: $got")
+    // and the shape holds: single-table rules share ONE scan of orders
+    val plan = Profiling.qualityConstraints(spark, sfSmoke).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val ordersScans = plan.linesIterator
+      .count(l => l.contains("Location:") && l.contains("orders"))
+    assert(ordersScans <= 2, // 1 for the fused rule aggregate + 1 for the FK join
+      s"single-table rules must fuse into one scan, saw $ordersScans")
+  }
+
   test("pipeline_domain_mix: every language hits exactly the minority quota") {
     val mix = Pipeline.domainMix(spark, sfSmoke)
     val counts = mix.groupBy("lang").count().collect()
