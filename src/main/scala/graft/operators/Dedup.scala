@@ -692,6 +692,10 @@ object Dedup {
             |  i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))""".stripMargin))
           .as(Seq("pos", "chunk")))
       .withColumn("packed", col("doc_id") * 1048576L + col("pos"))
+    // Packing bound: pos < 2^20 (a million 10-word chunks ≈ 10 M-word
+    // docs) and doc_id < 2^43 (~8.8e12 docs — a 100 TB corpus at
+    // 10 KB/doc is ~1e10, 880× headroom); sparse 64-bit ids beyond that
+    // would need (doc_id, pos) kept as a struct key instead.
     // min_by rides the same fixed-width buffers, so the keeper's own
     // n_chunks arrives with it — no join-back, no second scan.
     val keepers = chunked

@@ -65,10 +65,15 @@ object Profiling {
     val o = Tables.orders(s, sf)
     val bounds = o.agg(min(col("o_totalprice")).as("lo"),
                        max(col("o_totalprice")).as("hi"))
+    // hi == lo (constant column) would make the bin expression NaN —
+    // and NaN orders as the LARGEST double in Spark, silently binning
+    // everything at 19; pin the degenerate case to bin 0 on both engines
     o.select(col("o_totalprice").as("v"))
       .crossJoin(broadcast(bounds))
-      .select(least(floor(((col("v") - col("lo")) / (col("hi") - col("lo")))
-                      * 20.0), lit(19.0)).cast("bigint").as("bin"),
+      .select(when(col("hi") === col("lo"), lit(0L))
+                .otherwise(least(floor(((col("v") - col("lo")) /
+                  (col("hi") - col("lo"))) * 20.0), lit(19.0)).cast("bigint"))
+                .as("bin"),
               col("lo"), col("hi"))
       .groupBy(col("bin"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n"))
