@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> Similarity.dedupEmbedCosine _,
     "sim_ann_lsh"        -> Similarity.simAnnLsh _,
     "sim_ann_ivf"        -> Similarity.simIvfTopk _,
+    "embed_quantize_int8" -> Similarity.embedQuantizeInt8 _,
     // §2.10 LLM-pipeline: text analysis
     "text_tokenize_stats" -> TextOps.textTokenizeStats _,
     "text_ngrams"        -> TextOps.textNgrams _,
@@ -372,6 +373,11 @@ object SparkEntry {
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), m AS (SELECT doc_id, words, CAST(ceil(len(words) / 10.0) AS BIGINT) AS n_chunks FROM w), e AS (SELECT doc_id, n_chunks, words, unnest(range(0, n_chunks)) AS pos FROM m), c AS (SELECT doc_id, n_chunks, pos, array_to_string(list_slice(words, pos * 10 + 1, pos * 10 + 10), ' ') AS chunk FROM e), k AS (SELECT doc_id, n_chunks, pos, chunk FROM c QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1) SELECT doc_id, n_chunks, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS text_clean FROM k GROUP BY doc_id, n_chunks ORDER BY doc_id",
     "dedup_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents) SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.9 ORDER BY source, id1, id2",
+    // embed_quantize_int8: floor(+0.5) rounding on both engines (Spark
+    // round() is half-up, DuckDB's half-even — floor is bit-identical);
+    // the comma-joined quantized vector is an exact string compare.
+    "embed_quantize_int8" ->
+      "WITH a AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings), q AS (SELECT vec_id, embedding, scale, CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0) ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) END AS qv FROM a) SELECT vec_id, round(scale, 8) AS scale, array_to_string(qv, ',') AS q_str, round(sqrt(list_sum(list_transform(range(1, 65), i -> pow(CAST(embedding[i] AS DOUBLE) - qv[i] * scale, 2)))), 6) AS l2_err FROM q ORDER BY vec_id",
     "sim_cosine_topk" ->
       "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) SELECT e.vec_id AS vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * qv[i])), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10",
     "sim_knn_join" ->

@@ -333,4 +333,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // and the corpus genuinely contains cross-document repeated passages
     assert(keptTotal < chunked.count(), "corpus must contain duplicate passages")
   }
+
+  test("embed_quantize_int8: codes bounded, error under the quantization bound") {
+    val q = Similarity.embedQuantizeInt8(spark, sfSmoke).collect()
+    assert(q.length > 0)
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(",").map(_.toInt)
+      assert(codes.length == 64)
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"vec ${r.getLong(0)}: codes must fit int8 range")
+      // per-dim error ≤ scale/2 ⇒ L2 error ≤ √64 · scale/2 = 4·scale
+      assert(r.getDouble(3) <= 4.0 * scale + 1e-9,
+        s"vec ${r.getLong(0)}: l2_err ${r.getDouble(3)} exceeds bound ${4.0 * scale}")
+    }
+    // quantization must actually carry signal: codes hit the ±127 rail
+    assert(q.exists(_.getString(2).split(",").map(_.toInt.abs).max == 127),
+      "the max-magnitude component must quantize to exactly ±127")
+  }
 }
