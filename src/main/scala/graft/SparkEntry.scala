@@ -168,6 +168,7 @@ object SparkEntry {
     "text_bpe_token_count" -> TextOps.textBpeTokenCount _,
     "text_fingerprint"   -> TextOps.textFingerprint _,
     "text_pii_redact"    -> TextOps.textPiiRedact _,
+    "text_html_strip"    -> TextOps.textHtmlStrip _,
     "text_contamination" -> TextOps.textContamination _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_pack_bpe"  -> Pipeline.packBpe _,
@@ -401,6 +402,8 @@ object SparkEntry {
     // hash compare genuinely tests cross-engine regex semantics.
     "text_pii_redact" ->
       "WITH r AS (SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') || ' contact ' || source || '@example.org or +' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw FROM documents) SELECT doc_id, regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'), '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted, CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(raw, '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones FROM r ORDER BY doc_id",
+    "text_html_strip" ->
+      "WITH r AS (SELECT doc_id, '<html><body><h1>' || source || '</h1><p>' || array_to_string(string_split(text, ' ')[1:12], ' ') || '</p><div class=\"nav\">home &amp; search &lt;links&gt;</div></body></html>' AS raw FROM documents) SELECT doc_id, trim(regexp_replace(replace(replace(replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), ' +', ' ', 'g')) AS clean, CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags FROM r ORDER BY doc_id",
     "text_contamination" ->
       "WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 3), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS shingle FROM documents WHERE len(string_split(text, ' ')) >= 5) u), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0), hits AS (SELECT doc_id, count(*) AS n_contaminated FROM tr JOIN ev USING (shingle) GROUP BY doc_id), tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id) SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM hits JOIN tot USING (doc_id) ORDER BY doc_id",
     "pipeline_pack_sequences" ->

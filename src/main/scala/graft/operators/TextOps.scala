@@ -185,6 +185,33 @@ object TextOps {
           .cast("bigint").as("n_phones"))
       .orderBy("doc_id")
 
+  /** HTML boilerplate stripping — the first transform a web-crawl corpus
+    * passes through (markup → plain text). Markup is synthesized
+    * deterministically per document (same device as textPiiRedact: the
+    * corpus ships clean, so the operator constructs its own dirty
+    * input identically on both engines), then stripped: tags → space,
+    * entities decoded AFTER tag removal (so a decoded '&lt;' can never
+    * be re-parsed as markup), whitespace collapsed. Pure
+    * regexp_replace/replace chains — WholeStageCodegen at scan speed,
+    * no UDF. */
+  def textHtmlStrip(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"),
+        concat(
+          lit("<html><body><h1>"), col("source"), lit("</h1><p>"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 12))"),
+          lit("</p><div class=\"nav\">home &amp; search &lt;links&gt;</div></body></html>"))
+          .as("raw"))
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          expr("""replace(replace(replace(
+                 |  regexp_replace(raw, '<[^>]*>', ' '),
+                 |  '&amp;', '&'), '&lt;', '<'), '&gt;', '>')""".stripMargin),
+          " +", " ")).as("clean"),
+        size(regexp_extract_all(col("raw"), lit("<[^>]*>"), lit(0)))
+          .cast("bigint").as("n_tags"))
+      .orderBy("doc_id")
+
   /** Benchmark-contamination check — the decontamination step of an LLM
     * data pipeline (flag training documents that share long n-grams with
     * a held-out evaluation set, GPT-3/PaLM-style). Here the "eval set"
