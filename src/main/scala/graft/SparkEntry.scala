@@ -184,6 +184,10 @@ object SparkEntry {
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
+    // behavioral statistics (user-study platform analysis set)
+    "experiment_ttest"   -> Stats.experimentTtest _,
+    "path_transitions"   -> Stats.pathTransitions _,
+    "anomaly_zscore"     -> Stats.anomalyZscore _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -431,6 +435,12 @@ object SparkEntry {
       "WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), x AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((o_totalprice - lo) / (hi - lo) * 20.0), 19.0) AS BIGINT) END AS bin, lo, hi FROM orders, b) SELECT bin, round(lo + bin * (hi - lo) / 20.0, 4) AS bin_lo, round(lo + (bin + 1) * (hi - lo) / 20.0, 4) AS bin_hi, count(*) AS n FROM x GROUP BY bin, lo, hi ORDER BY bin",
     "profile_table" ->
       "SELECT * FROM (SELECT 'o_custkey' AS column_name, count(*) AS n_rows, count(*) - count(o_custkey) AS n_null, count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_val, CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT CAST(round(o_totalprice, 2) AS DECIMAL(18,2))), CAST(min(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR), CAST(max(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR) FROM orders) p ORDER BY column_name",
+    "experiment_ttest" ->
+      "WITH p AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN value END AS va, CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) NOT IN ('0','1','2','3','4','5','6','7') THEN value END AS vb FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), s AS (SELECT count(va) AS n_a, count(vb) AS n_b, avg(va) AS mean_a, avg(vb) AS mean_b, var_samp(va) AS var_a, var_samp(vb) AS var_b FROM p) SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b, round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat FROM s",
+    "path_transitions" ->
+      "WITH l AS (SELECT user_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, event_type FROM events WHERE user_id IS NOT NULL), c AS (SELECT prev_type, event_type, count(*) AS n FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2) SELECT prev_type, event_type, n, round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS share FROM c ORDER BY prev_type, event_type",
+    "anomaly_zscore" ->
+      "WITH w AS (SELECT user_id, event_id, value, count(*) OVER (PARTITION BY user_id) AS n_u, avg(value) OVER (PARTITION BY user_id) AS mean_u, stddev_samp(value) OVER (PARTITION BY user_id) AS std_u FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), z AS (SELECT user_id, event_id, value, round((value - mean_u) / std_u, 4) AS z FROM w WHERE n_u >= 5 AND std_u > 0) SELECT user_id, event_id, round(value, 4) AS value, z FROM z WHERE abs(z) > 2.0 ORDER BY user_id, event_id",
     "funnel_stages" ->
       "WITH s1 AS (SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), s2 AS (SELECT e.user_id, s1.signup_ts, min(e.ts) AS click_ts FROM events e JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts GROUP BY e.user_id, s1.signup_ts), s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts GROUP BY e.user_id) SELECT s1.user_id AS user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts, CAST(1 + CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY user_id",
     "retention_cohorts" ->

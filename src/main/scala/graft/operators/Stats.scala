@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral-statistics operators — the analysis a user-study platform
+  * (SURVEY §1.1) runs on its event stream: A/B comparison, event-flow
+  * transitions, and outlier detection. All pure aggregate/window
+  * algebra; aggregated-double outputs and comparisons are rounded on
+  * both engine sides per the §0.3 determinism convention.
+  */
+object Stats {
+
+  /** A/B experiment comparison (Welch's t): users hash deterministically
+    * into arms (md5 first hex char, 0-7 → A, else B — md5 is the
+    * cross-engine-identical hash), the purchase-value metric aggregates
+    * per arm, and the t statistic compares the means.
+    *
+    * Scale shape: ONE conditional aggregate over the filtered events
+    * scan — n/mean/variance for both arms in a single pass (each stat is
+    * an expression over `when(arm, value)`), then scalar math on the
+    * 1-row result. No join, no second pass, map-side combinable.
+    */
+  def experimentTtest(s: SparkSession, sf: String): DataFrame = {
+    val a = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val va = when(a, col("value"))
+    val vb = when(!a, col("value"))
+    Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .agg(count(va).as("n_a"), count(vb).as("n_b"),
+           avg(va).as("mean_a"), avg(vb).as("mean_b"),
+           var_samp(va).as("var_a"), var_samp(vb).as("var_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round((col("mean_a") - col("mean_b")) /
+              sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4)
+          .as("t_stat"))
+  }
+
+  /** Event-flow transition matrix: P(next event type | current) per
+    * user journey — the Markov view of a funnel. One window shuffle on
+    * user_id for the lag, one ≤|types|² aggregate for the counts; the
+    * row-share denominator is a window over the tiny aggregated matrix.
+    */
+  def pathTransitions(s: SparkSession, sf: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wPrev = Window.partitionBy(col("prev_type"))
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+              lag(col("event_type"), 1).over(ord).as("prev_type"),
+              col("event_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(wPrev), 6))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Per-user outlier detection: purchases whose value sits more than
+    * 2 rounded z-scores from that user's own mean. Users need ≥ 5
+    * purchases (a 2-point std is noise); std = 0 (all-identical values
+    * — exactly representable, so exactly zero on both engines) is
+    * excluded before the division. The z compare uses the ROUNDED z on
+    * both engines — the repo's round-before-compare rule for
+    * aggregated-double thresholds.
+    *
+    * Scale shape: per-user mean/std as one window over the user
+    * shuffle, z map-side, no join-back.
+    */
+  def anomalyZscore(s: SparkSession, sf: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+              count(lit(1)).over(wu).as("n_u"),
+              avg(col("value")).over(wu).as("mean_u"),
+              stddev_samp(col("value")).over(wu).as("std_u"))
+      .filter(col("n_u") >= 5 && col("std_u") > 0)
+      .withColumn("z", round((col("value") - col("mean_u")) / col("std_u"), 4))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value"),
+              col("z"))
+      .orderBy("user_id", "event_id")
+  }
+}

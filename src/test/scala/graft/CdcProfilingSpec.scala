@@ -160,6 +160,24 @@ class CdcProfilingSpec extends SparkSpecBase {
       s"single-table rules must fuse into one scan, saw $ordersScans")
   }
 
+  test("behavioral stats: transition shares are row-stochastic, arms partition users") {
+    import graft.operators.Stats
+    val tr = Stats.pathTransitions(spark, sfSmoke).collect()
+    assert(tr.length == 25, "5 event types must yield a full 5x5 matrix")
+    tr.groupBy(_.getString(0)).values.foreach { row =>
+      assert(math.abs(row.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+        "each prev_type's outgoing shares must sum to 1")
+    }
+    val t = Stats.experimentTtest(spark, sfSmoke).head()
+    val purchases = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull).count()
+    assert(t.getLong(0) + t.getLong(1) === purchases,
+      "arms must partition the purchase events")
+    assert(t.getLong(0) > 0 && t.getLong(1) > 0 && !t.getDouble(4).isNaN)
+    val z = Stats.anomalyZscore(spark, sfSmoke).collect()
+    assert(z.forall(r => math.abs(r.getDouble(3)) > 2.0))
+  }
+
   test("pipeline_domain_mix: every language hits exactly the minority quota") {
     val mix = Pipeline.domainMix(spark, sfSmoke)
     val counts = mix.groupBy("lang").count().collect()
