@@ -188,6 +188,7 @@ object SparkEntry {
     "experiment_ttest"   -> Stats.experimentTtest _,
     "path_transitions"   -> Stats.pathTransitions _,
     "anomaly_zscore"     -> Stats.anomalyZscore _,
+    "timeseries_resample" -> Stats.timeseriesResample _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -441,6 +442,8 @@ object SparkEntry {
       "WITH l AS (SELECT user_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, event_type FROM events WHERE user_id IS NOT NULL), c AS (SELECT prev_type, event_type, count(*) AS n FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2) SELECT prev_type, event_type, n, round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS share FROM c ORDER BY prev_type, event_type",
     "anomaly_zscore" ->
       "WITH w AS (SELECT user_id, event_id, value, count(*) OVER (PARTITION BY user_id) AS n_u, avg(value) OVER (PARTITION BY user_id) AS mean_u, stddev_samp(value) OVER (PARTITION BY user_id) AS std_u FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), z AS (SELECT user_id, event_id, value, round((value - mean_u) / std_u, 4) AS z FROM w WHERE n_u >= 5 AND std_u > 0) SELECT user_id, event_id, round(value, 4) AS value, z FROM z WHERE abs(z) > 2.0 ORDER BY user_id, event_id",
+    "timeseries_resample" ->
+      "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2), span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), grid AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span) SELECT user_id, d, coalesce(day_value, 0.0) AS day_value, day_value IS NOT NULL AS observed FROM grid LEFT JOIN daily USING (user_id, d) ORDER BY user_id, d",
     "funnel_stages" ->
       "WITH s1 AS (SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), s2 AS (SELECT e.user_id, s1.signup_ts, min(e.ts) AS click_ts FROM events e JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts GROUP BY e.user_id, s1.signup_ts), s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts GROUP BY e.user_id) SELECT s1.user_id AS user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts, CAST(1 + CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY user_id",
     "retention_cohorts" ->

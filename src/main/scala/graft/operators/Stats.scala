@@ -89,4 +89,32 @@ object Stats {
               col("z"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Time-series resampling with gap fill: per-user daily purchase
+    * totals on a CONTIGUOUS day grid — missing days surface as explicit
+    * zero rows with `observed = false`. Downstream models (retention
+    * curves, forecasting) need the gaps as rows, not as absences.
+    *
+    * Scale shape: aggregate first (events → one row per (user, day)),
+    * THEN build the grid from each user's own [min, max] span — the
+    * explode is bounded by span-days × users, never events × days; the
+    * grid⋈daily join is a hash join on (user_id, day) between two
+    * user-day-grain frames. Day totals are rounded on both engines
+    * (non-integral doubles, §0.3 convention).
+    */
+  def timeseriesResample(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+              coalesce(col("day_value"), lit(0.0)).as("day_value"),
+              col("day_value").isNotNull.as("observed"))
+      .orderBy("user_id", "d")
+  }
 }

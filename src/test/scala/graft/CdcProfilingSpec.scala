@@ -178,6 +178,24 @@ class CdcProfilingSpec extends SparkSpecBase {
     assert(z.forall(r => math.abs(r.getDouble(3)) > 2.0))
   }
 
+  test("timeseries_resample: per-user grid is contiguous and gaps are explicit") {
+    import graft.operators.Stats
+    val rs = Stats.timeseriesResample(spark, sfSmoke).cache()
+    try {
+      // row count per user == span days (contiguity: no holes, no extras)
+      val bad = rs.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+             (datediff(max(col("d")), min(col("d"))) + 1).as("span"))
+        .filter(col("n") =!= col("span"))
+      assert(bad.count() === 0L, "each user's grid must cover exactly its span")
+      // gap rows exist, are zero-valued, and only they are unobserved
+      val gaps = rs.filter(!col("observed"))
+      assert(gaps.count() > 0, "fixture must contain gap days")
+      assert(gaps.filter(col("day_value") =!= 0.0).count() === 0L,
+        "gap days must be zero-filled")
+    } finally rs.unpersist()
+  }
+
   test("pipeline_domain_mix: every language hits exactly the minority quota") {
     val mix = Pipeline.domainMix(spark, sfSmoke)
     val counts = mix.groupBy("lang").count().collect()
