@@ -96,4 +96,33 @@ class PropertiesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("graft_shingles ≡ HOF chain on generated word arrays (incl. empties)") {
+    graft.functions.ShingleHash64.register(spark)
+    // words include empty strings and 1-char tokens — the concat_ws edge
+    // space the corpus never exercises
+    val wordsGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "", "ccc", "d e", "ff")))
+    forSamples(wordsGen, n = 8) { ws =>
+      import spark.implicits._
+      val df = Seq(Tuple1(ws)).toDF("w")
+      for (width <- Seq(1, 2, 5)) {
+        val native = df.select(expr(s"graft_shingles(w, $width)")).head()
+          .getSeq[Long](0)
+        if (ws.length < width) {
+          // the HOF chain CRASHES here (sequence(1, n) runs descending
+          // through 0 and slice rejects start 0) — the native form's
+          // empty-array contract is the robustness win, not just speed
+          assert(native.isEmpty, s"width $width over $ws must be empty")
+        } else {
+          val hof = df.select(expr(
+            s"""transform(sequence(1, size(w) - $width + 1),
+               |  i -> xxhash64(concat_ws(' ', slice(w, i, $width))))"""
+              .stripMargin)).head().getSeq[Long](0)
+          assert(native == hof,
+            s"width $width over $ws: native $native vs hof $hof")
+        }
+      }
+    }
+  }
 }
