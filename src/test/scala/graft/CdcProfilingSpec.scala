@@ -176,6 +176,12 @@ class CdcProfilingSpec extends SparkSpecBase {
     assert(t.getLong(0) > 0 && t.getLong(1) > 0 && !t.getDouble(4).isNaN)
     val z = Stats.anomalyZscore(spark, sfSmoke).collect()
     assert(z.forall(r => math.abs(r.getDouble(3)) > 2.0))
+    // the A/B aggregate is ONE pass: both arms' stats from one scan
+    val plan = Stats.experimentTtest(spark, sfSmoke).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = plan.linesIterator
+      .count(l => l.contains("Location:") && l.contains("events"))
+    assert(scans == 1, s"t-test must compute both arms in one scan, saw $scans")
   }
 
   test("timeseries_resample: per-user grid is contiguous and gaps are explicit") {
