@@ -351,10 +351,12 @@ object SparkEntry {
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, json_extract_string(props, '$.missing') AS k_missing, regexp_matches(props, '\"k\"') AS has_k, CAST(length(props) AS INTEGER) AS json_len FROM events ORDER BY event_id",
     "fn_cast" ->
       "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str, CAST(round(o_totalprice, 0) AS BIGINT) AS price_long, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str, TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast, TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip FROM orders ORDER BY o_orderkey",
-    // fn_decimal: exact decimal money math — both engines pinned to the
-    // same DECIMAL(p,s) output types; no rounding convention needed.
+    // fn_decimal: exact decimal money math — arithmetic stays DECIMAL;
+    // the output surface is DECIMAL→VARCHAR on both sides (fixed-scale
+    // string prints identically; raw DECIMAL hash-canonicalizes
+    // differently between engines).
     "fn_decimal" ->
-      "SELECT l_returnflag, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_price, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_disc_price, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price, max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price, count(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT l_returnflag, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_price, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_disc_price, CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS min_price, CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price, count(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "udf_scalar" ->
       "SELECT doc_id, replace(lower(substring(text, 1, 30)), ' ', '-') AS slug FROM documents ORDER BY doc_id",
     "udtf_explode_custom" ->

@@ -227,10 +227,13 @@ object Families {
     * the repo: the same query at 1000 executors produces bit-identical
     * totals. The corpus doubles are cents/10⁻⁴-exact (verified: zero rows
     * change under round(,2)/round(,4)), so the input casts are lossless.
-    * Output casts pin both engines to identical DECIMAL(p,s) (DuckDB sums
-    * to DECIMAL(38,s), Spark to (p+10,s); avg/division are excluded —
-    * DuckDB's decimal division degrades to DOUBLE, which would reintroduce
-    * the engine-order hazard this key exists to retire). */
+    * The ARITHMETIC stays decimal end-to-end; only the output SURFACE is
+    * cast DECIMAL(p,s)→string, because the driver's hash canonicalization
+    * of raw DECIMAL columns differs between engines while the fixed-scale
+    * string form ("123.40") prints identically on both (the repo's proven
+    * DECIMAL→string convention). avg/division are excluded — DuckDB's
+    * decimal division degrades to DOUBLE, which would reintroduce the
+    * engine-order hazard this key exists to retire. */
   def fnDecimal(s: SparkSession, sf: String): DataFrame =
     Tables.lineitem(s, sf)
       .select(
@@ -242,10 +245,10 @@ object Families {
           .cast("decimal(18,6)"))
       .groupBy("l_returnflag")
       .agg(
-        sum(col("price_dec")).cast("decimal(28,2)").as("sum_price"),
-        sum(col("disc_price")).cast("decimal(28,6)").as("sum_disc_price"),
-        min(col("price_dec")).as("min_price"),
-        max(col("price_dec")).as("max_price"),
+        sum(col("price_dec")).cast("decimal(28,2)").cast("string").as("sum_price"),
+        sum(col("disc_price")).cast("decimal(28,6)").cast("string").as("sum_disc_price"),
+        min(col("price_dec")).cast("string").as("min_price"),
+        max(col("price_dec")).cast("string").as("max_price"),
         count(lit(1)).as("n_items"))
       .orderBy("l_returnflag")
 
