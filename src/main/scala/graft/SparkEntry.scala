@@ -104,12 +104,11 @@ object SparkEntry {
     "win_ntile_percent" -> Windows.winNtilePercent _,
     "win_first_last"    -> Windows.winFirstLast _,
     "win_distinct_running" -> Windows.winDistinctRunning _,
-    // §2.1 extra sources/sinks (oracle-N round-trips)
+    // §2.1 extra sources/sinks — round-trips return the read-back rows,
+    // oracle-paired against the SOURCE table (lossless ⇔ hash match)
     "scan_csv"          -> Sources.scanCsv _,
     "scan_json_file"    -> Sources.scanJsonFile _,
     "scan_json_nested"  -> Sources.scanJsonNested _,
-    // scan_orc: oracle-N round-trip (DuckDB reads no ORC) — content
-    // equality asserted in JoinsSourcesSpec
     "scan_orc"          -> Sources.scanOrc _,
     "scan_json_malformed" -> Sources.scanJsonMalformed _,
     "typed_dataset_ops" -> TypedOps.typedDatasetOps _,
@@ -233,6 +232,18 @@ object SparkEntry {
     // base table — exact equality proves the round trip lost nothing.
     "scan_json_nested" ->
       "SELECT user_id, event_id, event_type, round(value, 4) AS value FROM events WHERE user_id < 200 ORDER BY user_id, event_id",
+    // scan_csv / scan_json_file / scan_orc / sink_partitioned: each query
+    // returns the ROUND-TRIPPED rows ordered by key, so pairing it with
+    // the SOURCE table's SQL makes losslessness oracle-provable — any
+    // write/read corruption breaks the hash match.
+    "scan_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_json_file" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_orc" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sink_partitioned" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "project_select" ->
       "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS revenue FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "filter_pred" ->

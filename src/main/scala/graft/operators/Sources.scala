@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Source/sink round-trips beyond plain parquet (SURVEY.md §2.1) and the
-  * UDF/UDTF surface (§2.11). The round-trip queries are oracle-N (no
-  * stable temp path for DuckDB) — the driver records a rows-only check;
-  * the scalatest suite asserts exact content equality.
+  * UDF/UDTF surface (§2.11). Each round-trip query returns the READ-BACK
+  * rows ordered by key and is oracle-paired against the source table's
+  * SQL — DuckDB never needs the temp path; a lossless round trip is
+  * exactly a hash match with the source. The scalatest suite additionally
+  * asserts content equality in-process.
   */
 object Sources {
 
