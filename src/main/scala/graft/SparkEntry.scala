@@ -396,13 +396,13 @@ object SparkEntry {
     // round() is half-up, DuckDB's half-even — floor is bit-identical);
     // the comma-joined quantized vector is an exact string compare.
     "embed_quantize_int8" ->
-      "WITH a AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings), q AS (SELECT vec_id, embedding, scale, CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0) ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) END AS qv FROM a) SELECT vec_id, round(scale, 8) AS scale, array_to_string(qv, ',') AS q_str, round(sqrt(list_sum(list_transform(range(1, 65), i -> pow(CAST(embedding[i] AS DOUBLE) - qv[i] * scale, 2)))), 6) AS l2_err FROM q ORDER BY vec_id",
+      "WITH a AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings), q AS (SELECT vec_id, embedding, scale, CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0) ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) END AS qv FROM a) SELECT vec_id, round(scale, 8) AS scale, array_to_string(qv, ',') AS q_str, round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i -> pow(CAST(embedding[i] AS DOUBLE) - qv[i] * scale, 2)))), 6) AS l2_err FROM q ORDER BY vec_id",
     "sim_cosine_topk" ->
-      "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) SELECT e.vec_id AS vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * qv[i])), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10",
+      "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) SELECT e.vec_id AS vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * qv[i])), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10",
     "sim_knn_join" ->
-      "WITH pairs AS (SELECT q.label AS label, q.vec_id AS qid, c.vec_id AS nid, round(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i])), 6) AS cos FROM embeddings q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id WHERE q.vec_id < 50) SELECT label, qid, nid, cos, rn FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn FROM pairs) t WHERE rn <= 3 ORDER BY qid, rn",
+      "WITH pairs AS (SELECT q.label AS label, q.vec_id AS qid, c.vec_id AS nid, round(list_sum(list_transform(range(1, len(q.embedding) + 1), i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i])), 6) AS cos FROM embeddings q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id WHERE q.vec_id < 50) SELECT label, qid, nid, cos, rn FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn FROM pairs) t WHERE rn <= 3 ORDER BY qid, rn",
     "dedup_embed_cosine" ->
-      "SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2, round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])), 6) AS cos FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])), 6) >= 0.35 ORDER BY label, id1, id2",
+      "SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])), 6) AS cos FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])), 6) >= 0.35 ORDER BY label, id1, id2",
     "text_tokenize_stats" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word), dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word), n AS (SELECT count(*) AS n_docs FROM documents) SELECT t.doc_id AS doc_id, t.word AS word, t.tf AS tf, d.df AS df, round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf FROM tf t JOIN dfq d USING (word) CROSS JOIN n ORDER BY doc_id, word",
     "text_ngrams" ->
@@ -444,7 +444,7 @@ object SparkEntry {
     "quality_constraints" ->
       "WITH s AS (SELECT count(*) - count(o_custkey) AS v_notnull, count(*) - count(DISTINCT o_orderkey) AS v_unique, coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 END), 0) AS v_range, coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END), 0) AS v_accepted FROM orders), f AS (SELECT count(*) AS v_fk FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)), r AS (SELECT 'o_custkey_not_null' AS rule, CAST(v_notnull AS BIGINT) AS violations FROM s UNION ALL SELECT 'o_orderkey_unique', CAST(v_unique AS BIGINT) FROM s UNION ALL SELECT 'o_totalprice_positive', CAST(v_range AS BIGINT) FROM s UNION ALL SELECT 'o_orderstatus_accepted', CAST(v_accepted AS BIGINT) FROM s UNION ALL SELECT 'l_orderkey_fk_orders', CAST(v_fk AS BIGINT) FROM f) SELECT rule, violations, violations = 0 AS pass FROM r ORDER BY rule",
     "profile_heavy_hitters" ->
-      "WITH t AS (SELECT count(*) AS total FROM events), u AS (SELECT 'user_id' AS column_name, CAST(user_id AS VARCHAR) AS value, count(*) AS n FROM events GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10), e AS (SELECT 'event_type' AS column_name, CAST(event_type AS VARCHAR) AS value, count(*) AS n FROM events GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10), b AS (SELECT * FROM u UNION ALL SELECT * FROM e) SELECT column_name, value, n, round(CAST(n AS DOUBLE) / total, 6) AS share FROM b CROSS JOIN t ORDER BY column_name, n DESC, value",
+      "WITH t AS (SELECT count(*) AS total FROM events), u AS (SELECT 'user_id' AS column_name, COALESCE(CAST(user_id AS VARCHAR), '<NULL>') AS value, count(*) AS n FROM events GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10), e AS (SELECT 'event_type' AS column_name, COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS value, count(*) AS n FROM events GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10), b AS (SELECT * FROM u UNION ALL SELECT * FROM e) SELECT column_name, value, n, round(CAST(n AS DOUBLE) / total, 6) AS share FROM b CROSS JOIN t ORDER BY column_name, n DESC, value",
     "agg_histogram" ->
       "WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), x AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((o_totalprice - lo) / (hi - lo) * 20.0), 19.0) AS BIGINT) END AS bin, lo, hi FROM orders, b) SELECT bin, round(lo + bin * (hi - lo) / 20.0, 4) AS bin_lo, round(lo + (bin + 1) * (hi - lo) / 20.0, 4) AS bin_hi, count(*) AS n FROM x GROUP BY bin, lo, hi ORDER BY bin",
     "profile_table" ->

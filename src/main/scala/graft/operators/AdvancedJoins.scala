@@ -106,10 +106,14 @@ object AdvancedJoins {
     * Scale path: the deletion-neighborhood (FastSS) blocking — a string
     * and its variants within one edit ALWAYS share a member of
     * {self} ∪ {one-char deletions}, so expanding BOTH sides into those
-    * keys turns the fuzzy match into a plain equi-join (here a broadcast
-    * hash join — the clean vocabulary is the small side); the exact
+    * keys turns the fuzzy match into a plain equi-join; the exact
     * levenshtein predicate then prunes the distance-2 collisions the
     * blocking admits (shared deletion ⇏ distance ≤ 1, e.g. "ab"/"ba").
+    * The broadcast hint below fits THIS corpus (small distinct
+    * vocabulary); a web-scale vocabulary × (|word|+1) neighborhood keys
+    * exceeds any broadcast budget — at that scale drop the hint and let
+    * AQE plan a shuffle hash join on `k` (the blocking, which is what
+    * bounds the pair space, is unchanged).
     * No all-pairs product anywhere: candidate fan-out is bounded by key
     * occupancy, the standard similarity-join shape. A naive
     * levenshtein(a,b) <= 1 theta-join would plan BroadcastNestedLoop —

@@ -102,8 +102,12 @@ object Profiling {
   def profileHeavyHitters(s: SparkSession, sf: String): DataFrame = {
     val ev = Tables.events(s, sf)
     val total = ev.agg(count(lit(1)).as("total"))
+    // NULL keys are folded to a '<NULL>' sentinel BEFORE grouping so the
+    // null group competes in the top-10 under plain string comparison on
+    // both engines (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST — a
+    // count tie involving a NULL group would otherwise diverge).
     def top10(c: String): DataFrame = ev
-      .groupBy(col(c).cast("string").as("value"))
+      .groupBy(coalesce(col(c).cast("string"), lit("<NULL>")).as("value"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value").asc)
       .limit(10)

@@ -7,7 +7,8 @@ object ExplainKey {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.01")
+    val df = SparkEntry.queries(args(0))(spark,
+      sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     println(df.queryExecution.explainString(FormattedMode).take(6000))
     spark.stop()
   }

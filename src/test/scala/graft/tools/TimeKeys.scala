@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object TimeKeys {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
