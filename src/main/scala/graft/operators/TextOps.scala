@@ -266,4 +266,55 @@ object TextOps {
           .as("contamination"))
       .orderBy("doc_id")
   }
+
+  /** Intra-document repetition filter — the Gopher-style quality gate
+    * that catches boilerplate/generated text by how much of a document
+    * is the SAME n-gram repeated: top-2-gram mass, top-3-gram mass, and
+    * duplicate-word fraction per doc, flagged over thresholds. (The
+    * corpus is single-line, so the repeated-line variant of the rule
+    * degenerates; the n-gram rules are the discriminative ones here —
+    * thresholds sit at the measured p90/p95 of this corpus.)
+    *
+    * Scale shape: the n-grams are hashed to 64-bit longs IN THE ROW by
+    * the native one-pass graft_shingles expression (ShingleHash64 — the
+    * same device textContamination uses; an interpreted HOF building
+    * gram STRINGS was 4× slower and shuffles ~30-byte keys instead of
+    * 8-byte ones). Counting by hash matches the oracle's string-equality
+    * counts as long as xxhash64 is injective on the corpus gram set — at
+    * 2^64 that holds far past any real corpus. Three explode branches
+    * over one column-pruned scan each, then hash aggregates with
+    * strictly shrinking cardinality ((doc,n,gram) → (doc,n) → doc).
+    * Every grouping key is prefixed by doc_id, so there is no skew for
+    * a hot gram to create — the very repetition being measured is
+    * absorbed by map-side combine inside the task that holds the doc.
+    * Thresholds compare the ROUNDED fractions so both engines gate on
+    * identical values. */
+  def textRepetitionFilter(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.ShingleHash64.register(s)
+    val d = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // graft_shingles returns [] (not phantom grams) for docs shorter
+    // than n — no sequence(1, 0)-descending guard needed.
+    def gramsOf(n: Int) = d.select(col("doc_id"), lit(n).as("n"),
+      explode(expr(s"graft_shingles(ws, $n)")).as("gram"))
+    val grams = gramsOf(1).unionAll(gramsOf(2)).unionAll(gramsOf(3))
+    grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(max("c").as("mx"), sum("c").as("tot"), count(lit(1)).as("nd"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("n") === 1, col("tot"))).cast("bigint").as("n_words"),
+        round(max(when(col("n") === 1,
+          lit(1.0) - col("nd").cast("double") / col("tot"))), 6).as("dup_word_frac"),
+        round(coalesce(max(when(col("n") === 2,
+          col("mx").cast("double") / col("tot"))), lit(0.0)), 6).as("top2_frac"),
+        round(coalesce(max(when(col("n") === 3,
+          col("mx").cast("double") / col("tot"))), lit(0.0)), 6).as("top3_frac"))
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top2_frac"), col("top3_frac"),
+        (col("top2_frac") > 0.08 || col("top3_frac") > 0.05 ||
+          col("dup_word_frac") > 0.70).cast("bigint").as("rep_flag"))
+      .orderBy("doc_id")
+  }
 }
