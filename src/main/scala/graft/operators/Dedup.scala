@@ -62,14 +62,16 @@ object Dedup {
     * two-phase connectedComponents engine (driver union-find when the
     * contracted edge list fits, the pointer-jumping iterative loop
     * above the threshold; see that method's scaladoc). The iterative
-    * round count is derived from the largest group (one cheap agg),
-    * not hardcoded. Oracle: min(doc_id) OVER the duplicate group.
+    * round count is derived inside the engine (⌈log₂ n⌉+1 from the
+    * node count, fixpoint early-exit), not hardcoded — and not from a
+    * separate max-group-size pre-scan either; see the call-site note.
+    * Oracle: min(doc_id) OVER the duplicate group.
     *
     * Cost reality check (sf0.1): ~3 k chain edges dispatch to the
     * driver finisher — one bounded collect, union-find, one broadcast
-    * join-back. The iterative loop (⌈log₂ d⌉ rounds for diameter d,
-    * three shuffles + an eager checkpoint each) only runs on corpora
-    * whose duplicate-chain edge list tops CcLocalMaxEdges. */
+    * join-back. The iterative loop (three shuffles + an eager
+    * checkpoint per round) only runs on corpora whose duplicate-chain
+    * edge list tops CcLocalMaxEdges. */
   def dedupCluster(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"),
@@ -78,23 +80,16 @@ object Dedup {
     val edges = docs.withColumn("prev", lag(col("doc_id"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("doc_id").as("a"), col("prev").as("b"))
-    // max(count) over zero groups yields one NULL row — an empty corpus
-    // must mean maxGroup = 1 (all-singleton), not an NPE.
-    val maxGroup = Option(docs.groupBy("h").count().agg(max("count"))
-        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(1L)
-    // maxGroup ≤ 1 → no edges exist: identity labeling, one shuffle-free
-    // plan, done.
-    if (maxGroup <= 1)
-      return docs.select(col("doc_id"), col("doc_id").as("cluster_rep"))
-        .orderBy("doc_id")
-    // Adjacency-chain edges give a group of g members diameter d = g − 1;
-    // min-label propagation + pointer jumping covers distance 2^k after k
-    // rounds, so ⌈log₂ d⌉ rounds suffice — derived from the data, never
-    // hardcoded. (g=3 → one round: the jump resolves the 2-hop chain.)
-    val iters = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(1L, maxGroup - 2))).toInt
+    // No scalar pre-pass: the old max-group-size aggregate was a full
+    // extra scan of the hash column before any real work, spent on two
+    // decisions connectedComponents already makes itself — its bounded
+    // edge probe returns the shuffle-free identity plan when no edges
+    // exist, and the iterative path (only entered past the 1M-edge
+    // probe cap) derives its ⌈log₂ n⌉+1 round bound from the node count
+    // with the fixpoint probe exiting the moment a round changes
+    // nothing. One job saved per call; at 100 TB, one saved corpus scan.
     connectedComponents(docs.select(col("doc_id").as("id")), edges,
-                        maxIters = iters, jump = maxGroup > 2)
+                        maxIters = -1)
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
   }
@@ -636,23 +631,33 @@ object Dedup {
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"), col("lang"),
         bagHash.as("h"))
-    val maxId = Option(docs.agg(max("doc_id")).head().get(0))
-      .map(_.asInstanceOf[java.lang.Long].longValue)
-    if (maxId.isEmpty)                    // empty corpus: no batch, no bloom
+    // ONE column-pruned scalar pass feeds every driver-side decision
+    // (split point, empty-history guard, bloom sizing) — previously two
+    // separate jobs (max, then hist count). The scalars cannot move
+    // in-plan: stat.bloomFilter is itself a driver action that needs its
+    // size as a plain long, and a broadcast-scalar crossJoin would
+    // re-execute this aggregate subtree inside EVERY downstream action
+    // (broadcast exchanges don't reuse across jobs) — three extra scans
+    // to avoid one.
+    val stats = docs.agg(max("doc_id"), min("doc_id"), count(lit(1))).head()
+    if (stats.isNullAt(0))                // empty corpus: no batch, no bloom
       return docs.select(col("doc_id"), col("lang")).limit(0)
-    val cutoff = maxId.get / 2            // floor; doc_ids are ≥ 0
+    val cutoff = stats.getLong(0) / 2     // floor; doc_ids are ≥ 0
     val hist  = docs.filter(col("doc_id") <= cutoff)
     val batch = docs.filter(col("doc_id") > cutoff)
-    // Size the bloom by the historical ROW COUNT, never the id range —
-    // with sparse ids (snowflake-style 64-bit) the range overestimates
-    // by orders of magnitude and the driver allocation explodes. The
-    // count also guards the sparse corner where NO doc falls at or
-    // below maxId/2: an empty bloom has a null bit buffer that NPEs on
-    // mightContain, and with no history everything is novel anyway.
-    val histCount = hist.count()
-    if (histCount == 0L)
+    // Sparse-id corner: NO doc at or below maxId/2 (min > cutoff) means
+    // no history — everything is novel, and building a bloom over the
+    // empty frame would NPE on its null bit buffer.
+    if (stats.getLong(1) > cutoff)
       return batch.select(col("doc_id"), col("lang")).orderBy("doc_id")
-    val bloom = hist.stat.bloomFilter("h", histCount, 0.01)
+    // Size the bloom by ROW COUNT, never the id range — with sparse ids
+    // (snowflake-style 64-bit) the range overestimates by orders of
+    // magnitude and the driver allocation explodes. The total count is
+    // an upper bound on the historical count (oversizing by the batch
+    // fraction only LOWERS fpp, at proportionally more driver memory);
+    // a production run sizes from the history table's own known count
+    // instead of paying a separate exact-count scan here.
+    val bloom = hist.stat.bloomFilter("h", stats.getLong(2), 0.01)
     val bBloom = s.sparkContext.broadcast(bloom)
     val mightDup = udf((h: String) => h != null && bBloom.value.mightContain(h))
     val novelFast = batch.filter(!mightDup(col("h")))   // map-side, no shuffle
