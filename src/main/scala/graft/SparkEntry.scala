@@ -204,6 +204,7 @@ object SparkEntry {
     "stream_agg_sink"   -> Streaming.streamAggSink _,
     "stream_foreach_batch" -> Streaming.streamForeachBatch _,
     "stream_join"       -> Streaming.streamJoinBatch _,
+    "stream_late_audit" -> Streaming.lateAuditBatch _,
     // §2.6 sort / limit / sample
     "sort_multi"        -> Relational.sortMulti _,
     "limit_topk"        -> Relational.limitTopK _,
@@ -491,6 +492,12 @@ object SparkEntry {
       "SELECT user_id, event_type, event_id, ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id, event_type",
     "stream_stateful" ->
       "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY user_id ORDER BY user_id",
+    // stream_late_audit: rows a 10-min watermark drops under the
+    // deterministic arrival jitter (event_id*7919 mod 1200 seconds);
+    // epoch_ns//1000 floor-truncates to the same microsecond instants
+    // Spark's `ts div 1000` read produces.
+    "stream_late_audit" ->
+      "WITH a AS (SELECT event_id, user_id, event_type, ts, epoch_ns(ts) // 1000 AS ts_us, epoch_ns(ts) // 1000 + event_id * 7919 % 1200 * 1000000 AS arrival_us FROM events), o AS (SELECT *, max(ts_us) OVER (ORDER BY arrival_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us FROM a) SELECT event_id, user_id, event_type, ts, hwm_us - 600000000 - ts_us AS late_us FROM o WHERE ts_us < hwm_us - 600000000 ORDER BY event_id",
     "stream_agg_sink" ->
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
     // scan_json_malformed: every 20th staged record is broken; the

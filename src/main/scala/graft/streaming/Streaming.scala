@@ -219,6 +219,61 @@ object Streaming {
            round(sum(col("value")), 4).as("sum_value"))
       .orderBy("user_id")
 
+  /** Batch twin of the watermark's late-data contract (stream_late_data
+    * itself is spec-only per SURVEY §2.9 — this key makes the drop
+    * semantics oracle-visible): replay the corpus in a deterministic
+    * arrival order and emit exactly the rows a 10-minute-watermark
+    * stream (the delay every §2.9 stream uses) would DROP — those whose
+    * event time lies below max(event time of all earlier arrivals) − 10
+    * minutes. The corpus is perfectly time-ordered by ingest sequence,
+    * so arrival is modeled as bounded network jitter:
+    * arrival = ts + (event_id·7919 mod 1200) seconds — pure integer
+    * arithmetic, bit-identical on both engines, worst-case disorder 20
+    * minutes. `late_us` reports how far below the watermark each
+    * dropped row arrived.
+    *
+    * Scale shape: the running high-watermark is a distributed two-pass
+    * prefix scan, NOT one global ORDER BY window (which would funnel
+    * the corpus through a single task). Pass 1 computes the exclusive
+    * within-bucket running max partitioned by arrival hour — parallel
+    * across buckets; pass 2 cumulates the one-row-per-bucket maxima
+    * (serial work = #buckets, ~10k for a year of data) and broadcasts
+    * them back; hwm = greatest(within-bucket, earlier-bucket-cum-max).
+    * The streaming engine tracks the same quantity per micro-batch;
+    * timestamps are compared in floor-truncated microseconds, the
+    * engines' shared instant resolution. */
+  def lateAuditBatch(s: SparkSession, sf: String): DataFrame =
+    lateAudit(Tables.events(s, sf))
+
+  /** Core of the late-data audit over any (event_id, user_id,
+    * event_type, ts) frame — see lateAuditBatch for semantics and the
+    * two-pass prefix-scan rationale. */
+  private[graft] def lateAudit(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val a = events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+              unix_micros(col("ts")).as("ts_us"))
+      .withColumn("arrival_us",
+        col("ts_us") + col("event_id") * 7919L % 1200L * 1000000L)
+      .withColumn("bkt", expr("arrival_us div 3600000000"))
+    val wIn = w.partitionBy(col("bkt"))
+      .orderBy(col("arrival_us"), col("event_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val withLocal = a.withColumn("local_hwm", max(col("ts_us")).over(wIn))
+    // pass 2 runs over one row per arrival hour — the single-task window
+    // here is over the bucket summary, never the corpus
+    val wBkt = w.orderBy(col("bkt")).rowsBetween(Long.MinValue, -1)
+    val bktCum = a.groupBy(col("bkt")).agg(max(col("ts_us")).as("bmax"))
+      .withColumn("prev_hwm", max(col("bmax")).over(wBkt))
+      .select(col("bkt"), col("prev_hwm"))
+    withLocal.join(broadcast(bktCum), "bkt")
+      .withColumn("hwm_us", greatest(col("local_hwm"), col("prev_hwm")))
+      .filter(col("ts_us") < col("hwm_us") - 600000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+              (col("hwm_us") - 600000000L - col("ts_us")).as("late_us"))
+      .orderBy("event_id")
+  }
+
   /** Staging shared by the real streaming runs: the corpus table is a
     * single parquet file and the streaming file source wants a directory
     * to list, so the file is staged into a scratch dir and read as a

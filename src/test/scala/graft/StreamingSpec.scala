@@ -60,6 +60,33 @@ class StreamingSpec extends SparkSpecBase {
       s"late event must not count: $hour10")
   }
 
+  test("late audit: drop set matches hand-computed watermark replay across arrival buckets") {
+    import spark.implicits._
+    // jitter(id) = id*7919 mod 1200 s: 1→719, 2→238, 5→1195, 7→233, 13→947.
+    // Arrival replay: id1 10:11:59 | id2 11:03:58 | id5 11:04:55 |
+    // id7 11:59:53 | id13 12:00:47. Watermark (max earlier ts − 10 min):
+    // id5 sees 11:00−10m = 10:50 > its 10:45 → dropped, 5 min late;
+    // id13 is the FIRST arrival of hour-bucket 12, so its watermark
+    // (11:56−10m from id7) comes entirely from the cross-bucket
+    // cumulative pass — dropped, 1 min late. id1/id2/id7 pass.
+    val evs = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-01 11:00:00"),
+      (5L, "2024-01-01 10:45:00"),
+      (7L, "2024-01-01 11:56:00"),
+      (13L, "2024-01-01 11:45:00"))
+      .toDF("event_id", "ts_s")
+      .select(col("event_id"), lit(1L).as("user_id"),
+              lit("click").as("event_type"),
+              col("ts_s").cast("timestamp").as("ts"))
+    val out = Streaming.lateAudit(evs).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(5L, 13L),
+      s"expected drops {5, 13}, got ${out.mkString(", ")}")
+    val late = out.map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("late_us")).toMap
+    assert(late(5L) == 300000000L)
+    assert(late(13L) == 60000000L)
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val b1 = Seq(ev(1, 0), ev(1, 0), ev(2, 5))
     val b2 = Seq(ev(1, 6), ev(3, 8))
