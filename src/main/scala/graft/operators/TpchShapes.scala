@@ -222,19 +222,30 @@ object TpchShapes {
   /** TPC-H Q16 shape (lite: supplier-part relationships via lineitem, the
     * complaint exclusion = negative account balance): distinct supplier
     * counts per (brand, type, size) bucket, excluding flagged suppliers by
-    * anti join. The NOT IN subquery becomes a broadcast anti join feeding
-    * a distinct-count aggregate. */
+    * anti join. The NOT IN subquery becomes a broadcast anti join.
+    *
+    * Shuffle accounting: both dimension joins are broadcast and applied
+    * straight off the fact scan — no pre-distinct of the link pairs
+    * (that was a full extra shuffle of the fact; duplicates can't affect
+    * a distinct count). The distinct count itself is the two-level form:
+    * groupBy(bucket, suppkey) — ONE fact-sized shuffle whose map-side
+    * partial aggregation collapses the repeats — then a count over the
+    * already-distinct groups, a second shuffle of only thousands of
+    * rows. count(col) (not count(*)) keeps countDistinct's ignore-null
+    * semantics if a corpus carries null suppkeys. */
   def q16SupplierCount(s: SparkSession, sf: String): DataFrame = {
-    val link = Tables.lineitem(s, sf).select("l_partkey", "l_suppkey").distinct()
+    val link = Tables.lineitem(s, sf).select("l_partkey", "l_suppkey")
     val flagged = Tables.supplier(s, sf)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_supp"))
     val p = Tables.part(s, sf)
       .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
               col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
     link.join(broadcast(flagged), col("l_suppkey") === col("bad_supp"), "left_anti")
-      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .agg(count(lit(1)).as("_dup"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .agg(count(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
                col("p_type").asc, col("p_size").asc)
   }
