@@ -170,6 +170,7 @@ object SparkEntry {
     "text_html_strip"    -> TextOps.textHtmlStrip _,
     "text_contamination" -> TextOps.textContamination _,
     "text_repetition_filter" -> TextOps.textRepetitionFilter _,
+    "text_boilerplate_ngrams" -> TextOps.textBoilerplateNgrams _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_pack_bpe"  -> Pipeline.packBpe _,
     "pipeline_train_val_split" -> Pipeline.trainValSplit _,
@@ -428,6 +429,11 @@ object SparkEntry {
       "WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 3), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS shingle FROM documents WHERE len(string_split(text, ' ')) >= 5) u), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0), hits AS (SELECT doc_id, count(*) AS n_contaminated FROM tr JOIN ev USING (shingle) GROUP BY doc_id), tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id) SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM hits JOIN tot USING (doc_id) ORDER BY doc_id",
     "text_repetition_filter" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), g AS (SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w UNION ALL SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w UNION ALL SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w), c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3), st AS (SELECT doc_id, n, max(c) AS mx, sum(c) AS tot, count(*) AS nd FROM c GROUP BY 1, 2), p AS (SELECT doc_id, CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_words, round(max(CASE WHEN n = 1 THEN 1.0 - CAST(nd AS DOUBLE) / tot END), 6) AS dup_word_frac, round(coalesce(max(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 0.0), 6) AS top2_frac, round(coalesce(max(CASE WHEN n = 3 THEN CAST(mx AS DOUBLE) / tot END), 0.0), 6) AS top3_frac FROM st GROUP BY 1) SELECT doc_id, n_words, dup_word_frac, top2_frac, top3_frac, CAST(top2_frac > 0.08 OR top3_frac > 0.05 OR dup_word_frac > 0.70 AS BIGINT) AS rep_flag FROM p ORDER BY doc_id",
+    // text_boilerplate_ngrams: boilerplate = 3-gram in >= 5 distinct
+    // docs; hash-gram counts (Spark) equal string-gram counts (here)
+    // under xxhash64 injectivity on the corpus gram set.
+    "text_boilerplate_ngrams" ->
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w) u), c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram), m AS (SELECT g.doc_id, (c.nd >= 5) AS is_b FROM g JOIN c USING (gram)), p AS (SELECT doc_id, count(*) AS n_grams, count(*) FILTER (is_b) AS n_boiler FROM m GROUP BY doc_id) SELECT doc_id, n_grams, n_boiler, round(CAST(n_boiler AS DOUBLE) / n_grams, 6) AS boiler_frac, CAST(round(CAST(n_boiler AS DOUBLE) / n_grams, 6) > 0.5 AS BIGINT) AS bp_flag FROM p ORDER BY doc_id",
     "pipeline_pack_sequences" ->
       "WITH t AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) SELECT source, doc_id, n_tokens, CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin FROM t ORDER BY source, doc_id",
     "pipeline_train_val_split" ->

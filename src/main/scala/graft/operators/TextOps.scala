@@ -267,6 +267,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate pruning — the C4/CCNet-style gate that
+    * removes copypasta spans shared across many documents (nav bars,
+    * license blocks, templated headers). A 3-gram is boilerplate when it
+    * occurs in ≥ 5 distinct documents (the corpus is single-line, so
+    * grams stand in for the line/sentence spans of the web-corpus rule;
+    * a production run sets the threshold as a document-frequency
+    * FRACTION — ceil(df · ndocs) from the same stat pass — rather than
+    * an absolute count). Emits per doc: distinct grams, boilerplate
+    * grams, boilerplate fraction, and the >0.5 flag.
+    *
+    * Scale shape: grams are 64-bit hashes from the one-pass native
+    * graft_shingles expression (8-byte shuffle keys, no gram strings).
+    * Pass 1: per-doc distinct grams — one (doc_id, gram) shuffle with
+    * map-side combine absorbing intra-doc repeats. Pass 2: document
+    * frequency by gram — partial-aggregatable count, so a
+    * corpus-universal gram costs nothing more than a rare one (no skew:
+    * combines happen map-side). The df-filtered boilerplate set joins
+    * back as a BROADCAST left join — never a shuffle join on the gram
+    * key, where every (doc, gram) row of a hot boilerplate gram would
+    * land in one task; at a corpus where the filtered set outgrows the
+    * broadcast budget, the join-back becomes a Bloom-filter prefilter +
+    * shuffle confirm (the dedup_incremental_bloom two-tier shape). The
+    * final per-doc rollup computes totals and boilerplate hits in ONE
+    * aggregate over the marked frame. */
+  def textBoilerplateNgrams(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.ShingleHash64.register(s)
+    val docGrams = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr("graft_shingles(ws, 3)")).as("gram"))
+      .distinct()
+    val boiler = docGrams.groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 5)
+      .select(col("gram"), lit(1).as("is_b"))
+    docGrams.join(broadcast(boiler), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("is_b")).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 6)
+          .as("boiler_frac"))
+      .withColumn("bp_flag", (col("boiler_frac") > 0.5).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
   /** Intra-document repetition filter — the Gopher-style quality gate
     * that catches boilerplate/generated text by how much of a document
     * is the SAME n-gram repeated: top-2-gram mass, top-3-gram mass, and
