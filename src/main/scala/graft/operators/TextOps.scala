@@ -267,6 +267,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity filter — the language-model quality gate
+    * that buckets documents by how surprising their text is under a
+    * corpus-trained model. The model here is the self-trained unigram
+    * LM (one counting pass; every scored word is in-vocabulary by
+    * construction, so no smoothing term can differ between engines):
+    * each document scores avg(−ln p(word)) over its tokens and lands in
+    * head/middle/tail at corpus-calibrated cutoffs — the
+    * lowest-perplexity head is what CCNet keeps, the tail is what a
+    * production pipeline re-inspects or drops.
+    *
+    * Scale shape: the vocab (word → −ln p) is vocabulary-sized, not
+    * corpus-sized — broadcast to score tokens map-side (a real corpus
+    * prunes count-1 hapaxes to keep it broadcastable; past that the
+    * score join shuffles on word and the per-doc rollup re-shuffles on
+    * doc_id). The only required shuffles are the vocab count and the
+    * per-doc aggregate, both partial-aggregatable — a million repeats
+    * of "the" collapse map-side on both passes. The total-token scalar
+    * stays in-plan as a broadcast crossJoin, never a driver collect.
+    * Buckets compare the ROUNDED score so both engines gate on
+    * identical values. */
+  def textPerplexityBucket(s: SparkSession, sf: String): DataFrame = {
+    val tok = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("tot"))
+    val nllByWord = vocab.crossJoin(broadcast(tot))
+      .select(col("word"),
+        (-log(col("c").cast("double") / col("tot"))).as("nll_w"))
+    tok.join(broadcast(nllByWord), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           round(avg(col("nll_w")), 6).as("avg_nll"))
+      .select(col("doc_id"), col("n_words"), col("avg_nll"),
+        when(col("avg_nll") < 3.400, "head")
+          .when(col("avg_nll") < 3.406, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-document boilerplate pruning — the C4/CCNet-style gate that
     * removes copypasta spans shared across many documents (nav bars,
     * license blocks, templated headers). A 3-gram is boilerplate when it
