@@ -173,6 +173,7 @@ object SparkEntry {
     "text_boilerplate_ngrams" -> TextOps.textBoilerplateNgrams _,
     "text_perplexity_bucket" -> TextOps.textPerplexityBucket _,
     "pipeline_shuffle_order" -> Pipeline.shuffleOrder _,
+    "sample_weighted" -> Pipeline.sampleWeighted _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_pack_bpe"  -> Pipeline.packBpe _,
     "pipeline_train_val_split" -> Pipeline.trainValSplit _,
@@ -431,6 +432,11 @@ object SparkEntry {
       "WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 3), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS shingle FROM documents WHERE len(string_split(text, ' ')) >= 5) u), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0), hits AS (SELECT doc_id, count(*) AS n_contaminated FROM tr JOIN ev USING (shingle) GROUP BY doc_id), tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id) SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM hits JOIN tot USING (doc_id) ORDER BY doc_id",
     "text_repetition_filter" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), g AS (SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w UNION ALL SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w UNION ALL SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w), c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3), st AS (SELECT doc_id, n, max(c) AS mx, sum(c) AS tot, count(*) AS nd FROM c GROUP BY 1, 2), p AS (SELECT doc_id, CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_words, round(max(CASE WHEN n = 1 THEN 1.0 - CAST(nd AS DOUBLE) / tot END), 6) AS dup_word_frac, round(coalesce(max(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 0.0), 6) AS top2_frac, round(coalesce(max(CASE WHEN n = 3 THEN CAST(mx AS DOUBLE) / tot END), 0.0), 6) AS top3_frac FROM st GROUP BY 1) SELECT doc_id, n_words, dup_word_frac, top2_frac, top3_frac, CAST(top2_frac > 0.08 OR top3_frac > 0.05 OR dup_word_frac > 0.70 AS BIGINT) AS rep_flag FROM p ORDER BY doc_id",
+    // sample_weighted: Bernoulli draw from md5 bits against a
+    // length-proportional threshold; lower() aligns DuckDB's uppercase
+    // to_hex with lowercase md5.
+    "sample_weighted" ->
+      "WITH m AS (SELECT max(n_chars) AS maxc FROM documents), d AS (SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) / (maxc + 1) AS keep_p FROM documents, m WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL) SELECT doc_id, n_chars, round(keep_p, 6) AS keep_p FROM d WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < lower(lpad(to_hex(CAST(floor(keep_p * 65536) AS BIGINT)), 4, '0')) ORDER BY doc_id",
     // pipeline_shuffle_order: md5-permuted training order; position is
     // engine-agnostic because md5 is.
     "pipeline_shuffle_order" ->

@@ -190,6 +190,36 @@ object Pipeline {
       .orderBy("lang", "doc_id")
   }
 
+  /** Weight-proportional deterministic sampling — the quality-weighted
+    * downsampling step (keep better documents with higher probability)
+    * as Bernoulli sampling with a per-row inclusion probability and a
+    * content-derived "seed": row kept iff the first 16 bits of
+    * md5(doc_id) fall below ⌊p·2¹⁶⌋, p = n_chars / (corpus max + 1).
+    * md5 makes the draw identical on every engine and every run — the
+    * property rand()-based sampling can never give an oracle — and the
+    * +1 keeps p < 1 so the 4-hex-digit threshold never overflows its
+    * width (both engines print hex UPPERCASE for the threshold and
+    * lowercase for md5, so both sides lower() before the compare).
+    *
+    * Scale shape: one column-pruned scalar pass for the max (kept
+    * in-plan as a broadcast crossJoin), then a pure map-side filter —
+    * no shuffle at any corpus size, unlike exact-size weighted
+    * reservoir designs (A-ES top-k by u^(1/w)) that pay a global
+    * selection. */
+  def sampleWeighted(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars"))
+    val mx = d.agg(max(col("n_chars")).as("maxc"))
+    d.crossJoin(broadcast(mx))
+      .withColumn("keep_p", col("n_chars").cast("double") / (col("maxc") + 1))
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) <
+        lpad(lower(hex(floor(col("keep_p") * 65536).cast("long"))), 4, "0"))
+      .select(col("doc_id"), col("n_chars"),
+              round(col("keep_p"), 6).as("keep_p"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global corpus shuffle — the training-order
     * randomization every pre-training run does before sharding: each
     * document gets a position in the md5-permuted order (reproducible
