@@ -174,6 +174,7 @@ object SparkEntry {
     "text_perplexity_bucket" -> TextOps.textPerplexityBucket _,
     "pipeline_shuffle_order" -> Pipeline.shuffleOrder _,
     "sample_weighted" -> Pipeline.sampleWeighted _,
+    "pipeline_token_mixture" -> Pipeline.tokenMixture _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_pack_bpe"  -> Pipeline.packBpe _,
     "pipeline_train_val_split" -> Pipeline.trainValSplit _,
@@ -432,6 +433,10 @@ object SparkEntry {
       "WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 3), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS shingle FROM documents WHERE len(string_split(text, ' ')) >= 5) u), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0), hits AS (SELECT doc_id, count(*) AS n_contaminated FROM tr JOIN ev USING (shingle) GROUP BY doc_id), tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id) SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM hits JOIN tot USING (doc_id) ORDER BY doc_id",
     "text_repetition_filter" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), g AS (SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w UNION ALL SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w UNION ALL SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w), c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3), st AS (SELECT doc_id, n, max(c) AS mx, sum(c) AS tot, count(*) AS nd FROM c GROUP BY 1, 2), p AS (SELECT doc_id, CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_words, round(max(CASE WHEN n = 1 THEN 1.0 - CAST(nd AS DOUBLE) / tot END), 6) AS dup_word_frac, round(coalesce(max(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 0.0), 6) AS top2_frac, round(coalesce(max(CASE WHEN n = 3 THEN CAST(mx AS DOUBLE) / tot END), 0.0), 6) AS top3_frac FROM st GROUP BY 1) SELECT doc_id, n_words, dup_word_frac, top2_frac, top3_frac, CAST(top2_frac > 0.08 OR top3_frac > 0.05 OR dup_word_frac > 0.70 AS BIGINT) AS rep_flag FROM p ORDER BY doc_id",
+    // pipeline_token_mixture: epochs derive from the ROUNDED mixture
+    // weight so both engines ceil identical values.
+    "pipeline_token_mixture" ->
+      "WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), b AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY source), t AS (SELECT sum(src_tokens) AS tot, count(*) AS n_src FROM b), m AS (SELECT source, src_tokens, round(CAST(tot AS DOUBLE) / n_src / src_tokens, 6) AS mix_weight FROM b, t), m2 AS (SELECT source, src_tokens, mix_weight, least(4, greatest(1, CAST(ceil(mix_weight) AS BIGINT))) AS n_epochs FROM m) SELECT doc_id, source, n_tokens, mix_weight, n_epochs, unnest(generate_series(1, n_epochs)) AS epoch FROM d JOIN m2 USING (source) ORDER BY doc_id, epoch",
     // sample_weighted: Bernoulli draw from md5 bits against a
     // length-proportional threshold; lower() aligns DuckDB's uppercase
     // to_hex with lowercase md5.

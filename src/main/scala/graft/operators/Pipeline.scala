@@ -190,6 +190,41 @@ object Pipeline {
       .orderBy("lang", "doc_id")
   }
 
+  /** Data-mixture epoch computation — the pre-training mixture table
+    * derived FROM the corpus instead of hardcoded: per source, measure
+    * its token share, compute the upsampling weight that would bring it
+    * to the uniform target share, and replicate each document
+    * ceil(weight) times (capped at 4 epochs — past that a mixture fixes
+    * the corpus, not the weights) with an epoch index. This is the
+    * "books get 3 epochs, web gets 1" step of a training-data recipe,
+    * with the weights auditable in the output.
+    *
+    * Scale shape: token counting is one partial-aggregatable groupBy;
+    * the per-source mixture table is sources-sized and broadcasts back
+    * onto the scan; the epoch explode multiplies rows AFTER all
+    * filtering, exactly as a shard-writer would. The epoch count gates
+    * on the ROUNDED weight so both engines ceil identical values. */
+  def tokenMixture(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val bySrc = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = bySrc.agg(sum(col("src_tokens")).as("tot"),
+                        count(lit(1)).as("n_src"))
+    val mix = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens"),
+        round(col("tot").cast("double") / col("n_src") / col("src_tokens"), 6)
+          .as("mix_weight"))
+      .withColumn("n_epochs",
+        least(lit(4L), greatest(lit(1L), ceil(col("mix_weight")).cast("long"))))
+    d.join(broadcast(mix), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("mix_weight"), col("n_epochs"),
+        explode(expr("sequence(1, n_epochs)")).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Weight-proportional deterministic sampling — the quality-weighted
     * downsampling step (keep better documents with higher probability)
     * as Bernoulli sampling with a per-row inclusion probability and a
