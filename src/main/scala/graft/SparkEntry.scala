@@ -122,6 +122,7 @@ object SparkEntry {
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
     "join_interval"     -> AdvancedJoins.joinInterval _,
     "join_asof"         -> AdvancedJoins.joinAsof _,
+    "join_asof_nearest" -> AdvancedJoins.joinAsofNearest _,
     "join_fuzzy_editdist" -> AdvancedJoins.joinFuzzyEditdist _,
     // §2.8 scalar function families
     "fn_string"         -> Families.fnString _,
@@ -433,6 +434,11 @@ object SparkEntry {
       "WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 3), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS shingle FROM documents WHERE len(string_split(text, ' ')) >= 5) u), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0), hits AS (SELECT doc_id, count(*) AS n_contaminated FROM tr JOIN ev USING (shingle) GROUP BY doc_id), tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id) SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM hits JOIN tot USING (doc_id) ORDER BY doc_id",
     "text_repetition_filter" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), g AS (SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w UNION ALL SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w UNION ALL SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w), c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3), st AS (SELECT doc_id, n, max(c) AS mx, sum(c) AS tot, count(*) AS nd FROM c GROUP BY 1, 2), p AS (SELECT doc_id, CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_words, round(max(CASE WHEN n = 1 THEN 1.0 - CAST(nd AS DOUBLE) / tot END), 6) AS dup_word_frac, round(coalesce(max(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 0.0), 6) AS top2_frac, round(coalesce(max(CASE WHEN n = 3 THEN CAST(mx AS DOUBLE) / tot END), 0.0), 6) AS top3_frac FROM st GROUP BY 1) SELECT doc_id, n_words, dup_word_frac, top2_frac, top3_frac, CAST(top2_frac > 0.08 OR top3_frac > 0.05 OR dup_word_frac > 0.70 AS BIGINT) AS rep_flag FROM p ORDER BY doc_id",
+    // join_asof_nearest: same union+window construction as the Spark
+    // side so the tie/equal-timestamp ordering (ts, tag, event_id) is
+    // identical; distances compare in floor-truncated microseconds.
+    "join_asof_nearest" ->
+      "WITH u AS (SELECT user_id, ts, 0 AS tag, event_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view' UNION ALL SELECT user_id, ts, 1 AS tag, event_id, NULL, NULL FROM events WHERE event_type = 'purchase'), w AS (SELECT *, last_value(view_id IGNORE NULLS) OVER wb AS prev_id, last_value(view_ts IGNORE NULLS) OVER wb AS prev_ts, first_value(view_id IGNORE NULLS) OVER wf AS next_id, first_value(view_ts IGNORE NULLS) OVER wf AS next_ts FROM u WINDOW wb AS (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), wf AS (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), s AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, prev_id, next_id, epoch_ns(ts) // 1000 - epoch_ns(prev_ts) // 1000 AS d_prev, epoch_ns(next_ts) // 1000 - epoch_ns(ts) // 1000 AS d_next FROM w WHERE tag = 1) SELECT user_id, purchase_id, purchase_ts, CASE WHEN d_prev IS NULL AND d_next IS NULL THEN NULL WHEN d_next IS NULL THEN prev_id WHEN d_prev IS NULL THEN next_id WHEN d_prev <= d_next THEN prev_id ELSE next_id END AS nearest_view_id, CASE WHEN d_prev IS NULL AND d_next IS NULL THEN NULL WHEN d_next IS NULL THEN d_prev WHEN d_prev IS NULL THEN d_next WHEN d_prev <= d_next THEN d_prev ELSE d_next END AS gap_us FROM s ORDER BY user_id, purchase_ts, purchase_id",
     // pipeline_token_mixture: epochs derive from the ROUNDED mixture
     // weight so both engines ceil identical values.
     "pipeline_token_mixture" ->

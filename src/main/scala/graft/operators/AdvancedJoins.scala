@@ -98,6 +98,60 @@ object AdvancedJoins {
       .orderBy("user_id", "purchase_ts", "purchase_id")
   }
 
+  /** Nearest-in-time join — sensor/event alignment where "the latest
+    * before" (plain as-of) is the wrong answer and the CLOSEST
+    * observation in either direction is wanted: each purchase pairs with
+    * its nearest view by absolute time distance, ties to the earlier
+    * side. Same single-shuffle union trick as joinAsof, extended to both
+    * directions: one union frame, one exchange+sort on (user, ts, tag,
+    * id), a backward last(ignoreNulls) and a forward first(ignoreNulls)
+    * over the SAME sort (Spark plans both frames off one exchange — no
+    * second shuffle), then an in-row argmin. A band self-join
+    * (abs(diff) ≤ τ) would shuffle both sides and explode on dense
+    * users; this form is linear in the stream and needs no band
+    * parameter. Distances compare in floor-truncated microseconds — the
+    * engines' shared instant resolution. */
+  def joinAsofNearest(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+              col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+              lit(null).cast("long").as("view_id"),
+              lit(null).cast("timestamp").as("view_ts"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val scored = views.unionByName(purchases)
+      .select(col("user_id"), col("ts"), col("tag"), col("event_id"),
+        last(col("view_id"), ignoreNulls = true).over(wb).as("prev_id"),
+        last(col("view_ts"), ignoreNulls = true).over(wb).as("prev_ts"),
+        first(col("view_id"), ignoreNulls = true).over(wf).as("next_id"),
+        first(col("view_ts"), ignoreNulls = true).over(wf).as("next_ts"))
+      .filter(col("tag") === 1)
+    val dPrev = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+    val dNext = unix_micros(col("next_ts")) - unix_micros(col("ts"))
+    scored.select(col("user_id"), col("event_id").as("purchase_id"),
+      col("ts").as("purchase_ts"),
+      when(col("prev_ts").isNull && col("next_ts").isNull,
+           lit(null).cast("long"))
+        .when(col("next_ts").isNull, col("prev_id"))
+        .when(col("prev_ts").isNull, col("next_id"))
+        .when(dPrev <= dNext, col("prev_id"))
+        .otherwise(col("next_id")).as("nearest_view_id"),
+      when(col("prev_ts").isNull && col("next_ts").isNull,
+           lit(null).cast("long"))
+        .when(col("next_ts").isNull, dPrev)
+        .when(col("prev_ts").isNull, dNext)
+        .when(dPrev <= dNext, dPrev)
+        .otherwise(dNext).as("gap_us"))
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+
   /** Fuzzy (edit-distance ≤ 1) join — record linkage for data cleaning:
     * each document contributes a deterministically "misspelled" token
     * (its first word with the char at doc_id mod len dropped) that links
