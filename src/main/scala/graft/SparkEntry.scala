@@ -123,6 +123,7 @@ object SparkEntry {
     "join_interval"     -> AdvancedJoins.joinInterval _,
     "join_asof"         -> AdvancedJoins.joinAsof _,
     "join_asof_nearest" -> AdvancedJoins.joinAsofNearest _,
+    "agg_freq_sketch"   -> Profiling.aggFreqSketch _,
     "join_fuzzy_editdist" -> AdvancedJoins.joinFuzzyEditdist _,
     // §2.8 scalar function families
     "fn_string"         -> Families.fnString _,

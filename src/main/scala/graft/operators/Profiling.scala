@@ -119,6 +119,37 @@ object Profiling {
       .orderBy(col("column_name"), col("n").desc, col("value"))
   }
 
+  /** Approximate frequency via Count-Min sketch — the third classic
+    * mergeable sketch next to HLL (agg_hll_partitioned) and KLL-style
+    * quantiles (agg_approx_percentile): fixed d×w counter memory, one
+    * pass, mergeable across partitions/days, never undercounts. The key
+    * builds the sketch over user_id (eps 0.001, δ 0.01, fixed seed →
+    * deterministic), then reports the exact top-10 heavy hitters next to
+    * their sketch estimates and the overcount.
+    *
+    * Scale shape: the sketch build is one map-side-mergeable pass (the
+    * same shape a per-partition/day rollup keeps as state); the KB-sized
+    * sketch broadcasts and estimation is a map-side lookup — the
+    * streaming-friendly alternative to the exact groupBy in
+    * profileHeavyHitters when the key space no longer fits an exact
+    * aggregate. Oracle-N (sketch internals are engine-specific); the
+    * spec asserts the CMS contract — estimate ≥ exact always, overcount
+    * ≤ ⌈eps·n⌉ at the sketch's confidence — and determinism. */
+  def aggFreqSketch(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf).filter(col("user_id").isNotNull)
+    val cms = ev.stat.countMinSketch("user_id", eps = 0.001,
+                                     confidence = 0.99, seed = 42)
+    val b = s.sparkContext.broadcast(cms)
+    val est = udf((u: Long) => b.value.estimateCount(u))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id").asc)
+      .limit(10)
+      .select(col("user_id"), col("exact_n"),
+              est(col("user_id")).as("cms_n"))
+      .withColumn("overcount", col("cms_n") - col("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id").asc)
+  }
+
   /** Data-quality constraint suite — the Deequ/dbt-tests shape: declared
     * expectations validated in bulk, one row per rule with its violation
     * count. The gate a production pipeline runs before publishing a

@@ -202,6 +202,22 @@ class CdcProfilingSpec extends SparkSpecBase {
     } finally rs.unpersist()
   }
 
+  test("agg_freq_sketch: CMS never undercounts, overcount within eps*n, deterministic") {
+    import graft.operators.Profiling
+    val rows = Profiling.aggFreqSketch(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull).count()
+    val bound = math.ceil(0.001 * n).toLong
+    rows.foreach { r =>
+      val over = r.getAs[Long]("overcount")
+      assert(over >= 0L, s"CMS must never undercount: $r")
+      assert(over <= bound, s"overcount $over exceeds eps*n=$bound: $r")
+    }
+    // fixed seed → bit-identical estimates across runs
+    assert(Profiling.aggFreqSketch(spark, sfSmoke).collect().sameElements(rows))
+  }
+
   test("pipeline_domain_mix: every language hits exactly the minority quota") {
     val mix = Pipeline.domainMix(spark, sfSmoke)
     val counts = mix.groupBy("lang").count().collect()
