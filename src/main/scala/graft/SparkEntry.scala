@@ -117,6 +117,7 @@ object SparkEntry {
     "join_lateral"      -> Subqueries.joinLateral _,
     "sink_partitioned"  -> Sources.sinkPartitioned _,
     "sink_sorted_layout" -> Sources.sinkSortedLayout _,
+    "sink_compacted"    -> Sources.sinkCompacted _,
     "scan_schema_evolution" -> Sources.scanSchemaEvolution _,
     // §2.3 advanced joins
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
@@ -253,6 +254,10 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "sink_partitioned" ->
       "SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase' ORDER BY event_id",
+    // sink_compacted: lossless 64-shard -> 4-file rewrite, proven
+    // against the source table like the other round-trip keys.
+    "sink_compacted" ->
+      "SELECT event_id, user_id, event_type, ts FROM events ORDER BY event_id",
     "project_select" ->
       "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS revenue FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "filter_pred" ->

@@ -138,6 +138,28 @@ object Sources {
       .orderBy("event_id")
   }
 
+  /** Small-file compaction — the OPTIMIZE step of table maintenance,
+    * next to CDC upsert and SCD2: a fragmented table (64 shards here —
+    * the streaming-sink / per-trigger-file reality) is rewritten into a
+    * handful of scan-efficient files with coalesce, which merges
+    * partitions WITHOUT a shuffle — compaction is IO-bound rewriting,
+    * and paying an exchange to do it would double the data movement. At
+    * 100 TB this runs per-partition (compact yesterday's directory, not
+    * the table) with target file count = partition bytes / 1 GB. The
+    * graded output is the compacted read-back, ordered — proving the
+    * rewrite lossless against the SOURCE table's oracle; the spec pins
+    * the actual file counts (64 → ≤ 4). */
+  def sinkCompacted(s: SparkSession, sf: String): DataFrame = {
+    val src = Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val fragDir = graft.Scratch.dir("graft_compact_frag_")
+    src.repartition(64).write.mode("overwrite").parquet(fragDir)
+    val outDir = graft.Scratch.dir("graft_compact_out_")
+    val frag = s.read.schema(src.schema).parquet(fragDir)
+    frag.coalesce(4).write.mode("overwrite").parquet(outDir)
+    s.read.schema(src.schema).parquet(outDir).orderBy("event_id")
+  }
+
   /** Schema evolution across parquet batches — the 100 TB table reality:
     * years of files where newer batches carry columns older ones lack.
     * An "old" batch (doc_id, lang) and a "new" batch (doc_id, lang,

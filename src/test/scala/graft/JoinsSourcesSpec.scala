@@ -63,6 +63,23 @@ class JoinsSourcesSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("compaction rewrites 64 shards into <= 4 files, losslessly") {
+    val got = Sources.sinkCompacted(spark, sfSmoke)
+    val want = Tables.events(spark, sfSmoke)
+      .select("event_id", "user_id", "event_type", "ts")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the physical point of the operator: the compacted directory holds
+    // a handful of data files where the fragmented one held 64
+    def nFiles(prefix: String): Int = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().filter(_.getName.startsWith(prefix))
+        .maxBy(_.lastModified())
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(nFiles("graft_compact_frag_") == 64)
+    assert(nFiles("graft_compact_out_") <= 4)
+  }
+
   test("udf_scalar slug equals built-in equivalent") {
     val viaBuiltins = Tables.documents(spark, sfSmoke)
       .select(col("doc_id"),
