@@ -125,6 +125,7 @@ object SparkEntry {
     "join_asof"         -> AdvancedJoins.joinAsof _,
     "join_asof_nearest" -> AdvancedJoins.joinAsofNearest _,
     "agg_freq_sketch"   -> Profiling.aggFreqSketch _,
+    "dedup_semantic"    -> Similarity.dedupSemantic _,
     "join_fuzzy_editdist" -> AdvancedJoins.joinFuzzyEditdist _,
     // §2.8 scalar function families
     "fn_string"         -> Families.fnString _,

@@ -208,37 +208,42 @@ object Similarity {
     * the graded configuration; the scaladocs on NProbe/KMeansIters
     * record the measured curve on this corpus). `nRows` lets the caller
     * supply the collection count from cached stats; < 0 counts here. */
-  private[graft] def ivfTopk(s: SparkSession, e: DataFrame,
-                             nprobe: Int = NProbe,
-                             lloydIters: Int = KMeansIters,
-                             nRows: Long = -1L): DataFrame = {
-    // nearest-centroid assignment: argmax dot, tiebreak LOWER centroid
-    // id — expressed as a max_by hash aggregate (struct ordering key,
-    // -cent_id for the ascending tiebreak) rather than a row_number
-    // window: a partial-aggregatable shape with no per-vector sort
-    def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-                dot(s)("embedding", "cv").as("cdot"))
-        .groupBy(col("vec_id"))
-        .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cent_id"),
-             first(col("embedding")).as("embedding"))
-        .select(col("cent_id"), col("vec_id"), col("embedding"))
-    // C ≈ √n cells (the FAISS IVF rule): assignment work is n×C = n^1.5
-    // and the broadcast stays C×64 floats — both bounded growth, unlike
-    // a fixed sampling stride (C = n/k grows linearly and the n×C
-    // assignment goes quadratic). One count() against parquet metadata.
+  /** Nearest-centroid assignment: argmax dot, tiebreak LOWER centroid
+    * id — expressed as a max_by hash aggregate (struct ordering key,
+    * -cent_id for the ascending tiebreak) rather than a row_number
+    * window: a partial-aggregatable shape with no per-vector sort. */
+  private def assignCells(s: SparkSession, vecs: DataFrame,
+                          cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+              dot(s)("embedding", "cv").as("cdot"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cent_id"),
+           first(col("embedding")).as("embedding"))
+      .select(col("cent_id"), col("vec_id"), col("embedding"))
+
+  /** Spherical k-means coarse quantizer shared by the IVF index and
+    * SemDeDup: deterministic seeds (every ⌈√n⌉-th vector), `lloydIters`
+    * Lloyd rounds on a deterministic 50% sample, means renormalized to
+    * unit so dot = cosine stays valid; returned MATERIALIZED (C×64
+    * floats ≈ tens of KB — exactly what gets broadcast anyway), so the
+    * training plan never re-executes per consumer.
+    *
+    * C ≈ √n cells (the FAISS IVF rule): assignment work is n×C = n^1.5
+    * and the broadcast stays C×64 floats — both bounded growth, unlike
+    * a fixed sampling stride (C = n/k grows linearly and the n×C
+    * assignment goes quadratic). */
+  private[graft] def trainCodebook(s: SparkSession, e: DataFrame,
+                                   nRows: Long = -1L,
+                                   lloydIters: Int = KMeansIters): DataFrame = {
     val n = if (nRows >= 0L) nRows else e.count()
     val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     var cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    // train on a deterministic 50% sample (the FAISS practice — the
-    // quantizer only needs the data's shape, not every vector); the
-    // full collection is assigned exactly once, with the final cents
     val trainSet = e.filter(col("vec_id") % 2 === 0)
     for (_ <- 1 to lloydIters) {
       val dims = 0 until 64
-      val means = assign(trainSet, cents).groupBy(col("cent_id"))
+      val means = assignCells(s, trainSet, cents).groupBy(col("cent_id"))
         .agg(avg(element_at(col("embedding"), 1)).as("m0"),
              dims.drop(1).map(i =>
                avg(element_at(col("embedding"), i + 1)).as(s"m$i")): _*)
@@ -252,13 +257,16 @@ object Similarity {
           """transform(m, x -> CAST(x / greatest(sqrt(aggregate(m, 0D,
             |  (a, v) -> a + v * v)), 1e-12D) AS FLOAT))""".stripMargin).as("cv"))
     }
-    // materialize the trained codebook ONCE (C×64 floats ≈ tens of KB —
-    // exactly what gets broadcast anyway): without this, the full Lloyd
-    // training plan would re-execute for each of the two references
-    // below (full assignment + query probes)
-    cents = s.createDataFrame(
+    s.createDataFrame(
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
-    val assigned = assign(e, cents)
+  }
+
+  private[graft] def ivfTopk(s: SparkSession, e: DataFrame,
+                             nprobe: Int = NProbe,
+                             lloydIters: Int = KMeansIters,
+                             nRows: Long = -1L): DataFrame = {
+    val cents = trainCodebook(s, e, nRows, lloydIters)
+    val assigned = assignCells(s, e, cents)
     // queries probe their NProbe nearest cells
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cdot").desc, col("cent_id").asc)
@@ -363,6 +371,49 @@ object Similarity {
     * degenerates to scale 0 / q ≡ 0 (guarded: 0/0 is NaN and a NaN
     * would cast to null and corrupt the string join).
     */
+  /** SemDeDup — semantic deduplication over embeddings (the Abbas et
+    * al. 2023 pattern, the modern LLM-corpus companion to MinHash
+    * dedup): cluster the collection with the k-means coarse quantizer,
+    * connect within-cell pairs above a cosine threshold, keep one
+    * representative (min vec_id) per semantic-duplicate group. The
+    * threshold is corpus-calibrated at 0.4 (this synthetic corpus' max
+    * blocked cosine is ~0.47; a production text-embedding run sits at
+    * 0.95+ — a knob, not a constant of the algorithm).
+    *
+    * Scale shape: the codebook is C ≈ √n cells trained once and
+    * broadcast (trainCodebook); candidate pairs exist only WITHIN a
+    * cell — the same bucketing that makes IVF search sublinear bounds
+    * the pair space here, and a skewed cell would be grid-chunked
+    * exactly like dedupEmbedCosine's label blocks. Duplicate groups
+    * resolve through the two-phase connectedComponents engine (driver
+    * union-find under the bounded probe, pointer-jumping loop above
+    * it). Oracle-N (k-means cells are engine-specific); the spec plants
+    * semantic duplicates and asserts exactly one survivor per group. */
+  def dedupSemantic(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    semDedup(s, e, nRows = embedStats(e, sf)._1)
+  }
+
+  private[graft] def semDedup(s: SparkSession, e: DataFrame,
+                              threshold: Double = 0.4,
+                              nRows: Long = -1L): DataFrame = {
+    val cents = trainCodebook(s, e, nRows)
+    val a = assignCells(s, e, cents)
+    val l = a.select(col("cent_id"), col("vec_id").as("id1"),
+                     col("embedding").as("v1"))
+    val r = a.select(col("cent_id"), col("vec_id").as("id2"),
+                     col("embedding").as("v2"))
+    val edges = l.join(r, "cent_id")
+      .filter(col("id1") < col("id2"))
+      .filter(round(dot(s)("v1", "v2"), 6) >= threshold)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    Dedup.connectedComponents(
+        e.select(col("vec_id").as("id")), edges, maxIters = -1)
+      .select(col("id").as("vec_id"), col("label").as("rep_id"))
+      .withColumn("kept", (col("vec_id") === col("rep_id")).cast("bigint"))
+      .orderBy("vec_id")
+  }
+
   def embedQuantizeInt8(s: SparkSession, sf: String): DataFrame = {
     Tables.embeddings(s, sf)
       .select(col("vec_id"),

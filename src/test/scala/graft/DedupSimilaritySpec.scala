@@ -205,6 +205,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("semdedup: planted semantic duplicates keep one survivor, distinct vectors all survive") {
+    import spark.implicits._
+    // 64-dim unit vectors: ids 0-2 identical (cos 1.0 — must merge to
+    // rep 0), ids 3-4 nearly identical (cos ≈ 0.995 — must merge to rep
+    // 3), ids 5-12 mutually near-orthogonal axis vectors (must all
+    // survive). Any identical pair shares a k-means cell by determinism
+    // of the argmax, so the planted groups cannot be split by blocking.
+    def unit(axis: Int, tilt: Double = 0.0): Array[Float] = {
+      val v = Array.fill(64)(0.0)
+      v(axis) = 1.0; if (tilt != 0.0) v((axis + 1) % 64) = tilt
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val vecs = Seq(
+      (0L, unit(0)), (1L, unit(0)), (2L, unit(0)),
+      (3L, unit(7)), (4L, unit(7, 0.1))) ++
+      (5L to 12L).map(i => (i, unit(i.toInt * 3 + 20)))
+    val e = vecs.toDF("vec_id", "embedding")
+      .withColumn("label", lit("t"))
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = graft.operators.Similarity.semDedup(spark, e, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Seq(0L, 1L, 2L).map(out(_)._1).toSet == Set(0L), "identical trio merges to rep 0")
+    assert(out(0L)._2 == 1L && out(1L)._2 == 0L && out(2L)._2 == 0L)
+    assert(Seq(3L, 4L).map(out(_)._1).toSet == Set(3L), "near-identical pair merges to rep 3")
+    (5L to 12L).foreach { i =>
+      assert(out(i) == (i, 1L), s"distinct vector $i must survive as its own rep")
+    }
+  }
+
   test("ivf ann: candidates come from probed cells, deterministic, recall measured") {
     val ivf = Similarity.simIvfTopk(spark, sfOracle)
     val rows = ivf.collect()
