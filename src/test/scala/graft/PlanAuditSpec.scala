@@ -167,4 +167,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(exchanges == 1,
       s"expected exactly one hash exchange, got $exchanges:\n$plan")
   }
+
+  test("q16 distinct count is the two-level aggregate, no pre-join fact shuffle") {
+    // the fact reaches its first aggregate through broadcast joins only;
+    // a distinct() before the joins (or a countDistinct expand) would
+    // add a second fact-sized exchange.
+    val plan = graft.operators.TpchShapes.q16SupplierCount(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"both dimension joins must broadcast:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"countDistinct expand must not appear (two-level agg instead):\n$plan")
+  }
+
+  test("late audit: corpus window is bucket-partitioned; only the bucket summary single-partitions") {
+    val plan = graft.streaming.Streaming.lateAuditBatch(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    // the full-corpus window must partition by bkt, and the one
+    // SinglePartition exchange must sit above an aggregate (the
+    // 256-row-scale bucket summary), never above a raw scan
+    assert(plan.contains("windowspecdefinition(bkt"),
+      s"corpus running-max window must partition by bucket:\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"at most one SinglePartition exchange:\n$plan")
+  }
+
+  test("boilerplate/nearest-asof broadcast their small sides") {
+    val bp = graft.operators.TextOps.textBoilerplateNgrams(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin"),
+      s"df-filtered boilerplate set must broadcast, not shuffle on gram:\n$bp")
+    // nearest-asof: both window frames plan off ONE data exchange
+    val asof = graft.operators.AdvancedJoins.joinAsofNearest(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(asof).length
+    assert(exchanges == 1,
+      s"nearest-asof must shuffle the union exactly once, got $exchanges:\n$asof")
+  }
 }
