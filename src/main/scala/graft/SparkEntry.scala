@@ -118,6 +118,7 @@ object SparkEntry {
     "sink_partitioned"  -> Sources.sinkPartitioned _,
     "sink_sorted_layout" -> Sources.sinkSortedLayout _,
     "sink_compacted"    -> Sources.sinkCompacted _,
+    "scan_binary_files" -> Sources.scanBinaryFiles _,
     "scan_schema_evolution" -> Sources.scanSchemaEvolution _,
     // §2.3 advanced joins
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
@@ -259,6 +260,10 @@ object SparkEntry {
     // against the source table like the other round-trip keys.
     "sink_compacted" ->
       "SELECT event_id, user_id, event_type, ts FROM events ORDER BY event_id",
+    // scan_binary_files: byte-exact file round-trip — md5 of the staged
+    // bytes must equal md5 of the source text.
+    "scan_binary_files" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents WHERE doc_id < 100 AND text IS NOT NULL ORDER BY doc_id",
     "project_select" ->
       "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS revenue FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "filter_pred" ->
