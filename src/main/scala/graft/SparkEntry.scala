@@ -138,6 +138,7 @@ object SparkEntry {
     "fn_json"           -> Families.fnJson _,
     "fn_cast"           -> Families.fnCast _,
     "fn_decimal"        -> Families.fnDecimal _,
+    "fn_url_parse"      -> Families.fnUrlParse _,
     // §2.11 UDF / UDTF surface
     "udf_scalar"        -> Sources.udfScalar _,
     "udtf_explode_custom" -> Sources.udtfExplode _,
@@ -171,6 +172,7 @@ object SparkEntry {
     // property in BpeTokenSpec.
     "text_bpe_token_count" -> TextOps.textBpeTokenCount _,
     "text_fingerprint"   -> TextOps.textFingerprint _,
+    "text_chunk_overlap" -> TextOps.textChunkOverlap _,
     "text_pii_redact"    -> TextOps.textPiiRedact _,
     "text_html_strip"    -> TextOps.textHtmlStrip _,
     "text_contamination" -> TextOps.textContamination _,
@@ -194,6 +196,7 @@ object SparkEntry {
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
+    "sessionize_gap"     -> Pipeline.sessionizeGap _,
     // behavioral statistics (user-study platform analysis set)
     "experiment_ttest"   -> Stats.experimentTtest _,
     "path_transitions"   -> Stats.pathTransitions _,
@@ -507,6 +510,20 @@ object SparkEntry {
       "WITH w AS (SELECT user_id, event_id, value, count(*) OVER (PARTITION BY user_id) AS n_u, avg(value) OVER (PARTITION BY user_id) AS mean_u, stddev_samp(value) OVER (PARTITION BY user_id) AS std_u FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), z AS (SELECT user_id, event_id, value, round((value - mean_u) / std_u, 4) AS z FROM w WHERE n_u >= 5 AND std_u > 0) SELECT user_id, event_id, round(value, 4) AS value, z FROM z WHERE abs(z) > 2.0 ORDER BY user_id, event_id",
     "timeseries_resample" ->
       "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2), span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), grid AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span) SELECT user_id, d, coalesce(day_value, 0.0) AS day_value, day_value IS NOT NULL AS observed FROM grid LEFT JOIN daily USING (user_id, d) ORDER BY user_id, d",
+    // sessionize_gap: 30-minute-gap batch sessionization, the batch twin
+    // of stream_session. cast-to-long second diffs match DuckDB's
+    // date_diff('second', ...) — the win_lag_lead-proven convention.
+    "sessionize_gap" ->
+      "WITH e AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM events WHERE user_id IS NOT NULL WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)), si AS (SELECT user_id, event_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_idx FROM e) SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start, max(ts) AS session_end, CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec FROM si GROUP BY user_id, session_idx ORDER BY user_id, session_idx",
+    // text_chunk_overlap: 32-token windows every 24 tokens. DuckDB
+    // list_slice's INCLUSIVE end = start+32 equals Spark slice's
+    // (start+1, length 32); both auto-cap at the token count.
+    "text_chunk_overlap" ->
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL AND length(text) > 0), st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t) SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_id, CAST(len(list_slice(toks, start + 1, least(start + 32, len(toks)))) AS BIGINT) AS n_tokens, array_to_string(list_slice(toks, start + 1, least(start + 32, len(toks))), ' ') AS chunk_text FROM st ORDER BY doc_id, chunk_id",
+    // fn_url_parse: URL planted from doc fields on both sides (the
+    // text_pii_redact pattern); Spark parse_url vs anchored regexes.
+    "fn_url_parse" ->
+      "WITH u AS (SELECT doc_id, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?utm_source=feed&ref=' || source || '&id=' || doc_id || '#top' AS url FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL) SELECT doc_id, url, regexp_extract(url, 'https://([^/]+)/', 1) AS host, regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1) AS path, regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param, regexp_replace(regexp_extract(url, 'https://([^/]+)/', 1), '^www\\.', '') || regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1) || '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1) AS canonical_url FROM u ORDER BY doc_id",
     "funnel_stages" ->
       "WITH s1 AS (SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), s2 AS (SELECT e.user_id, s1.signup_ts, min(e.ts) AS click_ts FROM events e JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts GROUP BY e.user_id, s1.signup_ts), s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts GROUP BY e.user_id) SELECT s1.user_id AS user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts, CAST(1 + CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY user_id",
     "retention_cohorts" ->

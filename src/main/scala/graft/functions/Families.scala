@@ -263,4 +263,33 @@ object Families {
         expr("try_cast(o_orderstatus AS int)").as("bad_cast"),
         expr("try_cast(cast(o_orderkey AS string) AS bigint)").as("roundtrip"))
       .orderBy("o_orderkey")
+
+  /** URL parsing + canonicalization — the web-corpus ingest staple
+    * (strip tracking params, fragment, and `www.` so near-identical
+    * URLs collapse to one canonical key for URL-level dedup). The
+    * corpus has no URL column, so the query PLANTS a deterministic URL
+    * from doc fields (the oracle plants the identical one — same
+    * pattern as text_pii_redact), then parses it back with Spark's
+    * native `parse_url` (codegen'd; the oracle re-derives the parts
+    * with anchored regexes). Pure projection: runs at scan speed. */
+  def fnUrlParse(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+              col("lang").isNotNull)
+      .withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.com/"),
+               col("lang"), lit("/doc-"), col("doc_id"),
+               lit("?utm_source=feed&ref="), col("source"),
+               lit("&id="), col("doc_id"), lit("#top")))
+      .select(
+        col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("id_param"),
+        concat(
+          regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", ""),
+          parse_url(col("url"), lit("PATH")),
+          lit("?id="),
+          parse_url(col("url"), lit("QUERY"), lit("id"))).as("canonical_url"))
+      .orderBy("doc_id")
 }

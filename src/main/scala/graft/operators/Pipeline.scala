@@ -137,6 +137,36 @@ object Pipeline {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Gap-based batch sessionization — the batch twin of the streaming
+    * `stream_session` key: a 30-minute inactivity gap closes a session,
+    * and each session reports its event count, bounds, and duration.
+    *
+    * Scale shape: ONE shuffle total. The lag window, the running-sum
+    * window, and the final (user_id, session_idx) aggregate all accept
+    * `hashpartitioning(user_id)` — Spark's subset rule lets a hash
+    * partitioning on user_id satisfy a clustered distribution on
+    * (user_id, session_idx) — so EnsureRequirements inserts no second
+    * exchange; per-user event history is the only per-task sort space. */
+  def sessionizeGap(s: SparkSession, sf: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_sec",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .withColumn("new_s",
+        when(col("gap_sec").isNull || col("gap_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+             .as("duration_sec"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Stratified sampling: the smallest-id ⌈20%⌉ of each language stratum
     * — deterministic, exactly proportional per stratum (the
     * train/val-split and subsampling step of a data pipeline).

@@ -153,6 +153,31 @@ object TextOps {
           .as("h_roll"))
       .orderBy("doc_id")
 
+  /** Overlapping-window chunking — the RAG / context-window prep stage:
+    * each document becomes ⌈n/stride⌉ chunks of up to 32 whitespace
+    * tokens starting every 24 (8-token overlap carries context across
+    * boundaries). One projection + one generator, no shuffle at all:
+    * chunking is embarrassingly parallel and stays inside the scan
+    * stage, so it runs at read speed on any corpus size; the chunk
+    * explosion multiplies rows ~n/stride×, which parquet-sized input
+    * splits absorb without repartitioning. */
+  def textChunkOverlap(s: SparkSession, sf: String): DataFrame = {
+    val win = 32; val stride = 24
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), words().as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("bigint").as("chunk_id"),
+        expr(s"CAST(size(slice(toks, start + 1, $win)) AS BIGINT)")
+          .as("n_tokens"),
+        expr(s"concat_ws(' ', slice(toks, start + 1, $win))")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Email regex shared by the redactor and its match counter. The
     * corpus text is synthetic word salad, so the graded query first
     * PLANTS deterministic contact strings (derived from doc fields, so
