@@ -79,6 +79,8 @@ object SparkEntry {
     "derived_scale_score" -> AdvancedAggs.derivedScaleScore _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
     "agg_udaf_typed"    -> AdvancedAggs.aggUdafTyped _,
+    "agg_mode"          -> AdvancedAggs.aggMode _,
+    "agg_entropy"       -> AdvancedAggs.aggEntropy _,
     "agg_percentile"    -> AdvancedAggs.aggPercentile _,
     // agg_approx_percentile: oracle-N (engine sketch) — self-tested vs
     // exact quartiles; mergeable t-digest-style scale path of the above
@@ -152,6 +154,7 @@ object SparkEntry {
     "dedup_simhash"      -> Dedup.dedupSimhash _,
     "dedup_incremental_bloom" -> Dedup.dedupIncrementalBloom _,
     "dedup_passage"      -> Dedup.dedupPassage _,
+    "dedup_url"          -> Dedup.dedupUrl _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     // §2.10 LLM-pipeline: similarity
     "sim_cosine_topk"    -> Similarity.simCosineTopk _,
@@ -197,11 +200,14 @@ object SparkEntry {
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
     "sessionize_gap"     -> Pipeline.sessionizeGap _,
+    "pipeline_filter_funnel" -> Pipeline.filterFunnel _,
     // behavioral statistics (user-study platform analysis set)
     "experiment_ttest"   -> Stats.experimentTtest _,
     "path_transitions"   -> Stats.pathTransitions _,
     "anomaly_zscore"     -> Stats.anomalyZscore _,
     "timeseries_resample" -> Stats.timeseriesResample _,
+    "timeseries_ffill"   -> Stats.timeseriesFfill _,
+    "stats_trend_regression" -> Stats.statsTrendRegression _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -227,6 +233,7 @@ object SparkEntry {
     "set_union_distinct" -> Relational.setUnionDistinct _,
     "set_intersect"     -> Relational.setIntersect _,
     "set_except"        -> Relational.setExcept _,
+    "set_ops_all"       -> Relational.setOpsAll _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -510,6 +517,35 @@ object SparkEntry {
       "WITH w AS (SELECT user_id, event_id, value, count(*) OVER (PARTITION BY user_id) AS n_u, avg(value) OVER (PARTITION BY user_id) AS mean_u, stddev_samp(value) OVER (PARTITION BY user_id) AS std_u FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), z AS (SELECT user_id, event_id, value, round((value - mean_u) / std_u, 4) AS z FROM w WHERE n_u >= 5 AND std_u > 0) SELECT user_id, event_id, round(value, 4) AS value, z FROM z WHERE abs(z) > 2.0 ORDER BY user_id, event_id",
     "timeseries_resample" ->
       "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2), span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), grid AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span) SELECT user_id, d, coalesce(day_value, 0.0) AS day_value, day_value IS NOT NULL AS observed FROM grid LEFT JOIN daily USING (user_id, d) ORDER BY user_id, d",
+    // timeseries_ffill: same grid as the resample; the gap policy is
+    // last-observation-carried-forward via IGNORE NULLS running window.
+    "timeseries_ffill" ->
+      "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2), span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), grid AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span) SELECT user_id, d, last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, day_value IS NOT NULL AS observed FROM grid LEFT JOIN daily USING (user_id, d) ORDER BY user_id, d",
+    // stats_trend_regression: integer day index keeps both engines'
+    // regression inputs bit-identical; only the regr_* outputs round.
+    "stats_trend_regression" ->
+      "SELECT event_type, round(regr_slope(y, x), 6) AS slope_per_day, round(regr_intercept(y, x), 4) AS intercept, round(regr_r2(y, x), 6) AS r2, CAST(regr_count(y, x) AS BIGINT) AS n_pairs FROM (SELECT event_type, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x, value AS y FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL) GROUP BY event_type ORDER BY event_type",
+    // agg_mode: row_number with (count DESC, value ASC) ordering makes
+    // the per-group mode tie-deterministic on both engines.
+    "agg_mode" ->
+      "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), r AS (SELECT user_id, event_type, n, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk, sum(n) OVER (PARTITION BY user_id) AS n_total FROM c) SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n_mode, round(n / n_total, 4) AS share FROM r WHERE rk = 1 ORDER BY user_id",
+    // dedup_url: plant the same three crawl variants per page identity,
+    // canonicalize with anchored regexes, keep min doc_id per canonical.
+    "dedup_url" ->
+      "WITH u AS (SELECT doc_id, 'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END || source || '.example.com/' || lang || '/page-' || CAST(doc_id % 200 AS VARCHAR) || CASE WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id % 200 AS VARCHAR) || '&utm_source=feed' WHEN doc_id % 3 = 1 THEN '?utm_campaign=x&ref=home&id=' || CAST(doc_id % 200 AS VARCHAR) ELSE '?id=' || CAST(doc_id % 200 AS VARCHAR) END AS url FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL), c AS (SELECT doc_id, 'https://' || regexp_replace(regexp_extract(url, 'https://([^/]+)/', 1), '^www\\.', '') || regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1) || '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1) AS canonical_url FROM u) SELECT canonical_url, min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_crawled FROM c GROUP BY 1 ORDER BY canonical_url",
+    // agg_entropy: +0.0 normalizes the single-type user's -0.0 (IEEE:
+    // -0.0 + 0.0 = +0.0) so both engines hash the same bits.
+    "agg_entropy" ->
+      "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), t AS (SELECT user_id, CAST(n AS DOUBLE) AS n, CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS total FROM c) SELECT user_id, round(-sum((n / total) * ln(n / total)) + 0.0, 6) AS entropy, CAST(count(*) AS BIGINT) AS n_types, round(max(n / total), 4) AS top_share FROM t GROUP BY user_id ORDER BY user_id",
+    // pipeline_filter_funnel: the same gate expressions as
+    // text_quality_score (alpha ratio) and dedup_exact (bag md5), so
+    // the funnel's counts reconcile with the per-doc graded keys.
+    "pipeline_filter_funnel" ->
+      "WITH d AS (SELECT doc_id, text, text IS NOT NULL AND length(text) > 0 AS g1, len(string_split(text, ' ')) AS n_words, CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS non_alpha, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h FROM documents), f AS (SELECT *, g1 AND length(text) >= 100 AS g2 FROM d), f2 AS (SELECT *, g2 AND n_words BETWEEN 10 AND 10000 AS g3 FROM f), f3 AS (SELECT *, g3 AND non_alpha <= 0.3 AS g4 FROM f2), k AS (SELECT *, g4 AND doc_id = min(CASE WHEN g4 THEN doc_id END) OVER (PARTITION BY h) AS g5 FROM f3), c AS (SELECT count(*) AS n0, count(*) FILTER (WHERE g1) AS n1, count(*) FILTER (WHERE g2) AS n2, count(*) FILTER (WHERE g3) AS n3, count(*) FILTER (WHERE g4) AS n4, count(*) FILTER (WHERE g5) AS n5 FROM k) SELECT CAST(1 AS BIGINT) AS stage_idx, 'nonempty' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM c UNION ALL SELECT 2, 'min_length', n1, n1 - n2, n2 FROM c UNION ALL SELECT 3, 'word_count', n2, n2 - n3, n3 FROM c UNION ALL SELECT 4, 'alpha_quality', n3, n3 - n4, n4 FROM c UNION ALL SELECT 5, 'exact_dedup', n4, n4 - n5, n5 FROM c ORDER BY stage_idx",
+    // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
+    // deterministic overlapping extracts, tagged and unioned.
+    "set_ops_all" ->
+      "WITH l AS (SELECT event_type, user_id FROM events WHERE event_id % 2 = 0), r AS (SELECT event_type, user_id FROM events WHERE event_id % 3 = 0), i AS (SELECT * FROM l INTERSECT ALL SELECT * FROM r), e AS (SELECT * FROM l EXCEPT ALL SELECT * FROM r) SELECT event_type, user_id, 'intersect_all' AS op FROM i UNION ALL SELECT event_type, user_id, 'except_all' AS op FROM e ORDER BY op, event_type, user_id",
     // sessionize_gap: 30-minute-gap batch sessionization, the batch twin
     // of stream_session. cast-to-long second diffs match DuckDB's
     // date_diff('second', ...) — the win_lag_lead-proven convention.

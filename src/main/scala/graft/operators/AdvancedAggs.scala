@@ -218,4 +218,66 @@ object AdvancedAggs {
            count(lit(1)).as("n_items"))
       .orderBy("l_returnflag")
   }
+
+  /** Deterministic per-group mode — each user's dominant event type
+    * (ties broken toward the lexicographically smallest type, so the
+    * answer is total-order stable on both engines; a bare `mode()`
+    * aggregate is tie-nondeterministic and would never hash-match).
+    *
+    * Scale shape: ONE explicit shuffle. The plan repartitions by
+    * user_id up front; the (user_id, event_type) count accepts it
+    * (subset rule: hashpartitioning(user_id) satisfies a clustered
+    * distribution on a superset key set), and the rank window needs
+    * exactly user_id clustering — so EnsureRequirements inserts no
+    * further exchange. Per-task sort space is the distinct-type count
+    * per user (tiny), never the raw event history.
+    */
+  def aggMode(s: SparkSession, sf: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"),
+              col("n").as("n_mode"),
+              round(col("n") / col("n_total"), 4).as("share"))
+      .orderBy("user_id")
+  }
+
+  /** Per-user Shannon entropy of the event-type distribution — the
+    * behavioral-diversity metric (0 = monoculture, ln(k) = uniform over
+    * k types), with the type count and the dominant type's share.
+    *
+    * IEEE trap: a single-type user yields -sum(1·ln 1) = **-0.0**, and
+    * -0.0 and +0.0 hash differently through parquet; `+ 0.0` normalizes
+    * to +0.0 on both engines (IEEE: -0.0 + 0.0 = +0.0).
+    *
+    * Scale shape: same one-explicit-shuffle plan as agg_mode —
+    * repartition(user_id) feeds the (user, type) count, the per-user
+    * total window, and the final per-user aggregate with no further
+    * exchange; state per group is the distinct-type count, never raw
+    * events.
+    */
+  def aggEntropy(s: SparkSession, sf: String): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val p = col("n") / col("total")
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wU))
+      .groupBy(col("user_id"))
+      .agg(round(-sum(p * log(p)) + lit(0.0), 6).as("entropy"),
+           count(lit(1)).cast("bigint").as("n_types"),
+           round(max(p), 4).as("top_share"))
+      .orderBy("user_id")
+  }
 }

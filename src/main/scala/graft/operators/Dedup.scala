@@ -717,4 +717,45 @@ object Dedup {
                       " ").as("text_clean"))
       .orderBy("doc_id")
   }
+
+  /** URL-level dedup — the first gate of a web-corpus pipeline: the same
+    * page is crawled under `www.`/bare-host, tracking-param, and
+    * param-order variants, and all of them must collapse to ONE
+    * canonical key before any content hashing runs. The corpus has no
+    * URL column, so the query PLANTS three deterministic crawl variants
+    * per page identity (host `www.` by doc parity, two tracking-param
+    * orderings by doc mod 3 — the fn_url_parse planting pattern),
+    * canonicalizes with `parse_url` (scheme-host-path + the one
+    * identity-bearing query param, `www.` stripped), and keeps the
+    * smallest doc_id per canonical URL with a duplicate count.
+    *
+    * Scale shape: canonicalization is a pure projection at scan speed;
+    * the dedup itself is one hash-groupBy on the canonical key — the
+    * exact_dedup shape, shuffle ∝ distinct pages, never a pair space.
+    */
+  def dedupUrl(s: SparkSession, sf: String): DataFrame = {
+    val page = pmod(col("doc_id"), lit(200L))
+    val url = concat(
+      lit("https://"),
+      when(pmod(col("doc_id"), lit(2L)) === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".example.com/"), col("lang"), lit("/page-"), page,
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+           concat(lit("?id="), page, lit("&utm_source=feed")))
+        .when(pmod(col("doc_id"), lit(3L)) === 1,
+              concat(lit("?utm_campaign=x&ref=home&id="), page))
+        .otherwise(concat(lit("?id="), page)))
+    Tables.documents(s, sf)
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+              col("lang").isNotNull)
+      .withColumn("url", url)
+      .withColumn("canonical_url",
+        concat(lit("https://"),
+               regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", ""),
+               parse_url(col("url"), lit("PATH")),
+               lit("?id="), parse_url(col("url"), lit("QUERY"), lit("id"))))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+           count(lit(1)).as("n_crawled"))
+      .orderBy("canonical_url")
+  }
 }

@@ -346,4 +346,50 @@ object Pipeline {
                 .otherwise(lit("train")).as("split"))
       .orderBy("doc_id")
   }
+
+  /** Gate-attrition funnel — the per-stage drop report every corpus team
+    * publishes next to their filtered dataset (how many documents each
+    * quality gate removed, in order): non-empty → min length → word
+    * count band → alpha-ratio → exact dedup (keep-first among
+    * survivors). Gates reuse the graded operators' exact expressions
+    * (the alpha ratio is textQualityScore's, the duplicate key is THE
+    * bagHash), so the funnel's numbers reconcile with the per-doc keys.
+    *
+    * Scale shape: one scan; the only shuffle is the dedup window on the
+    * content hash (min survivor doc_id per bag — same shuffle
+    * dedup_exact pays); the five stage counts are conditional sums in
+    * ONE aggregate, and `stack` pivots the 1-row result to the 5-row
+    * report. Output is O(stages), independent of corpus size.
+    */
+  def filterFunnel(s: SparkSession, sf: String): DataFrame = {
+    val nWords = size(split(col("text"), " "))
+    val nonAlpha = length(regexp_replace(col("text"), "[a-z ]", ""))
+      .cast("double") / greatest(length(col("text")), lit(1))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val flagged = Tables.documents(s, sf)
+      .select(col("doc_id"), col("text"))
+      .withColumn("g1", col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("g2", col("g1") && length(col("text")) >= 100)
+      .withColumn("g3", col("g2") && nWords.between(10, 10000))
+      .withColumn("g4", col("g3") && nonAlpha <= 0.3)
+      .withColumn("h", Dedup.bagHash)
+      .withColumn("g5", col("g4") &&
+        col("doc_id") === min(when(col("g4"), col("doc_id"))).over(wH))
+    flagged
+      .agg(count(lit(1)).as("n0"),
+           sum(col("g1").cast("long")).as("n1"),
+           sum(col("g2").cast("long")).as("n2"),
+           sum(col("g3").cast("long")).as("n3"),
+           sum(col("g4").cast("long")).as("n4"),
+           sum(col("g5").cast("long")).as("n5"))
+      .select(expr(
+        "stack(5, " +
+        "1L, 'nonempty', n0, n0 - n1, n1, " +
+        "2L, 'min_length', n1, n1 - n2, n2, " +
+        "3L, 'word_count', n2, n2 - n3, n3, " +
+        "4L, 'alpha_quality', n3, n3 - n4, n4, " +
+        "5L, 'exact_dedup', n4, n4 - n5, n5) " +
+        "AS (stage_idx, stage, n_in, n_dropped, n_out)"))
+      .orderBy("stage_idx")
+  }
 }

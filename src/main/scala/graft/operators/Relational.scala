@@ -488,4 +488,27 @@ object Relational {
     userDays("view").except(userDays("purchase"))
       .orderBy("user_id", "d")
   }
+
+  /** INTERSECT ALL / EXCEPT ALL — the multiset (bag) set operations:
+    * unlike `setIntersect`/`setExcept` these preserve multiplicity
+    * (min-of-counts / count-difference), which is what reconciliation
+    * between two event extracts actually needs. Two deterministic
+    * overlapping extracts (event_id mod 2 / mod 3) are compared on the
+    * (event_type, user_id) bag; both results union under an `op` tag.
+    *
+    * Scale shape: Spark plans both as a count-aggregate + generate
+    * (never a join): each side groups to (row, count), the counts
+    * combine, and `explode(sequence(...))` re-expands — shuffles are on
+    * the row key at distinct-row cardinality, multiplicity travels as
+    * one long. Exactly how a distributed bag-op should be shaped.
+    */
+  def setOpsAll(s: SparkSession, sf: String): DataFrame = {
+    def side(m: Int) =
+      Tables.events(s, sf).filter(pmod(col("event_id"), lit(m)) === 0)
+        .select(col("event_type"), col("user_id"))
+    val l = side(2); val r = side(3)
+    l.intersectAll(r).withColumn("op", lit("intersect_all"))
+      .unionByName(l.exceptAll(r).withColumn("op", lit("except_all")))
+      .orderBy("op", "event_type", "user_id")
+  }
 }

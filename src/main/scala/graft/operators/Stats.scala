@@ -117,4 +117,60 @@ object Stats {
               col("day_value").isNotNull.as("observed"))
       .orderBy("user_id", "d")
   }
+
+  /** Per-segment linear trend: OLS of the purchase metric on time (days
+    * since epoch) via the ANSI `regr_*` aggregate family — slope,
+    * intercept, fit quality, and pair count per event_type. The x axis
+    * is an INTEGER day index (`datediff` vs 1970-01-01), so both engines
+    * aggregate identical inputs; only the regression outputs are doubles
+    * and they are rounded per §0.3.
+    *
+    * Scale shape: one partial+final HashAggregate over the events scan —
+    * `regr_*` are sum-of-moments aggregates (map-side combinable,
+    * constant state per group), the same cost as an `avg`.
+    */
+  def statsTrendRegression(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+                .cast("double").as("x"),
+              col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(round(regr_slope(col("y"), col("x")), 6).as("slope_per_day"),
+           round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+           round(regr_r2(col("y"), col("x")), 6).as("r2"),
+           regr_count(col("y"), col("x")).cast("bigint").as("n_pairs"))
+      .orderBy("event_type")
+
+  /** Forward-fill imputation over the daily grid — the other standard
+    * gap policy next to `timeseries_resample`'s zero-fill: a missing day
+    * carries the last observed day's value forward (sensor/metrics
+    * semantics, "last known state"). Leading days are always observed
+    * because each user's grid starts at their first active day.
+    *
+    * Scale shape: same grid build as the resample, plus ONE running
+    * `last(ignoreNulls)` window per user — the join output is already
+    * hash-partitioned by (user_id, d), but the window needs user_id
+    * clustering, so the window adds the single per-user exchange; frame
+    * is rows-unbounded-preceding (O(1) state per row, no buffering).
+    */
+  def timeseriesFfill(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+              last(col("day_value"), ignoreNulls = true).over(w)
+                .as("filled_value"),
+              col("day_value").isNotNull.as("observed"))
+      .orderBy("user_id", "d")
+  }
 }
