@@ -204,4 +204,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(exchanges == 1,
       s"nearest-asof must shuffle the union exactly once, got $exchanges:\n$asof")
   }
+
+  test("single-shuffle subset-partitioning plans: sessionize, mode, entropy, funnel") {
+    // each of these claims ONE hashpartitioning exchange in its
+    // scaladoc: the up-front user_id (or content-hash) partitioning is
+    // reused by every downstream agg/window via the subset rule
+    for ((name, df) <- Seq(
+      "sessionize_gap" -> graft.operators.Pipeline.sessionizeGap(spark, sfSmoke),
+      "agg_mode" -> graft.operators.AdvancedAggs.aggMode(spark, sfSmoke),
+      "agg_entropy" -> graft.operators.AdvancedAggs.aggEntropy(spark, sfSmoke),
+      "pipeline_filter_funnel" -> graft.operators.Pipeline.filterFunnel(spark, sfSmoke))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(n == 1, s"$name must plan exactly one hash exchange, got $n:\n$plan")
+    }
+  }
+
+  test("multiset set-ops plan as count-aggregate + generate, never a join") {
+    val plan = Relational.setOpsAll(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"INTERSECT/EXCEPT ALL must not plan a join:\n$plan")
+    assert("Generate".r.findAllIn(plan).length >= 2,
+      s"multiplicity re-expansion generates must be present:\n$plan")
+  }
 }
