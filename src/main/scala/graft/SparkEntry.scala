@@ -106,6 +106,7 @@ object SparkEntry {
     "win_ntile_percent" -> Windows.winNtilePercent _,
     "win_first_last"    -> Windows.winFirstLast _,
     "win_distinct_running" -> Windows.winDistinctRunning _,
+    "win_activity_streak" -> Windows.winActivityStreak _,
     // §2.1 extra sources/sinks — round-trips return the read-back rows,
     // oracle-paired against the SOURCE table (lossless ⇔ hash match)
     "scan_csv"          -> Sources.scanCsv _,
@@ -192,15 +193,19 @@ object SparkEntry {
     // table maintenance: CDC merge + SCD2 history + ANALYZE profile
     "merge_cdc_upsert"   -> Cdc.mergeCdcUpsert _,
     "scd2_intervals"     -> Cdc.scd2Intervals _,
+    "join_temporal"      -> Cdc.joinTemporal _,
     "profile_table"      -> Profiling.profileTable _,
     "agg_histogram"      -> Profiling.aggHistogram _,
     "profile_heavy_hitters" -> Profiling.profileHeavyHitters _,
+    "agg_histogram_2d"   -> Profiling.aggHistogram2d _,
+    "profile_corr_matrix" -> Profiling.profileCorrMatrix _,
     "quality_constraints" -> Profiling.qualityConstraints _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
     "sessionize_gap"     -> Pipeline.sessionizeGap _,
     "pipeline_filter_funnel" -> Pipeline.filterFunnel _,
+    "text_word_zipf"     -> TextOps.textWordZipf _,
     // behavioral statistics (user-study platform analysis set)
     "experiment_ttest"   -> Stats.experimentTtest _,
     "path_transitions"   -> Stats.pathTransitions _,
@@ -542,6 +547,25 @@ object SparkEntry {
     // the funnel's counts reconcile with the per-doc graded keys.
     "pipeline_filter_funnel" ->
       "WITH d AS (SELECT doc_id, text, text IS NOT NULL AND length(text) > 0 AS g1, len(string_split(text, ' ')) AS n_words, CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS non_alpha, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h FROM documents), f AS (SELECT *, g1 AND length(text) >= 100 AS g2 FROM d), f2 AS (SELECT *, g2 AND n_words BETWEEN 10 AND 10000 AS g3 FROM f), f3 AS (SELECT *, g3 AND non_alpha <= 0.3 AS g4 FROM f2), k AS (SELECT *, g4 AND doc_id = min(CASE WHEN g4 THEN doc_id END) OVER (PARTITION BY h) AS g5 FROM f3), c AS (SELECT count(*) AS n0, count(*) FILTER (WHERE g1) AS n1, count(*) FILTER (WHERE g2) AS n2, count(*) FILTER (WHERE g3) AS n3, count(*) FILTER (WHERE g4) AS n4, count(*) FILTER (WHERE g5) AS n5 FROM k) SELECT CAST(1 AS BIGINT) AS stage_idx, 'nonempty' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM c UNION ALL SELECT 2, 'min_length', n1, n1 - n2, n2 FROM c UNION ALL SELECT 3, 'word_count', n2, n2 - n3, n3 FROM c UNION ALL SELECT 4, 'alpha_quality', n3, n3 - n4, n4 FROM c UNION ALL SELECT 5, 'exact_dedup', n4, n4 - n5, n5 FROM c ORDER BY stage_idx",
+    // text_word_zipf: total (freq DESC, word ASC) order makes the
+    // top-100 cut and ranks deterministic on both engines.
+    "text_word_zipf" ->
+      "WITH wds AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), c AS (SELECT word, count(*) AS freq FROM wds WHERE length(word) > 0 GROUP BY 1), t AS (SELECT CAST(sum(freq) AS DOUBLE) AS total_tokens FROM c), top AS (SELECT word, freq FROM c ORDER BY freq DESC, word ASC LIMIT 100) SELECT row_number() OVER (ORDER BY freq DESC, word ASC) AS rank, word, freq, round(freq / total_tokens, 6) AS share, round(sum(freq) OVER (ORDER BY freq DESC, word ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total_tokens, 6) AS cum_share FROM top, t ORDER BY rank",
+    // agg_histogram_2d: same bounds-scalar + equi-width convention as
+    // agg_histogram, second axis hour-of-day.
+    "agg_histogram_2d" ->
+      "WITH b AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n_total FROM events WHERE value IS NOT NULL), x AS (SELECT CAST(hour(ts) AS BIGINT) AS hh, CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((value - lo) / (hi - lo) * 10.0), 9.0) AS BIGINT) END AS bin, lo, hi, n_total FROM events, b WHERE value IS NOT NULL) SELECT hh, bin, round(lo + bin * (hi - lo) / 10.0, 4) AS bin_lo, round(lo + (bin + 1) * (hi - lo) / 10.0, 4) AS bin_hi, CAST(count(*) AS BIGINT) AS n, round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share FROM x GROUP BY hh, bin, lo, hi, n_total ORDER BY hh, bin",
+    // profile_corr_matrix: 16 corr aggregates in one pass, long-format.
+    "profile_corr_matrix" ->
+      "WITH c AS (SELECT round(corr(l_quantity, l_quantity), 6) AS c0_0, round(corr(l_quantity, l_extendedprice), 6) AS c0_1, round(corr(l_quantity, l_discount), 6) AS c0_2, round(corr(l_quantity, l_tax), 6) AS c0_3, round(corr(l_extendedprice, l_quantity), 6) AS c1_0, round(corr(l_extendedprice, l_extendedprice), 6) AS c1_1, round(corr(l_extendedprice, l_discount), 6) AS c1_2, round(corr(l_extendedprice, l_tax), 6) AS c1_3, round(corr(l_discount, l_quantity), 6) AS c2_0, round(corr(l_discount, l_extendedprice), 6) AS c2_1, round(corr(l_discount, l_discount), 6) AS c2_2, round(corr(l_discount, l_tax), 6) AS c2_3, round(corr(l_tax, l_quantity), 6) AS c3_0, round(corr(l_tax, l_extendedprice), 6) AS c3_1, round(corr(l_tax, l_discount), 6) AS c3_2, round(corr(l_tax, l_tax), 6) AS c3_3 FROM lineitem) SELECT * FROM (SELECT 'l_quantity' AS col_x, 'l_quantity' AS col_y, c0_0 AS corr_xy FROM c UNION ALL SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, c0_1 AS corr_xy FROM c UNION ALL SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, c0_2 AS corr_xy FROM c UNION ALL SELECT 'l_quantity' AS col_x, 'l_tax' AS col_y, c0_3 AS corr_xy FROM c UNION ALL SELECT 'l_extendedprice' AS col_x, 'l_quantity' AS col_y, c1_0 AS corr_xy FROM c UNION ALL SELECT 'l_extendedprice' AS col_x, 'l_extendedprice' AS col_y, c1_1 AS corr_xy FROM c UNION ALL SELECT 'l_extendedprice' AS col_x, 'l_discount' AS col_y, c1_2 AS corr_xy FROM c UNION ALL SELECT 'l_extendedprice' AS col_x, 'l_tax' AS col_y, c1_3 AS corr_xy FROM c UNION ALL SELECT 'l_discount' AS col_x, 'l_quantity' AS col_y, c2_0 AS corr_xy FROM c UNION ALL SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y, c2_1 AS corr_xy FROM c UNION ALL SELECT 'l_discount' AS col_x, 'l_discount' AS col_y, c2_2 AS corr_xy FROM c UNION ALL SELECT 'l_discount' AS col_x, 'l_tax' AS col_y, c2_3 AS corr_xy FROM c UNION ALL SELECT 'l_tax' AS col_x, 'l_quantity' AS col_y, c3_0 AS corr_xy FROM c UNION ALL SELECT 'l_tax' AS col_x, 'l_extendedprice' AS col_y, c3_1 AS corr_xy FROM c UNION ALL SELECT 'l_tax' AS col_x, 'l_discount' AS col_y, c3_2 AS corr_xy FROM c UNION ALL SELECT 'l_tax' AS col_x, 'l_tax' AS col_y, c3_3 AS corr_xy FROM c) ORDER BY col_x, col_y",
+    // join_temporal: facts joined to the SCD2 interval valid at event
+    // time; hash join on user_id, range filter post-join.
+    "join_temporal" ->
+      "WITH ch AS (SELECT user_id, ts, event_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type FROM events WHERE user_id IS NOT NULL), d0 AS (SELECT user_id, ts, event_id, event_type FROM ch WHERE prev_type IS NULL OR prev_type <> event_type), dim AS (SELECT user_id, event_type AS state, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to FROM d0), f AS (SELECT user_id, event_id, ts, round(value, 4) AS value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL) SELECT f.user_id, f.event_id, f.ts, f.value, dim.state, dim.valid_from FROM f JOIN dim ON f.user_id = dim.user_id AND f.ts >= dim.valid_from AND (dim.valid_to IS NULL OR f.ts < dim.valid_to) ORDER BY f.user_id, f.event_id",
+    // win_activity_streak: d - row_number() island key, best streak per
+    // user with earliest-start tiebreak.
+    "win_activity_streak" ->
+      "WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL), isl AS (SELECT user_id, d, d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d ASC) AS INTEGER) AS island FROM days), st AS (SELECT user_id, island, count(*) AS streak_days, min(d) AS streak_start, max(d) AS streak_end FROM isl GROUP BY 1, 2), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY streak_days DESC, streak_start ASC) AS rk FROM st) SELECT user_id, CAST(streak_days AS BIGINT) AS streak_days, streak_start, streak_end FROM r WHERE rk = 1 ORDER BY user_id",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

@@ -89,4 +89,41 @@ object Cdc {
               col("valid_to").isNull.as("is_current"))
       .orderBy("user_id", "valid_from")
   }
+
+  /** Point-in-time (temporal) join — the consumer side of SCD-2: each
+    * purchase is joined to the state interval that was valid AT its
+    * timestamp (`valid_from ≤ ts < valid_to`, open current interval).
+    * The standard "facts against a versioned dimension" warehouse
+    * pattern; intervals here are the scd2_intervals build, so the pair
+    * of keys is produce-history → consume-history end to end.
+    *
+    * Scale shape: the equi key (user_id) keeps this a plain hash join —
+    * the range predicate filters post-join inside the same codegen
+    * stage, never a BNLJ. Fan-out per probe row is the user's version
+    * count (bounded by their change count), and because SCD-2 intervals
+    * partition the timeline, every purchase matches EXACTLY one version
+    * (asserted in AnalyticsInvariantsSpec).
+    */
+  def joinTemporal(s: SparkSession, sf: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val dim = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(ord))
+      .select(col("user_id"), col("event_type").as("state"),
+              col("ts").as("valid_from"), col("valid_to"))
+    val facts = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+              round(col("value"), 4).as("value"))
+    facts.join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+              (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+              col("state"), col("valid_from"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -189,4 +189,59 @@ object Profiling {
               (col("violations") === 0L).as("pass"))
       .orderBy("rule")
   }
+
+  /** 2-D histogram — the hour-of-day × value-band activity heatmap (a
+    * profiling staple: when does traffic happen, and at what order
+    * sizes). Value bins are equi-width over the observed [min, max]
+    * (degenerate hi==lo pinned to bin 0 exactly as agg_histogram), the
+    * hour axis is categorical 0–23.
+    *
+    * Scale shape: one scan for the three bounds scalars (broadcast back
+    * in-plan via crossJoin, never a driver collect), one partial+final
+    * HashAggregate on (hour, bin) — ≤ 240 output groups regardless of
+    * input size.
+    */
+  def aggHistogram2d(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf).filter(col("value").isNotNull)
+    val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+                       count(lit(1)).as("n_total"))
+    e.select(hour(col("ts")).cast("bigint").as("hh"), col("value").as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(col("hh"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor(((col("v") - col("lo")) /
+            (col("hi") - col("lo"))) * 10.0), lit(9.0)).cast("bigint"))
+          .as("bin"),
+        col("lo"), col("hi"), col("n_total"))
+      .groupBy(col("hh"), col("bin"), col("lo"), col("hi"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("hh"), col("bin"),
+        round(col("lo") + col("bin") * (col("hi") - col("lo")) / 10.0, 4)
+          .as("bin_lo"),
+        round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / 10.0, 4)
+          .as("bin_hi"),
+        col("n"),
+        round(col("n") / col("n_total"), 6).as("share"))
+      .orderBy("hh", "bin")
+  }
+
+  /** Pairwise correlation matrix of the lineitem numeric columns in
+    * long format — the multivariate step after profile_table's
+    * univariate stats (which joins drive each other, which columns are
+    * redundant). All 16 `corr` aggregates compute in ONE partial+final
+    * pass over the scan (each is constant-state sum-of-moments), and
+    * `stack` pivots the 1-row result — output is O(k²), never a second
+    * scan per pair.
+    */
+  def profileCorrMatrix(s: SparkSession, sf: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = for (x <- cols; y <- cols)
+      yield round(corr(col(x), col(y)), 6).as(s"${x}__${y}")
+    val stackArgs = cols.flatMap(x => cols.map(y => s"'$x', '$y', ${x}__${y}"))
+      .mkString(", ")
+    Tables.lineitem(s, sf)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(16, $stackArgs) AS (col_x, col_y, corr_xy)"))
+      .orderBy("col_x", "col_y")
+  }
 }

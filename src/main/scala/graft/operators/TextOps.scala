@@ -426,4 +426,35 @@ object TextOps {
           col("dup_word_frac") > 0.70).cast("bigint").as("rep_flag"))
       .orderBy("doc_id")
   }
+
+  /** Corpus vocabulary Zipf profile — the top-100 terms with rank,
+    * frequency, corpus share, and cumulative share (the "how head-heavy
+    * is this corpus" diagnostic that motivates stopword and boilerplate
+    * thresholds; a natural corpus follows share ∝ 1/rank).
+    *
+    * Scale shape: term counting is one explode + hash-groupBy (shuffle ∝
+    * vocabulary, not tokens, after partial aggregation); the top-100 cut
+    * is a distributed TakeOrderedAndProject under a total (freq DESC,
+    * word ASC) order — the rank/cumulative window then touches exactly
+    * 100 rows, so its single partition is O(k), never O(vocabulary).
+    * The token total rides along as a broadcast scalar.
+    */
+  def textWordZipf(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, sf)
+      .select(explode(words()).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).cast("double").as("total_tokens"))
+    val w = Window.orderBy(col("freq").desc, col("word").asc)
+    counts.orderBy(col("freq").desc, col("word").asc).limit(100)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("word"), col("freq"),
+        round(col("freq") / col("total_tokens"), 6).as("share"),
+        round(col("cum_freq") / col("total_tokens"), 6).as("cum_share"))
+      .orderBy("rank")
+  }
 }

@@ -189,4 +189,35 @@ object Windows {
               col("running_sum").cast("bigint").as("distinct_users_so_far"))
       .orderBy("event_id")
   }
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands analytic (`d - row_number()` is constant within a
+    * run of consecutive days, so it IS the island key), reduced to each
+    * user's best streak with ties broken toward the earliest start.
+    *
+    * Scale shape: ONE explicit shuffle. repartition(user_id) up front;
+    * the (user, day) distinct, the day-rank window, the island
+    * aggregate, and the best-streak rank all accept it via the subset
+    * rule, so EnsureRequirements adds no further exchange. Per-task
+    * state is one user's distinct active days.
+    */
+  def winActivityStreak(s: SparkSession, sf: String): DataFrame = {
+    val wDay = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(col("streak_days").desc, col("streak_start").asc)
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .repartition(col("user_id"))
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("island", date_sub(col("d"), row_number().over(wDay)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_days"),
+           min(col("d")).as("streak_start"),
+           max(col("d")).as("streak_end"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("streak_days"),
+              col("streak_start"), col("streak_end"))
+      .orderBy("user_id")
+  }
 }

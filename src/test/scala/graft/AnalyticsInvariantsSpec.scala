@@ -89,6 +89,33 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(mismatches === 0)
   }
 
+  test("temporal join: every purchase matches exactly one SCD2 version") {
+    val j = graft.operators.Cdc.joinTemporal(spark, sfSmoke)
+    val purchases = graft.Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .count()
+    assert(j.count() === purchases,
+      "SCD2 intervals partition the timeline: one version per fact")
+    assert(j.groupBy("event_id").count().filter(col("count") > 1).count() === 0,
+      "no fact may match two versions")
+    // the state at a purchase can only change AT an event of that user,
+    // and a purchase is itself an event: its interval must start at or
+    // before the purchase
+    assert(j.filter(col("valid_from") > col("ts")).count() === 0)
+  }
+
+  test("streak: bounds are consistent and streaks fit their day span") {
+    val st = graft.operators.Windows.winActivityStreak(spark, sfSmoke)
+    assert(st.filter(col("streak_days") < 1).count() === 0)
+    assert(st.filter(
+      datediff(col("streak_end"), col("streak_start")) =!= col("streak_days") - 1)
+      .count() === 0, "a k-day streak must span exactly k-1 day steps")
+    // one row per active user
+    val users = graft.Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull).select("user_id").distinct().count()
+    assert(st.count() === users)
+  }
+
   test("url dedup: crawl variants of one page identity collapse to one canonical row") {
     val d = Dedup.dedupUrl(spark, sfSmoke)
     // every canonical URL carries the id param of its page identity and
