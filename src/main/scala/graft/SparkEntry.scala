@@ -199,6 +199,7 @@ object SparkEntry {
     "profile_heavy_hitters" -> Profiling.profileHeavyHitters _,
     "agg_histogram_2d"   -> Profiling.aggHistogram2d _,
     "profile_corr_matrix" -> Profiling.profileCorrMatrix _,
+    "profile_drift_psi"  -> Profiling.profileDriftPsi _,
     "quality_constraints" -> Profiling.qualityConstraints _,
     "sample_stratified"  -> Pipeline.sampleStratified _,
     "funnel_stages"      -> Pipeline.funnelStages _,
@@ -213,6 +214,7 @@ object SparkEntry {
     "timeseries_resample" -> Stats.timeseriesResample _,
     "timeseries_ffill"   -> Stats.timeseriesFfill _,
     "stats_trend_regression" -> Stats.statsTrendRegression _,
+    "agg_gini"           -> Stats.aggGini _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -566,6 +568,14 @@ object SparkEntry {
     // user with earliest-start tiebreak.
     "win_activity_streak" ->
       "WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL), isl AS (SELECT user_id, d, d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d ASC) AS INTEGER) AS island FROM days), st AS (SELECT user_id, island, count(*) AS streak_days, min(d) AS streak_start, max(d) AS streak_end FROM isl GROUP BY 1, 2), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY streak_days DESC, streak_start ASC) AS rk FROM st) SELECT user_id, CAST(streak_days AS BIGINT) AS streak_days, streak_start, streak_end FROM r WHERE rk = 1 ORDER BY user_id",
+    // agg_gini: the oracle uses the naive global row_number plan; the
+    // engine's bucketed-prefix rank must produce identical ranks.
+    "agg_gini" ->
+      "WITH spend AS (SELECT user_id, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1), r AS (SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i FROM spend) SELECT CAST(count(*) AS BIGINT) AS n_users, round(sum(x), 4) AS total_spend, round(2.0 * sum(i * x) / (count(*) * sum(x)) - (count(*) + 1.0) / count(*), 6) AS gini FROM r",
+    // profile_drift_psi: shared combined-range bin edges, 1e-6 clamp in
+    // the log ratio only (shares report unclamped).
+    "profile_drift_psi" ->
+      "WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) FILTER (WHERE doc_id % 2 = 0) AS n_ref_total, count(*) FILTER (WHERE doc_id % 2 <> 0) AS n_cur_total FROM documents WHERE n_chars IS NOT NULL), x AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((CAST(n_chars AS DOUBLE) - lo) / (hi - lo) * 10.0), 9.0) AS BIGINT) END AS bin, doc_id % 2 = 0 AS is_ref, n_ref_total, n_cur_total FROM documents, b WHERE n_chars IS NOT NULL), g AS (SELECT bin, n_ref_total, n_cur_total, count(*) FILTER (WHERE is_ref) AS n_ref, count(*) FILTER (WHERE NOT is_ref) AS n_cur FROM x GROUP BY 1, 2, 3) SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur, round(CAST(n_ref AS DOUBLE) / n_ref_total, 6) AS p_ref, round(CAST(n_cur AS DOUBLE) / n_cur_total, 6) AS p_cur, round((CAST(n_cur AS DOUBLE) / n_cur_total - CAST(n_ref AS DOUBLE) / n_ref_total) * ln(greatest(CAST(n_cur AS DOUBLE) / n_cur_total, 0.000001) / greatest(CAST(n_ref AS DOUBLE) / n_ref_total, 0.000001)), 6) AS psi_term FROM g ORDER BY bin",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

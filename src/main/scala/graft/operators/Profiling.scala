@@ -225,6 +225,50 @@ object Profiling {
       .orderBy("hh", "bin")
   }
 
+  /** Population-stability drift (PSI) between two corpus extracts — the
+    * "did my training-data distribution move" gate run before every
+    * retrain. Reference/current are the deterministic doc_id-parity
+    * halves; the n_chars feature is binned equi-width over the COMBINED
+    * range (so both halves share bin edges), and each bin reports its
+    * share in both halves plus its PSI term
+    * (p_cur − p_ref)·ln(p_cur/p_ref), probabilities clamped at 1e-6 in
+    * the ratio (the standard zero-bin guard). PSI > 0.2 total is the
+    * usual retrain alarm.
+    *
+    * Scale shape: one scan for the bounds + per-half totals (four
+    * scalars, broadcast in-plan), one partial+final HashAggregate on
+    * the bin — 10 output rows regardless of corpus size.
+    */
+  def profileDriftPsi(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf).filter(col("n_chars").isNotNull)
+    val isRef = pmod(col("doc_id"), lit(2L)) === 0
+    val bounds = d.agg(
+      min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+      sum(isRef.cast("long")).as("n_ref_total"),
+      sum((!isRef).cast("long")).as("n_cur_total"))
+    val eps = 1e-6
+    d.select(col("n_chars").cast("double").as("v"), isRef.as("is_ref"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor(((col("v") - col("lo")) /
+            (col("hi") - col("lo"))) * 10.0), lit(9.0)).cast("bigint"))
+          .as("bin"),
+        col("is_ref"), col("n_ref_total"), col("n_cur_total"))
+      .groupBy(col("bin"), col("n_ref_total"), col("n_cur_total"))
+      .agg(sum(col("is_ref").cast("long")).as("n_ref"),
+           sum((!col("is_ref")).cast("long")).as("n_cur"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("n_ref") / col("n_ref_total"), 6).as("p_ref"),
+        round(col("n_cur") / col("n_cur_total"), 6).as("p_cur"),
+        round((col("n_cur") / col("n_cur_total") -
+               col("n_ref") / col("n_ref_total")) *
+          log(greatest(col("n_cur") / col("n_cur_total"), lit(eps)) /
+              greatest(col("n_ref") / col("n_ref_total"), lit(eps))), 6)
+          .as("psi_term"))
+      .orderBy("bin")
+  }
+
   /** Pairwise correlation matrix of the lineitem numeric columns in
     * long format — the multivariate step after profile_table's
     * univariate stats (which joins drive each other, which columns are

@@ -118,6 +118,52 @@ object Stats {
       .orderBy("user_id", "d")
   }
 
+  /** Gini coefficient of per-user purchase spend — revenue-concentration
+    * in one number (0 = equal, →1 = one whale), by the rank formula
+    * G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n over ascending spend.
+    *
+    * Scale shape: the global rank never materializes and there is no
+    * global-window sort. Σi·x decomposes per log-scale bucket as
+    * off_b·Σx_b + Σ(j·x)_b (j = intra-bucket rank, off_b = users in
+    * lower buckets from a running sum over the tiny bucket summary), so
+    * the plan is one user-shuffle, one bucket-shuffle, and two
+    * O(#buckets) single-partition points — the stream_late_audit
+    * two-pass prefix shape, but join-back-free: no subtree computes
+    * twice (plan-pinned). Tied spends share a bucket and make Σi·x
+    * tie-order-independent, so the rank tiebreak never reaches the
+    * result.
+    */
+  def aggGini(s: SparkSession, sf: String): DataFrame = {
+    // monotone log-scale bucket key: needs NO min/max pre-pass (a
+    // bounds scalar would recompute the spend subtree — the q2-style
+    // ReuseExchange defeat), and same-spend ties always share a bucket
+    val spend = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .withColumn("bkt", floor(log1p(col("x")) * 8.0).cast("bigint"))
+    // decompose Σ global-rank·x per bucket: with j the intra-bucket
+    // rank and off_b the count of users in lower buckets,
+    // Σ i·x = Σ_b [ off_b·Σx_b + Σ(j·x)_b ] — so ONE window pass per
+    // bucket + a tiny per-bucket summary replace any global sort or
+    // join-back; no part of the spend subtree is computed twice
+    val j = row_number().over(Window.partitionBy(col("bkt"))
+      .orderBy(col("x").asc, col("user_id").asc))
+    spend
+      .withColumn("j", j)
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n_b"), sum(col("x")).as("sx_b"),
+           sum(col("j") * col("x")).as("jx_b"))
+      .withColumn("off_b", coalesce(sum(col("n_b")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("n_b")).cast("bigint").as("n_users"),
+           round(sum(col("sx_b")), 4).as("total_spend"),
+           round(lit(2.0) * sum(col("off_b") * col("sx_b") + col("jx_b")) /
+               (sum(col("n_b")) * sum(col("sx_b"))) -
+             (sum(col("n_b")) + lit(1.0)) / sum(col("n_b")), 6).as("gini"))
+  }
+
   /** Per-segment linear trend: OLS of the purchase metric on time (days
     * since epoch) via the ANSI `regr_*` aggregate family — slope,
     * intercept, fit quality, and pair count per event_type. The x axis

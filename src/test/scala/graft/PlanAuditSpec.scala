@@ -220,6 +220,20 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("gini: single scan, bucket-partitioned rank, tiny single-partition points only") {
+    val plan = graft.operators.Stats.aggGini(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(bkt"),
+      s"the intra-rank window must partition by bucket:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"the spend subtree must not compute twice:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"exactly the user-shuffle and the bucket-shuffle:\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    // one for the bucket-summary offset window, one for the final agg
+    assert(single <= 2, s"at most the two tiny single-partition points:\n$plan")
+  }
+
   test("multiset set-ops plan as count-aggregate + generate, never a join") {
     val plan = Relational.setOpsAll(spark, sfSmoke)
       .queryExecution.executedPlan.toString
