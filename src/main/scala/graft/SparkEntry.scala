@@ -107,6 +107,7 @@ object SparkEntry {
     "win_first_last"    -> Windows.winFirstLast _,
     "win_distinct_running" -> Windows.winDistinctRunning _,
     "win_activity_streak" -> Windows.winActivityStreak _,
+    "win_rolling_7d"     -> Windows.winRolling7d _,
     // §2.1 extra sources/sinks — round-trips return the read-back rows,
     // oracle-paired against the SOURCE table (lossless ⇔ hash match)
     "scan_csv"          -> Sources.scanCsv _,
@@ -207,6 +208,7 @@ object SparkEntry {
     "sessionize_gap"     -> Pipeline.sessionizeGap _,
     "pipeline_filter_funnel" -> Pipeline.filterFunnel _,
     "text_word_zipf"     -> TextOps.textWordZipf _,
+    "text_keywords_tfidf" -> TextOps.textKeywordsTfidf _,
     // behavioral statistics (user-study platform analysis set)
     "experiment_ttest"   -> Stats.experimentTtest _,
     "path_transitions"   -> Stats.pathTransitions _,
@@ -215,6 +217,7 @@ object SparkEntry {
     "timeseries_ffill"   -> Stats.timeseriesFfill _,
     "stats_trend_regression" -> Stats.statsTrendRegression _,
     "agg_gini"           -> Stats.aggGini _,
+    "behavior_rfm"       -> Stats.behaviorRfm _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -576,6 +579,17 @@ object SparkEntry {
     // the log ratio only (shares report unclamped).
     "profile_drift_psi" ->
       "WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) FILTER (WHERE doc_id % 2 = 0) AS n_ref_total, count(*) FILTER (WHERE doc_id % 2 <> 0) AS n_cur_total FROM documents WHERE n_chars IS NOT NULL), x AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((CAST(n_chars AS DOUBLE) - lo) / (hi - lo) * 10.0), 9.0) AS BIGINT) END AS bin, doc_id % 2 = 0 AS is_ref, n_ref_total, n_cur_total FROM documents, b WHERE n_chars IS NOT NULL), g AS (SELECT bin, n_ref_total, n_cur_total, count(*) FILTER (WHERE is_ref) AS n_ref, count(*) FILTER (WHERE NOT is_ref) AS n_cur FROM x GROUP BY 1, 2, 3) SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur, round(CAST(n_ref AS DOUBLE) / n_ref_total, 6) AS p_ref, round(CAST(n_cur AS DOUBLE) / n_cur_total, 6) AS p_cur, round((CAST(n_cur AS DOUBLE) / n_cur_total - CAST(n_ref AS DOUBLE) / n_ref_total) * ln(greatest(CAST(n_cur AS DOUBLE) / n_cur_total, 0.000001) / greatest(CAST(n_ref AS DOUBLE) / n_ref_total, 0.000001)), 6) AS psi_term FROM g ORDER BY bin",
+    // text_keywords_tfidf: score rounded BEFORE the rank so rounding
+    // ties resolve by the word tiebreak identically on both engines.
+    "text_keywords_tfidf" ->
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word), dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word), n AS (SELECT count(*) AS n_docs FROM documents), sc AS (SELECT t.doc_id, t.word, t.tf, d.df, round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf FROM tf t JOIN dfq d USING (word) CROSS JOIN n), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rank FROM sc) SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, tfidf FROM r WHERE rank <= 3 ORDER BY doc_id, rank",
+    // behavior_rfm: quintile thresholds are exact percentiles rounded
+    // before comparison; scores re-derived with the same > rule.
+    "behavior_rfm" ->
+      "WITH u AS (SELECT user_id, CAST(date_diff('day', DATE '1970-01-01', CAST(max(ts) AS DATE)) AS BIGINT) AS ld, count(*) AS frequency, round(sum(value), 4) AS monetary FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1), th AS (SELECT max(ld) AS anchor, round(quantile_cont(CAST(ld AS DOUBLE), 0.20), 6) AS ld20, round(quantile_cont(CAST(ld AS DOUBLE), 0.40), 6) AS ld40, round(quantile_cont(CAST(ld AS DOUBLE), 0.60), 6) AS ld60, round(quantile_cont(CAST(ld AS DOUBLE), 0.80), 6) AS ld80, round(quantile_cont(CAST(frequency AS DOUBLE), 0.20), 6) AS f20, round(quantile_cont(CAST(frequency AS DOUBLE), 0.40), 6) AS f40, round(quantile_cont(CAST(frequency AS DOUBLE), 0.60), 6) AS f60, round(quantile_cont(CAST(frequency AS DOUBLE), 0.80), 6) AS f80, round(quantile_cont(CAST(monetary AS DOUBLE), 0.20), 6) AS m20, round(quantile_cont(CAST(monetary AS DOUBLE), 0.40), 6) AS m40, round(quantile_cont(CAST(monetary AS DOUBLE), 0.60), 6) AS m60, round(quantile_cont(CAST(monetary AS DOUBLE), 0.80), 6) AS m80 FROM u) SELECT *, 'R' || CAST(r_score AS VARCHAR) || 'F' || CAST(f_score AS VARCHAR) || 'M' || CAST(m_score AS VARCHAR) AS segment FROM (SELECT user_id, CAST(anchor - ld AS BIGINT) AS recency_days, CAST(frequency AS BIGINT) AS frequency, monetary, CAST(1 + CASE WHEN ld > ld20 THEN 1 ELSE 0 END + CASE WHEN ld > ld40 THEN 1 ELSE 0 END + CASE WHEN ld > ld60 THEN 1 ELSE 0 END + CASE WHEN ld > ld80 THEN 1 ELSE 0 END AS BIGINT) AS r_score, CAST(1 + CASE WHEN frequency > f20 THEN 1 ELSE 0 END + CASE WHEN frequency > f40 THEN 1 ELSE 0 END + CASE WHEN frequency > f60 THEN 1 ELSE 0 END + CASE WHEN frequency > f80 THEN 1 ELSE 0 END AS BIGINT) AS f_score, CAST(1 + CASE WHEN monetary > m20 THEN 1 ELSE 0 END + CASE WHEN monetary > m40 THEN 1 ELSE 0 END + CASE WHEN monetary > m60 THEN 1 ELSE 0 END + CASE WHEN monetary > m80 THEN 1 ELSE 0 END AS BIGINT) AS m_score FROM u, th) z ORDER BY user_id",
+    // win_rolling_7d: calendar-interval RANGE frame over a date order.
+    "win_rolling_7d" ->
+      "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2) SELECT user_id, d, day_value, round(sum(day_value) OVER (PARTITION BY user_id ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4) AS rolling_7d_revenue, CAST(count(*) OVER (PARTITION BY user_id ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS active_days_7d FROM daily ORDER BY user_id, d",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

@@ -118,6 +118,51 @@ object Stats {
       .orderBy("user_id", "d")
   }
 
+  /** RFM segmentation — the standard customer-value grid: each
+    * purchaser scored 1–5 on Recency (days since last purchase, anchored
+    * at the corpus's latest purchase day), Frequency, and Monetary,
+    * with quintile boundaries from EXACT interpolated percentiles.
+    *
+    * Scale note: quintile labels from a global `ntile` window would
+    * single-partition the user frame; thresholds-as-aggregates keep the
+    * whole thing distributive — one user-grain shuffle, one 13-scalar
+    * threshold aggregate broadcast back, pure projection after. The
+    * user frame is computed twice (thresholds + labeling), the
+    * summarize-then-compare shape; at 100 TB persist the user frame or
+    * accept two identical one-shuffle passes. Thresholds and metrics
+    * are rounded before comparison so boundary users land identically
+    * on both engines.
+    */
+  def behaviorRfm(s: SparkSession, sf: String): DataFrame = {
+    val u = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), lit("1970-01-01").cast("date"))
+             .cast("bigint").as("ld"),
+           count(lit(1)).as("frequency"),
+           round(sum(col("value")), 4).as("monetary"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val thCols = max(col("ld")).as("anchor") +:
+      (qs.map(q => round(expr(s"percentile(ld, $q)"), 6).as(s"ld${(q * 100).toInt}")) ++
+       qs.map(q => round(expr(s"percentile(frequency, $q)"), 6).as(s"f${(q * 100).toInt}")) ++
+       qs.map(q => round(expr(s"percentile(monetary, $q)"), 6).as(s"m${(q * 100).toInt}")))
+    val th = u.agg(thCols.head, thCols.tail: _*)
+    def score(x: org.apache.spark.sql.Column, pre: String) =
+      qs.map(q => (x > col(s"$pre${(q * 100).toInt}")).cast("long"))
+        .foldLeft(lit(1L))(_ + _)
+    u.crossJoin(broadcast(th))
+      .select(col("user_id"),
+        (col("anchor") - col("ld")).as("recency_days"),
+        col("frequency"), col("monetary"),
+        score(col("ld"), "ld").as("r_score"),
+        score(col("frequency"), "f").as("f_score"),
+        score(col("monetary"), "m").as("m_score"))
+      .withColumn("segment",
+        concat(lit("R"), col("r_score"), lit("F"), col("f_score"),
+               lit("M"), col("m_score")))
+      .orderBy("user_id")
+  }
+
   /** Gini coefficient of per-user purchase spend — revenue-concentration
     * in one number (0 = equal, →1 = one whale), by the rank formula
     * G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n over ascending spend.

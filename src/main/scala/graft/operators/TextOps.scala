@@ -427,6 +427,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document keyword extraction — the top-3 TF-IDF terms per doc
+    * (search indexing / tagging / weak-label generation). Exactly the
+    * text_tokenize_stats pipeline with a per-doc rank on top; the score
+    * is rounded BEFORE ranking so rounding ties resolve by the word
+    * tiebreak identically on both engines.
+    *
+    * Scale shape: tf groupBy + vocabulary df join + broadcast doc-count
+    * scalar (the tokenize_stats shape), then ONE window partitioned by
+    * doc_id — per-task state is a single document's vocabulary, never a
+    * global order.
+    */
+  def textKeywordsTfidf(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, sf)
+    val tok = docs.select(col("doc_id"), explode(words()).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = tok.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    tf.join(dfq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("bigint").as("rank"),
+              col("word"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Corpus vocabulary Zipf profile — the top-100 terms with rank,
     * frequency, corpus share, and cumulative share (the "how head-heavy
     * is this corpus" diagnostic that motivates stopword and boilerplate

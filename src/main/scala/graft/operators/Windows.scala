@@ -190,6 +190,30 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Rolling 7-day revenue per user — the time-interval RANGE frame
+    * (`RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW` over a
+    * date ordering), which win_range_frame's numeric band does not
+    * exercise: the frame width is calendar time, so gap days shrink the
+    * window's row count instead of sliding over a fixed row budget.
+    *
+    * Scale shape: daily pre-aggregation first (shuffle ∝ user-days, the
+    * same reduction every rolling-metric pipeline does), then one
+    * window partitioned by user — frame state is at most 7 day-rows.
+    */
+  def winRolling7d(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+      .select(col("user_id"), col("d"), col("day_value"),
+        expr("""round(sum(day_value) OVER (PARTITION BY user_id ORDER BY d
+               | RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4)"""
+          .stripMargin).as("rolling_7d_revenue"),
+        expr("""count(1) OVER (PARTITION BY user_id ORDER BY d
+               | RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)"""
+          .stripMargin).as("active_days_7d"))
+      .orderBy("user_id", "d")
+
   /** Longest consecutive-day activity streak per user — the classic
     * gaps-and-islands analytic (`d - row_number()` is constant within a
     * run of consecutive days, so it IS the island key), reduced to each
