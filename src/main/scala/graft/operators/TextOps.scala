@@ -436,7 +436,11 @@ object TextOps {
     * Scale shape: tf groupBy + vocabulary df join + broadcast doc-count
     * scalar (the tokenize_stats shape), then ONE window partitioned by
     * doc_id — per-task state is a single document's vocabulary, never a
-    * global order.
+    * global order. The df side stays a BROADCAST join deliberately: a
+    * word-partitioned window over the tf frame would be one shuffle
+    * fewer but materializes per-word partitions of size df(word) —
+    * df("the") ≈ n_docs, a stopword skew bomb at corpus scale — while
+    * the join shape only ever shuffles map-side-combined counts.
     */
   def textKeywordsTfidf(s: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
