@@ -218,6 +218,7 @@ object SparkEntry {
     "stats_trend_regression" -> Stats.statsTrendRegression _,
     "agg_gini"           -> Stats.aggGini _,
     "behavior_rfm"       -> Stats.behaviorRfm _,
+    "basket_affinity"    -> Stats.basketAffinity _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -590,6 +591,10 @@ object SparkEntry {
     // win_rolling_7d: calendar-interval RANGE frame over a date order.
     "win_rolling_7d" ->
       "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2) SELECT user_id, d, day_value, round(sum(day_value) OVER (PARTITION BY user_id ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4) AS rolling_7d_revenue, CAST(count(*) OVER (PARTITION BY user_id ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS active_days_7d FROM daily ORDER BY user_id, d",
+    // basket_affinity: top-20 co-occurring part pairs with support and
+    // lift; (n_pair DESC, p1, p2) total order pins the cutoff.
+    "basket_affinity" ->
+      "WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), n AS (SELECT count(DISTINCT o) AS n_orders FROM items), singles AS (SELECT p, count(*) AS n_p FROM items GROUP BY 1), pairs AS (SELECT a.p AS p1, b.p AS p2, count(*) AS n_pair FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), top AS (SELECT * FROM pairs ORDER BY n_pair DESC, p1 ASC, p2 ASC LIMIT 20) SELECT p1, p2, CAST(n_pair AS BIGINT) AS n_pair, round(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support, round(CAST(n_pair AS DOUBLE) * n_orders / (s1.n_p * s2.n_p), 6) AS lift FROM top CROSS JOIN n JOIN singles s1 ON top.p1 = s1.p JOIN singles s2 ON top.p2 = s2.p ORDER BY n_pair DESC, p1 ASC, p2 ASC",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

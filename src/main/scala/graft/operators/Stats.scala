@@ -118,6 +118,42 @@ object Stats {
       .orderBy("user_id", "d")
   }
 
+  /** Market-basket pair affinity — the top-20 part pairs that co-occur
+    * in orders, with support and lift (the association-rule starter:
+    * lift > 1 means the pair attracts, < 1 repels). Self-join blocked
+    * on the basket key, so the pair space is Σ k²/2 over basket sizes —
+    * bounded by items-per-order, never a global n².
+    *
+    * Scale shape: (order, part) distinct → orderkey-blocked self-join
+    * (fan-out ≈ avg basket² ≈ 50, constant) → pair HashAggregate →
+    * distributed TakeOrderedAndProject top-20 → broadcast joins for the
+    * two singles lookups + the order-count scalar. Nothing global-sorts
+    * and the only big shuffles carry (order, part) and pair counts.
+    */
+  def basketAffinity(s: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(s, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = items.agg(countDistinct(col("o")).as("n_orders"))
+    val singles = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("p1").asc, col("p2").asc)
+      .limit(20)
+    pairs
+      .join(broadcast(singles.withColumnRenamed("p", "p1")
+        .withColumnRenamed("n_p", "n_p1")), "p1")
+      .join(broadcast(singles.withColumnRenamed("p", "p2")
+        .withColumnRenamed("n_p", "n_p2")), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("n_pair"),
+        round(col("n_pair") / col("n_orders"), 6).as("support"),
+        round(col("n_pair") * col("n_orders") /
+          (col("n_p1") * col("n_p2")), 6).as("lift"))
+      .orderBy(col("n_pair").desc, col("p1").asc, col("p2").asc)
+  }
+
   /** RFM segmentation — the standard customer-value grid: each
     * purchaser scored 1–5 on Recency (days since last purchase, anchored
     * at the corpus's latest purchase day), Frequency, and Monetary,
