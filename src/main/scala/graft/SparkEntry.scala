@@ -143,6 +143,7 @@ object SparkEntry {
     "fn_cast"           -> Families.fnCast _,
     "fn_decimal"        -> Families.fnDecimal _,
     "fn_url_parse"      -> Families.fnUrlParse _,
+    "fn_try_arith"      -> Families.fnTryArith _,
     // §2.11 UDF / UDTF surface
     "udf_scalar"        -> Sources.udfScalar _,
     "udtf_explode_custom" -> Sources.udtfExplode _,
@@ -595,6 +596,9 @@ object SparkEntry {
     // lift; (n_pair DESC, p1, p2) total order pins the cutoff.
     "basket_affinity" ->
       "WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), n AS (SELECT count(DISTINCT o) AS n_orders FROM items), singles AS (SELECT p, count(*) AS n_p FROM items GROUP BY 1), pairs AS (SELECT a.p AS p1, b.p AS p2, count(*) AS n_pair FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), top AS (SELECT * FROM pairs ORDER BY n_pair DESC, p1 ASC, p2 ASC LIMIT 20) SELECT p1, p2, CAST(n_pair AS BIGINT) AS n_pair, round(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support, round(CAST(n_pair AS DOUBLE) * n_orders / (s1.n_p * s2.n_p), 6) AS lift FROM top CROSS JOIN n JOIN singles s1 ON top.p1 = s1.p JOIN singles s2 ON top.p2 = s2.p ORDER BY n_pair DESC, p1 ASC, p2 ASC",
+    // fn_try_arith: NULLIF re-derives the try_ null-on-error paths.
+    "fn_try_arith" ->
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, floor(l_extendedprice / nullif(l_quantity, 0) * 10000) / 10000 AS unit_price, l_extendedprice / nullif(l_linenumber - l_linenumber, 0) AS div_zero, round(l_extendedprice + l_tax, 4) AS safe_add, round(l_quantity * l_discount, 4) AS safe_mul FROM lineitem WHERE l_orderkey <= 1000 ORDER BY l_orderkey, l_linenumber, unit_price, safe_add, safe_mul",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

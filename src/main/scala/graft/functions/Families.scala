@@ -264,6 +264,32 @@ object Families {
         expr("try_cast(cast(o_orderkey AS string) AS bigint)").as("roundtrip"))
       .orderBy("o_orderkey")
 
+  /** ANSI error-safe arithmetic (`try_divide`/`try_add`/`try_multiply`)
+    * — null-on-error instead of a job-killing exception, the surface a
+    * pipeline needs under `spark.sql.ansi.enabled`. The zero divisor is
+    * planted (`l_linenumber - l_linenumber`) so the null path is
+    * exercised on every row; the oracle re-derives it with the classic
+    * `NULLIF` guard. */
+  def fnTryArith(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .filter(col("l_orderkey") <= 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+        // truncate, don't round: price/qty lands on exact .xxxx5 halves
+        // (finite decimal expansions), where Spark rounds the decimal
+        // string and DuckDB the binary value; floor on the identical
+        // IEEE double is representation-stable on both engines
+        expr("floor(try_divide(l_extendedprice, l_quantity) * 10000) / 10000")
+          .as("unit_price"),
+        expr("try_divide(l_extendedprice, l_linenumber - l_linenumber)")
+          .as("div_zero"),
+        expr("round(try_add(l_extendedprice, l_tax), 4)").as("safe_add"),
+        expr("round(try_multiply(l_quantity, l_discount), 4)").as("safe_mul"))
+      // (orderkey, linenumber) is NOT unique in the synthetic corpus —
+      // sort on every varying output column for a total order
+      .orderBy("l_orderkey", "l_linenumber", "unit_price", "safe_add",
+               "safe_mul")
+
   /** URL parsing + canonicalization — the web-corpus ingest staple
     * (strip tracking params, fragment, and `www.` so near-identical
     * URLs collapse to one canonical key for URL-level dedup). The
