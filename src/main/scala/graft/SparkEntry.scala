@@ -196,6 +196,7 @@ object SparkEntry {
     "merge_cdc_upsert"   -> Cdc.mergeCdcUpsert _,
     "scd2_intervals"     -> Cdc.scd2Intervals _,
     "join_temporal"      -> Cdc.joinTemporal _,
+    "table_diff_audit"   -> Cdc.tableDiffAudit _,
     "profile_table"      -> Profiling.profileTable _,
     "agg_histogram"      -> Profiling.aggHistogram _,
     "profile_heavy_hitters" -> Profiling.profileHeavyHitters _,
@@ -220,6 +221,7 @@ object SparkEntry {
     "agg_gini"           -> Stats.aggGini _,
     "behavior_rfm"       -> Stats.behaviorRfm _,
     "basket_affinity"    -> Stats.basketAffinity _,
+    "stats_chi_square"   -> Stats.statsChiSquare _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -246,6 +248,7 @@ object SparkEntry {
     "set_intersect"     -> Relational.setIntersect _,
     "set_except"        -> Relational.setExcept _,
     "set_ops_all"       -> Relational.setOpsAll _,
+    "join_null_safe"    -> Relational.joinNullSafe _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -599,6 +602,18 @@ object SparkEntry {
     // fn_try_arith: NULLIF re-derives the try_ null-on-error paths.
     "fn_try_arith" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, floor(l_extendedprice / nullif(l_quantity, 0) * 10000) / 10000 AS unit_price, l_extendedprice / nullif(l_linenumber - l_linenumber, 0) AS div_zero, round(l_extendedprice + l_tax, 4) AS safe_add, round(l_quantity * l_discount, 4) AS safe_mul FROM lineitem WHERE l_orderkey <= 1000 ORDER BY l_orderkey, l_linenumber, unit_price, safe_add, safe_mul",
+    // stats_chi_square: row/col/grand totals as windows over the tiny
+    // contingency matrix on both engines.
+    "stats_chi_square" ->
+      "WITH c AS (SELECT source, lang, count(*) AS obs FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), t AS (SELECT source, lang, obs, CAST(sum(obs) OVER (PARTITION BY source) AS DOUBLE) * sum(obs) OVER (PARTITION BY lang) / sum(obs) OVER () AS exp FROM c) SELECT source, lang, CAST(obs AS BIGINT) AS obs, round(exp, 4) AS expected, round(pow(obs - exp, 2) / exp, 6) AS chi2_contrib FROM t ORDER BY source, lang",
+    // table_diff_audit: same planted changelog rules as merge_cdc_upsert;
+    // full outer join + change classification, unchanged filtered.
+    "table_diff_audit" ->
+      "WITH base AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price FROM orders), curr AS (SELECT k, CASE WHEN k % 5 = 0 THEN floor(price * 1.1 * 100) / 100 ELSE price END AS price FROM base WHERE k % 7 <> 0 UNION ALL SELECT k + 1000000000 AS k, price FROM base WHERE k % 11 = 3), j AS (SELECT coalesce(b.k, c.k) AS k, b.price AS old_price, c.price AS new_price FROM base b FULL OUTER JOIN curr c ON b.k = c.k) SELECT k, CASE WHEN old_price IS NULL THEN 'added' WHEN new_price IS NULL THEN 'removed' WHEN old_price <> new_price THEN 'changed' ELSE 'unchanged' END AS change, old_price, new_price FROM j WHERE (CASE WHEN old_price IS NULL THEN 'added' WHEN new_price IS NULL THEN 'removed' WHEN old_price <> new_price THEN 'changed' ELSE 'unchanged' END) <> 'unchanged' ORDER BY k, change",
+    // join_null_safe: IS NOT DISTINCT FROM matches the planted NULL
+    // decile; NULLS FIRST pins Spark's asc null ordering.
+    "join_null_safe" ->
+      "WITH l AS (SELECT nullif(user_id % 10, 0) AS k, count(*) AS n_even FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 0 GROUP BY 1), r AS (SELECT nullif(user_id % 10, 0) AS k, count(*) AS n_odd FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 1 GROUP BY 1) SELECT l.k AS k, n_even, n_odd FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k ORDER BY k NULLS FIRST",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

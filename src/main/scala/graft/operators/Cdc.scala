@@ -90,6 +90,45 @@ object Cdc {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Snapshot diff — the audit companion to CDC apply: given a base
+    * table version and its successor, emit every added / removed /
+    * changed row with old and new values (the "what did last night's
+    * merge actually do" report). The successor version is planted
+    * deterministically from the base (keys ≡ 0 mod 7 deleted, ≡ 0 mod 5
+    * re-priced 1.1×, novel keys ≡ 3 mod 11 inserted under key+1e9 — the
+    * mergeCdcUpsert changelog rules, so the two keys reconcile).
+    *
+    * Scale shape: one full outer join hash-shuffled on the table key;
+    * the change classification is a pure projection on the joined row.
+    * Unchanged rows are filtered out AFTER the join inside the same
+    * codegen stage — output ∝ churn, shuffle ∝ table.
+    */
+  def tableDiffAudit(s: SparkSession, sf: String): DataFrame = {
+    val base = Tables.orders(s, sf)
+      .select(col("o_orderkey").as("k"), round(col("o_totalprice"), 2).as("price"))
+    val curr = base
+      .filter(pmod(col("k"), lit(7L)) =!= 0)
+      .select(col("k"),
+        // floor-truncate, not round: price·1.1 lands on exact half-cents
+        // where the engines' rounding diverges (fn_try_arith lesson)
+        when(pmod(col("k"), lit(5L)) === 0,
+             floor(col("price") * 1.1 * 100) / 100)
+          .otherwise(col("price")).as("price"))
+      .unionByName(
+        base.filter(pmod(col("k"), lit(11L)) === 3)
+          .select((col("k") + 1000000000L).as("k"), col("price")))
+    base.select(col("k"), col("price").as("old_price"))
+      .join(curr.select(col("k"), col("price").as("new_price")), Seq("k"), "full")
+      .withColumn("change",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(col("k"), col("change"), col("old_price"), col("new_price"))
+      .orderBy("k", "change")
+  }
+
   /** Point-in-time (temporal) join — the consumer side of SCD-2: each
     * purchase is joined to the state interval that was valid AT its
     * timestamp (`valid_from ≤ ts < valid_to`, open current interval).

@@ -489,6 +489,32 @@ object Relational {
       .orderBy("user_id", "d")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of silently dropping — the semantics a
+    * reconciliation between two extracts with incomplete keys needs
+    * (a plain equi-join loses every NULL-keyed row on both sides). The
+    * corpus has no NULL keys, so the key is planted (`nullif(uid % 10,
+    * 0)` — decile 0 becomes the NULL group on both engines).
+    *
+    * Scale shape: Spark plans `<=>` as a regular hash join (NULL hashes
+    * like any value under null-safe equality) — same shuffle as the
+    * equi-join, no BNLJ fallback. Both sides pre-aggregate to decile
+    * grain first, so the join is 11 × 11 rows.
+    */
+  def joinNullSafe(s: SparkSession, sf: String): DataFrame = {
+    def half(parity: Long) = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull &&
+              pmod(col("event_id"), lit(2L)) === parity)
+      .select(expr("nullif(user_id % 10, 0)").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val l = half(0).withColumnRenamed("n", "n_even")
+    val r = half(1).withColumnRenamed("n", "n_odd")
+      .withColumnRenamed("k", "k2")
+    l.join(r, col("k") <=> col("k2"))
+      .select(col("k"), col("n_even"), col("n_odd"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   /** INTERSECT ALL / EXCEPT ALL — the multiset (bag) set operations:
     * unlike `setIntersect`/`setExcept` these preserve multiplicity
     * (min-of-counts / count-difference), which is what reconciliation

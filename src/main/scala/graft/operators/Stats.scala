@@ -118,6 +118,35 @@ object Stats {
       .orderBy("user_id", "d")
   }
 
+  /** Chi-square independence test on the source × lang contingency
+    * matrix — "is language distribution independent of source" (the
+    * stratification sanity check before mixing corpus domains). Emits
+    * each cell's observed count, expected count under independence, and
+    * its χ² contribution; the test statistic is the contribution sum.
+    *
+    * Scale shape: ONE partial+final HashAggregate over the scan builds
+    * the contingency matrix (≤ |sources|·|langs| cells); the row/col/
+    * grand totals are windows over that tiny matrix, so the only
+    * data-sized cost is the first aggregate.
+    */
+  def statsChiSquare(s: SparkSession, sf: String): DataFrame = {
+    val wRow = Window.partitionBy(col("source"))
+    val wCol = Window.partitionBy(col("lang"))
+    val wAll = Window.partitionBy()
+    Tables.documents(s, sf)
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+      .withColumn("exp",
+        sum(col("obs")).over(wRow) * sum(col("obs")).over(wCol) /
+          sum(col("obs")).over(wAll))
+      .select(col("source"), col("lang"), col("obs"),
+        round(col("exp"), 4).as("expected"),
+        round(pow(col("obs") - col("exp"), 2) / col("exp"), 6)
+          .as("chi2_contrib"))
+      .orderBy("source", "lang")
+  }
+
   /** Market-basket pair affinity — the top-20 part pairs that co-occur
     * in orders, with support and lift (the association-rule starter:
     * lift > 1 means the pair attracts, < 1 repels). Self-join blocked
