@@ -80,6 +80,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
     "agg_udaf_typed"    -> AdvancedAggs.aggUdafTyped _,
     "agg_mode"          -> AdvancedAggs.aggMode _,
+    "agg_listagg"       -> AdvancedAggs.aggListagg _,
     "agg_entropy"       -> AdvancedAggs.aggEntropy _,
     "agg_percentile"    -> AdvancedAggs.aggPercentile _,
     // agg_approx_percentile: oracle-N (engine sketch) — self-tested vs
@@ -123,6 +124,7 @@ object SparkEntry {
     "sink_sorted_layout" -> Sources.sinkSortedLayout _,
     "sink_compacted"    -> Sources.sinkCompacted _,
     "scan_binary_files" -> Sources.scanBinaryFiles _,
+    "scan_xml"          -> Sources.scanXml _,
     "scan_schema_evolution" -> Sources.scanSchemaEvolution _,
     // §2.3 advanced joins
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
@@ -144,6 +146,7 @@ object SparkEntry {
     "fn_decimal"        -> Families.fnDecimal _,
     "fn_url_parse"      -> Families.fnUrlParse _,
     "fn_try_arith"      -> Families.fnTryArith _,
+    "fn_variant"        -> Families.fnVariant _,
     // §2.11 UDF / UDTF surface
     "udf_scalar"        -> Sources.udfScalar _,
     "udtf_explode_custom" -> Sources.udtfExplode _,
@@ -614,6 +617,15 @@ object SparkEntry {
     // decile; NULLS FIRST pins Spark's asc null ordering.
     "join_null_safe" ->
       "WITH l AS (SELECT nullif(user_id % 10, 0) AS k, count(*) AS n_even FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 0 GROUP BY 1), r AS (SELECT nullif(user_id % 10, 0) AS k, count(*) AS n_odd FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 1 GROUP BY 1) SELECT l.k AS k, n_even, n_odd FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k ORDER BY k NULLS FIRST",
+    // fn_variant: DuckDB JSON operators re-derive the typed extraction.
+    "fn_variant" ->
+      "SELECT event_id, CAST(props::JSON ->> 'k' AS BIGINT) AS k_num, props::JSON ->> 'k' AS k_str, CAST(props::JSON ->> 'missing' AS BIGINT) AS k_missing FROM events ORDER BY event_id",
+    // agg_listagg: string_agg with DISTINCT + ORDER BY mirrors WITHIN GROUP.
+    "agg_listagg" ->
+      "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY source ORDER BY source",
+    // scan_xml: lossless XML round-trip hash-matches the source table.
+    "scan_xml" ->
+      "SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

@@ -264,6 +264,21 @@ object Families {
         expr("try_cast(cast(o_orderkey AS string) AS bigint)").as("roundtrip"))
       .orderBy("o_orderkey")
 
+  /** VARIANT semi-structured access — Spark 4's open-schema JSON type:
+    * `parse_json` → typed `variant_get` extraction (the engine stores a
+    * binary variant and prunes paths, unlike string get_json_object
+    * re-parsing per access). Missing paths: `try_variant_get` nulls
+    * instead of erroring. Oracle re-derives through DuckDB's JSON
+    * operators on the raw string. */
+  def fnVariant(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_num"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+          .as("k_missing"))
+      .orderBy("event_id")
+
   /** ANSI error-safe arithmetic (`try_divide`/`try_add`/`try_multiply`)
     * — null-on-error instead of a job-killing exception, the surface a
     * pipeline needs under `spark.sql.ansi.enabled`. The zero divisor is

@@ -219,6 +219,24 @@ object AdvancedAggs {
       .orderBy("l_returnflag")
   }
 
+  /** LISTAGG — the ANSI ordered string aggregation (Spark 4 syntax:
+    * `listagg(DISTINCT x, sep) WITHIN GROUP (ORDER BY x)`): distinct
+    * languages per source as one deterministic CSV cell. The WITHIN
+    * GROUP order makes the cell value total-order stable, which is what
+    * lets it hash-match at all. */
+  def aggListagg(s: SparkSession, sf: String): DataFrame =
+    // pre-distinct instead of listagg(DISTINCT ...): Spark 4.1's
+    // DataFrame agg path throws a SortOrder cast error on the
+    // DISTINCT + WITHIN GROUP combination (works in plain SQL only)
+    Tables.documents(s, sf)
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .select(col("source"), col("lang")).distinct()
+      .groupBy(col("source"))
+      .agg(expr("listagg(lang, ',') WITHIN GROUP (ORDER BY lang)")
+             .as("langs"),
+           count(lit(1)).as("n_langs"))
+      .orderBy("source")
+
   /** Deterministic per-group mode — each user's dominant event type
     * (ties broken toward the lexicographically smallest type, so the
     * answer is total-order stable on both engines; a bare `mode()`

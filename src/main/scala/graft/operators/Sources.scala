@@ -272,4 +272,22 @@ object Sources {
       .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
               col("col").as("word"))
       .orderBy("doc_id", "pos")
+
+  /** XML ingest — Spark 4's built-in XML source (spark-xml merged into
+    * core): round-trip the documents table through `rowTag` XML and
+    * read it back with an explicit schema. Same lossless-round-trip
+    * oracle pattern as scan_csv: the read-back rows must hash-match the
+    * source table, proving the writer's escaping and the reader's
+    * parsing are inverses on real corpus text.
+    */
+  def scanXml(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_xml_")
+    val src = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              col("text"))
+    src.write.mode("overwrite").option("rootTag", "docs")
+      .option("rowTag", "doc").format("xml").save(dir)
+    s.read.schema(src.schema).option("rowTag", "doc").format("xml").load(dir)
+      .orderBy("doc_id")
+  }
 }
