@@ -130,6 +130,7 @@ object SparkEntry {
     "join_theta_range"  -> AdvancedJoins.joinThetaRange _,
     "join_interval"     -> AdvancedJoins.joinInterval _,
     "join_asof"         -> AdvancedJoins.joinAsof _,
+    "join_asof_tolerance" -> AdvancedJoins.joinAsofTolerance _,
     "join_asof_nearest" -> AdvancedJoins.joinAsofNearest _,
     "agg_freq_sketch"   -> Profiling.aggFreqSketch _,
     "dedup_semantic"    -> Similarity.dedupSemantic _,
@@ -147,6 +148,7 @@ object SparkEntry {
     "fn_url_parse"      -> Families.fnUrlParse _,
     "fn_try_arith"      -> Families.fnTryArith _,
     "fn_variant"        -> Families.fnVariant _,
+    "fn_aes_roundtrip"  -> Families.fnAesRoundtrip _,
     // §2.11 UDF / UDTF surface
     "udf_scalar"        -> Sources.udfScalar _,
     "udtf_explode_custom" -> Sources.udtfExplode _,
@@ -626,6 +628,14 @@ object SparkEntry {
     // scan_xml: lossless XML round-trip hash-matches the source table.
     "scan_xml" ->
       "SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id",
+    // join_asof_tolerance: ASOF LEFT JOIN + 1h gap null-out (pandas
+    // merge_asof tolerance semantics).
+    "join_asof_tolerance" ->
+      "WITH j AS (SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, v.event_id AS last_view_id, v.ts AS last_view_ts FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND v.ts <= p.ts) SELECT user_id, purchase_id, purchase_ts, CASE WHEN last_view_ts IS NOT NULL AND date_diff('second', last_view_ts, purchase_ts) <= 3600 THEN last_view_id END AS view_id_1h, CASE WHEN last_view_ts IS NOT NULL AND date_diff('second', last_view_ts, purchase_ts) <= 3600 THEN last_view_ts END AS view_ts_1h, CASE WHEN last_view_ts IS NOT NULL AND date_diff('second', last_view_ts, purchase_ts) <= 3600 THEN CAST(date_diff('second', last_view_ts, purchase_ts) AS BIGINT) END AS gap_sec FROM j ORDER BY user_id, purchase_ts, purchase_id",
+    // fn_aes_roundtrip: decrypt(encrypt(text)) must equal the source
+    // column; ciphertext never surfaces (GCM IV is random by design).
+    "fn_aes_roundtrip" ->
+      "SELECT doc_id, text AS decrypted FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

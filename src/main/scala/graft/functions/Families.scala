@@ -264,6 +264,22 @@ object Families {
         expr("try_cast(cast(o_orderkey AS string) AS bigint)").as("roundtrip"))
       .orderBy("o_orderkey")
 
+  /** AES column encryption round-trip — the PII-at-rest surface
+    * (`aes_encrypt`/`aes_decrypt`, GCM default): proving
+    * decrypt ∘ encrypt = identity on real corpus text. Ciphertext is
+    * deliberately NOT an output column (GCM's random IV makes it
+    * nondeterministic by design); the decrypted text hash-matches the
+    * source column, which is the contract that matters. */
+  def fnAesRoundtrip(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        expr("""CAST(aes_decrypt(
+               |  aes_encrypt(text, '0123456789abcdef'),
+               |  '0123456789abcdef') AS STRING)""".stripMargin)
+          .as("decrypted"))
+      .orderBy("doc_id")
+
   /** VARIANT semi-structured access — Spark 4's open-schema JSON type:
     * `parse_json` → typed `variant_get` extraction (the engine stores a
     * binary variant and prunes paths, unlike string get_json_object

@@ -66,6 +66,24 @@ object AdvancedJoins {
       .orderBy("user_id", "signup_id", "click_id")
   }
 
+  /** As-of join with a match tolerance (pandas merge_asof's `tolerance`):
+    * the most recent view at-or-before each purchase counts ONLY if it
+    * happened within the last hour — staler context is no context.
+    * Same union+one-window shape as joinAsof (no join, one shuffle);
+    * the tolerance is a post-window null-out in the same codegen stage,
+    * and gap_sec reports the age of accepted matches.
+    */
+  def joinAsofTolerance(s: SparkSession, sf: String): DataFrame = {
+    val base = joinAsof(s, sf)
+    val gap = col("purchase_ts").cast("long") - col("last_view_ts").cast("long")
+    val within = col("last_view_ts").isNotNull && gap <= 3600
+    base.select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        when(within, col("last_view_id")).as("view_id_1h"),
+        when(within, col("last_view_ts")).as("view_ts_1h"),
+        when(within, gap).as("gap_sec"))
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+
   /** As-of join: for every purchase, the user's most recent view at or
     * before the purchase timestamp.
     *
