@@ -234,6 +234,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(single <= 2, s"at most the two tiny single-partition points:\n$plan")
   }
 
+  test("variant access prunes the events scan to the props column path") {
+    val plan = formatted(graft.functions.Families.fnVariant(spark, sfSmoke))
+    val read = plan.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(read.contains("props") && read.contains("event_id"), read)
+    assert(!read.contains("user_id") && !read.contains("value"),
+      s"unreferenced event columns must be pruned: $read")
+  }
+
+  test("asof-tolerance keeps the no-join one-shuffle asof shape") {
+    val plan = graft.operators.AdvancedJoins.joinAsofTolerance(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"tolerance must not re-introduce a join:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"one user_id shuffle expected, got $n:\n$plan")
+  }
+
   test("multiset set-ops plan as count-aggregate + generate, never a join") {
     val plan = Relational.setOpsAll(spark, sfSmoke)
       .queryExecution.executedPlan.toString
