@@ -81,6 +81,7 @@ object SparkEntry {
     "agg_udaf_typed"    -> AdvancedAggs.aggUdafTyped _,
     "agg_mode"          -> AdvancedAggs.aggMode _,
     "agg_listagg"       -> AdvancedAggs.aggListagg _,
+    "agg_higher_moments" -> AdvancedAggs.aggHigherMoments _,
     "agg_entropy"       -> AdvancedAggs.aggEntropy _,
     "agg_percentile"    -> AdvancedAggs.aggPercentile _,
     // agg_approx_percentile: oracle-N (engine sketch) — self-tested vs
@@ -636,6 +637,10 @@ object SparkEntry {
     // column; ciphertext never surfaces (GCM IV is random by design).
     "fn_aes_roundtrip" ->
       "SELECT doc_id, text AS decrypted FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id",
+    // agg_higher_moments: population g1/g2 re-derived from raw power
+    // sums (DuckDB's skewness/kurtosis are sample-corrected).
+    "agg_higher_moments" ->
+      "WITH s AS (SELECT l_returnflag, avg(l_quantity) AS mu, avg(l_quantity * l_quantity) AS m2r, avg(pow(l_quantity, 3)) AS m3r, avg(pow(l_quantity, 4)) AS m4r, count(*) AS n FROM lineitem GROUP BY 1), c AS (SELECT l_returnflag, m2r - mu * mu AS m2, m3r - 3 * mu * m2r + 2 * pow(mu, 3) AS m3, m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * pow(mu, 4) AS m4, n FROM s) SELECT l_returnflag, round(m3 / pow(m2, 1.5), 4) AS qty_skew, round(m4 / (m2 * m2) - 3, 4) AS qty_kurt, CAST(n AS BIGINT) AS n_items FROM c ORDER BY l_returnflag",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

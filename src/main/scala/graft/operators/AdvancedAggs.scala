@@ -209,6 +209,20 @@ object AdvancedAggs {
         round(var_pop(col("l_quantity")), 6).as("q_var_pop"))
       .orderBy("l_returnflag")
 
+  /** Higher central moments — population skewness and excess kurtosis
+    * per group (the distribution-shape profile next to agg_stats'
+    * spread columns). Spark's `skewness`/`kurtosis` are population
+    * (uncorrected) g₁/g₂; DuckDB's are sample-corrected, so the oracle
+    * re-derives the population values from raw power sums
+    * (m₃/m₂^1.5, m₄/m₂²−3) instead of calling its builtins. */
+  def aggHigherMoments(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(round(skewness(col("l_quantity")), 4).as("qty_skew"),
+           round(kurtosis(col("l_quantity")), 4).as("qty_kurt"),
+           count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
   /** Custom UDAF surface: geometric mean of l_quantity per returnflag. */
   def aggUdafTyped(s: SparkSession, sf: String): DataFrame = {
     val geoMean = udaf(GeoMean)
