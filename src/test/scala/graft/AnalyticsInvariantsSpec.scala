@@ -116,6 +116,40 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(st.count() === users)
   }
 
+  test("diff audit: change classes reconcile with the planted changelog rules") {
+    val d = graft.operators.Cdc.tableDiffAudit(spark, sfSmoke)
+    val base = graft.Tables.orders(spark, sfSmoke)
+    val nRemoved = base.filter(col("o_orderkey") % 7 === 0).count()
+    val nAdded = base.filter(col("o_orderkey") % 11 === 3).count()
+    val byClass = d.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass("removed") === nRemoved)
+    assert(byClass("added") === nAdded)
+    // changed = re-priced keys that were neither deleted nor unchanged
+    // by the 1.1x truncation (price > 0 guarantees a real change)
+    val nChanged = base.filter(col("o_orderkey") % 5 === 0 &&
+                               col("o_orderkey") % 7 =!= 0).count()
+    assert(byClass("changed") === nChanged)
+  }
+
+  test("chi-square: contributions non-negative, expected mass equals observed mass") {
+    val c = graft.operators.Stats.statsChiSquare(spark, sfSmoke)
+    assert(c.filter(col("chi2_contrib") < 0).count() === 0)
+    val Array(obs, exp) = c.agg(sum("obs"), sum("expected")).head()
+      .toSeq.map(_.toString.toDouble).toArray
+    assert(math.abs(obs - exp) < 0.1 * c.count(),
+      s"expected counts must sum to the observed total (obs=$obs exp=$exp)")
+  }
+
+  test("asof tolerance: accepted gaps within bound, null exactly when stale or unmatched") {
+    val t = graft.operators.AdvancedJoins.joinAsofTolerance(spark, sfSmoke)
+    assert(t.filter(col("gap_sec") > 3600 || col("gap_sec") < 0).count() === 0)
+    assert(t.filter(col("view_id_1h").isNotNull && col("gap_sec").isNull)
+      .count() === 0)
+    // row count preserved vs the unbounded asof (tolerance only nulls)
+    assert(t.count() === graft.operators.AdvancedJoins.joinAsof(spark, sfSmoke).count())
+  }
+
   test("url dedup: crawl variants of one page identity collapse to one canonical row") {
     val d = Dedup.dedupUrl(spark, sfSmoke)
     // every canonical URL carries the id param of its page identity and
