@@ -231,6 +231,7 @@ object SparkEntry {
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
+    "multimodal_decode_png" -> Multimodal.multimodalDecodePng _,
     "multimodal_decode"  -> Multimodal.multimodalDecode _,
     "multimodal_resize"  -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
@@ -641,6 +642,11 @@ object SparkEntry {
     // sums (DuckDB's skewness/kurtosis are sample-corrected).
     "agg_higher_moments" ->
       "WITH s AS (SELECT l_returnflag, avg(l_quantity) AS mu, avg(l_quantity * l_quantity) AS m2r, avg(pow(l_quantity, 3)) AS m3r, avg(pow(l_quantity, 4)) AS m4r, count(*) AS n FROM lineitem GROUP BY 1), c AS (SELECT l_returnflag, m2r - mu * mu AS m2, m3r - 3 * mu * m2r + 2 * pow(mu, 3) AS m3, m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * pow(mu, 4) AS m4, n FROM s) SELECT l_returnflag, round(m3 / pow(m2, 1.5), 4) AS qty_skew, round(m4 / (m2 * m2) - 3, 4) AS qty_kurt, CAST(n AS BIGINT) AS n_items FROM c ORDER BY l_returnflag",
+    // multimodal_decode_png: the planted pixel function lets SQL
+    // re-derive the decoded stats exactly; mean is an integer sum over
+    // a power-of-two divisor (round6 = identity on both engines).
+    "multimodal_decode_png" ->
+      "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), xs AS (SELECT unnest(range(0, 8)) AS x), ys AS (SELECT unnest(range(0, 8)) AS y), px AS (SELECT doc_id, (doc_id * 31 + 7 * x + 13 * y) % 256 AS p FROM g, xs, ys) SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height, round(avg(p), 6) AS mean_gray FROM px GROUP BY doc_id ORDER BY doc_id",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

@@ -6,11 +6,14 @@ import graft.Tables
 
 /** Multimodal-column pattern: opaque binary payloads + typed metadata.
   *
-  * The container has no image/audio codecs (task brief: STUB the decode),
-  * so the "image bytes" are the document text cast to binary and the
-  * decoder is a deterministic fake — but the Spark-side plumbing
-  * (binary columns, metadata structs, partition-parallel decode via
-  * mapPartitions, schema of the decoded output) is real and tested.
+  * The container has no external image/audio codecs (task brief: STUB
+  * the decode), so the generic decode path uses text-as-binary with a
+  * deterministic fake — but the Spark-side plumbing (binary columns,
+  * metadata structs, partition-parallel decode via mapPartitions,
+  * schema of the decoded output) is real and tested. EXCEPTION:
+  * PNG needs no external codec (`javax.imageio` is part of the JDK),
+  * so multimodalDecodePng below is a REAL encode→decode round trip,
+  * oracle-verified pixel-exactly.
   */
 object Multimodal {
 
@@ -134,6 +137,59 @@ object Multimodal {
         }
       }
       .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** REAL image decode — PNG needs no external codec (`javax.imageio`
+    * ships with the JDK), so this key upgrades the stubbed decode path
+    * to a genuine encode→decode round trip: an 8×8 grayscale PNG is
+    * synthesized per document (pixel(x,y) = (id·31 + 7x + 13y) mod 256,
+    * so the oracle can re-derive every statistic exactly), the bytes
+    * travel as a real `binary` column, and ImageIO decodes them back
+    * on the executors.
+    *
+    * Determinism: mean_gray is an integer sum over 64 pixels divided by
+    * a power of two — exact in IEEE double and ≤ 6 decimal digits, so
+    * round(…, 6) is an identity on both engines.
+    *
+    * Scale shape: both stages are mapPartitions inside the scan stage —
+    * no shuffle at all; payload bytes never leave the task that decodes
+    * them (the fetch-decode-stats locality a multimodal pipeline needs).
+    */
+  def multimodalDecodePng(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).na.drop()
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          for (y <- 0 until 8; x <- 0 until 8)
+            raster.setSample(x, y, 0, ((id * 31 + 7 * x + 13 * y) % 256).toInt)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "png")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val r = img.getRaster
+          var sum = 0L
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            sum += r.getSample(x, y, 0)
+          (id, img.getWidth, img.getHeight,
+           sum.toDouble / (img.getWidth * img.getHeight))
+        }
+      }
+      .toDF("doc_id", "width", "height", "mean_gray")
+      .select(col("doc_id"), col("width"), col("height"),
+              round(col("mean_gray"), 6).as("mean_gray"))
       .orderBy("doc_id")
   }
 }
