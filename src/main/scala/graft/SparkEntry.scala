@@ -232,6 +232,7 @@ object SparkEntry {
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
     "multimodal_decode_png" -> Multimodal.multimodalDecodePng _,
+    "multimodal_resize_png" -> Multimodal.multimodalResizePng _,
     "multimodal_decode"  -> Multimodal.multimodalDecode _,
     "multimodal_resize"  -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
@@ -647,6 +648,10 @@ object SparkEntry {
     // a power-of-two divisor (round6 = identity on both engines).
     "multimodal_decode_png" ->
       "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), xs AS (SELECT unnest(range(0, 8)) AS x), ys AS (SELECT unnest(range(0, 8)) AS y), px AS (SELECT doc_id, (doc_id * 31 + 7 * x + 13 * y) % 256 AS p FROM g, xs, ys) SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height, round(avg(p), 6) AS mean_gray FROM px GROUP BY doc_id ORDER BY doc_id",
+    // multimodal_resize_png: 2x2 box filter replayed in SQL with
+    // integer division; corner is the ds(0,0) witness.
+    "multimodal_resize_png" ->
+      "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), us AS (SELECT unnest(range(0, 4)) AS u), vs AS (SELECT unnest(range(0, 4)) AS v), ds AS (SELECT doc_id, u, v, ((doc_id * 31 + 7 * (2 * u) + 13 * (2 * v)) % 256 + (doc_id * 31 + 7 * (2 * u + 1) + 13 * (2 * v)) % 256 + (doc_id * 31 + 7 * (2 * u) + 13 * (2 * v + 1)) % 256 + (doc_id * 31 + 7 * (2 * u + 1) + 13 * (2 * v + 1)) % 256) // 4 AS d FROM g, us, vs) SELECT doc_id, CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h, round(CAST(sum(d) AS DOUBLE) / 16, 6) AS mean_ds, CAST(max(CASE WHEN u = 0 AND v = 0 THEN d END) AS BIGINT) AS corner FROM ds GROUP BY doc_id ORDER BY doc_id",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

@@ -192,4 +192,47 @@ object Multimodal {
               round(col("mean_gray"), 6).as("mean_gray"))
       .orderBy("doc_id")
   }
+
+  /** REAL image resize — the companion to multimodalDecodePng: decode
+    * the planted 8×8 PNG on the executor, then 2×2 box-filter it to
+    * 4×4 with pure integer math (sum of each block, integer-divided by
+    * 4 — the exact arithmetic an oracle can replay, unlike AWT's
+    * implementation-defined AreaAveraging rounding). Emits the
+    * downsampled mean and the (0,0) output pixel as witnesses.
+    * Shuffle-free like the decode: fetch → decode → resize never
+    * leaves the task.
+    */
+  def multimodalResizePng(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).na.drop()
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          for (y <- 0 until 8; x <- 0 until 8)
+            raster.setSample(x, y, 0, ((id * 31 + 7 * x + 13 * y) % 256).toInt)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val decoded = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val r = decoded.getRaster
+          val ds = Array.ofDim[Long](4, 4)
+          for (v <- 0 until 4; u <- 0 until 4) {
+            var sum = 0L
+            for (dy <- 0 to 1; dx <- 0 to 1)
+              sum += r.getSample(2 * u + dx, 2 * v + dy, 0)
+            ds(v)(u) = sum / 4
+          }
+          val total = ds.map(_.sum).sum
+          (id, 4, 4, total.toDouble / 16, ds(0)(0))
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "mean_ds", "corner")
+      .select(col("doc_id"), col("out_w"), col("out_h"),
+              round(col("mean_ds"), 6).as("mean_ds"), col("corner"))
+      .orderBy("doc_id")
+  }
 }
