@@ -233,6 +233,7 @@ object SparkEntry {
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
     "multimodal_decode_png" -> Multimodal.multimodalDecodePng _,
     "multimodal_resize_png" -> Multimodal.multimodalResizePng _,
+    "multimodal_decode_wav" -> Multimodal.multimodalDecodeWav _,
     "multimodal_decode"  -> Multimodal.multimodalDecode _,
     "multimodal_resize"  -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
@@ -652,6 +653,10 @@ object SparkEntry {
     // integer division; corner is the ds(0,0) witness.
     "multimodal_resize_png" ->
       "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), us AS (SELECT unnest(range(0, 4)) AS u), vs AS (SELECT unnest(range(0, 4)) AS v), ds AS (SELECT doc_id, u, v, ((doc_id * 31 + 7 * (2 * u) + 13 * (2 * v)) % 256 + (doc_id * 31 + 7 * (2 * u + 1) + 13 * (2 * v)) % 256 + (doc_id * 31 + 7 * (2 * u) + 13 * (2 * v + 1)) % 256 + (doc_id * 31 + 7 * (2 * u + 1) + 13 * (2 * v + 1)) % 256) // 4 AS d FROM g, us, vs) SELECT doc_id, CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h, round(CAST(sum(d) AS DOUBLE) / 16, 6) AS mean_ds, CAST(max(CASE WHEN u = 0 AND v = 0 THEN d END) AS BIGINT) AS corner FROM ds GROUP BY doc_id ORDER BY doc_id",
+    // multimodal_decode_wav: integer-exact sample stats re-derived
+    // from the planted PCM formula; no rounding anywhere.
+    "multimodal_decode_wav" ->
+      "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), idx AS (SELECT unnest(range(0, 256)) AS i) SELECT doc_id, CAST(256 AS BIGINT) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate, CAST(sum((doc_id * 7 + 13 * i) % 2000 - 1000) AS BIGINT) AS sum_samples, CAST(max((doc_id * 7 + 13 * i) % 2000 - 1000) AS BIGINT) AS max_sample FROM g, idx GROUP BY doc_id ORDER BY doc_id",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

@@ -235,4 +235,48 @@ object Multimodal {
               round(col("mean_ds"), 6).as("mean_ds"), col("corner"))
       .orderBy("doc_id")
   }
+
+  /** REAL audio decode — WAV/PCM needs no external codec either
+    * (`javax.sound.sampled` ships with the JDK): a 256-sample 16-bit
+    * mono PCM clip is synthesized per document (sample(i) =
+    * ((id·7 + 13i) mod 2000) − 1000, so every statistic is
+    * integer-exact for the oracle), written through the real WAVE
+    * encoder, decoded back via AudioSystem, and summarized. No
+    * rounding anywhere — all four outputs are exact integers.
+    * Shuffle-free like the image path.
+    */
+  def multimodalDecodeWav(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).na.drop()
+      .as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        it.map { id =>
+          val pcm = new Array[Byte](256 * 2)
+          for (i <- 0 until 256) {
+            val v = (((id * 7 + 13L * i) % 2000) - 1000).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, 256)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val decoded = in.readAllBytes()
+          val n = decoded.length / 2
+          var sum = 0L; var mx = Long.MinValue
+          for (i <- 0 until n) {
+            val v = ((decoded(2 * i) & 0xff) | (decoded(2 * i + 1) << 8)).toShort.toLong
+            sum += v; if (v > mx) mx = v
+          }
+          (id, n.toLong, in.getFormat.getSampleRate.toLong, sum, mx)
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_rate", "sum_samples", "max_sample")
+      .orderBy("doc_id")
+  }
 }
