@@ -234,6 +234,7 @@ object SparkEntry {
     "multimodal_decode_png" -> Multimodal.multimodalDecodePng _,
     "multimodal_resize_png" -> Multimodal.multimodalResizePng _,
     "multimodal_decode_wav" -> Multimodal.multimodalDecodeWav _,
+    "multimodal_framesample_png" -> Multimodal.multimodalFramesamplePng _,
     "multimodal_decode"  -> Multimodal.multimodalDecode _,
     "multimodal_resize"  -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
@@ -657,6 +658,10 @@ object SparkEntry {
     // from the planted PCM formula; no rounding anywhere.
     "multimodal_decode_wav" ->
       "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), idx AS (SELECT unnest(range(0, 256)) AS i) SELECT doc_id, CAST(256 AS BIGINT) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate, CAST(sum((doc_id * 7 + 13 * i) % 2000 - 1000) AS BIGINT) AS sum_samples, CAST(max((doc_id * 7 + 13 * i) % 2000 - 1000) AS BIGINT) AS max_sample FROM g, idx GROUP BY doc_id ORDER BY doc_id",
+    // multimodal_framesample_png: sampled frames f in {0,2,4}; the
+    // pixel sum is exact and the mean is one double division.
+    "multimodal_framesample_png" ->
+      "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), fs AS (SELECT unnest([0, 2, 4]) AS f), xs AS (SELECT unnest(range(0, 8)) AS x), ys AS (SELECT unnest(range(0, 8)) AS y), px AS (SELECT doc_id, (doc_id * 31 + 7 * x + 13 * y + 17 * f) % 256 AS p FROM g, fs, xs, ys) SELECT doc_id, CAST(6 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_sampled, CAST(sum(p) AS BIGINT) AS px_sum, round(CAST(sum(p) AS DOUBLE) / 192, 6) AS px_mean FROM px GROUP BY doc_id ORDER BY doc_id",
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

@@ -279,4 +279,67 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "sample_rate", "sum_samples", "max_sample")
       .orderBy("doc_id")
   }
+
+  /** REAL frame sampling — the video path without a video codec: a
+    * "clip" is a length-prefixed container of 6 real PNG frames
+    * (frame f's pixels = (id·31 + 7x + 13y + 17f) mod 256), and the
+    * operator parses the container, samples every 2nd frame (0, 2, 4),
+    * decodes ONLY the sampled frames, and reports the stats — the
+    * decode-only-what-you-keep shape that makes frame sampling cheap
+    * at scale. Mean is one exact-integer sum with a single double
+    * division, identical IEEE on both engines.
+    */
+  def multimodalFramesamplePng(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).na.drop()
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          // build the 6-frame container (length-prefixed real PNGs)
+          val bos = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(bos)
+          for (f <- 0 until 6) {
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            for (y <- 0 until 8; x <- 0 until 8)
+              r.setSample(x, y, 0,
+                ((id * 31 + 7 * x + 13 * y + 17 * f) % 256).toInt)
+            val fb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", fb)
+            dos.writeInt(fb.size()); fb.writeTo(dos)
+          }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "clip")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, clip) =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(clip))
+          var f = 0; var sum = 0L; var sampled = 0
+          while (in.available() > 0) {
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            if (f % 2 == 0) { // decode only the kept frames
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              val r = img.getRaster
+              for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+                sum += r.getSample(x, y, 0)
+              sampled += 1
+            }
+            f += 1
+          }
+          (id, f.toLong, sampled.toLong, sum, sum.toDouble / (sampled * 64))
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "px_sum", "px_mean")
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"), col("px_sum"),
+              round(col("px_mean"), 6).as("px_mean"))
+      .orderBy("doc_id")
+  }
 }
