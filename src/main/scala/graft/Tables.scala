@@ -20,14 +20,21 @@ object Tables {
   def part(s: SparkSession, sf: String): DataFrame      = s.read.parquet(s"$sf/part.parquet")
   def orders(s: SparkSession, sf: String): DataFrame    = s.read.parquet(s"$sf/orders.parquet")
   def lineitem(s: SparkSession, sf: String): DataFrame  = s.read.parquet(s"$sf/lineitem.parquet")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as a raw long (legacy conf, runtime-settable)
-    * and truncate ns→µs ourselves — exactly what DuckDB does internally, so
-    * the oracle sees identical instants. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some corpus
+    * generations (which Spark 4 refuses to map to TimestampType — read as
+    * raw long and truncate ns→µs, exactly DuckDB's internal behavior) and
+    * as TIMESTAMP(MICROS) in others (arrives as TIMESTAMP_NTZ under
+    * Spark's NTZ inference). Both normalize to the SAME session-UTC
+    * TimestampType column, so every downstream operator and oracle sees
+    * identical instants and output schemas regardless of generation. */
   def events(s: SparkSession, sf: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = s.read.parquet(s"$sf/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, sf: String): DataFrame = s.read.parquet(s"$sf/documents.parquet")
   def embeddings(s: SparkSession, sf: String): DataFrame = s.read.parquet(s"$sf/embeddings.parquet")

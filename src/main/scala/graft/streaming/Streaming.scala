@@ -286,8 +286,15 @@ object Streaming {
     val srcDir = java.nio.file.Paths.get(graft.Scratch.dir(prefix))
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
                srcDir.resolve("events.parquet"))
-    s.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+    // same corpus-generation normalization as Tables.events: nanos arrive
+    // as raw longs (legacy conf), micros as TIMESTAMP_NTZ — both become
+    // the session-UTC TimestampType the watermark/window operators expect
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** State-store count = shuffle partitions at first checkpoint, forever
