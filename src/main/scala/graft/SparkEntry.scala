@@ -228,6 +228,18 @@ object SparkEntry {
     "behavior_rfm"       -> Stats.behaviorRfm _,
     "basket_affinity"    -> Stats.basketAffinity _,
     "stats_chi_square"   -> Stats.statsChiSquare _,
+    "stats_ks_test"      -> Stats.statsKsTest _,
+    "stats_anova"        -> Stats.statsAnova _,
+    "stats_autocorr"     -> Stats.statsAutocorr _,
+    "timeseries_ewma"    -> Stats.timeseriesEwma _,
+    "event_attribution"  -> Stats.eventAttribution _,
+    "stats_mann_whitney" -> Stats.statsMannWhitney _,
+    "stats_survival_km"  -> Stats.statsSurvivalKm _,
+    "sample_reservoir_group" -> Pipeline.sampleReservoirGroup _,
+    "pipeline_curriculum" -> Pipeline.pipelineCurriculum _,
+    "sink_zorder_layout" -> Sources.sinkZorderLayout _,
+    "graph_pagerank"     -> Graph.graphPagerank _,
+    "graph_triangles"    -> Graph.graphTriangles _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -616,6 +628,56 @@ object SparkEntry {
     // contingency matrix on both engines.
     "stats_chi_square" ->
       "WITH c AS (SELECT source, lang, count(*) AS obs FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), t AS (SELECT source, lang, obs, CAST(sum(obs) OVER (PARTITION BY source) AS DOUBLE) * sum(obs) OVER (PARTITION BY lang) / sum(obs) OVER () AS exp FROM c) SELECT source, lang, CAST(obs AS BIGINT) AS obs, round(exp, 4) AS expected, round(pow(obs - exp, 2) / exp, 6) AS chi2_contrib FROM t ORDER BY source, lang",
+    // stats_ks_test: per-distinct-value arm counts first (intra-tie
+    // running order is engine-arbitrary), then running ECDFs and the sup.
+    "stats_ks_test" ->
+      "WITH p AS (SELECT round(value, 4) AS value, CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), v AS (SELECT value, sum(a) AS av, sum(1 - a) AS bv FROM p GROUP BY 1), r AS (SELECT sum(av) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca, sum(bv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb, sum(av) OVER () AS na, sum(bv) OVER () AS nb FROM v) SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6) AS ks_d FROM r",
+    // stats_anova: per-group moments -> grand mean -> F, all scalar math
+    // over the tiny group summary on both engines.
+    "stats_anova" ->
+      "WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v FROM events WHERE value IS NOT NULL GROUP BY 1), t AS (SELECT sum(n) AS n_total, count(*) AS k, sum(n * m) / sum(n) AS gm FROM g) SELECT CAST(max(n_total) AS BIGINT) AS n_total, CAST(max(k) AS BIGINT) AS k_groups, round(sum(n * pow(m - gm, 2)), 4) AS ss_between, round(sum((n - 1) * v), 4) AS ss_within, round((sum(n * pow(m - gm, 2)) / (max(k) - 1)) / (sum((n - 1) * v) / (max(n_total) - max(k))), 6) AS f_stat FROM g, t",
+    // stats_autocorr: same contiguous day grid as timeseries_resample
+    // (missing days are true zeros) so the lags align calendar-wise.
+    "stats_autocorr" ->
+      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1, 2), span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), grid AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span), f AS (SELECT g.event_type, g.d, CAST(coalesce(c, 0) AS DOUBLE) AS c FROM grid g LEFT JOIN daily USING (event_type, d)), l AS (SELECT event_type, c, lag(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS c1, lag(c, 2) OVER (PARTITION BY event_type ORDER BY d) AS c2, lag(c, 3) OVER (PARTITION BY event_type ORDER BY d) AS c3 FROM f) SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(corr(c, c1), 6) AS acf1, round(corr(c, c2), 6) AS acf2, round(corr(c, c3), 6) AS acf3 FROM l GROUP BY 1 ORDER BY 1",
+    // timeseries_ewma: the oracle states the recursion in closed form
+    // (s_t = 0.7^(t-1)x_1 + 0.3*sum 0.7^(t-j)x_j) over each type's
+    // ordered day list; both sides fold the SAME rounded day totals.
+    "timeseries_ewma" ->
+      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), ser AS (SELECT event_type, list(d ORDER BY d) AS ds, list(x ORDER BY d) AS xs FROM daily GROUP BY 1) SELECT event_type, unnest(ds) AS d, round(unnest(xs), 4) AS x, round(unnest(list_transform(range(1, len(xs) + 1), t -> pow(0.7, t - 1) * xs[1] + 0.3 * coalesce(list_sum(list_transform(range(2, t + 1), j -> pow(0.7, t - j) * xs[j])), 0.0))), 6) AS ewma FROM ser ORDER BY event_type, d",
+    // event_attribution: the carry-forward IGNORE NULLS window is the
+    // as-of; strictly-preceding frame excludes the conversion row itself.
+    "event_attribution" ->
+      "WITH t AS (SELECT user_id, event_type, value, last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch FROM events WHERE user_id IS NOT NULL) SELECT coalesce(touch, 'direct') AS touch_type, count(*) AS conversions, round(sum(value), 4) AS attributed_value FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1",
+    // sink_zorder_layout: the oracle replays the 16+16-bit Morton
+    // interleave in SQL — the z-curve math is hash-checked, and the
+    // round trip proves the clustered layout lost nothing.
+    "sink_zorder_layout" ->
+      "WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(list_sum(list_transform(range(0, 16), i -> ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zval FROM lineitem) SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zval FROM z WHERE l_partkey < 200 AND l_suppkey < 50 ORDER BY l_orderkey, l_linenumber",
+    // sample_reservoir_group: hash-priority rank = the deterministic
+    // reservoir; both engines draw the same k-subset per group.
+    "sample_reservoir_group" ->
+      "WITH r AS (SELECT event_type, event_id, user_id, row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk FROM events WHERE event_type IS NOT NULL) SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id FROM r WHERE rk <= 5 ORDER BY event_type, rk",
+    // pipeline_curriculum: quintile thresholds as aggregates (not a
+    // global ntile) on both engines; score rounded before comparison.
+    "pipeline_curriculum" ->
+      "WITH d AS (SELECT doc_id, round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * (CAST(length(text) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1)), 6) AS score FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL), th AS (SELECT round(quantile_cont(score, 0.20), 6) AS q20, round(quantile_cont(score, 0.40), 6) AS q40, round(quantile_cont(score, 0.60), 6) AS q60, round(quantile_cont(score, 0.80), 6) AS q80 FROM d) SELECT doc_id, score, CAST(1 + CASE WHEN score > q20 THEN 1 ELSE 0 END + CASE WHEN score > q40 THEN 1 ELSE 0 END + CASE WHEN score > q60 THEN 1 ELSE 0 END + CASE WHEN score > q80 THEN 1 ELSE 0 END AS BIGINT) AS bucket, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM d CROSS JOIN th ORDER BY bucket, shuffle_key, doc_id",
+    // stats_mann_whitney: same per-distinct-value grain as the KS test;
+    // mid-ranks in closed form, tie-corrected normal approximation.
+    "stats_mann_whitney" ->
+      "WITH p AS (SELECT round(value, 4) AS value, CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), v AS (SELECT value, sum(a) AS av, sum(1 - a) AS bv, count(*) AS tv FROM p GROUP BY 1), r AS (SELECT av, bv, tv, CAST(coalesce(sum(tv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) + CAST(tv + 1 AS DOUBLE) / 2 AS midrank FROM v), s AS (SELECT sum(av) AS na, sum(bv) AS nb, sum(av * midrank) AS ra, sum(tv * tv * tv - tv) AS ties FROM r) SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, round(ra - CAST(na AS DOUBLE) * (na + 1) / 2, 4) AS u_a, round((ra - CAST(na AS DOUBLE) * (na + 1) / 2 - CAST(na AS DOUBLE) * nb / 2) / sqrt(CAST(na AS DOUBLE) * nb / 12 * ((na + nb + 1) - CAST(ties AS DOUBLE) / ((na + nb) * (na + nb - 1)))), 6) AS z_score FROM s",
+    // stats_survival_km: running product as exp-sum-log with the
+    // zero-factor carried as an explicit flag on both engines.
+    "stats_survival_km" ->
+      "WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events WHERE user_id IS NOT NULL GROUP BY 1), h AS (SELECT max(d1) AS dmax FROM u), dur AS (SELECT date_diff('day', d0, d1) AS t, CAST(d1 < dmax AS BIGINT) AS death FROM u CROSS JOIN h), g AS (SELECT t, sum(death) AS d, count(*) AS c FROM dur GROUP BY 1), r AS (SELECT t, d, c, sum(c) OVER () - coalesce(sum(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM g), f AS (SELECT t, d, n_risk, CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / n_risk AS f FROM r) SELECT CAST(t AS BIGINT) AS t, CAST(d AS BIGINT) AS deaths, CAST(n_risk AS BIGINT) AS n_risk, round(CASE WHEN max(CASE WHEN f <= 0 THEN 1 ELSE 0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0 ELSE exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6) AS survival FROM f ORDER BY t",
+    // graph_pagerank: the 3 synchronous iterations unroll as chained
+    // CTEs — an iterative distributed kernel, still hash-checked.
+    "graph_pagerank" ->
+      "WITH li AS (SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS q FROM lineitem), e AS (SELECT p AS src, q AS dst FROM li UNION ALL SELECT q AS src, p AS dst FROM li), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS w FROM e JOIN deg USING (src)), nn AS (SELECT count(*) AS n FROM deg), r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS r FROM deg CROSS JOIN nn), r1 AS (SELECT w.dst AS node, CAST(0.15 AS DOUBLE) / max(nn.n) + 0.85 * sum(r0.r * w.w) AS r FROM w JOIN r0 ON w.src = r0.node CROSS JOIN nn GROUP BY 1), r2 AS (SELECT w.dst AS node, CAST(0.15 AS DOUBLE) / max(nn.n) + 0.85 * sum(r1.r * w.w) AS r FROM w JOIN r1 ON w.src = r1.node CROSS JOIN nn GROUP BY 1), r3 AS (SELECT w.dst AS node, CAST(0.15 AS DOUBLE) / max(nn.n) + 0.85 * sum(r2.r * w.w) AS r FROM w JOIN r2 ON w.src = r2.node CROSS JOIN nn GROUP BY 1) SELECT node, round(r, 6) AS rank FROM r3 ORDER BY rank DESC, node ASC LIMIT 100",
+    // graph_triangles: support-thresholded co-purchase edges, oriented
+    // u<v, triangle = oriented 3-cycle counted once.
+    "graph_triangles" ->
+      "WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), edges AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), tri AS (SELECT count(*) AS n_triangles FROM edges e1 JOIN edges e2 ON e1.v = e2.u JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v), ne AS (SELECT count(*) AS n_edges FROM edges) SELECT n_edges, n_triangles FROM ne CROSS JOIN tri",
     // table_diff_audit: same planted changelog rules as merge_cdc_upsert;
     // full outer join + change classification, unchanged filtered.
     "table_diff_audit" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -361,6 +362,62 @@ object Pipeline {
     * ONE aggregate, and `stack` pivots the 1-row result to the 5-row
     * report. Output is O(stages), independent of corpus size.
     */
+  /** Deterministic per-group reservoir: exactly k = 5 events per event
+    * type, chosen by md5 priority over event_id — the distributed
+    * equivalent of reservoir sampling (a uniform random k-subset per
+    * group) with the repo's hash-as-randomness convention, so both
+    * engines draw the SAME sample.
+    *
+    * Scale shape: rank-over-hash is the mergeable-top-k pattern — at
+    * 100 TB the per-partition row_number prunes to k per (group,
+    * partition) before the group shuffle (Spark's WindowGroupLimit
+    * pushes the rank filter partial-side), so the shuffle carries
+    * O(k · partitions) rows per group, never the full group.
+    */
+  def sampleReservoirGroup(s: SparkSession, sf: String): DataFrame = {
+    val pri = md5(col("event_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(pri.asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"), col("user_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk").cast("bigint").as("rk"),
+              col("event_id"), col("user_id"))
+      .orderBy("event_type", "rk")
+  }
+
+  /** Curriculum ordering: documents labeled into 5 difficulty buckets
+    * (1 = easiest) by quality-proxy quintiles — mean word length and
+    * alpha ratio, the cheap signals curriculum schedules actually use —
+    * with a deterministic intra-bucket shuffle key, so a trainer reads
+    * bucket 1→5 in hash order. Quintile THRESHOLDS are aggregates
+    * broadcast back (the behaviorRfm pattern): a global ntile window
+    * would single-partition the corpus; threshold-compare keeps the
+    * labeling embarrassingly parallel, and the shuffle key replaces any
+    * materialized global rank.
+    */
+  def pipelineCurriculum(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .withColumn("score", round(
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          greatest(length(col("text")), lit(1))) *
+        (length(col("text")).cast("double") /
+          greatest(size(split(col("text"), " ")), lit(1))), 6))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val thCols = qs.map(q =>
+      round(expr(s"percentile(score, $q)"), 6).as(s"q${(q * 100).toInt}"))
+    val th = d.agg(thCols.head, thCols.tail: _*)
+    d.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("score"),
+        qs.map(q => (col("score") > col(s"q${(q * 100).toInt}")).cast("long"))
+          .foldLeft(lit(1L))(_ + _).as("bucket"),
+        md5(col("doc_id").cast("string").cast("binary")).as("shuffle_key"))
+      .orderBy("bucket", "shuffle_key", "doc_id")
+  }
+
   def filterFunnel(s: SparkSession, sf: String): DataFrame = {
     val nWords = size(split(col("text"), " "))
     val nonAlpha = length(regexp_replace(col("text"), "[a-z ]", ""))

@@ -235,6 +235,43 @@ object Sources {
     * low-cardinality column; this shows stats pruning on a high-
     * cardinality one — together they are the two layout levers a 100 TB
     * table has. Writer-side schema on the read-back (empty-input rule). */
+  /** Z-order clustered sink: lineitem laid out on the interleaved-bit
+    * Morton curve over (l_partkey, l_suppkey), so range predicates on
+    * EITHER key map to contiguous z-ranges — the multi-dimensional
+    * clustering trick behind Delta/Iceberg OPTIMIZE ZORDER, built from
+    * first principles with a 16+16-bit interleave as a fold expression
+    * (whole-stage-codegen'd, no UDF). The query reads the clustered
+    * files back under a two-sided predicate and returns matching rows
+    * WITH their z-values — the oracle replays the interleave in SQL, so
+    * the curve math itself is hash-checked.
+    *
+    * Scale shape: repartitionByRange on z (sampled range bounds) +
+    * sortWithinPartitions gives each parquet file a tight z-interval,
+    * i.e. tight min/max on BOTH keys → row-group skipping for either
+    * predicate dimension at 100 TB; a single-column sort would cluster
+    * one key and scatter the other. ZorderLayoutSpec pins the per-file
+    * two-sided selectivity this buys.
+    */
+  def sinkZorderLayout(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_zorder_")
+    // 16-bit × 16-bit Morton interleave: bit i of x → bit 2i, bit i of
+    // y → bit 2i+1; a fold over sequence(0,15) keeps it one codegen'd
+    // expression (no join, no UDF)
+    val z = expr(
+      """aggregate(sequence(0, 15), 0L, (acc, i) ->
+           acc + shiftleft(shiftright(l_partkey, i) & 1L, 2 * i)
+               + shiftleft(shiftright(l_suppkey, i) & 1L, 2 * i + 1))""")
+    val li = Tables.lineitem(s, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"), z.as("zval"))
+    li.repartitionByRange(8, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(dir)
+    s.read.schema(li.schema).parquet(dir)
+      .filter(col("l_partkey") < 200 && col("l_suppkey") < 50)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   def sinkSortedLayout(s: SparkSession, sf: String): DataFrame = {
     val dir = graft.Scratch.dir("graft_sorted_")
     val li = Tables.lineitem(s, sf)

@@ -336,4 +336,269 @@ object Stats {
               col("day_value").isNotNull.as("observed"))
       .orderBy("user_id", "d")
   }
+
+  /** Two-sample Kolmogorov–Smirnov test on purchase values between the
+    * deterministic md5 arms of `experimentTtest` — the distribution-
+    * free companion to the t test (detects shape shifts a mean compare
+    * misses). D = max |F_A(x) − F_B(x)| over the pooled sample, computed
+    * from running arm counts over the value order; ties collapse to one
+    * evaluation point per distinct value (the sup over a tie group is
+    * its last row, so max-after-group is exact).
+    *
+    * Scale shape: the data-sized work is ONE HashAggregate collapsing
+    * events to per-distinct-value arm counts (map-side combinable); the
+    * running-sum window then runs over the collapsed frame — bounded by
+    * the metric's distinct rounded values, not the row count — so its
+    * single-partition global order is a deliberate, bounded choice, the
+    * same summarize-then-scan shape as agg_gini's bucket summary.
+    */
+  def statsKsTest(s: SparkSession, sf: String): DataFrame = {
+    val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    // collapse to per-distinct-value arm counts BEFORE the running sums:
+    // a running window over raw tied rows would see an arbitrary intra-
+    // tie order (engine-dependent intermediate ECDFs); the sup of a step
+    // function is attained at step points, so the per-value grain is both
+    // deterministic and exact
+    val byVal = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(round(col("value"), 4).as("value"), arm.cast("long").as("a"))
+      .groupBy(col("value"))
+      .agg(sum(col("a")).as("av"), sum(lit(1L) - col("a")).as("bv"))
+    val w = Window.orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .select(
+        sum(col("av")).over(w).as("ca"), sum(col("bv")).over(w).as("cb"),
+        sum(col("av")).over(Window.partitionBy()).as("na"),
+        sum(col("bv")).over(Window.partitionBy()).as("nb"))
+      .agg(max(col("na")).cast("bigint").as("n_a"),
+           max(col("nb")).cast("bigint").as("n_b"),
+           round(max(abs(col("ca").cast("double") / col("na") -
+                         col("cb").cast("double") / col("nb"))), 6).as("ks_d"))
+  }
+
+  /** One-way ANOVA across event types on the event value — does the
+    * metric differ by event type beyond noise? Emits the classic table:
+    * between/within sums of squares, degrees of freedom, and the F
+    * statistic, from per-group (n, mean, M2) in a single pass.
+    *
+    * Scale shape: one partial+final HashAggregate over the scan builds
+    * the ≤|types|-row group summary (count/avg/var are sum-of-moments,
+    * map-side combinable); the grand mean and F are windows/scalar math
+    * over that tiny frame. Identical cost to a plain groupBy-avg.
+    */
+  def statsAnova(s: SparkSession, sf: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables.events(s, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+           var_samp(col("value")).as("v"))
+      .select(
+        sum(col("n")).over(wAll).as("n_total"),
+        count(lit(1)).over(wAll).as("k"),
+        (sum(col("n") * col("m")).over(wAll) / sum(col("n")).over(wAll))
+          .as("gm"),
+        col("n"), col("m"), col("v"))
+      .groupBy(col("n_total"), col("k"), col("gm"))
+      .agg(sum(col("n") * pow(col("m") - col("gm"), 2)).as("ss_between"),
+           sum((col("n") - 1) * col("v")).as("ss_within"))
+      .select(col("n_total").cast("bigint").as("n_total"),
+        col("k").cast("bigint").as("k_groups"),
+        round(col("ss_between"), 4).as("ss_between"),
+        round(col("ss_within"), 4).as("ss_within"),
+        round((col("ss_between") / (col("k") - 1)) /
+              (col("ss_within") / (col("n_total") - col("k"))), 6)
+          .as("f_stat"))
+  }
+
+  /** Lag-k autocorrelation (k = 1, 2, 3) of each event type's daily
+    * count series — the seasonality probe run before any forecasting
+    * model choice. The series is the per-(type, day) count on each
+    * type's own contiguous day grid (missing days are true zeros, so
+    * lags align calendar-wise, not row-wise); ACF_k is the Pearson corr
+    * of the series against itself shifted k days.
+    *
+    * Scale shape: events collapse to the (type, day) grain first — the
+    * only data-sized aggregate; the grid explode, three lag windows over
+    * the per-type day order, and the corr aggregates all run on the
+    * tiny daily frame. `corr` is sum-of-moments, map-side combinable.
+    */
+  def statsAutocorr(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val filled = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+              coalesce(col("c"), lit(0L)).cast("double").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+    filled
+      .select(col("event_type"), col("c"),
+              lag(col("c"), 1).over(w).as("c1"),
+              lag(col("c"), 2).over(w).as("c2"),
+              lag(col("c"), 3).over(w).as("c3"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+           round(corr(col("c"), col("c1")), 6).as("acf1"),
+           round(corr(col("c"), col("c2")), 6).as("acf2"),
+           round(corr(col("c"), col("c3")), 6).as("acf3"))
+      .orderBy("event_type")
+  }
+
+  /** Exponentially weighted moving average (α = 0.3, s₀ = x₀) of each
+    * event type's daily purchase total — the smoothing baseline next to
+    * `timeseries_resample`'s raw grid. The recursion s_t = αx_t +
+    * (1−α)s_{t−1} folds over each type's ordered day array with the
+    * `aggregate` higher-order function: exact, no pow(1−α, −k) rescaling
+    * (which overflows on long series), and one output row per day via
+    * posexplode of the running-state array.
+    *
+    * Scale shape: the data-sized work is the (type, day) aggregate; the
+    * fold runs per type over day-count-sized arrays (bounded by the
+    * calendar, not the data). A per-row window formulation would need a
+    * non-distributive recursive frame — the fold is the honest shape,
+    * and its state (one running array per type) is explicitly bounded.
+    */
+  def timeseriesEwma(s: SparkSession, sf: String): DataFrame = {
+    Tables.events(s, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(s,
+             cast(array() as array<struct<d: date, x: double, e: double>>),
+             (acc, r) -> acc || array(named_struct(
+               'd', r.d, 'x', r.x,
+               'e', if(size(acc) = 0, r.x,
+                       0.3d * r.x + 0.7d * element_at(acc, -1).e))))"""))
+        .as("r"))
+      .select(col("event_type"), col("r.d").as("d"),
+              round(col("r.x"), 4).as("x"), round(col("r.e"), 6).as("ewma"))
+      .orderBy("event_type", "d")
+  }
+
+  /** Mann–Whitney U (rank-sum) test between the md5 arms on purchase
+    * value — the nonparametric companion to `experimentTtest`, valid
+    * under any value distribution. Mid-ranks come from the per-distinct-
+    * value grain (offset of lower values + (n_v+1)/2 — the closed form
+    * of averaging tied row numbers), U_A = R_A − n_A(n_A+1)/2, and the
+    * normal approximation applies the standard tie-corrected variance
+    * σ² = n_A·n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Scale shape: identical to `statsKsTest` — one map-side-combinable
+    * HashAggregate collapses events to per-value arm counts; the rank
+    * offsets are a running window over that bounded distinct-value
+    * frame, and the test statistic is a single tiny aggregate after.
+    */
+  def statsMannWhitney(s: SparkSession, sf: String): DataFrame = {
+    val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val byVal = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(round(col("value"), 4).as("value"), arm.cast("long").as("a"))
+      .groupBy(col("value"))
+      .agg(sum(col("a")).as("av"), sum(lit(1L) - col("a")).as("bv"))
+      .withColumn("tv", col("av") + col("bv"))
+    val w = Window.orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .select(col("av"), col("bv"), col("tv"),
+        (coalesce(sum(col("tv")).over(w), lit(0L)).cast("double") +
+         (col("tv") + 1).cast("double") / 2).as("midrank"))
+      .agg(sum(col("av")).as("na"), sum(col("bv")).as("nb"),
+           sum(col("av") * col("midrank")).as("ra"),
+           sum(col("tv") * col("tv") * col("tv") - col("tv")).as("ties"))
+      .select(col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        round(col("ra") - col("na").cast("double") * (col("na") + 1) / 2, 4)
+          .as("u_a"),
+        round((col("ra") - col("na").cast("double") * (col("na") + 1) / 2 -
+               col("na").cast("double") * col("nb") / 2) /
+          sqrt(col("na").cast("double") * col("nb") / 12 *
+            ((col("na") + col("nb") + 1) -
+             col("ties").cast("double") /
+               ((col("na") + col("nb")) * (col("na") + col("nb") - 1)))), 6)
+          .as("z_score"))
+  }
+
+  /** Kaplan–Meier survival curve of user lifetime (days between first
+    * and last event): users still active on the corpus's final day are
+    * right-censored (their lifetime is a lower bound, they leave the
+    * risk set without a death). S(t) multiplies (1 − d_t/n_t) over
+    * event times ≤ t — the estimator every retention analysis quotes.
+    *
+    * Scale shape: events collapse to user-grain (first/last day) in one
+    * aggregate, then to duration-grain (deaths/censored per duration) in
+    * a second — the curve frame is bounded by the calendar span. The
+    * risk set n_t and the running Π(1−d/n) (as exp∘Σlog, the
+    * distributable form of a running product) are windows over that
+    * tiny frame.
+    */
+  def statsSurvivalKm(s: SparkSession, sf: String): DataFrame = {
+    val users = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val horizon = users.agg(max(col("d1")).as("dmax"))
+    val durs = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+              (col("d1") < col("dmax")).cast("long").as("death"))
+      .groupBy(col("t"))
+      .agg(sum(col("death")).as("d"), count(lit(1)).as("c"))
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durs
+      .withColumn("n_risk",
+        (sum(col("c")).over(Window.partitionBy()) -
+         coalesce(sum(col("c")).over(wPrev), lit(0L))).cast("bigint"))
+      // a fully-dying last risk set makes the factor 0 — Spark's log
+      // returns NULL there and DuckDB's ln returns -inf, so the zero is
+      // carried as an explicit flag and excluded from the log sum
+      .withColumn("f", lit(1.0) - col("d").cast("double") / col("n_risk"))
+      .withColumn("surv",
+        when(max((col("f") <= 0.0).cast("int")).over(wRun) === 1, lit(0.0))
+          .otherwise(exp(sum(when(col("f") > 0.0, log(col("f")))
+            .otherwise(lit(0.0))).over(wRun))))
+      .select(col("t"), col("d").cast("bigint").as("deaths"),
+              col("n_risk"), round(col("surv"), 6).as("survival"))
+      .orderBy("t")
+  }
+
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent PRECEDING non-purchase event of the same user (strictly
+    * earlier ts; ties within a timestamp break on event_id, the stream's
+    * arrival order), then conversions and credited revenue roll up per
+    * touch type. Purchases with no prior touch report as 'direct'.
+    *
+    * Scale shape: one window shuffle on user_id with a running
+    * last(ignoreNulls) over (ts, event_id) order carries the latest
+    * touch to each purchase row — the classic carry-forward form; the
+    * rollup is a tiny per-type aggregate. No self-join, no as-of join:
+    * the touch and the conversion live in the same ordered stream, so
+    * the window IS the as-of.
+    */
+  def eventAttribution(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+             ignoreNulls = true).over(w).as("touch"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("conversions"),
+           round(sum(col("value")), 4).as("attributed_value"))
+      .orderBy("touch_type")
+  }
 }

