@@ -23,15 +23,17 @@ object Graph {
     * hash-checked exactly.
     *
     * Scale shape: the edge list with per-source weight (1/outdeg) is
-    * computed ONCE and cached — each iteration is then one hash join
-    * ranks⋈edges on src plus one partial+final HashAggregate on dst
-    * (sum of weighted contributions): the textbook Pregel step as
-    * relational algebra, #iterations × (join + agg) shuffles total.
-    * Every node has outdegree ≥ 1 by construction (undirected edges),
-    * so no dangling-mass correction term is needed. At 100 TB the
-    * ranks frame is node-grain (≪ edge-grain) and the edge cache
-    * co-partitions on src across iterations; top-100 is distributed
-    * TakeOrderedAndProject, never a global sort.
+    * computed ONCE and cached — each iteration then joins the
+    * node-grain ranks frame in BROADCAST (ranks ≪ edges always: it
+    * shrinks data to one row per node), and the per-dst sum partial-
+    * aggregates MAP-SIDE before its exchange, so the only per-iteration
+    * shuffle carries node-grain partials, never the edge frame. At
+    * 100 TB ranks may outgrow a broadcast; the fallback is a shuffle
+    * hash join against an edge cache pre-partitioned on src (one
+    * node-grain shuffle per iteration, edges still shuffled once at
+    * build). Every node has outdegree ≥ 1 by construction (undirected
+    * edges), so no dangling-mass correction term is needed; top-100 is
+    * distributed TakeOrderedAndProject, never a global sort.
     */
   def graphPagerank(s: SparkSession, sf: String): DataFrame = {
     val li = Tables.lineitem(s, sf)
@@ -50,7 +52,7 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
       .select(col("node"), (lit(1.0) / col("nn")).as("r"), col("nn"))
     for (_ <- 1 to 3) {
-      ranks = weighted.join(ranks, col("src") === col("node"))
+      ranks = weighted.join(broadcast(ranks), col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(((lit(0.15) / max(col("nn"))) +
               lit(0.85) * sum(col("r") * col("w"))).as("r"),

