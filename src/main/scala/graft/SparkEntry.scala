@@ -238,6 +238,11 @@ object SparkEntry {
     "sample_reservoir_group" -> Pipeline.sampleReservoirGroup _,
     "pipeline_curriculum" -> Pipeline.pipelineCurriculum _,
     "sink_zorder_layout" -> Sources.sinkZorderLayout _,
+    "text_unicode_normalize" -> TextOps.textUnicodeNormalize _,
+    "profile_benford"    -> Profiling.profileBenford _,
+    "stats_cusum"        -> Stats.statsCusum _,
+    "agg_bitwise"        -> AdvancedAggs.aggBitwise _,
+    "sink_merge_on_read" -> Cdc.sinkMergeOnRead _,
     "graph_pagerank"     -> Graph.graphPagerank _,
     "graph_triangles"    -> Graph.graphTriangles _,
     // §2.10 LLM-pipeline: multimodal
@@ -649,6 +654,26 @@ object SparkEntry {
     // as-of; strictly-preceding frame excludes the conversion row itself.
     "event_attribution" ->
       "WITH t AS (SELECT user_id, event_type, value, last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch FROM events WHERE user_id IS NOT NULL) SELECT coalesce(touch, 'direct') AS touch_type, count(*) AS conversions, round(sum(value), 4) AS attributed_value FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1",
+    // text_unicode_normalize: DuckDB's utf8proc nfc_normalize /
+    // strip_accents mirror the JDK Normalizer expressions.
+    "text_unicode_normalize" ->
+      "SELECT doc_id, nfc_normalize(text) AS nfc_text, strip_accents(lower(text)) AS folded_text, nfc_normalize(text) <> text AS changed_nfc FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
+    // profile_benford: digit via exact integer math on both engines —
+    // never floor(log10) at the 10^k boundaries.
+    "profile_benford" ->
+      "WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0), g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1) SELECT digit, n, round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS observed_p, round(log10(1 + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS benford_p, round(abs(round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) - round(log10(1 + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)), 6) AS abs_dev FROM g ORDER BY digit",
+    // stats_cusum: the oracle replays the prefix max-folds with a
+    // seeded list_reduce per t over each type's ordered day list.
+    "stats_cusum" ->
+      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), st AS (SELECT event_type, avg(x) AS mu, coalesce(stddev_samp(x), 0) AS sigma FROM daily GROUP BY 1), ser AS (SELECT event_type, list(d ORDER BY d) AS ds, list(x ORDER BY d) AS xs FROM daily GROUP BY 1), j AS (SELECT s.event_type, ds, xs, mu, sigma FROM ser s JOIN st USING (event_type)), e AS (SELECT event_type, mu, sigma, unnest(ds) AS d, unnest(xs) AS x, unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_slice(xs, 1, t)), (acc, v) -> greatest(CAST(0.0 AS DOUBLE), acc + v - mu - sigma / 2)))) AS c FROM j) SELECT event_type, d, x, round(c, 6) AS cusum, c > 4 * sigma AS alarm FROM e ORDER BY event_type, d",
+    // agg_bitwise: commutative single-word aggregates on both engines.
+    "agg_bitwise" ->
+      "SELECT l_returnflag, bit_and(l_orderkey) AS keys_and, bit_or(l_orderkey) AS keys_or, bit_xor(l_orderkey) AS keys_xor, CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS total_bits FROM lineitem GROUP BY 1 ORDER BY 1",
+    // sink_merge_on_read: same planted changelog family as
+    // merge_cdc_upsert; the oracle states base-minus-deletes overlaid
+    // with updates plus disjoint-key inserts.
+    "sink_merge_on_read" ->
+      "WITH base AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price FROM orders), kept AS (SELECT k, price FROM base WHERE k % 7 <> 0), upd AS (SELECT k, floor(price * 1.1 * 100) / 100 AS new_price FROM base WHERE k % 5 = 0 AND k % 7 <> 0 UNION ALL SELECT k + 1000000000 AS k, price AS new_price FROM base WHERE k % 11 = 3) SELECT k, price, from_delta FROM (SELECT kept.k AS k, coalesce(u.new_price, kept.price) AS price, u.new_price IS NOT NULL AS from_delta FROM kept LEFT JOIN upd u ON kept.k = u.k UNION ALL SELECT u.k AS k, u.new_price AS price, true AS from_delta FROM upd u LEFT JOIN base b ON u.k = b.k WHERE b.k IS NULL) m ORDER BY k",
     // sink_zorder_layout: the oracle replays the 16+16-bit Morton
     // interleave in SQL — the z-curve math is hash-checked, and the
     // round trip proves the clustered layout lost nothing.

@@ -109,5 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((LshBuckets.ident, LshBuckets.info, LshBuckets.builder))
     ext.injectFunction((ShingleHash64.ident, ShingleHash64.info,
                         ShingleHash64.builder))
+    ext.injectFunction((UnicodeNorm.identNfc, UnicodeNorm.infoNfc,
+                        UnicodeNorm.builderNfc))
+    ext.injectFunction((UnicodeNorm.identUnaccent, UnicodeNorm.infoUnaccent,
+                        UnicodeNorm.builderUnaccent))
   }
 }

@@ -312,4 +312,23 @@ object AdvancedAggs {
            round(max(p), 4).as("top_share"))
       .orderBy("user_id")
   }
+
+  /** Bitwise aggregate family (bit_and / bit_or / bit_xor / bit_count)
+    * over the order keys per return flag — the aggregates behind bitmap
+    * semantics: flag-union as OR, flag-intersection as AND, and
+    * parity/toggle tracking as XOR (a key appearing an even number of
+    * times cancels out — the classic find-the-unpaired-element trick).
+    *
+    * Scale shape: all three are commutative-associative single-word
+    * aggregates — perfectly map-side combinable, constant state, the
+    * cheapest aggregate family that exists.
+    */
+  def aggBitwise(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(bit_and(col("l_orderkey")).as("keys_and"),
+           bit_or(col("l_orderkey")).as("keys_or"),
+           bit_xor(col("l_orderkey")).as("keys_xor"),
+           sum(bit_count(col("l_orderkey")).cast("bigint")).as("total_bits"))
+      .orderBy("l_returnflag")
 }

@@ -165,4 +165,51 @@ object Cdc {
               col("state"), col("valid_from"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Merge-on-read table layout: the write path appends small delta
+    * files (a delete-key set and an update/insert batch) next to an
+    * immutable base, and the READ path reconciles — base minus deletes,
+    * overlaid with updates — exactly the Iceberg/Delta MOR contract
+    * where writes stay O(delta) and reads pay the merge. The planted
+    * changelog reuses merge_cdc_upsert's rules (k%7 deleted, k%5
+    * re-priced, k%11==3 inserted) so the oracle states the merged
+    * result relationally from the source table.
+    *
+    * Scale shape: the delete reconciliation is a BROADCAST anti-join
+    * (delete vectors are small by definition — that is the premise of
+    * MOR) and the update overlay is a broadcast full-outer on the same
+    * small delta; the base is scanned once, never rewritten. At 100 TB
+    * periodic compaction (sink_compacted) folds the deltas back in.
+    */
+  def sinkMergeOnRead(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_mor_")
+    val base = Tables.orders(s, sf)
+      .select(col("o_orderkey").as("k"),
+              round(col("o_totalprice"), 2).as("price"))
+    base.write.mode("overwrite").parquet(s"$dir/base")
+    base.filter(col("k") % 7 === 0).select(col("k"))
+      .write.mode("overwrite").parquet(s"$dir/deletes")
+    base.filter(col("k") % 5 === 0 && col("k") % 7 =!= 0)
+      .select(col("k"),
+              (floor(col("price") * lit(1.1) * 100) / 100).as("price"))
+      .unionAll(base.filter(col("k") % 11 === 3)
+        .select((col("k") + 1000000000L).as("k"), col("price")))
+      .write.mode("overwrite").parquet(s"$dir/updates")
+    val b = s.read.parquet(s"$dir/base")
+    val del = s.read.parquet(s"$dir/deletes")
+    val upd = s.read.parquet(s"$dir/updates").withColumnRenamed("price", "new_price")
+    // full-outer is not broadcastable — decompose into the two
+    // broadcast-able halves: overlay (left join) + inserts (anti join)
+    val overlaid = b.join(broadcast(del), Seq("k"), "left_anti")
+      .join(broadcast(upd), Seq("k"), "left")
+      .select(col("k"), coalesce(col("new_price"), col("price")).as("price"),
+              col("new_price").isNotNull.as("from_delta"))
+    // inserts: the small delta probes the base key set — no broadcast
+    // hint (the base is the big side; AQE picks the join side), and in a
+    // real MOR layout file-level key-range metadata prunes this to the
+    // overlapping base files only
+    val inserts = upd.join(b.select(col("k")), Seq("k"), "left_anti")
+      .select(col("k"), col("new_price").as("price"), lit(true).as("from_delta"))
+    overlaid.unionAll(inserts).orderBy("k")
+  }
 }

@@ -288,4 +288,33 @@ object Profiling {
       .select(expr(s"stack(16, $stackArgs) AS (col_x, col_y, corr_xy)"))
       .orderBy("col_x", "col_y")
   }
+
+  /** Benford first-digit audit of order totals — the forensic data-
+    * quality check: naturally-occurring monetary amounts follow
+    * P(d) = log10(1 + 1/d), and a synthetic or tampered column shows up
+    * as deviation. The digit is extracted via exact integer math
+    * (cents = round(price·100) as BIGINT, then the integer's first
+    * character) — NEVER floor(log10(x)), whose x ≈ 10^k boundary
+    * behavior differs between engines' float rounding.
+    *
+    * Scale shape: one map-side-combinable HashAggregate into exactly 9
+    * groups; everything after is scalar math on a 9-row frame.
+    */
+  def profileBenford(s: SparkSession, sf: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.orders(s, sf)
+      .filter(col("o_totalprice").isNotNull && col("o_totalprice") > 0)
+      .select(substring(
+        round(col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        1, 1).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        round(col("n") / sum(col("n")).over(wAll), 6).as("observed_p"),
+        round(log10(lit(1.0) + lit(1.0) /
+          col("digit").cast("double")), 6).as("benford_p"))
+      .withColumn("abs_dev",
+        round(abs(col("observed_p") - col("benford_p")), 6))
+      .orderBy("digit")
+  }
 }

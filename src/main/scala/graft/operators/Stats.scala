@@ -573,6 +573,46 @@ object Stats {
       .orderBy("t")
   }
 
+  /** One-sided CUSUM change detection over each event type's daily
+    * count series: S_t = max(0, S_{t-1} + (x_t − μ − k)) with reference
+    * drift k = σ/2 — the classic upward-shift detector (a sustained
+    * rate increase accumulates; noise resets to 0). μ and σ are the
+    * series' own mean/stddev; the alarm flags S_t > 4σ (the h=4
+    * control-limit convention).
+    *
+    * Scale shape: the data-sized work is the (type, day) count
+    * aggregate; μ/σ are one window over the tiny daily frame, and the
+    * recursive max-fold runs per type over calendar-bounded arrays —
+    * same honest-recursion shape as `timeseriesEwma`, with the oracle
+    * replaying the identical prefix folds.
+    */
+  def statsCusum(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val wT = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("mu", avg(col("x")).over(wT))
+      .withColumn("sigma", coalesce(stddev_samp(col("x")).over(wT), lit(0.0)))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"),
+           max(col("mu")).as("mu"), max(col("sigma")).as("sigma"))
+      .select(col("event_type"), col("mu"), col("sigma"), explode(expr(
+        """aggregate(s,
+             cast(array() as array<struct<d: date, x: double, c: double>>),
+             (acc, r) -> acc || array(named_struct(
+               'd', r.d, 'x', r.x,
+               'c', greatest(cast(0.0 as double),
+                 if(size(acc) = 0, cast(0.0 as double),
+                    element_at(acc, -1).c)
+                   + r.x - mu - sigma / 2))))"""))
+        .as("r"))
+      .select(col("event_type"), col("r.d").as("d"), col("r.x").as("x"),
+        round(col("r.c"), 6).as("cusum"),
+        (col("r.c") > lit(4.0) * col("sigma")).as("alarm"))
+      .orderBy("event_type", "d")
+  }
+
   /** Last-touch attribution: each purchase is credited to the most
     * recent PRECEDING non-purchase event of the same user (strictly
     * earlier ts; ties within a timestamp break on event_id, the stream's

@@ -493,4 +493,31 @@ object TextOps {
         round(col("cum_freq") / col("total_tokens"), 6).as("cum_share"))
       .orderBy("rank")
   }
+
+  /** Unicode canonicalization — the pass that runs BEFORE any dedup,
+    * fingerprint, or contamination check on a multilingual corpus: the
+    * same visible text must hash identically whether a source shipped
+    * it precomposed (NFC) or decomposed (NFD), and accent-insensitive
+    * joins need combining marks gone. Uses the native `graft_nfc` /
+    * `graft_unaccent` Catalyst expressions (UnicodeNorm.scala — JDK
+    * Normalizer under codegen with an ASCII fast path, mirroring
+    * DuckDB's utf8proc `nfc_normalize`/`strip_accents`, which is what
+    * keeps the key oracle-pairable).
+    *
+    * Scale shape: pure per-row projection inside the scan stage — no
+    * shuffle, no UDF boxing; the ASCII fast path makes the common case
+    * a single byte scan. UnicodeNormSpec planted non-ASCII fixtures
+    * prove NFD→NFC convergence and mark stripping; the corpus oracle
+    * proves the engine surfaces agree on every real row.
+    */
+  def textUnicodeNormalize(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.UnicodeNorm.register(s)
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("graft_nfc(text)").as("nfc_text"),
+        expr("graft_unaccent(lower(text))").as("folded_text"),
+        (expr("graft_nfc(text)") =!= col("text")).as("changed_nfc"))
+      .orderBy("doc_id")
+  }
 }
