@@ -170,6 +170,10 @@ object SparkEntry {
     "sim_knn_join"       -> Similarity.simKnnJoin _,
     "dedup_embed_cosine" -> Similarity.dedupEmbedCosine _,
     "sim_ann_lsh"        -> Similarity.simAnnLsh _,
+    // sim_ann_lsh_incremental: oracle-N like the other ANN keys (engine
+    // hash family) — the spec asserts the sharper property: the merged
+    // standing+delta index answers IDENTICALLY to a full rebuild.
+    "sim_ann_lsh_incremental" -> Similarity.simAnnLshIncremental _,
     "sim_ann_ivf"        -> Similarity.simIvfTopk _,
     "embed_quantize_int8" -> Similarity.embedQuantizeInt8 _,
     // §2.10 LLM-pipeline: text analysis
@@ -245,6 +249,8 @@ object SparkEntry {
     "sink_merge_on_read" -> Cdc.sinkMergeOnRead _,
     "graph_pagerank"     -> Graph.graphPagerank _,
     "graph_triangles"    -> Graph.graphTriangles _,
+    "graph_connected_components" -> Graph.graphConnectedComponents _,
+    "text_bigram_logprob" -> TextOps.textBigramLogprob _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -636,7 +642,7 @@ object SparkEntry {
     // stats_ks_test: per-distinct-value arm counts first (intra-tie
     // running order is engine-arbitrary), then running ECDFs and the sup.
     "stats_ks_test" ->
-      "WITH p AS (SELECT round(value, 4) AS value, CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), v AS (SELECT value, sum(a) AS av, sum(1 - a) AS bv FROM p GROUP BY 1), r AS (SELECT sum(av) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca, sum(bv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb, sum(av) OVER () AS na, sum(bv) OVER () AS nb FROM v) SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6) AS ks_d FROM r",
+      "WITH p AS (SELECT round(value, 4) AS value, CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL), v AS (SELECT value, sum(a) AS av, sum(1 - a) AS bv FROM p GROUP BY 1), r AS (SELECT sum(av) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca, sum(bv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb, sum(av) OVER () AS na, sum(bv) OVER () AS nb FROM v) SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6) AS ks_d FROM r",
     // stats_anova: per-group moments -> grand mean -> F, all scalar math
     // over the tiny group summary on both engines.
     "stats_anova" ->
@@ -644,12 +650,14 @@ object SparkEntry {
     // stats_autocorr: same contiguous day grid as timeseries_resample
     // (missing days are true zeros) so the lags align calendar-wise.
     "stats_autocorr" ->
-      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1, 2), span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), grid AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span), f AS (SELECT g.event_type, g.d, CAST(coalesce(c, 0) AS DOUBLE) AS c FROM grid g LEFT JOIN daily USING (event_type, d)), l AS (SELECT event_type, c, lag(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS c1, lag(c, 2) OVER (PARTITION BY event_type ORDER BY d) AS c2, lag(c, 3) OVER (PARTITION BY event_type ORDER BY d) AS c3 FROM f) SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(corr(c, c1), 6) AS acf1, round(corr(c, c2), 6) AS acf2, round(corr(c, c3), 6) AS acf3 FROM l GROUP BY 1 ORDER BY 1",
-    // timeseries_ewma: the oracle states the recursion in closed form
-    // (s_t = 0.7^(t-1)x_1 + 0.3*sum 0.7^(t-j)x_j) over each type's
-    // ordered day list; both sides fold the SAME rounded day totals.
+      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), grid AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span), f AS (SELECT g.event_type, g.d, CAST(coalesce(c, 0) AS DOUBLE) AS c FROM grid g LEFT JOIN daily USING (event_type, d)), l AS (SELECT event_type, c, lag(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS c1, lag(c, 2) OVER (PARTITION BY event_type ORDER BY d) AS c2, lag(c, 3) OVER (PARTITION BY event_type ORDER BY d) AS c3 FROM f) SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(corr(c, c1), 6) AS acf1, round(corr(c, c2), 6) AS acf2, round(corr(c, c3), 6) AS acf3 FROM l GROUP BY 1 ORDER BY 1",
+    // timeseries_ewma: the oracle REPLAYS the recursion per t with a
+    // list_reduce prefix fold (seed = xs[1], step acc -> 0.3x + 0.7acc —
+    // the same IEEE evaluation order as Spark's aggregate fold), the
+    // stats_cusum pattern; a closed-form pow() expansion is equal only
+    // in exact arithmetic and can round(…,6)-diverge on another corpus.
     "timeseries_ewma" ->
-      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), ser AS (SELECT event_type, list(d ORDER BY d) AS ds, list(x ORDER BY d) AS xs FROM daily GROUP BY 1) SELECT event_type, unnest(ds) AS d, round(unnest(xs), 4) AS x, round(unnest(list_transform(range(1, len(xs) + 1), t -> pow(0.7, t - 1) * xs[1] + 0.3 * coalesce(list_sum(list_transform(range(2, t + 1), j -> pow(0.7, t - j) * xs[j])), 0.0))), 6) AS ewma FROM ser ORDER BY event_type, d",
+      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), ser AS (SELECT event_type, list(d ORDER BY d) AS ds, list(x ORDER BY d) AS xs FROM daily GROUP BY 1) SELECT event_type, unnest(ds) AS d, round(unnest(xs), 4) AS x, round(unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(list_slice(xs, 1, t), (acc, v) -> CAST(0.3 AS DOUBLE) * v + CAST(0.7 AS DOUBLE) * acc))), 6) AS ewma FROM ser ORDER BY event_type, d",
     // event_attribution: the carry-forward IGNORE NULLS window is the
     // as-of; strictly-preceding frame excludes the conversion row itself.
     "event_attribution" ->
@@ -674,11 +682,11 @@ object SparkEntry {
     // with updates plus disjoint-key inserts.
     "sink_merge_on_read" ->
       "WITH base AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price FROM orders), kept AS (SELECT k, price FROM base WHERE k % 7 <> 0), upd AS (SELECT k, floor(price * 1.1 * 100) / 100 AS new_price FROM base WHERE k % 5 = 0 AND k % 7 <> 0 UNION ALL SELECT k + 1000000000 AS k, price AS new_price FROM base WHERE k % 11 = 3) SELECT k, price, from_delta FROM (SELECT kept.k AS k, coalesce(u.new_price, kept.price) AS price, u.new_price IS NOT NULL AS from_delta FROM kept LEFT JOIN upd u ON kept.k = u.k UNION ALL SELECT u.k AS k, u.new_price AS price, true AS from_delta FROM upd u LEFT JOIN base b ON u.k = b.k WHERE b.k IS NULL) m ORDER BY k",
-    // sink_zorder_layout: the oracle replays the 16+16-bit Morton
+    // sink_zorder_layout: the oracle replays the 31+31-bit Morton
     // interleave in SQL — the z-curve math is hash-checked, and the
     // round trip proves the clustered layout lost nothing.
     "sink_zorder_layout" ->
-      "WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(list_sum(list_transform(range(0, 16), i -> ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zval FROM lineitem) SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zval FROM z WHERE l_partkey < 200 AND l_suppkey < 50 ORDER BY l_orderkey, l_linenumber",
+      "WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(list_sum(list_transform(range(0, 31), i -> ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zval FROM lineitem) SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zval FROM z WHERE l_partkey < 200 AND l_suppkey < 50 ORDER BY l_orderkey, l_linenumber",
     // sample_reservoir_group: hash-priority rank = the deterministic
     // reservoir; both engines draw the same k-subset per group.
     "sample_reservoir_group" ->
@@ -690,7 +698,7 @@ object SparkEntry {
     // stats_mann_whitney: same per-distinct-value grain as the KS test;
     // mid-ranks in closed form, tie-corrected normal approximation.
     "stats_mann_whitney" ->
-      "WITH p AS (SELECT round(value, 4) AS value, CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), v AS (SELECT value, sum(a) AS av, sum(1 - a) AS bv, count(*) AS tv FROM p GROUP BY 1), r AS (SELECT av, bv, tv, CAST(coalesce(sum(tv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) + CAST(tv + 1 AS DOUBLE) / 2 AS midrank FROM v), s AS (SELECT sum(av) AS na, sum(bv) AS nb, sum(av * midrank) AS ra, sum(tv * tv * tv - tv) AS ties FROM r) SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, round(ra - CAST(na AS DOUBLE) * (na + 1) / 2, 4) AS u_a, round((ra - CAST(na AS DOUBLE) * (na + 1) / 2 - CAST(na AS DOUBLE) * nb / 2) / sqrt(CAST(na AS DOUBLE) * nb / 12 * ((na + nb + 1) - CAST(ties AS DOUBLE) / ((na + nb) * (na + nb - 1)))), 6) AS z_score FROM s",
+      "WITH p AS (SELECT round(value, 4) AS value, CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL), v AS (SELECT value, sum(a) AS av, sum(1 - a) AS bv, count(*) AS tv FROM p GROUP BY 1), r AS (SELECT av, bv, tv, CAST(coalesce(sum(tv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) + CAST(tv + 1 AS DOUBLE) / 2 AS midrank FROM v), s AS (SELECT sum(av) AS na, sum(bv) AS nb, sum(av * midrank) AS ra, sum(tv * tv * tv - tv) AS ties FROM r) SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, round(ra - CAST(na AS DOUBLE) * (na + 1) / 2, 4) AS u_a, round((ra - CAST(na AS DOUBLE) * (na + 1) / 2 - CAST(na AS DOUBLE) * nb / 2) / sqrt(CAST(na AS DOUBLE) * nb / 12 * ((na + nb + 1) - CAST(ties AS DOUBLE) / ((na + nb) * (na + nb - 1)))), 6) AS z_score FROM s",
     // stats_survival_km: running product as exp-sum-log with the
     // zero-factor carried as an explicit flag on both engines.
     "stats_survival_km" ->
@@ -699,6 +707,31 @@ object SparkEntry {
     // CTEs — an iterative distributed kernel, still hash-checked.
     "graph_pagerank" ->
       "WITH li AS (SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS q FROM lineitem), e AS (SELECT p AS src, q AS dst FROM li UNION ALL SELECT q AS src, p AS dst FROM li), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS w FROM e JOIN deg USING (src)), nn AS (SELECT count(*) AS n FROM deg), r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS r FROM deg CROSS JOIN nn), r1 AS (SELECT w.dst AS node, CAST(0.15 AS DOUBLE) / max(nn.n) + 0.85 * sum(r0.r * w.w) AS r FROM w JOIN r0 ON w.src = r0.node CROSS JOIN nn GROUP BY 1), r2 AS (SELECT w.dst AS node, CAST(0.15 AS DOUBLE) / max(nn.n) + 0.85 * sum(r1.r * w.w) AS r FROM w JOIN r1 ON w.src = r1.node CROSS JOIN nn GROUP BY 1), r3 AS (SELECT w.dst AS node, CAST(0.15 AS DOUBLE) / max(nn.n) + 0.85 * sum(r2.r * w.w) AS r FROM w JOIN r2 ON w.src = r2.node CROSS JOIN nn GROUP BY 1) SELECT node, round(r, 6) AS rank FROM r3 ORDER BY rank DESC, node ASC LIMIT 100",
+    // graph_connected_components: the oracle runs label propagation to
+    // FIXPOINT with a recursive CTE over the same Jaccard>=0.9 edge set
+    // as dedup_ngram_jaccard — min reachable id == the engine's
+    // union-find/pointer-jumping label, so the iterative kernel is
+    // hash-checked exactly; singletons label themselves via the left
+    // join.
+    "graph_connected_components" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents), " +
+       "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.9), " +
+       "e AS (SELECT id1 AS u, id2 AS v FROM p UNION ALL SELECT id2, id1 FROM p), " +
+       "cc(id, lbl) AS (SELECT DISTINCT u, u FROM e UNION SELECT e.v, cc.lbl FROM cc JOIN e ON cc.id = e.u), " +
+       "lab AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY 1), " +
+       "f AS (SELECT d.doc_id, coalesce(lab.lbl, d.doc_id) AS component FROM documents d LEFT JOIN lab ON d.doc_id = lab.id) " +
+       "SELECT doc_id, component, CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members FROM f ORDER BY doc_id"),
+    // text_bigram_logprob: Laplace-smoothed corpus bigram LM replayed
+    // with 1-based list indexing on both engines; history counts and
+    // the vocabulary scalar re-derived identically.
+    "text_bigram_logprob" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), " +
+       "bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b FROM d WHERE len(ws) >= 2)), " +
+       "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2), " +
+       "c1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY 1), " +
+       "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM d)), " +
+       "sc AS (SELECT f.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + v.v)) AS nll FROM bgf f JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 6) AS avg_nll FROM sc GROUP BY 1 ORDER BY 1"),
     // graph_triangles: support-thresholded co-purchase edges, oriented
     // u<v, triangle = oriented 3-cycle counted once.
     "graph_triangles" ->

@@ -632,13 +632,24 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         bagHash.as("h"))
     // ONE column-pruned scalar pass feeds every driver-side decision
-    // (split point, empty-history guard, bloom sizing) — previously two
-    // separate jobs (max, then hist count). The scalars cannot move
-    // in-plan: stat.bloomFilter is itself a driver action that needs its
-    // size as a plain long, and a broadcast-scalar crossJoin would
-    // re-execute this aggregate subtree inside EVERY downstream action
-    // (broadcast exchanges don't reuse across jobs) — three extra scans
-    // to avoid one.
+    // (split point, empty-history guard, bloom sizing). These scalars
+    // are STRUCTURALLY driver-side, not an avoidable pre-pass: the size
+    // is a constructor argument of stat.bloomFilter — itself a
+    // driver-side treeAggregate action that must allocate its bit array
+    // before inserting (no streaming-resizable bloom exists: partial
+    // blooms of different widths cannot OR-merge), so a count reaches
+    // the driver either way, and a broadcast-scalar crossJoin for the
+    // cutoff alone would re-execute this aggregate subtree inside EVERY
+    // downstream action (broadcast exchanges don't reuse across jobs) —
+    // three extra scans to avoid none. The alternatives considered and
+    // rejected: Catalyst's own InjectRuntimeFilter plants exactly this
+    // bloom in-plan but only above its 10 GB application-side threshold
+    // (invisible at test SF, so the plan shape could not be pinned);
+    // a fixed-budget bloom (no count) breaks the sized-from-known-
+    // statistics contract a production ingest pipeline runs under. At
+    // 100 TB the count comes free from the history table's catalog
+    // statistics, making this scan disappear — the one-row .head() here
+    // IS that statistics read.
     val stats = docs.agg(max("doc_id"), min("doc_id"), count(lit(1))).head()
     if (stats.isNullAt(0))                // empty corpus: no batch, no bloom
       return docs.select(col("doc_id"), col("lang")).limit(0)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -22,44 +23,84 @@ object Graph {
     * chained CTEs, so an ITERATIVE distributed kernel is still
     * hash-checked exactly.
     *
-    * Scale shape: the edge list with per-source weight (1/outdeg) is
-    * computed ONCE and cached — each iteration then joins the
-    * node-grain ranks frame in BROADCAST (ranks ≪ edges always: it
-    * shrinks data to one row per node), and the per-dst sum partial-
-    * aggregates MAP-SIDE before its exchange, so the only per-iteration
-    * shuffle carries node-grain partials, never the edge frame. At
-    * 100 TB ranks may outgrow a broadcast; the fallback is a shuffle
-    * hash join against an edge cache pre-partitioned on src (one
-    * node-grain shuffle per iteration, edges still shuffled once at
-    * build). Every node has outdegree ≥ 1 by construction (undirected
-    * edges), so no dangling-mass correction term is needed; top-100 is
-    * distributed TakeOrderedAndProject, never a global sort.
+    * Scale shape (r8 rewrite — linear in iterations, single edge
+    * materialization, nothing big ever joins shuffle-side):
+    *   1. the symmetric edge list materializes ONCE (eager
+    *      localCheckpoint) — ONE lineitem scan + the pair-distinct
+    *      shuffle, total;
+    *   2. the degree frame aggregates off that checkpoint to node
+    *      grain and is checkpointed too (~|V| rows);
+    *   3. each iteration broadcasts the NODE-GRAIN frame
+    *      ranks ⋈ deg (contribution r·(1/deg) — the per-edge weight
+    *      never materializes as an edge-sized column at all), joins it
+    *      map-side against the edge checkpoint, and partial-aggregates
+    *      per dst BEFORE its exchange — the only per-iteration shuffle
+    *      carries node-grain partials;
+    *   4. the rank frame is checkpointed PER ITERATION so iteration
+    *      i's broadcast reads iteration i−1's materialized rows
+    *      instead of re-executing the whole rank lineage (the r7
+    *      uncached chain made work quadratic in the iteration count).
+    * Every checkpoint except the final rank snapshot is explicitly
+    * unpersisted before returning (exact-RDD tracking, the
+    * connectedComponents pattern — nothing accumulates in the
+    * long-lived harness session). At 100 TB ranks may outgrow a
+    * broadcast; the fallback is a shuffle hash join against the edge
+    * checkpoint pre-partitioned on src. Every node has outdegree ≥ 1
+    * by construction (undirected edges), so no dangling-mass
+    * correction term is needed; top-100 is distributed
+    * TakeOrderedAndProject, never a global sort.
     */
   def graphPagerank(s: SparkSession, sf: String): DataFrame = {
+    val cpIds = scala.collection.mutable.ArrayBuffer[Int]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      c.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => cpIds += lr.rdd.id
+        case _ => ()
+      }
+      c
+    }
+    // nodes travel as LONGS internally (part k → 2k, supplier k → 2k+1):
+    // the "p…"/"s…" strings the result (and oracle) speak are built only
+    // on the final 100 rows — hashing/shuffling strings through every
+    // distinct, groupBy, and broadcast measured ~2× the whole kernel
     val li = Tables.lineitem(s, sf)
-      .select(concat(lit("p"), col("l_partkey")).as("p"),
-              concat(lit("s"), col("l_suppkey")).as("q"))
+      .select((col("l_partkey").cast("long") * 2).as("p"),
+              (col("l_suppkey").cast("long") * 2 + 1).as("q"))
       .distinct()
-    val edges = li.select(col("p").as("src"), col("q").as("dst"))
-      .unionAll(li.select(col("q").as("src"), col("p").as("dst")))
-    val weighted = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .cache()
-    val nodes = weighted.select(col("src").as("node")).distinct()
+    val edges = cp(li.select(col("p").as("src"), col("q").as("dst"))
+      .unionAll(li.select(col("q").as("src"), col("p").as("dst"))))
+    val deg = cp(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     // node count stays IN-PLAN (broadcast scalar, the repo's q2-style
-    // pattern) — no driver-side count() action before the real work
-    var ranks = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
+    // pattern) — no driver-side count() action before the real work;
+    // deg is already node-grain, so it IS the node universe
+    var ranks = deg.select(col("src").as("node"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("nn"))))
       .select(col("node"), (lit(1.0) / col("nn")).as("r"), col("nn"))
     for (_ <- 1 to 3) {
-      ranks = weighted.join(broadcast(ranks), col("src") === col("node"))
+      // contribution = r · (1/deg): multiplied EXACTLY as the oracle's
+      // r * w (w = 1.0/deg) — same IEEE ops, node-grain, tiny broadcast
+      val contrib = ranks.join(deg, col("node") === col("src"))
+        .select(col("node"), (col("r") * (lit(1.0) / col("deg"))).as("c"),
+                col("nn"))
+      ranks = cp(edges.join(broadcast(contrib), col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(((lit(0.15) / max(col("nn"))) +
-              lit(0.85) * sum(col("r") * col("w"))).as("r"),
-             max(col("nn")).as("nn"))
+              lit(0.85) * sum(col("c"))).as("r"),
+             max(col("nn")).as("nn")))
     }
+    // release every checkpoint except the final rank snapshot — the
+    // returned plan reads only it
+    val keep = ranks.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    s.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => cpIds.contains(id) && !keep.contains(id) }
+      .foreach { case (_, rdd) => rdd.unpersist(false) }
     ranks
-      .select(col("node"), round(col("r"), 6).as("rank"))
+      .select(concat(when(col("node") % 2 === 0, lit("p")).otherwise(lit("s")),
+                     shiftright(col("node"), 1)).as("node"),
+              round(col("r"), 6).as("rank"))
       .orderBy(col("rank").desc, col("node").asc)
       .limit(100)
   }
@@ -89,7 +130,10 @@ object Graph {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("u"), col("v"))
-      .cache()
+      // eager materialization for the three self-join consumers;
+      // localCheckpoint over cache() so nothing stays pinned in the
+      // long-lived harness session after the frame is dropped
+      .localCheckpoint()
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.v") === col("e2.u"))
       .join(edges.as("e3"),
@@ -98,5 +142,37 @@ object Graph {
     edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(tri)
       .select(col("n_edges"), col("n_triangles"))
+  }
+
+  /** Connected components of the near-duplicate document graph — the
+    * multi-hop closure that turns pairwise near-dup EDGES
+    * (dedup_ngram_jaccard's Jaccard ≥ 0.9 pairs) into duplicate GROUPS.
+    * Near-duplication is not transitive, but dedup POLICY is applied
+    * per component (keep one representative per chain: A~B, B~C drops
+    * two docs even when A≁C), so the component labeling IS the
+    * production semantics. dedup_cluster's exact-hash groups are
+    * single-hop by construction; this key is the true iterative
+    * labeling, and the oracle replays it to FIXPOINT with a recursive
+    * CTE — an iterative distributed kernel that is still hash-checked
+    * exactly. Label = min doc_id of the component; singletons label
+    * themselves; n_members makes the group structure visible.
+    *
+    * Scale shape: delegates to the two-phase connectedComponents
+    * engine (Dedup.scala): edges ≤ the bounded probe run driver-side
+    * union-find and broadcast ONLY the non-singleton label map back —
+    * nodes are never collected; past the cap it switches to the
+    * distributed pointer-jumping loop (O(log d) node-grain shuffles).
+    * The member count is a window partitioned by component — component
+    * cardinality is data-proportional, never a global window.
+    */
+  def graphConnectedComponents(s: SparkSession, sf: String): DataFrame = {
+    val edges = Dedup.dedupNgramJaccard(s, sf)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val nodes = Tables.documents(s, sf).select(col("doc_id").as("id"))
+    Dedup.connectedComponents(nodes, edges, maxIters = -1)
+      .select(col("id").as("doc_id"), col("label").as("component"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component"))).cast("bigint"))
+      .orderBy("doc_id")
   }
 }

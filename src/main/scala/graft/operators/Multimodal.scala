@@ -46,6 +46,16 @@ object Multimodal {
         substring(col("payload"), 1, 4).cast("string").as("head4"))
       .orderBy("doc_id")
 
+  /** ImageIO's default stream cache backs every encode/decode with a
+    * TEMP FILE on disk — serial it's a hidden tax, and once the codec
+    * work fans out across 32 tasks the temp-file churn contends on the
+    * filesystem and eats the parallel win. Memory-backed streams are
+    * strictly right for our KB-sized payloads. JVM-global, idempotent,
+    * called from each decode task's setup (executors are separate JVMs
+    * on a real cluster, so the driver setting wouldn't reach them). */
+  private def imageIoNoDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded "image" record produced by the stub decoder. */
   case class DecodedAsset(doc_id: Long, width: Int, height: Int,
                           channels: Int, n_pixels: Long)
@@ -152,16 +162,25 @@ object Multimodal {
     * a power of two — exact in IEEE double and ≤ 6 decimal digits, so
     * round(…, 6) is an identity on both engines.
     *
-    * Scale shape: both stages are mapPartitions inside the scan stage —
-    * no shuffle at all; payload bytes never leave the task that decodes
-    * them (the fetch-decode-stats locality a multimodal pipeline needs).
+    * Scale shape: one id-only repartition fans the codec work across
+    * every core (ids are 8 bytes; the decode is the cost), then both
+    * codec stages are mapPartitions in the SAME stage — payload bytes
+    * never leave the task that decodes them (the fetch-decode-stats
+    * locality a multimodal pipeline needs).
     */
   def multimodalDecodePng(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id")).na.drop()
+      // decode parallelism must not be coupled to ingest split count: a
+      // small/compacted corpus arrives as ONE parquet split and would
+      // serialize every ImageIO cycle on one core. The repartition
+      // shuffles only 8-byte ids — noise next to the codec work it fans
+      // out across all cores.
+      .repartition(s.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
             8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -176,6 +195,7 @@ object Multimodal {
       .toDF("doc_id", "png")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -199,15 +219,18 @@ object Multimodal {
     * 4 — the exact arithmetic an oracle can replay, unlike AWT's
     * implementation-defined AreaAveraging rounding). Emits the
     * downsampled mean and the (0,0) output pixel as witnesses.
-    * Shuffle-free like the decode: fetch → decode → resize never
-    * leaves the task.
+    * Fetch → decode → resize never leaves the task; the only shuffle
+    * is the id-only codec fan-out (see decode_png).
     */
   def multimodalResizePng(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id")).na.drop()
+      // decouple codec parallelism from input splits (see decode_png)
+      .repartition(s.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
             8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -243,14 +266,33 @@ object Multimodal {
     * integer-exact for the oracle), written through the real WAVE
     * encoder, decoded back via AudioSystem, and summarized. No
     * rounding anywhere — all four outputs are exact integers.
-    * Shuffle-free like the image path.
+    * Codec work fans out over the id-only repartition like the image
+    * path; bytes stay in the decoding task.
     */
   def multimodalDecodeWav(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id")).na.drop()
+      // decouple codec parallelism from input splits (see decode_png)
+      .repartition(s.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
+        // Provider resolution ONCE per task: AudioSystem.write /
+        // getAudioInputStream consult the JDK's provider registry
+        // (JDK13Services — a synchronized global) on EVERY call, which
+        // serializes 32 concurrently-decoding tasks on one lock and
+        // erases the repartition's parallel win (measured ~3× on this
+        // key). ServiceLoader yields the same WAVE SPI classes the
+        // registry would; codec work is unchanged.
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .asScala.find(_.isFileTypeSupported(wave)).get
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .asScala.toList
+        var waveReader: javax.sound.sampled.spi.AudioFileReader = null
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
         it.map { id =>
           val pcm = new Array[Byte](256 * 2)
@@ -262,9 +304,14 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, 256)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          writer.write(ais, wave, bos)
+          if (waveReader == null)
+            waveReader = readers.find { r =>
+              try { r.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bos.toByteArray)); true }
+              catch { case _: Exception => false }
+            }.get
+          val in = waveReader.getAudioInputStream(
             new java.io.ByteArrayInputStream(bos.toByteArray))
           val decoded = in.readAllBytes()
           val n = decoded.length / 2
@@ -293,8 +340,11 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, sf)
       .select(col("doc_id")).na.drop()
+      // decouple codec parallelism from input splits (see decode_png)
+      .repartition(s.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { id =>
           // build the 6-frame container (length-prefixed real PNGs)
           val bos = new java.io.ByteArrayOutputStream()
@@ -316,6 +366,7 @@ object Multimodal {
       .toDF("doc_id", "clip")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { case (id, clip) =>
           val in = new java.io.DataInputStream(
             new java.io.ByteArrayInputStream(clip))

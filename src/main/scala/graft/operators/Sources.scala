@@ -254,12 +254,15 @@ object Sources {
     */
   def sinkZorderLayout(s: SparkSession, sf: String): DataFrame = {
     val dir = graft.Scratch.dir("graft_zorder_")
-    // 16-bit × 16-bit Morton interleave: bit i of x → bit 2i, bit i of
-    // y → bit 2i+1. Unrolled to a flat 32-term sum: higher-order
-    // `aggregate` lambdas are interpreted per row per element, while
-    // this tree whole-stage-codegens into straight-line bit ops
-    // (measured 5.2 s → sub-second on the sf0.1 write+read round trip)
-    val z = (0 until 16).map { i =>
+    // 31-bit × 31-bit Morton interleave: bit i of x → bit 2i, bit i of
+    // y → bit 2i+1. 31 bits per key covers any key < 2³¹ (~2.1e9 parts,
+    // SF ~10⁴ — the r7 16-bit form silently aliased keys past 65535)
+    // while keeping zval in bits 0..61, so it never touches the sign
+    // bit of either engine's 64-bit integer. Unrolled to a flat 62-term
+    // sum: higher-order `aggregate` lambdas are interpreted per row per
+    // element, while this tree whole-stage-codegens into straight-line
+    // bit ops (measured 5.2 s → sub-second on the sf0.1 round trip)
+    val z = (0 until 31).map { i =>
       shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(lit(1L)), 2 * i) +
       shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)

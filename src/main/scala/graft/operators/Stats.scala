@@ -337,6 +337,15 @@ object Stats {
       .orderBy("user_id", "d")
   }
 
+  /** Monotone log-scale bucket key shared by the two nonparametric
+    * tests below — the agg_gini chunking rule (±8 subdivisions per
+    * e-fold), sign-symmetric so any real metric domain chunks
+    * monotonically: ordering by (bkt, value) equals ordering by value,
+    * which is what lets a global running sum decompose into parallel
+    * per-bucket prefixes + a tiny per-bucket offset pass. */
+  private def valueBucket(v: org.apache.spark.sql.Column) =
+    (signum(v) * floor(log1p(abs(v)) * 8.0)).cast("bigint")
+
   /** Two-sample Kolmogorov–Smirnov test on purchase values between the
     * deterministic md5 arms of `experimentTtest` — the distribution-
     * free companion to the t test (detects shape shifts a mean compare
@@ -346,11 +355,17 @@ object Stats {
     * its last row, so max-after-group is exact).
     *
     * Scale shape: the data-sized work is ONE HashAggregate collapsing
-    * events to per-distinct-value arm counts (map-side combinable); the
-    * running-sum window then runs over the collapsed frame — bounded by
-    * the metric's distinct rounded values, not the row count — so its
-    * single-partition global order is a deliberate, bounded choice, the
-    * same summarize-then-scan shape as agg_gini's bucket summary.
+    * events to per-distinct-value arm counts (map-side combinable).
+    * Distinct rounded doubles grow ~linearly with the corpus, so the
+    * running ECDFs must NOT be a global unpartitioned window (that was
+    * this operator's round-7 shape — all distinct values through one
+    * task). Instead the distributedRunningSum decomposition
+    * (Windows.scala): per-BUCKET running arm counts (window partitioned
+    * by the monotone value bucket — parallel), per-bucket offsets and
+    * the two grand totals from windows over the ≤ ~hundred-row bucket
+    * summary (the only single-partition points, bounded by bucket
+    * count), broadcast-joined back; ca = offset + local prefix is
+    * integer-exact, so ks_d is bit-identical to the global form.
     */
   def statsKsTest(s: SparkSession, sf: String): DataFrame = {
     val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
@@ -361,21 +376,36 @@ object Stats {
     // function is attained at step points, so the per-value grain is both
     // deterministic and exact
     val byVal = Tables.events(s, sf)
-      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull
+        && col("value").isNotNull)  // a null metric has no ECDF position —
+                                    // and Spark orders nulls first vs
+                                    // DuckDB last, so excluding them is
+                                    // also the only engine-stable choice
       .select(round(col("value"), 4).as("value"), arm.cast("long").as("a"))
       .groupBy(col("value"))
       .agg(sum(col("a")).as("av"), sum(lit(1L) - col("a")).as("bv"))
-    val w = Window.orderBy(col("value").asc)
+      .withColumn("bkt", valueBucket(col("value")))
+    val wIntra = Window.partitionBy(col("bkt")).orderBy(col("value").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrevBkt = Window.orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byVal.groupBy(col("bkt"))
+      .agg(sum(col("av")).as("sa"), sum(col("bv")).as("sb"))
+      .select(col("bkt"),
+        coalesce(sum(col("sa")).over(wPrevBkt), lit(0L)).as("offa"),
+        coalesce(sum(col("sb")).over(wPrevBkt), lit(0L)).as("offb"),
+        sum(col("sa")).over(Window.partitionBy()).as("na"),
+        sum(col("sb")).over(Window.partitionBy()).as("nb"))
     byVal
-      .select(
-        sum(col("av")).over(w).as("ca"), sum(col("bv")).over(w).as("cb"),
-        sum(col("av")).over(Window.partitionBy()).as("na"),
-        sum(col("bv")).over(Window.partitionBy()).as("nb"))
+      .select(col("bkt"),
+        sum(col("av")).over(wIntra).as("la"),
+        sum(col("bv")).over(wIntra).as("lb"))
+      .join(broadcast(offsets), "bkt")
       .agg(max(col("na")).cast("bigint").as("n_a"),
            max(col("nb")).cast("bigint").as("n_b"),
-           round(max(abs(col("ca").cast("double") / col("na") -
-                         col("cb").cast("double") / col("nb"))), 6).as("ks_d"))
+           round(max(abs((col("offa") + col("la")).cast("double") / col("na") -
+                         (col("offb") + col("lb")).cast("double") / col("nb"))),
+             6).as("ks_d"))
   }
 
   /** One-way ANOVA across event types on the event value — does the
@@ -427,6 +457,10 @@ object Stats {
     */
   def statsAutocorr(s: SparkSession, sf: String): DataFrame = {
     val daily = Tables.events(s, sf)
+      // a NULL type would order NULLS FIRST here vs DuckDB's NULLS LAST,
+      // and its all-zero gap-filled series yields corr = NaN vs NULL —
+      // exclude it on both engines (matches sample_reservoir_group)
+      .filter(col("event_type").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("c"))
     val grid = daily.groupBy(col("event_type"))
@@ -492,29 +526,44 @@ object Stats {
     * normal approximation applies the standard tie-corrected variance
     * σ² = n_A·n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
     *
-    * Scale shape: identical to `statsKsTest` — one map-side-combinable
-    * HashAggregate collapses events to per-value arm counts; the rank
-    * offsets are a running window over that bounded distinct-value
-    * frame, and the test statistic is a single tiny aggregate after.
+    * Scale shape: per-value arm counts from one map-side-combinable
+    * HashAggregate, as in `statsKsTest` — but here the global midrank
+    * prefix DECOMPOSES like agg_gini's Σi·x (no join-back at all):
+    * midrank = off_b + intra, so Σ av·midrank = Σ_b [off_b·Σav_b +
+    * Σ(av·intra)_b]. One bucket-partitioned window (parallel), one
+    * per-bucket summary whose offset window is the only single-
+    * partition point (bounded by bucket count), then a scalar
+    * aggregate. Midranks are half-integers and the per-bucket products
+    * stay ≪ 2⁵³, so the decomposed sum is exactly the global one.
     */
   def statsMannWhitney(s: SparkSession, sf: String): DataFrame = {
     val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
       .isin("0", "1", "2", "3", "4", "5", "6", "7")
     val byVal = Tables.events(s, sf)
-      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull
+        && col("value").isNotNull)  // null metric: no rank position (and
+                                    // engine null-order would diverge)
       .select(round(col("value"), 4).as("value"), arm.cast("long").as("a"))
       .groupBy(col("value"))
       .agg(sum(col("a")).as("av"), sum(lit(1L) - col("a")).as("bv"))
       .withColumn("tv", col("av") + col("bv"))
-    val w = Window.orderBy(col("value").asc)
+      .withColumn("bkt", valueBucket(col("value")))
+    val wIntra = Window.partitionBy(col("bkt")).orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrevBkt = Window.orderBy(col("bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     byVal
-      .select(col("av"), col("bv"), col("tv"),
-        (coalesce(sum(col("tv")).over(w), lit(0L)).cast("double") +
-         (col("tv") + 1).cast("double") / 2).as("midrank"))
-      .agg(sum(col("av")).as("na"), sum(col("bv")).as("nb"),
-           sum(col("av") * col("midrank")).as("ra"),
-           sum(col("tv") * col("tv") * col("tv") - col("tv")).as("ties"))
+      .withColumn("prev", coalesce(sum(col("tv")).over(wIntra), lit(0L)))
+      .groupBy(col("bkt"))
+      .agg(sum(col("av")).as("sa"), sum(col("bv")).as("sb"),
+           sum(col("tv")).as("st"),
+           sum(col("av") * (col("prev").cast("double") +
+             (col("tv") + 1).cast("double") / 2)).as("rai"),
+           sum(col("tv") * col("tv") * col("tv") - col("tv")).as("tie_b"))
+      .withColumn("offt", coalesce(sum(col("st")).over(wPrevBkt), lit(0L)))
+      .agg(sum(col("sa")).as("na"), sum(col("sb")).as("nb"),
+           sum(col("offt").cast("double") * col("sa") + col("rai")).as("ra"),
+           sum(col("tie_b")).as("ties"))
       .select(col("na").cast("bigint").as("n_a"),
         col("nb").cast("bigint").as("n_b"),
         round(col("ra") - col("na").cast("double") * (col("na") + 1) / 2, 4)

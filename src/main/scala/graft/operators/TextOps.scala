@@ -332,6 +332,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model scoring — the context-sensitive companion to
+    * `textPerplexityBucket`'s unigram surprisal: p(w₂|w₁) is trained on
+    * the corpus itself with Laplace smoothing ((c₁₂+1)/(c₁+V)), and each
+    * document reports its bigram count and average −ln p. A document of
+    * common words in an uncommon ORDER — the word-salad failure mode a
+    * unigram score cannot see — now scores high; this is the cheap
+    * stand-in for the KenLM stage of a CCNet-style quality pipeline.
+    *
+    * Scale shape: bigram and history counts are partial-aggregatable
+    * HashAggregates over the (doc, w₁, w₂) explode (a hot bigram
+    * collapses map-side before either shuffle). The score join shuffles
+    * on (w₁, w₂) — the bigram table outgrows any broadcast at corpus
+    * scale — while the history table joins BROADCAST (vocabulary-sized)
+    * and the vocabulary scalar rides a broadcast crossJoin in-plan.
+    * Per-doc rollup is one more partial-aggregatable pass.
+    */
+  def textBigramLogprob(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val bg = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', element_at(ws, i),
+          |                    'w2', element_at(ws, i + 1)))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = d.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (-log((col("c12") + lit(1.0)) / (col("c1") + col("v")))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+           round(avg(col("nll")), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-document boilerplate pruning — the C4/CCNet-style gate that
     * removes copypasta spans shared across many documents (nav bars,
     * license blocks, templated headers). A 3-gram is boilerplate when it

@@ -116,6 +116,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(res.collect().sameElements(res2.collect()))
   }
 
+  test("incremental lsh index (standing + delta) answers identically to a full rebuild") {
+    // the incremental path persists the historical half's bucket rows,
+    // hashes ONLY the new batch, and merges — sound because the
+    // hyperplane family is deterministic in (table, plane, dim); this
+    // asserts the resulting top-k is bit-identical to hashing the whole
+    // collection from scratch at the same derived (planes, tables).
+    graft.functions.DotProduct.register(spark)
+    val dotF = (a: String, b: String) => expr(s"graft_dot($a, $b)")
+    val e = Tables.embeddings(spark, sfOracle)
+    val planes = Similarity.lshPlanesFor(e.count())
+    val full = Similarity.annLshTopk(e, dotF, nPlanes = planes,
+      nTables = Similarity.lshTablesFor(planes)).collect()
+    val inc = Similarity.simAnnLshIncremental(spark, sfOracle).collect()
+    assert(inc.nonEmpty)
+    assert(inc.sameElements(full),
+      "merged standing+delta index must equal the full rebuild")
+  }
+
   test("ann lsh: wider signature (16 planes) refines 8-plane buckets, deterministic") {
     graft.functions.DotProduct.register(spark)
     val dotF = (a: String, b: String) => expr(s"graft_dot($a, $b)")

@@ -148,6 +148,23 @@ class GraphStatsSpec extends SparkSpecBase {
       assert(c >= n / 10 && c <= n / 2, s"bucket size $c wildly unbalanced"))
   }
 
+  test("connected components: labels are component minima, counts consistent, multi-hop chains collapse") {
+    val rows = Graph.graphConnectedComponents(spark, sfOracle).collect()
+    assert(rows.length ==
+      Tables.documents(spark, sfOracle).count(), "one row per document")
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (lbl, ms) =>
+      assert(ms.map(_.getLong(0)).min == lbl,
+        s"component label $lbl must be its min member id")
+      ms.foreach(r => assert(r.getLong(2) == ms.length,
+        s"n_members mismatch in component $lbl"))
+    }
+    // the point of the key vs dedup_cluster: true multi-hop chains —
+    // at least one component must be larger than a single pair
+    assert(byComp.values.exists(_.length > 2),
+      "expected a multi-hop (>2 member) near-dup chain in the corpus")
+  }
+
   test("zorder: round-trip preserves rows and files cluster both keys") {
     val out = Sources.sinkZorderLayout(spark, sfOracle)
     val n = out.count()

@@ -234,6 +234,30 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(single <= 2, s"at most the two tiny single-partition points:\n$plan")
   }
 
+  test("ks/mann-whitney: no single-partition window ever touches the distinct-value frame") {
+    // the r7 shape ran the running ECDF/midrank sums through ONE task
+    // via a bare Window.orderBy(value) over the per-distinct-value frame
+    // (~linear in corpus size). The rewrite must window PARTITIONED BY
+    // the monotone value bucket; any unpartitioned window may only sit
+    // above the per-bucket summary aggregate (its lines reference the
+    // bucket totals sa/sb/st, never the row-grain arm counts av/bv).
+    for ((name, df) <- Seq(
+        "stats_ks_test" -> graft.operators.Stats.statsKsTest(spark, sfSmoke),
+        "stats_mann_whitney" -> graft.operators.Stats.statsMannWhitney(spark, sfSmoke))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("windowspecdefinition(bkt"),
+        s"$name: the running-sum window must partition by bucket:\n$plan")
+      val unpartitioned = plan.linesIterator
+        .filter(l => l.contains("Window [") && "\\], \\[".r.findAllIn(l).length <= 1)
+        .toSeq
+      assert(unpartitioned.forall(l =>
+          (l.contains("sa") || l.contains("sb") || l.contains("st")) &&
+          !l.contains("av") && !l.contains("bv")),
+        s"$name: an unpartitioned window touches the distinct-value frame:\n" +
+          unpartitioned.mkString("\n"))
+    }
+  }
+
   test("variant access prunes the events scan to the props column path") {
     val plan = formatted(graft.functions.Families.fnVariant(spark, sfSmoke))
     val read = plan.linesIterator.filter(_.contains("ReadSchema:")).mkString

@@ -55,10 +55,16 @@ class ScalePatternsSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
-  test("dedup/similarity candidate joins stay hash-shaped (no nested-loop fallback)") {
+  test("dedup/similarity candidate joins stay hash-shaped (no unbounded nested-loop)") {
     // the scale rewrites' whole point: candidate generation must plan as
-    // equi hash/sort-merge joins on bucket keys, never cartesian or
-    // broadcast-nested-loop — guard against a refactor reintroducing one
+    // equi hash/sort-merge joins on bucket keys, never cartesian or an
+    // UNBOUNDED broadcast-nested-loop — guard against a refactor
+    // reintroducing one. The r8 in-plan knob derivation legitimately
+    // adds broadcast-SCALAR crossJoins (1-row keys=[] aggregates — the
+    // repo's q2-style pattern), which also print as
+    // BroadcastNestedLoopJoin; the precise invariant is that every
+    // IdentityBroadcastMode exchange broadcasts a scalar aggregate
+    // (exactly 1 row by construction), so any nested loop is 1×n.
     val plans = Seq(
       "dedup_simhash" -> operators.Dedup.dedupSimhash(spark, sfSmoke),
       "jaccard_prefix" -> operators.Dedup.ngramJaccardPrefixJoin(
@@ -68,9 +74,21 @@ class ScalePatternsSpec extends SparkSpecBase {
       "dedup_incremental_bloom" -> operators.Dedup.dedupIncrementalBloom(spark, sfSmoke))
     for ((name, df) <- plans) {
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct") &&
-             !plan.contains("BroadcastNestedLoopJoin"),
-        s"$name must not plan an unbounded pair join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product:\n$plan")
+      // tree print order: an exchange's child is the next line, so every
+      // non-equi broadcast must sit directly over a keys=[] aggregate
+      val lines = plan.linesIterator.toSeq
+      val identityIdx = lines.zipWithIndex
+        .filter(_._1.contains("BroadcastExchange IdentityBroadcastMode"))
+        .map(_._2)
+      assert(identityIdx.forall(i =>
+          i + 1 < lines.length && lines(i + 1).contains("HashAggregate(keys=[]")),
+        s"$name: non-equi broadcast over a non-scalar subtree (unbounded " +
+          s"nested loop):\n$plan")
+      val bnlj = lines.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= identityIdx.length,
+        s"$name: a nested-loop join without a scalar broadcast:\n$plan")
     }
   }
 

@@ -47,4 +47,33 @@ class TextPerplexitySpec extends SparkSpecBase {
     assert(math.abs(rare.getAs[Double]("avg_nll") -
       -math.log(1.0 / 44.0)) < 1e-6)
   }
+
+  test("bigram logprob is exactly avg(-ln p) under Laplace-smoothed corpus bigrams") {
+    // planted bigram counts: (common,common) = 30 (3 per common doc),
+    // each rare bigram = 1; histories: common = 30, rare1..3 = 1 each;
+    // V = 5 distinct words. p(common|common) = 31/35; p(rareN+1|rareN)
+    // = (1+1)/(1+5) = 1/3.
+    val rows = graft.operators.TextOps.textBigramLogprob(spark, corpusDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val common = rows(0L)
+    assert(common.getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(common.getAs[Double]("avg_nll") -
+      -math.log(31.0 / 35.0)) < 1e-6)
+    val rare = rows(10L)
+    assert(rare.getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(rare.getAs[Double]("avg_nll") - math.log(3.0)) < 1e-6)
+  }
+
+  test("bigram logprob covers every multi-token doc with n_bigrams = tokens - 1") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextOps.textBigramLogprob(spark, sfOracle)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val multi = toks.filter(_._2 >= 2)
+    assert(got.keySet == multi.keySet)
+    multi.foreach { case (id, n) => assert(got(id) == n - 1L) }
+  }
 }
