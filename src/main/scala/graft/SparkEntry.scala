@@ -251,6 +251,11 @@ object SparkEntry {
     "graph_triangles"    -> Graph.graphTriangles _,
     "graph_connected_components" -> Graph.graphConnectedComponents _,
     "text_bigram_logprob" -> TextOps.textBigramLogprob _,
+    "dedup_containment"  -> Dedup.dedupContainment _,
+    "stats_proportions_ztest" -> Stats.statsProportionsZtest _,
+    "agg_weighted_median" -> AdvancedAggs.aggWeightedMedian _,
+    "tokenizer_merge_candidates" -> TextOps.tokenizerMergeCandidates _,
+    "pipeline_quality_gate" -> Pipeline.qualityGate _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -732,6 +737,29 @@ object SparkEntry {
        "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM d)), " +
        "sc AS (SELECT f.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + v.v)) AS nll FROM bgf f JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) " +
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 6) AS avg_nll FROM sc GROUP BY 1 ORDER BY 1"),
+    // dedup_containment: asymmetric |A∩B|/|A| within source; DuckDB's
+    // exact word-set intersect mirrors the hashed-sorted-merge (same
+    // cardinalities); both directions gated on the rounded value.
+    "dedup_containment" ->
+      "WITH w AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents) SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws), 6) AS cont1_in_2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(b.ws), 6) AS cont2_in_1 FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id WHERE greatest(round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws), 6), round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(b.ws), 6)) >= 0.9 ORDER BY source, id1, id2",
+    // stats_proportions_ztest: pooled two-proportion z on per-user
+    // conversion flags (any purchase > 200); same md5 arm split as the
+    // t test; nullif-guarded divisors on both engines.
+    "stats_proportions_ztest" ->
+      "WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS conv FROM events WHERE user_id IS NOT NULL GROUP BY 1), t AS (SELECT CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a, conv FROM u), g AS (SELECT sum(a) AS na, sum(1 - a) AS nb, sum(a * conv) AS xa, sum((1 - a) * conv) AS xb FROM t) SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, CAST(xa AS BIGINT) AS conv_a, CAST(xb AS BIGINT) AS conv_b, round(CAST(xa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0), 6) AS p_a, round(CAST(xb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0), 6) AS p_b, round((CAST(xa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0) - CAST(xb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) / nullif(sqrt((CAST(xa + xb AS DOUBLE) / nullif(CAST(na + nb AS DOUBLE), 0)) * (1.0 - CAST(xa + xb AS DOUBLE) / nullif(CAST(na + nb AS DOUBLE), 0)) * (CAST(1.0 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0) + CAST(1.0 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0))), 0), 6) AS z_score FROM g",
+    // agg_weighted_median: the oracle uses the naive global running-sum
+    // window; the engine's bucketed prefix must pick the identical
+    // value (integer threshold 2*cum >= W on both engines).
+    "agg_weighted_median" ->
+      "WITH v AS (SELECT round(l_extendedprice, 2) AS v, CAST(l_quantity AS BIGINT) AS wt FROM lineitem), g AS (SELECT v, sum(wt) AS wv FROM v GROUP BY 1), r AS (SELECT v, sum(wv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(wv) OVER () AS w FROM g) SELECT CAST(max(w) AS BIGINT) AS total_weight, min(CASE WHEN 2 * cum >= w THEN v END) AS weighted_median FROM r",
+    // tokenizer_merge_candidates: char-based substr pair counting on
+    // both engines; (n DESC, pair ASC) total order pins the top-20.
+    "tokenizer_merge_candidates" ->
+      "WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL), p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM wds WHERE length(w) >= 2) SELECT pair, count(*) AS n FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20",
+    // pipeline_quality_gate: concat_ws skips NULL slots on both
+    // engines, so the reason list is the fixed-order non-null rules.
+    "pipeline_quality_gate" ->
+      "WITH d AS (SELECT doc_id, concat_ws(',', CASE WHEN coalesce(n_chars, 0) < 100 THEN 'too_short' END, CASE WHEN lang IS NULL THEN 'no_lang' END, CASE WHEN round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) < 0.5 THEN 'low_alpha' END, CASE WHEN round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) < 0.3 THEN 'repetitive' END) AS reasons FROM documents WHERE text IS NOT NULL) SELECT doc_id, reasons = '' AS passed, reasons FROM d ORDER BY doc_id",
     // graph_triangles: support-thresholded co-purchase edges, oriented
     // u<v, triangle = oriented 3-cycle counted once.
     "graph_triangles" ->

@@ -530,6 +530,41 @@ object Dedup {
       .select("source", "id1", "id2", "jac")
       .orderBy("source", "id1", "id2")
 
+  /** Asymmetric CONTAINMENT pairs — the near-dup relation Jaccard
+    * misses by construction: a short doc quoted wholesale inside a long
+    * one has tiny J (the union is dominated by the long doc) but
+    * containment |A∩B|/|A| ≈ 1. Corpus policy treats contained docs as
+    * duplicates-of (drop the quote, keep the superset), so this is the
+    * edge set that catches quote/excerpt/subset duplication. Emits both
+    * directions' containment for every within-source pair where either
+    * reaches 0.9 (rounded before the gate, §0.3 convention).
+    *
+    * Scale shape: same hashed-sorted word sets and linear-merge
+    * intersect as dedup_ngram_jaccard (jaccardDocs); per-source block
+    * join. NOTE the Jaccard size prefilter is unsound here — a tiny doc
+    * CAN be contained in a huge one — so the block path has no size
+    * gate; the scale variant is a prefix-filter keyed on the SMALLER
+    * set only (containment ≥ t needs a shared token in A's first
+    * ⌈(1−t)·|A|⌉+1 tokens), the PPJoin-for-containment analog of
+    * ngramJaccardPrefixJoin. */
+  def dedupContainment(s: SparkSession, sf: String): DataFrame = {
+    val docs = jaccardDocs(s, sf)
+    val l = docs.select(col("source"), col("doc_id").as("id1"),
+                        col("ws").as("w1"))
+    val r = docs.select(col("source"), col("doc_id").as("id2"),
+                        col("ws").as("w2"))
+    l.join(r, "source")
+      .filter(col("id1") < col("id2"))
+      .withColumn("n_inter", expr("graft_sorted_intersect_size(w1, w2)"))
+      .withColumn("cont1_in_2",
+        round(col("n_inter").cast("double") / expr("size(w1)"), 6))
+      .withColumn("cont2_in_1",
+        round(col("n_inter").cast("double") / expr("size(w2)"), 6))
+      .filter(greatest(col("cont1_in_2"), col("cont2_in_1")) >= 0.9)
+      .select("source", "id1", "id2", "cont1_in_2", "cont2_in_1")
+      .orderBy("source", "id1", "id2")
+  }
+
   /** Small-input path: per-source all-pairs with the J ≥ 0.9 size
     * prefilter (max(n1,n2) ≤ 1.11·min — a pure subset optimization). */
   private[graft] def ngramJaccardBlockJoin(docs: DataFrame): DataFrame = {

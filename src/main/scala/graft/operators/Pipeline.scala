@@ -40,6 +40,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Quality-gate AUDIT — the "why was this document dropped" table
+    * every corpus pipeline needs next to its filter (cleanCorpus keeps
+    * survivors; a curator debugging recall needs the failures WITH
+    * reasons). Four deterministic rules, evaluated for every document
+    * and reported as a comma-joined reason list in fixed rule order
+    * (concat_ws skips the null slots of passing rules on both engines):
+    * too_short (n_chars < 100), no_lang, low_alpha (alphabetic-char
+    * ratio < 0.5), repetitive (distinct-word ratio < 0.3). Ratios are
+    * rounded before their gates (§0.3 convention).
+    *
+    * Scale shape: a single map-side projection over the documents scan
+    * — every rule is a column expression, no shuffle but the output
+    * sort. This is deliberately the SAME cost as the filter it
+    * explains: auditability should never cost a second pipeline.
+    */
+  def qualityGate(s: SparkSession, sf: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val alphaRatio = round(
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)), 6)
+    val distinctRatio = round(
+      size(array_distinct(ws)).cast("double") / greatest(size(ws), lit(1)), 6)
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(",",
+          when(coalesce(col("n_chars"), lit(0L)) < 100, lit("too_short")),
+          when(col("lang").isNull, lit("no_lang")),
+          when(alphaRatio < 0.5, lit("low_alpha")),
+          when(distinctRatio < 0.3, lit("repetitive"))).as("reasons"))
+      .select(col("doc_id"), (col("reasons") === "").as("passed"),
+              col("reasons"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing for LLM training: assign each document to a fixed
     * token-budget bin by running token offset within its source shard —
     * bin = ⌊exclusive-prefix-sum(tokens) / budget⌋, the standard

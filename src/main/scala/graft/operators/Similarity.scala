@@ -247,14 +247,21 @@ object Similarity {
     * assignment goes quadratic). */
   private[graft] def trainCodebook(s: SparkSession, e: DataFrame,
                                    lloydIters: Int = KMeansIters): DataFrame = {
+    // The codebook is MATERIALIZED once per Lloyd round (C ≈ √n rows —
+    // the same bounded collect the final return always did): without
+    // it, round i's broadcast(cents) re-executes rounds 1..i−1's whole
+    // assignment lineage — quadratic in the round count, the exact
+    // disease the r8 pagerank rewrite removed.
+    def materialize(df: DataFrame): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
     // seed stride ⌈√n⌉ rides a broadcast-scalar crossJoin IN-PLAN (the
     // r7 form took the count as a driver-side pre-pass); greatest(1,·)
     // guards the empty collection's mod-by-zero
-    var cents = e
+    var cents = materialize(e
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n"))))
       .filter(col("vec_id") %
         greatest(lit(1L), ceil(sqrt(col("n"))).cast("long")) === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
     val trainSet = e.filter(col("vec_id") % 2 === 0)
     for (_ <- 1 to lloydIters) {
       val dims = 0 until 64
@@ -262,7 +269,7 @@ object Similarity {
         .agg(avg(element_at(col("embedding"), 1)).as("m0"),
              dims.drop(1).map(i =>
                avg(element_at(col("embedding"), i + 1)).as(s"m$i")): _*)
-      cents = means
+      cents = materialize(means
         .select(col("cent_id"), array(dims.map(i => col(s"m$i")): _*).as("m"))
         .select(col("cent_id"), expr(
           // greatest(..., 1e-12) guards a degenerate cluster whose mean
@@ -270,10 +277,9 @@ object Similarity {
           // NaN orders as the LARGEST double in Spark, so a NaN dot would
           // silently win every max_by assignment and capture the corpus.
           """transform(m, x -> CAST(x / greatest(sqrt(aggregate(m, 0D,
-            |  (a, v) -> a + v * v)), 1e-12D) AS FLOAT))""".stripMargin).as("cv"))
+            |  (a, v) -> a + v * v)), 1e-12D) AS FLOAT))""".stripMargin).as("cv")))
     }
-    s.createDataFrame(
-      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    cents
   }
 
   private[graft] def ivfTopk(s: SparkSession, e: DataFrame,

@@ -343,7 +343,7 @@ object Stats {
     * monotonically: ordering by (bkt, value) equals ordering by value,
     * which is what lets a global running sum decompose into parallel
     * per-bucket prefixes + a tiny per-bucket offset pass. */
-  private def valueBucket(v: org.apache.spark.sql.Column) =
+  private[operators] def valueBucket(v: org.apache.spark.sql.Column) =
     (signum(v) * floor(log1p(abs(v)) * 8.0)).cast("bigint")
 
   /** Two-sample Kolmogorov–Smirnov test on purchase values between the
@@ -575,6 +575,50 @@ object Stats {
              col("ties").cast("double") /
                ((col("na") + col("nb")) * (col("na") + col("nb") - 1)))), 6)
           .as("z_score"))
+  }
+
+  /** Two-proportion z-test on CONVERSION (did a user purchase at all?)
+    * between the deterministic md5 arms — the binary-outcome companion
+    * to the t/KS/Mann–Whitney family: experiments whose metric is a
+    * rate, not a value. p̂ pools both arms; z = (p_a − p_b) /
+    * √(p̂(1−p̂)(1/n_a + 1/n_b)).
+    *
+    * Scale shape: one user-grain aggregate (map-side combinable
+    * max-flag), then ONE conditional scalar aggregate over the user
+    * frame — no window, no join, same cost as a count. Conversion is
+    * "any purchase over 200" (plain "any purchase" is degenerate on
+    * this corpus: every user converts, p̂ = 1 and the z denominator
+    * vanishes); every divisor rides a nullif so a one-armed or
+    * conversion-free corpus yields NULL statistics, never an ANSI
+    * divide-by-zero. */
+  def statsProportionsZtest(s: SparkSession, sf: String): DataFrame = {
+    val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7").cast("long")
+    def nz(c: org.apache.spark.sql.Column) = nullif(c, lit(0))
+    val pHat = (col("xa") + col("xb")).cast("double") /
+      nz((col("na") + col("nb")).cast("double"))
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase" && col("value") > 200)
+        .cast("long")).as("conv"))
+      .select(arm.as("a"), col("conv"))
+      .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"),
+           sum(col("a") * col("conv")).as("xa"),
+           sum((lit(1L) - col("a")) * col("conv")).as("xb"))
+      .select(col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        col("xa").cast("bigint").as("conv_a"),
+        col("xb").cast("bigint").as("conv_b"),
+        round(col("xa").cast("double") / nz(col("na").cast("double")), 6)
+          .as("p_a"),
+        round(col("xb").cast("double") / nz(col("nb").cast("double")), 6)
+          .as("p_b"),
+        round((col("xa").cast("double") / nz(col("na").cast("double")) -
+               col("xb").cast("double") / nz(col("nb").cast("double"))) /
+          nz(sqrt(pHat * (lit(1.0) - pHat) *
+            (lit(1.0) / nz(col("na").cast("double")) +
+             lit(1.0) / nz(col("nb").cast("double"))))), 6).as("z_score"))
   }
 
   /** Kaplan–Meier survival curve of user lifetime (days between first

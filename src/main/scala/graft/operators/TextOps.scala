@@ -374,6 +374,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE TRAINING step 1 — the top-20 adjacent character pairs by
+    * corpus frequency, i.e. the first merge candidates a byte-pair
+    * tokenizer trainer would rank (the existing BPE keys APPLY a fixed
+    * vocab; this is the counting pass that builds one). Pairs are
+    * counted within word boundaries (the standard pre-tokenized BPE
+    * regime); ties at the cutoff break on the pair itself, so the
+    * top-20 is a total order.
+    *
+    * Scale shape: explode to pairs → partial+final HashAggregate (a hot
+    * pair like "th" collapses map-side) → distributed
+    * TakeOrderedAndProject; nothing global-sorts. A full trainer loops
+    * this count-merge step — each round is this same aggregate over the
+    * re-segmented corpus.
+    */
+  def tokenizerMergeCandidates(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+
   /** Cross-document boilerplate pruning — the C4/CCNet-style gate that
     * removes copypasta spans shared across many documents (nav bars,
     * license blocks, templated headers). A 3-gram is boilerplate when it

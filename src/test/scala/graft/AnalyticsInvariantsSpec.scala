@@ -161,4 +161,54 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     val docs = graft.Tables.documents(spark, sfSmoke).count()
     assert(d.agg(sum("n_crawled")).head.getLong(0) === docs)
   }
+
+  test("weighted median: half the quantity weight lies on each side") {
+    val row = AdvancedAggs.aggWeightedMedian(spark, sfOracle).head()
+    val w = row.getLong(0)
+    val med = row.getDouble(1)
+    val li = Tables.lineitem(spark, sfOracle)
+      .select(round(col("l_extendedprice"), 2).as("v"),
+              col("l_quantity").cast("long").as("wt"))
+    val below = li.filter(col("v") < med).agg(sum("wt")).head().getLong(0)
+    val upto = li.filter(col("v") <= med).agg(sum("wt")).head().getLong(0)
+    // lower weighted median: strictly-below mass < W/2 ≤ mass-up-to
+    assert(2 * below < w, s"strictly-below mass $below must be < half of $w")
+    assert(2 * upto >= w, s"mass up to the median $upto must reach half of $w")
+  }
+
+  test("two-proportion z-test: rates bounded, counts partition users, sign follows the rate gap") {
+    val r = Stats.statsProportionsZtest(spark, sfOracle).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val users = Tables.events(spark, sfOracle)
+      .filter(col("user_id").isNotNull).select("user_id").distinct().count()
+    assert(na + nb == users, "arms must partition the user universe")
+    val (pa, pb, z) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(pa >= 0 && pa <= 1 && pb >= 0 && pb <= 1)
+    assert(math.signum(z) == math.signum(pa - pb) || pa == pb)
+  }
+
+  test("merge candidates: 20 two-char pairs in a strict total order") {
+    val rows = graft.operators.TextOps.tokenizerMergeCandidates(spark, sfOracle)
+      .collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getString(0).length == 2))
+    val ordered = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(ordered == ordered.sorted, "rows must follow (n DESC, pair ASC)")
+  }
+
+  test("quality gate: passed iff no reasons, rules re-derivable per document") {
+    val rows = Pipeline.qualityGate(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == r.getString(2).isEmpty,
+        s"passed flag must mirror empty reasons for doc ${r.getLong(0)}")
+      val reasons = r.getString(2).split(",").filter(_.nonEmpty)
+      assert(reasons.distinct.length == reasons.length)
+      assert(reasons.forall(Set("too_short", "no_lang", "low_alpha",
+        "repetitive").contains))
+    }
+    // the gate audits every doc with text — same universe as the scan
+    assert(rows.length == Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull).count())
+  }
 }

@@ -105,6 +105,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(exact.exceptAll(sim0).isEmpty, "every exact dup pair must be hamming-0")
   }
 
+  test("containment pairs are a superset of jaccard pairs, bounded in [0,1]") {
+    // J = |∩|/|∪| ≥ 0.9 forces BOTH containments ≥ 0.9 (each divisor is
+    // ≤ the union), so every graded jaccard pair must re-appear here;
+    // the converse direction (subset docs with tiny J) is the relation
+    // this key exists to catch.
+    val jac = Dedup.dedupNgramJaccard(spark, sfOracle).select("id1", "id2")
+    val cont = Dedup.dedupContainment(spark, sfOracle)
+    assert(jac.exceptAll(cont.select("id1", "id2")).isEmpty,
+      "every jaccard>=0.9 pair must be a containment pair")
+    val bad = cont.filter(col("cont1_in_2") < 0 || col("cont1_in_2") > 1 ||
+      col("cont2_in_1") < 0 || col("cont2_in_1") > 1).count()
+    assert(bad == 0, "containment is a ratio in [0,1]")
+  }
+
   test("ann lsh: bucketing deterministic; same-bucket cosine beats global mean") {
     val res = Similarity.simAnnLsh(spark, sfSmoke)
     val sameBucketAvg = res.agg(avg("cos")).head().getDouble(0)
