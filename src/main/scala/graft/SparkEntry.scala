@@ -256,6 +256,7 @@ object SparkEntry {
     "agg_weighted_median" -> AdvancedAggs.aggWeightedMedian _,
     "tokenizer_merge_candidates" -> TextOps.tokenizerMergeCandidates _,
     "pipeline_quality_gate" -> Pipeline.qualityGate _,
+    "scan_parquet_footer" -> Sources.scanParquetFooter _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -760,6 +761,11 @@ object SparkEntry {
     // engines, so the reason list is the fixed-order non-null rules.
     "pipeline_quality_gate" ->
       "WITH d AS (SELECT doc_id, concat_ws(',', CASE WHEN coalesce(n_chars, 0) < 100 THEN 'too_short' END, CASE WHEN lang IS NULL THEN 'no_lang' END, CASE WHEN round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) < 0.5 THEN 'low_alpha' END, CASE WHEN round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) < 0.3 THEN 'repetitive' END) AS reasons FROM documents WHERE text IS NOT NULL) SELECT doc_id, reasons = '' AS passed, reasons FROM d ORDER BY doc_id",
+    // scan_parquet_footer: deterministic single-writer sorted layout cut
+    // every 10k records, so each file's footer stats are the order
+    // statistics of consecutive 10k-row chunks — re-derivable in SQL.
+    "scan_parquet_footer" ->
+      "WITH r AS (SELECT l_orderkey, CAST(floor((row_number() OVER (ORDER BY l_orderkey) - 1) / 10000) AS BIGINT) AS fid FROM lineitem) SELECT CAST(count(*) AS BIGINT) AS n_rows, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM r GROUP BY fid ORDER BY min_key, max_key, n_rows",
     // graph_triangles: support-thresholded co-purchase edges, oriented
     // u<v, triangle = oriented 3-cycle counted once.
     "graph_triangles" ->

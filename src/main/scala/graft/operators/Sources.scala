@@ -277,6 +277,61 @@ object Sources {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Parquet FOOTER introspection — the metadata a 100 TB engine reads
+    * before it reads any data: per-file row counts and column min/max
+    * statistics, i.e. exactly what file- and row-group-skipping
+    * (sink_sorted_layout's pushdown win) consumes. The layout is made
+    * DETERMINISTIC so the statistics themselves are oracle-checkable:
+    * one writer task, keys sorted, files cut every 10 000 records
+    * (maxRecordsPerFile splits exactly) — so each file's (n_rows, min,
+    * max) is a pure function of the key MULTISET (the k-th boundary
+    * value is the k-th order statistic regardless of tie order), and
+    * DuckDB re-derives it from the source table with a row_number
+    * partitioning. A production table range-partitions the writer
+    * instead; the single-writer shape here is what pins determinism.
+    *
+    * Scale shape: the FOOTERS are read distributed — file paths
+    * parallelize across the cluster and each task opens only its
+    * footers (bytes proportional to metadata, never data; this is how
+    * a manifest/stats service bootstraps). Driver work is one
+    * directory listing.
+    */
+  def scanParquetFooter(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.Scratch.dir("graft_footer_")
+    Tables.lineitem(s, sf).select(col("l_orderkey"))
+      .repartition(1).sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").option("maxRecordsPerFile", "10000")
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    s.createDataset(files).repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.map { rg =>
+              val stats = rg.getColumns.get(0).getStatistics
+              // an all-null chunk has no min/max — surface SQL NULLs,
+              // matching what min()/max() yield over the same rows
+              val ok = stats != null && !stats.isEmpty && stats.hasNonNullValue
+              (rg.getRowCount,
+               if (ok) java.lang.Long.valueOf(stats.genericGetMin.asInstanceOf[Long])
+               else null.asInstanceOf[java.lang.Long],
+               if (ok) java.lang.Long.valueOf(stats.genericGetMax.asInstanceOf[Long])
+               else null.asInstanceOf[java.lang.Long])
+            }.toList
+          } finally reader.close()
+        }
+      }
+      .toDF("n_rows", "min_key", "max_key")
+      .orderBy("min_key", "max_key", "n_rows")
+  }
+
   def sinkSortedLayout(s: SparkSession, sf: String): DataFrame = {
     val dir = graft.Scratch.dir("graft_sorted_")
     val li = Tables.lineitem(s, sf)

@@ -243,7 +243,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // bucket totals sa/sb/st, never the row-grain arm counts av/bv).
     for ((name, df) <- Seq(
         "stats_ks_test" -> graft.operators.Stats.statsKsTest(spark, sfSmoke),
-        "stats_mann_whitney" -> graft.operators.Stats.statsMannWhitney(spark, sfSmoke))) {
+        "stats_mann_whitney" -> graft.operators.Stats.statsMannWhitney(spark, sfSmoke),
+        "agg_weighted_median" -> graft.operators.AdvancedAggs.aggWeightedMedian(spark, sfSmoke))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("windowspecdefinition(bkt"),
         s"$name: the running-sum window must partition by bucket:\n$plan")
@@ -251,8 +252,9 @@ class PlanAuditSpec extends SparkSpecBase {
         .filter(l => l.contains("Window [") && "\\], \\[".r.findAllIn(l).length <= 1)
         .toSeq
       assert(unpartitioned.forall(l =>
-          (l.contains("sa") || l.contains("sb") || l.contains("st")) &&
-          !l.contains("av") && !l.contains("bv")),
+          (l.contains("sa") || l.contains("sb") || l.contains("st") ||
+           l.contains("sw")) &&
+          !l.contains("av") && !l.contains("bv") && !l.contains("wv")),
         s"$name: an unpartitioned window touches the distinct-value frame:\n" +
           unpartitioned.mkString("\n"))
     }
