@@ -257,6 +257,8 @@ object SparkEntry {
     "tokenizer_merge_candidates" -> TextOps.tokenizerMergeCandidates _,
     "pipeline_quality_gate" -> Pipeline.qualityGate _,
     "scan_parquet_footer" -> Sources.scanParquetFooter _,
+    "anomaly_mad"        -> Stats.anomalyMad _,
+    "agg_grouping_id"    -> AdvancedAggs.aggGroupingId _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -761,6 +763,15 @@ object SparkEntry {
     // engines, so the reason list is the fixed-order non-null rules.
     "pipeline_quality_gate" ->
       "WITH d AS (SELECT doc_id, concat_ws(',', CASE WHEN coalesce(n_chars, 0) < 100 THEN 'too_short' END, CASE WHEN lang IS NULL THEN 'no_lang' END, CASE WHEN round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) < 0.5 THEN 'low_alpha' END, CASE WHEN round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) < 0.3 THEN 'repetitive' END) AS reasons FROM documents WHERE text IS NOT NULL) SELECT doc_id, reasons = '' AS passed, reasons FROM d ORDER BY doc_id",
+    // anomaly_mad: median/MAD as exact interpolated percentiles rounded
+    // before reuse; modified z gated on the rounded score; MAD 0 -> NULL
+    // scores via nullif on both engines.
+    "anomaly_mad" ->
+      "WITH v AS (SELECT event_id, round(value, 4) AS value FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), m AS (SELECT round(quantile_cont(value, 0.5), 6) AS med FROM v), sc AS (SELECT event_id, value, med, round(abs(value - med), 6) AS absdev FROM v, m), d AS (SELECT round(quantile_cont(absdev, 0.5), 6) AS mad FROM sc), z AS (SELECT event_id, value, med, round((value - med) / nullif(1.4826 * mad, 0.0), 4) AS mod_z FROM sc, d) SELECT event_id, value, med, mod_z FROM z WHERE abs(mod_z) > 3.5 ORDER BY event_id",
+    // agg_grouping_id: GROUPING bitmask disambiguates subtotal NULLs
+    // from data NULLs; leftmost-key-is-MSB on both engines.
+    "agg_grouping_id" ->
+      "SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     // scan_parquet_footer: deterministic single-writer sorted layout cut
     // every 10k records, so each file's footer stats are the order
     // statistics of consecutive 10k-row chunks — re-derivable in SQL.

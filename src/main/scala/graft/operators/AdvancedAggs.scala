@@ -332,6 +332,26 @@ object AdvancedAggs {
            sum(bit_count(col("l_orderkey")).cast("bigint")).as("total_bits"))
       .orderBy("l_returnflag")
 
+  /** grouping()/grouping_id() over a rollup — the disambiguation
+    * functions that make super-aggregate rows machine-readable: a NULL
+    * grouping key can mean "subtotal over this column" OR a genuinely
+    * NULL data value, and only the grouping bitmask tells them apart
+    * (the reason BI tools refuse rollups without it). Bit order is
+    * leftmost-key-is-MSB on both engines.
+    *
+    * Scale shape: same single Expand + partial/final HashAggregate as
+    * agg_rollup — the grouping id is a constant per expand branch,
+    * zero extra cost. */
+  def aggGroupingId(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+           grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+           grouping_id().cast("bigint").as("gid"),
+           count(lit(1)).as("n"))
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
   /** EXACT weighted median (lower median: the smallest price whose
     * cumulative quantity weight reaches half the total) of the unit
     * price, weighted by quantity — the inventory-weighted "typical

@@ -577,6 +577,36 @@ object Stats {
           .as("z_score"))
   }
 
+  /** Robust global outliers by MODIFIED z-score — the median/MAD
+    * companion to `anomalyZscore`'s mean/σ (which a single whale can
+    * drag until nothing flags): flag purchases with
+    * |x − median| / (1.4826·MAD) > 3.5 (Iglewicz–Hoaglin). Median and
+    * MAD are EXACT interpolated percentiles, rounded before reuse so
+    * both engines gate on identical scalars; an all-identical corpus
+    * has MAD 0 and the nullif turns every score NULL (nothing flags —
+    * the right answer, not a divide error).
+    *
+    * Scale shape: two percentile aggregates (Spark's percentile is a
+    * single-pass sketchless exact aggregate) with their scalars
+    * broadcast back in-plan via crossJoin — the summarize-then-compare
+    * shape of behaviorRfm; the filtered scan is the only data-sized
+    * work, computed once per percentile pass + once for scoring. */
+  def anomalyMad(s: SparkSession, sf: String): DataFrame = {
+    val v = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), round(col("value"), 4).as("value"))
+    val med = v.agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val scored = v.crossJoin(broadcast(med))
+      .withColumn("absdev", round(abs(col("value") - col("med")), 6))
+    val mad = scored.agg(round(expr("percentile(absdev, 0.5)"), 6).as("mad"))
+    scored.crossJoin(broadcast(mad))
+      .withColumn("mod_z", round((col("value") - col("med")) /
+        nullif(lit(1.4826) * col("mad"), lit(0.0)), 4))
+      .filter(abs(col("mod_z")) > 3.5)
+      .select(col("event_id"), col("value"), col("med"), col("mod_z"))
+      .orderBy("event_id")
+  }
+
   /** Two-proportion z-test on CONVERSION (did a user purchase at all?)
     * between the deterministic md5 arms — the binary-outcome companion
     * to the t/KS/Mann–Whitney family: experiments whose metric is a

@@ -196,6 +196,29 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(ordered == ordered.sorted, "rows must follow (n DESC, pair ASC)")
   }
 
+  test("anomaly mad: flags are beyond the modified-z gate and robust to the flagged tail") {
+    val rows = Stats.anomalyMad(spark, sfOracle).collect()
+    assert(rows.nonEmpty, "corpus tail should flag some purchases")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > 3.5))
+    // robustness: the flagged set is a small tail, not half the data
+    // (the property a mean/sigma detector loses under heavy skew)
+    val n = Tables.events(spark, sfOracle)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull).count()
+    assert(rows.length * 10 < n, s"${rows.length} flags of $n rows is no tail")
+  }
+
+  test("grouping id: bitmask composes from per-column grouping flags, totals reconcile") {
+    val rows = AdvancedAggs.aggGroupingId(spark, sfOracle).collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) == 2 * r.getLong(2) + r.getLong(3),
+        "gid must be the (flag,status) bitmask, flag = MSB")
+    }
+    val grand = rows.filter(_.getLong(4) == 3)
+    assert(grand.length == 1)
+    assert(grand.head.getLong(5) ==
+      Tables.lineitem(spark, sfOracle).count())
+  }
+
   test("quality gate: passed iff no reasons, rules re-derivable per document") {
     val rows = Pipeline.qualityGate(spark, sfOracle).collect()
     assert(rows.nonEmpty)
