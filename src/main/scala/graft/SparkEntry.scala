@@ -259,6 +259,7 @@ object SparkEntry {
     "scan_parquet_footer" -> Sources.scanParquetFooter _,
     "anomaly_mad"        -> Stats.anomalyMad _,
     "agg_grouping_id"    -> AdvancedAggs.aggGroupingId _,
+    "timeseries_holt"    -> Stats.timeseriesHolt _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -763,6 +764,15 @@ object SparkEntry {
     // engines, so the reason list is the fixed-order non-null rules.
     "pipeline_quality_gate" ->
       "WITH d AS (SELECT doc_id, concat_ws(',', CASE WHEN coalesce(n_chars, 0) < 100 THEN 'too_short' END, CASE WHEN lang IS NULL THEN 'no_lang' END, CASE WHEN round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) < 0.5 THEN 'low_alpha' END, CASE WHEN round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) < 0.3 THEN 'repetitive' END) AS reasons FROM documents WHERE text IS NOT NULL) SELECT doc_id, reasons = '' AS passed, reasons FROM d ORDER BY doc_id",
+    // timeseries_holt: the oracle replays the level/trend recursion as
+    // a RECURSIVE CTE with column-carried state — NOT a struct-state
+    // list_reduce: duckdb 1.0.0's lambda resolves acc struct fields to
+    // the NEW values regardless of field order (verified with a
+    // minimal a/c probe), so any mutually-recursive struct fold is
+    // silently wrong there. The b-step restates l_t inline so both
+    // engines evaluate the literal same expression tree.
+    "timeseries_holt" ->
+      "WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), idx AS (SELECT event_type, d, x, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily), rec(event_type, rn, d, x, l, b) AS (SELECT event_type, rn, d, x, x, CAST(0.0 AS DOUBLE) FROM idx WHERE rn = 1 UNION ALL SELECT i.event_type, i.rn, i.d, i.x, CAST(0.5 AS DOUBLE) * i.x + CAST(0.5 AS DOUBLE) * (r.l + r.b), CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.x + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l) + CAST(0.7 AS DOUBLE) * r.b FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.rn = r.rn + 1) SELECT event_type, d, x, round(l, 6) AS level, round(b, 6) AS trend, round(l + b, 6) AS forecast_next FROM rec ORDER BY event_type, d",
     // anomaly_mad: median/MAD as exact interpolated percentiles rounded
     // before reuse; modified z gated on the rounded score; MAD 0 -> NULL
     // scores via nullif on both engines.

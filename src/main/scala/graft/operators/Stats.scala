@@ -696,6 +696,46 @@ object Stats {
       .orderBy("t")
   }
 
+  /** Holt double-exponential smoothing (α = 0.5, β = 0.3, l₁ = x₁,
+    * b₁ = 0) of each event type's daily purchase total — the
+    * trend-aware upgrade of `timeseriesEwma`: level l_t = αx_t +
+    * (1−α)(l_{t−1}+b_{t−1}), trend b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1},
+    * one-step forecast l_t + b_t. The b-step re-states l_t inline
+    * (rather than referencing a stored value) so the oracle's
+    * struct-fold evaluates the LITERAL same expression tree.
+    *
+    * Scale shape: identical to the EWMA — the data-sized work is the
+    * (type, day) aggregate; the recursion folds per type over
+    * calendar-bounded arrays. */
+  def timeseriesHolt(s: SparkSession, sf: String): DataFrame = {
+    Tables.events(s, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(s,
+             cast(array() as array<struct<d: date, x: double, l: double, b: double>>),
+             (acc, r) -> acc || array(named_struct(
+               'd', r.d, 'x', r.x,
+               'l', if(size(acc) = 0, r.x,
+                       0.5d * r.x + 0.5d * (element_at(acc, -1).l +
+                                            element_at(acc, -1).b)),
+               'b', if(size(acc) = 0, 0.0d,
+                       0.3d * ((0.5d * r.x + 0.5d * (element_at(acc, -1).l +
+                                                     element_at(acc, -1).b)) -
+                               element_at(acc, -1).l) +
+                         0.7d * element_at(acc, -1).b))))"""))
+        .as("r"))
+      .select(col("event_type"), col("r.d").as("d"),
+              round(col("r.x"), 4).as("x"),
+              round(col("r.l"), 6).as("level"),
+              round(col("r.b"), 6).as("trend"),
+              round(col("r.l") + col("r.b"), 6).as("forecast_next"))
+      .orderBy("event_type", "d")
+  }
+
   /** One-sided CUSUM change detection over each event type's daily
     * count series: S_t = max(0, S_{t-1} + (x_t − μ − k)) with reference
     * drift k = σ/2 — the classic upward-shift detector (a sustained

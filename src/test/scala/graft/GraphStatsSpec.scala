@@ -148,6 +148,21 @@ class GraphStatsSpec extends SparkSpecBase {
       assert(c >= n / 10 && c <= n / 2, s"bucket size $c wildly unbalanced"))
   }
 
+  test("holt smoothing: seeds at (x1, 0), forecast decomposes as level + trend") {
+    val rows = Stats.timeseriesHolt(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { series =>
+      val first = series.minBy(r => r.getDate(1).toString)
+      assert(first.getDouble(3) == first.getDouble(2), "l1 must equal x1")
+      assert(first.getDouble(4) == 0.0, "b1 must be 0")
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(5) - (r.getDouble(3) + r.getDouble(4))) < 2e-6,
+        "forecast must be level + trend (within rounding)")
+    }
+  }
+
   test("connected components: labels are component minima, counts consistent, multi-hop chains collapse") {
     val rows = Graph.graphConnectedComponents(spark, sfOracle).collect()
     assert(rows.length ==
