@@ -540,20 +540,31 @@ object Dedup {
     * reaches 0.9 (rounded before the gate, §0.3 convention).
     *
     * Scale shape: same hashed-sorted word sets and linear-merge
-    * intersect as dedup_ngram_jaccard (jaccardDocs); per-source block
-    * join. NOTE the Jaccard size prefilter is unsound here — a tiny doc
-    * CAN be contained in a huge one — so the block path has no size
-    * gate; the scale variant is a prefix-filter keyed on the SMALLER
-    * set only (containment ≥ t needs a shared token in A's first
-    * ⌈(1−t)·|A|⌉+1 tokens), the PPJoin-for-containment analog of
+    * intersect as dedup_ngram_jaccard (jaccardDocs), but gridded like
+    * dedupEmbedCosine: the Jaccard SIZE prefilter is unsound here (a
+    * tiny doc CAN be contained in a huge one), so instead of a size
+    * gate the per-source pair space is fragment-replicated over
+    * (source, chunk) — chunk count ⌈maxBlock/4096⌉ derived IN-PLAN from
+    * a broadcast one-row stats aggregate, so no single task ever owns a
+    * whole source block. Total work stays Σ block² (the exact-pair
+    * price); the candidate-sparse scale escape is a prefix filter keyed
+    * on the smaller set's first ⌈(1−t)·|A|⌉+1 tokens joined against the
+    * full posting list — the PPJoin-for-containment analog of
     * ngramJaccardPrefixJoin. */
   def dedupContainment(s: SparkSession, sf: String): DataFrame = {
     val docs = jaccardDocs(s, sf)
-    val l = docs.select(col("source"), col("doc_id").as("id1"),
-                        col("ws").as("w1"))
-    val r = docs.select(col("source"), col("doc_id").as("id2"),
-                        col("ws").as("w2"))
-    l.join(r, "source")
+    val stats = broadcast(docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("bn"))
+      .agg(coalesce(max(col("bn")), lit(0L)).as("max_block")))
+    val chunks = least(lit(256L), greatest(lit(4L),
+      expr("(max_block + 4095) DIV 4096")))
+    val l = docs.crossJoin(stats)
+      .select(col("source"), col("doc_id").as("id1"), col("ws").as("w1"),
+              explode(sequence(lit(0), (chunks - 1).cast("int"))).as("chunk"))
+    val r = docs.crossJoin(stats)
+      .select(col("source"), col("doc_id").as("id2"), col("ws").as("w2"),
+              pmod(col("doc_id"), chunks).cast("int").as("chunk"))
+    l.join(r, Seq("source", "chunk"))
       .filter(col("id1") < col("id2"))
       .withColumn("n_inter", expr("graft_sorted_intersect_size(w1, w2)"))
       .withColumn("cont1_in_2",
