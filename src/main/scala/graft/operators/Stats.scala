@@ -343,7 +343,7 @@ object Stats {
     * monotonically: ordering by (bkt, value) equals ordering by value,
     * which is what lets a global running sum decompose into parallel
     * per-bucket prefixes + a tiny per-bucket offset pass. */
-  private[operators] def valueBucket(v: org.apache.spark.sql.Column) =
+  private[graft] def valueBucket(v: org.apache.spark.sql.Column) =
     (signum(v) * floor(log1p(abs(v)) * 8.0)).cast("bigint")
 
   /** Two-sample Kolmogorov–Smirnov test on purchase values between the

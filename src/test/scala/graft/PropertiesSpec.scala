@@ -125,4 +125,47 @@ class PropertiesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("valueBucket is monotone over generated doubles (the prefix-decomposition load-bearing law)") {
+    // statsKsTest / statsMannWhitney / aggWeightedMedian decompose a
+    // global running sum into per-bucket prefixes + bucket offsets;
+    // that equals the global order IFF ordering by (bucket, value)
+    // equals ordering by value, i.e. the bucket key is monotone —
+    // including across sign changes, zeros, and magnitude jumps.
+    import spark.implicits._
+    val doubles = Gen.listOfN(40, Gen.oneOf(
+      Gen.choose(-1e6, 1e6), Gen.choose(-1.0, 1.0),
+      Gen.oneOf(0.0, -0.0, 1e-9, -1e-9, 1e8, -1e8)))
+    forSamples(doubles) { vs =>
+      val sorted = vs.sorted
+      val buckets = sorted.toDF("v")
+        .select(graft.operators.Stats.valueBucket(col("v")).as("b"))
+        .collect().map(r => r.getLong(0))
+      sorted.zip(buckets).sliding(2).foreach {
+        case Seq((v1, b1), (v2, b2)) =>
+          assert(b1 <= b2, s"bucket not monotone: $v1→$b1 but $v2→$b2")
+        case _ => ()
+      }
+    }
+  }
+
+  test("in-plan chunk column equals the scalar gridChunksFor twin across the knob range") {
+    // simKnnJoin/dedupEmbedCosine/dedupContainment derive their grid
+    // chunk count as a COLUMN from a broadcast stats scalar; a silent
+    // divergence from the scalar formula would re-key the grid and drop
+    // pairs. Evaluate the column expression on planted max_block values
+    // and pin it to the documented scalar.
+    import spark.implicits._
+    val blocks = Seq(0L, 1L, 100L, 4095L, 4096L, 4097L, 4096L * 100,
+      4096L * 100 + 1, 1L << 30, Long.MaxValue / 2)
+    val got = blocks.toDF("max_block")
+      .select(col("max_block"),
+        least(lit(256L), greatest(lit(4L),
+          expr("(max_block + 4095) DIV 4096"))).as("chunks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    blocks.foreach { b =>
+      assert(got(b) == graft.operators.Similarity.gridChunksFor(b).toLong,
+        s"column chunks ${got(b)} != scalar for max_block=$b")
+    }
+  }
 }
