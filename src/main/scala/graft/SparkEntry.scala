@@ -252,6 +252,11 @@ object SparkEntry {
     "graph_connected_components" -> Graph.graphConnectedComponents _,
     "text_bigram_logprob" -> TextOps.textBigramLogprob _,
     "dedup_containment"  -> Dedup.dedupContainment _,
+    // dedup_near_minhash_incremental: oracle-N like its full-corpus
+    // twin (engine hash family); the spec asserts incremental output
+    // equals the full run restricted to batch-touching pairs.
+    "dedup_near_minhash_incremental" -> Dedup.dedupNearMinhashIncremental _,
+    "text_sentence_stats" -> TextOps.textSentenceStats _,
     "stats_proportions_ztest" -> Stats.statsProportionsZtest _,
     "agg_weighted_median" -> AdvancedAggs.aggWeightedMedian _,
     "tokenizer_merge_candidates" -> TextOps.tokenizerMergeCandidates _,
@@ -741,6 +746,10 @@ object SparkEntry {
        "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM d)), " +
        "sc AS (SELECT f.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + v.v)) AS nll FROM bgf f JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) " +
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 6) AS avg_nll FROM sc GROUP BY 1 ORDER BY 1"),
+    // text_sentence_stats: terminal-punctuation segmentation with
+    // identical regex class and trim semantics on both engines.
+    "text_sentence_stats" ->
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '[.!?]+'), x -> length(trim(x)) > 0) AS sents FROM documents WHERE text IS NOT NULL) SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences, CAST(coalesce(list_max(list_transform(sents, x -> len(string_split(trim(x), ' ')))), 0) AS BIGINT) AS max_sentence_words, round(CAST(coalesce(list_sum(list_transform(sents, x -> len(string_split(trim(x), ' ')))), 0) AS DOUBLE) / greatest(len(sents), 1), 6) AS avg_sentence_words FROM d ORDER BY doc_id",
     // dedup_containment: asymmetric |A∩B|/|A| within source; DuckDB's
     // exact word-set intersect mirrors the hashed-sorted-merge (same
     // cardinalities); both directions gated on the rounded value.

@@ -358,6 +358,66 @@ object Dedup {
       .select(col("doc_id"), col("sig")))
   }
 
+  /** INCREMENTAL near-dup MinHash — the day-2 shape of dedupNearMinhash,
+    * completing the incremental family (dedup_incremental_bloom = exact,
+    * sim_ann_lsh_incremental = ANN): the historical half's band rows
+    * (doc, sig, band, band-hash) are built once and PERSISTED as the
+    * standing index table; an ingest batch hashes ONLY its own docs
+    * (signatures are a pure function of the word set, so old and new
+    * rows agree by construction), and candidate pairs are generated
+    * from merged buckets but kept only when they TOUCH the batch — the
+    * hist×hist pair space was already mined when the standing index was
+    * built and is never re-paired. The spec asserts the sharp theorem:
+    * incremental output ≡ the full-corpus run restricted to pairs
+    * involving the batch.
+    *
+    * Scale shape: per ingest, signature+band cost ∝ batch; the merged
+    * bucket groupBy shuffles standing band rows (at 100 TB the index
+    * table is bucketed by (band, bh) so the merge is shuffle-free on
+    * the standing side) and the pair space is Σ bucket² minus the
+    * hist×hist block. */
+  def dedupNearMinhashIncremental(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.MinHashSig16.register(s)
+    val docs = Tables.documents(s, sf).select(col("doc_id"), ws.as("ws"))
+    val cut = broadcast(docs.agg(floor(max(col("doc_id")) / 2)
+      .cast("long").as("cut")))
+    def bandRows(df: DataFrame): DataFrame = df
+      .withColumn("sig", expr("graft_minhash16(ws)"))
+      .select(col("doc_id"), col("sig"), explode(expr(
+        """transform(sequence(0, 3), b -> struct(b AS band,
+          |  xxhash64(element_at(sig, b*4+1), element_at(sig, b*4+2),
+          |           element_at(sig, b*4+3), element_at(sig, b*4+4)) AS bh))"""
+          .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
+              col("bb.bh").as("bh"))
+    val dir = graft.Scratch.dir("graft_minhash_index_")
+    bandRows(docs.crossJoin(cut).filter(col("doc_id") <= col("cut"))
+        .drop("cut"))
+      .write.mode("overwrite").parquet(dir)
+    val standing = s.read.parquet(dir).withColumn("fresh", lit(false))
+    val delta = bandRows(docs.crossJoin(cut)
+        .filter(col("doc_id") > col("cut")).drop("cut"))
+      .withColumn("fresh", lit(true))
+    standing.unionByName(delta)
+      .groupBy(col("band"), col("bh"))
+      .agg(expr("sort_array(collect_list(struct(doc_id, sig, fresh)))")
+        .as("members"))
+      .filter(size(col("members")).between(2, MaxBucket))
+      .select(explode(expr(
+        """flatten(transform(members, (m1, i) ->
+          |  transform(slice(members, i + 2, size(members)), m2 ->
+          |    struct(m1.doc_id AS id1, m2.doc_id AS id2,
+          |      size(filter(zip_with(m1.sig, m2.sig, (a, b) -> a = b),
+          |           x -> x)) AS n_eq,
+          |      m1.fresh OR m2.fresh AS touches_batch))))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.touches_batch"))
+      .select(col("p.id1"), col("p.id2"),
+              round(col("p.n_eq").cast("double") / 16.0, 4).as("est_jaccard"))
+      .distinct()
+      .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
+  }
+
   /** Band/bucket/pair stage over a precomputed (doc_id, sig) frame —
     * split out so callers that already materialized signatures (the
     * cluster composite) do not pay a second signature pass. */

@@ -374,6 +374,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sentence segmentation statistics — the structural profile next to
+    * `textTokenizeStats`' word counts: documents split on terminal
+    * punctuation runs ([.!?]+), empty segments trimmed away, and each
+    * doc reports its sentence count, the longest sentence's word count,
+    * and the mean words-per-sentence. Sentence-length structure is a
+    * standard quality signal (run-on walls and fragment lists both
+    * read badly) and the segmentation feeds chunkers that must not cut
+    * mid-sentence.
+    *
+    * Scale shape: pure map-side column expressions over the scan
+    * (split/filter/transform HOFs) — no shuffle but the output sort;
+    * identical cost profile to text_quality_score. */
+  def textSentenceStats(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        "filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)").as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).cast("bigint").as("n_sentences"),
+        coalesce(expr(
+          "array_max(transform(sents, x -> size(split(trim(x), ' '))))"),
+          lit(0)).cast("bigint").as("max_sentence_words"),
+        round(expr(
+          """aggregate(sents, 0L, (acc, x) ->
+            |  acc + CAST(size(split(trim(x), ' ')) AS LONG))""".stripMargin)
+          .cast("double") / greatest(size(col("sents")), lit(1)), 6)
+          .as("avg_sentence_words"))
+      .orderBy("doc_id")
+
   /** BPE TRAINING step 1 — the top-20 adjacent character pairs by
     * corpus frequency, i.e. the first merge candidates a byte-pair
     * tokenizer trainer would rank (the existing BPE keys APPLY a fixed

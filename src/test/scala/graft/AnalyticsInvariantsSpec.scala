@@ -219,6 +219,21 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
       Tables.lineitem(spark, sfOracle).count())
   }
 
+  test("sentence stats: averages bounded by maxima, every text doc covered") {
+    val rows = graft.operators.TextOps.textSentenceStats(spark, sfOracle)
+      .collect()
+    assert(rows.length == Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull).count())
+    rows.foreach { r =>
+      val (n, mx, avg) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n >= 0 && mx >= 0 && avg >= 0)
+      if (n > 0) {
+        assert(avg <= mx + 1e-9, s"avg $avg above max $mx")
+        assert(mx >= 1, "a non-empty sentence has at least one word")
+      }
+    }
+  }
+
   test("quality gate: passed iff no reasons, rules re-derivable per document") {
     val rows = Pipeline.qualityGate(spark, sfOracle).collect()
     assert(rows.nonEmpty)

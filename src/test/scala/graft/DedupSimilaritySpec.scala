@@ -105,6 +105,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(exact.exceptAll(sim0).isEmpty, "every exact dup pair must be hamming-0")
   }
 
+  test("incremental minhash equals the full run restricted to batch-touching pairs") {
+    // signatures and band hashes are pure functions of the word set, so
+    // standing-index + delta-only hashing must reproduce EXACTLY the
+    // full-corpus pair mining minus the hist×hist block (already mined
+    // when the standing index was built).
+    val cut = Tables.documents(spark, sfOracle)
+      .agg(floor(max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+    val full = Dedup.dedupNearMinhash(spark, sfOracle)
+      .filter(col("id1") > cut || col("id2") > cut)
+    val inc = Dedup.dedupNearMinhashIncremental(spark, sfOracle)
+    assert(inc.count() > 0, "batch must surface near-dup candidates")
+    assert(full.exceptAll(inc).isEmpty && inc.exceptAll(full).isEmpty,
+      "incremental pair set must equal the batch-restricted full run")
+  }
+
   test("containment pairs are a superset of jaccard pairs, bounded in [0,1]") {
     // J = |∩|/|∪| ≥ 0.9 forces BOTH containments ≥ 0.9 (each divisor is
     // ≤ the union), so every graded jaccard pair must re-appear here;
