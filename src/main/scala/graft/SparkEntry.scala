@@ -257,6 +257,8 @@ object SparkEntry {
     // equals the full run restricted to batch-touching pairs.
     "dedup_near_minhash_incremental" -> Dedup.dedupNearMinhashIncremental _,
     "text_sentence_stats" -> TextOps.textSentenceStats _,
+    "join_asof_forward"  -> AdvancedJoins.joinAsofForward _,
+    "pipeline_dataset_card" -> Pipeline.datasetCard _,
     "stats_proportions_ztest" -> Stats.statsProportionsZtest _,
     "agg_weighted_median" -> AdvancedAggs.aggWeightedMedian _,
     "tokenizer_merge_candidates" -> TextOps.tokenizerMergeCandidates _,
@@ -746,6 +748,15 @@ object SparkEntry {
        "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM d)), " +
        "sc AS (SELECT f.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + v.v)) AS nll FROM bgf f JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) " +
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 6) AS avg_nll FROM sc GROUP BY 1 ORDER BY 1"),
+    // join_asof_forward: the same union-and-window formulation, mirrored
+    // to a forward frame; same-instant views sort before the purchase
+    // (tag order) so they stay with the backward key.
+    "join_asof_forward" ->
+      "WITH u AS (SELECT user_id, ts, 0 AS tag, event_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view' UNION ALL SELECT user_id, ts, 1 AS tag, event_id, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP) FROM events WHERE event_type = 'purchase'), t AS (SELECT user_id, ts, tag, event_id, first_value(view_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_id, first_value(view_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_ts FROM u) SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, next_view_id, next_view_ts FROM t WHERE tag = 1 ORDER BY user_id, purchase_ts, purchase_id",
+    // pipeline_dataset_card: every figure re-derived from the corpus;
+    // the dup-rate hash is the dedup_cluster bag-of-words identity.
+    "pipeline_dataset_card" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(count(text) AS BIGINT) AS n_text_docs, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, round(avg(n_chars), 4) AS avg_chars, round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_chars, round(1.0 - CAST(count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS DOUBLE) / nullif(count(text), 0), 6) AS exact_dup_rate, CAST(sum(CASE WHEN text IS NOT NULL THEN coalesce(list_sum(list_transform(string_split(text, ' '), t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) ELSE 0 END) AS BIGINT) AS est_bpe_tokens FROM documents",
     // text_sentence_stats: terminal-punctuation segmentation with
     // identical regex class and trim semantics on both engines.
     "text_sentence_stats" ->

@@ -116,6 +116,43 @@ object AdvancedJoins {
       .orderBy("user_id", "purchase_ts", "purchase_id")
   }
 
+  /** FORWARD as-of join — the 4th direction of the family (backward,
+    * tolerance, nearest, forward): for every purchase, the user's FIRST
+    * view strictly after the purchase instant — the "did they come back
+    * to browse" follow-up question. Same-instant views count as before
+    * (consistent with joinAsof's tag ordering), so forward and backward
+    * partition the timeline without overlap.
+    *
+    * Scale shape: the same single-shuffle union-and-window pattern as
+    * joinAsof, mirrored — first(ignoreNulls) over the forward frame
+    * instead of last over the backward one; no join, state per key is
+    * one row. */
+  def joinAsofForward(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+              col("event_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+              col("event_id"), lit(null).cast("long").as("view_id"),
+              lit(null).cast("timestamp").as("view_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    views.unionByName(purchases)
+      .select(col("user_id"), col("ts"), col("tag"), col("event_id"),
+              first(col("view_id"), ignoreNulls = true).over(w)
+                .as("next_view_id"),
+              first(col("view_ts"), ignoreNulls = true).over(w)
+                .as("next_view_ts"))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"),
+              col("next_view_id"), col("next_view_ts"))
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+
   /** Nearest-in-time join — sensor/event alignment where "the latest
     * before" (plain as-of) is the wrong answer and the CLOSEST
     * observation in either direction is wanted: each purchase pairs with

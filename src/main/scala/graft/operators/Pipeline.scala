@@ -40,6 +40,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Dataset card — the one-row datasheet a corpus release ships with:
+    * document counts, language cardinality, length center/mean, the
+    * exact-duplicate rate (1 − distinct bag-hashes / text docs), and
+    * the estimated token budget. Every figure re-derives from the
+    * corpus itself; publishing this row next to the data is the
+    * datasheets-for-datasets practice.
+    *
+    * Scale shape: ONE aggregate pass over the scan — counts, avg, and
+    * exact percentile are single-pass aggregates; the two
+    * count-distincts expand but stay map-side-combinable. No joins, no
+    * windows. */
+  def datasetCard(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("lang"), col("n_chars"), col("text"),
+        Dedup.bagHash.as("h"),
+        expr("""CASE WHEN text IS NOT NULL THEN
+               |  aggregate(split(text, ' '), 0L,
+               |    (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))
+               |ELSE 0L END""".stripMargin).as("toks"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("text")).as("n_text_docs"),
+           countDistinct(col("lang")).as("n_langs"),
+           round(avg(col("n_chars")), 4).as("avg_chars"),
+           round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+           round(lit(1.0) - countDistinct(col("h")).cast("double") /
+             nullif(count(col("text")), lit(0L)), 6).as("exact_dup_rate"),
+           sum(col("toks")).cast("bigint").as("est_bpe_tokens"))
+
   /** Quality-gate AUDIT — the "why was this document dropped" table
     * every corpus pipeline needs next to its filter (cleanCorpus keeps
     * survivors; a curator debugging recall needs the failures WITH

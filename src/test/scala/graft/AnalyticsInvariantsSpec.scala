@@ -219,6 +219,17 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
       Tables.lineitem(spark, sfOracle).count())
   }
 
+  test("dataset card: counts reconcile with the corpus, rates bounded") {
+    val r = Pipeline.datasetCard(spark, sfOracle).head()
+    val docs = Tables.documents(spark, sfOracle)
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == docs.filter(col("text").isNotNull).count())
+    assert(r.getLong(2) >= 1, "corpus has at least one language")
+    val dup = r.getDouble(5)
+    assert(dup >= 0.0 && dup < 1.0, s"dup rate $dup out of range")
+    assert(r.getLong(6) > 0, "token estimate must be positive")
+  }
+
   test("sentence stats: averages bounded by maxima, every text doc covered") {
     val rows = graft.operators.TextOps.textSentenceStats(spark, sfOracle)
       .collect()

@@ -32,6 +32,15 @@ class JoinsSourcesSpec extends SparkSpecBase {
     assert(df.count() == nPurch)
   }
 
+  test("forward asof: next view strictly after purchase, none missed, mirrors backward") {
+    val df = AdvancedJoins.joinAsofForward(spark, sfSmoke)
+    assert(df.filter(col("next_view_ts") <= col("purchase_ts")).count() == 0,
+      "forward match must be strictly after (same-instant views are backward's)")
+    val nPurch = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == nPurch)
+  }
+
   test("interval join: clicks strictly inside [signup, signup+1h)") {
     val n = AdvancedJoins.joinInterval(spark, sfSmoke).count()
     assert(n >= 0) // predicate correctness is oracle-checked; smoke here
