@@ -259,6 +259,7 @@ object SparkEntry {
     "text_sentence_stats" -> TextOps.textSentenceStats _,
     "join_asof_forward"  -> AdvancedJoins.joinAsofForward _,
     "pipeline_dataset_card" -> Pipeline.datasetCard _,
+    "scan_csv_malformed" -> Sources.scanCsvMalformed _,
     "stats_proportions_ztest" -> Stats.statsProportionsZtest _,
     "agg_weighted_median" -> AdvancedAggs.aggWeightedMedian _,
     "tokenizer_merge_candidates" -> TextOps.tokenizerMergeCandidates _,
@@ -748,6 +749,11 @@ object SparkEntry {
        "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM d)), " +
        "sc AS (SELECT f.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + v.v)) AS nll FROM bgf f JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) " +
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 6) AS avg_nll FROM sc GROUP BY 1 ORDER BY 1"),
+    // scan_csv_malformed: identical planted-corruption rule as the JSON
+    // twin, so the oracle re-derives the quarantine accounting from the
+    // source table without parsing any CSV.
+    "scan_csv_malformed" ->
+      "WITH g AS (SELECT doc_id % 10 AS bucket, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents WHERE doc_id % 20 <> 0 GROUP BY doc_id % 10), b AS (SELECT CAST(-1 AS BIGINT) AS bucket, count(*) AS n_rows, CAST(NULL AS BIGINT) AS sum_chars FROM documents WHERE doc_id % 20 = 0) SELECT bucket, n_rows, sum_chars FROM g UNION ALL SELECT bucket, n_rows, sum_chars FROM b ORDER BY bucket",
     // join_asof_forward: the same union-and-window formulation, mirrored
     // to a forward frame; same-instant views sort before the purchase
     // (tag order) so they stay with the backward key.

@@ -121,6 +121,34 @@ object Sources {
       .orderBy("bucket")
   }
 
+  /** Malformed-CSV quarantine — the CSV twin of scanJsonMalformed: one
+    * row in twenty is planted with a non-numeric value in a LONG
+    * column, the PERMISSIVE reader routes it to _corrupt_record, and
+    * the quarantine accounting buckets corrupt rows at −1. Same rule as
+    * the JSON key: graded values depend ONLY on corrupt-record
+    * presence, never on how much of a broken row the parser salvages
+    * (engine/version-dependent). */
+  def scanCsvMalformed(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = graft.Scratch.dir("graft_badcsv_")
+    Tables.documents(s, sf)
+      .select(when(col("doc_id") % 20 === 0,
+                   concat(col("doc_id").cast("string"), lit(",notanumber")))
+              .otherwise(concat(col("doc_id").cast("string"), lit(","),
+                                col("n_chars").cast("string"))).as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").csv(dir)
+      .groupBy(when(col("_corrupt_record").isNotNull, lit(-1L))
+                 .otherwise(col("id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("_corrupt_record").isNull, col("n"))).as("sum_chars"))
+      .orderBy("bucket")
+  }
+
   /** Partitioned parquet sink: write events partitioned by event_type,
     * read back a single partition. The read shows partition pruning —
     * `PartitionFilters` in the scan, only one directory touched. */
