@@ -268,6 +268,8 @@ object SparkEntry {
     "anomaly_mad"        -> Stats.anomalyMad _,
     "agg_grouping_id"    -> AdvancedAggs.aggGroupingId _,
     "timeseries_holt"    -> Stats.timeseriesHolt _,
+    "sql_recursive_cte"  -> Relational.sqlRecursiveCte _,
+    "graph_degree_stats" -> Graph.graphDegreeStats _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -997,5 +999,15 @@ object SparkEntry {
       "SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
     "set_except" ->
       "SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'view' EXCEPT SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase' ORDER BY user_id, d",
+    // sql_recursive_cte: DuckDB replays the identical WITH RECURSIVE
+    // ancestor walk (its integer-division spelling is //); depth is
+    // exact integer arithmetic on both engines, nothing to round.
+    "sql_recursive_cte" ->
+      "WITH RECURSIVE walk AS (SELECT s_suppkey AS node, s_suppkey AS cur, 0 AS depth FROM supplier UNION ALL SELECT node, cur // 2 AS cur, depth + 1 AS depth FROM walk WHERE cur > 1) SELECT CAST(depth AS BIGINT) AS chain_len, count(*) AS n_chains, min(node) AS min_node, max(node) AS max_node FROM (SELECT node, max(depth) AS depth FROM walk GROUP BY node) GROUP BY depth ORDER BY chain_len",
+    // graph_degree_stats: both marginal degree distributions of the
+    // part↔supplier edge set; the share denominator is the per-side
+    // node total, rounded like every derived double.
+    "graph_degree_stats" ->
+      "WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), p AS (SELECT 'part' AS side, degree, count(*) AS n_nodes FROM (SELECT l_partkey, count(*) AS degree FROM e GROUP BY 1) GROUP BY 2), s AS (SELECT 'supplier' AS side, degree, count(*) AS n_nodes FROM (SELECT l_suppkey, count(*) AS degree FROM e GROUP BY 1) GROUP BY 2), u AS (SELECT * FROM p UNION ALL SELECT * FROM s) SELECT side, degree, n_nodes, round(CAST(n_nodes AS DOUBLE) / sum(n_nodes) OVER (PARTITION BY side), 6) AS node_share FROM u ORDER BY side, degree",
   )
 }

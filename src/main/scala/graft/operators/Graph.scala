@@ -175,4 +175,36 @@ object Graph {
         count(lit(1)).over(Window.partitionBy(col("component"))).cast("bigint"))
       .orderBy("doc_id")
   }
+
+  /** Degree distribution of the part↔supplier bipartite graph — the
+    * first profiling question asked of any large graph (is it
+    * power-law? how heavy is the hub tail?) and the input to every
+    * skew-aware partitioning decision the other kernels make. Emits
+    * one row per (side, degree) with the node count at that degree
+    * plus each side's share, so both marginal distributions land in a
+    * single small frame.
+    *
+    * Scale shape: ONE pair-distinct shuffle builds the edge set (the
+    * same shape pagerank/triangles start from), then each side is a
+    * node-grain partial-aggregated count followed by a degree-grain
+    * re-count — the second aggregate's input is ≤ |V| rows and its
+    * output ≤ max-degree rows. The per-side total for the share column
+    * comes from a window over the tiny degree frame (≤ thousands of
+    * rows at any SF), never a second scan. Nothing here ever holds an
+    * edge-sized frame past the first aggregate, so the plan survives a
+    * 100× scale-up unchanged.
+    */
+  def graphDegreeStats(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.lineitem(s, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    def side(key: String, name: String): DataFrame =
+      e.groupBy(col(key)).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(name).as("side"), col("degree"), col("n_nodes"))
+    side("l_partkey", "part").unionByName(side("l_suppkey", "supplier"))
+      .withColumn("node_share",
+        round(col("n_nodes") /
+          sum(col("n_nodes")).over(Window.partitionBy(col("side"))), 6))
+      .orderBy("side", "degree")
+  }
 }

@@ -295,6 +295,42 @@ object Relational {
       ORDER BY c_nationkey, rnk""")
   }
 
+  /** Recursive CTE (SQL-2008 `WITH RECURSIVE`, new in Spark 4.x) — the
+    * one relational construct whose work is data-DEPENDENT in depth:
+    * each supplier walks the implicit binary-heap ancestor chain
+    * (parent = node div 2) until it reaches the root, and the query
+    * aggregates the chain-length distribution. Depth for node n is
+    * ⌊log₂ n⌋, so the result doubles as a closed-form self-check while
+    * still forcing the engine through genuine recursive union
+    * semantics (anchor + self-referencing step to fixpoint).
+    *
+    * Scale shape: Spark plans each recursive step as an incremental
+    * union over the PREVIOUS step's frontier only (rows still
+    * satisfying cur > 1), so total work is Σ⌈log₂ k⌉ ≈ n·log n rows
+    * across ~log₂(max_key) steps — at 100 TB the frontier shrinks
+    * geometrically and each step is an embarrassingly parallel
+    * map+filter; the only shuffle is the final depth-grain aggregate.
+    * The recursion depth is bounded by log₂(10⁴·SF) ≈ 24 even at
+    * SF 100k, far under Spark's 100-level recursion guard.
+    */
+  def sqlRecursiveCte(s: SparkSession, sf: String): DataFrame = {
+    Tables.supplier(s, sf).createOrReplaceTempView("v_supplier")
+    s.sql("""
+      WITH RECURSIVE walk AS (
+        SELECT s_suppkey AS node, s_suppkey AS cur, 0 AS depth
+        FROM v_supplier
+        UNION ALL
+        SELECT node, cur DIV 2 AS cur, depth + 1 AS depth
+        FROM walk WHERE cur > 1
+      )
+      SELECT CAST(depth AS BIGINT) AS chain_len,
+             count(*) AS n_chains,
+             min(node) AS min_node, max(node) AS max_node
+      FROM (SELECT node, max(depth) AS depth FROM walk GROUP BY node)
+      GROUP BY depth
+      ORDER BY chain_len""")
+  }
+
   /** TPC-H Q14 shape: promotion effect — conditional aggregation (CASE
     * inside sum) over lineitem ⋈ part for one month; single scalar row.
     * The date filter prunes lineitem at the scan; only matching rows

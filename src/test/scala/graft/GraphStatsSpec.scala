@@ -46,6 +46,40 @@ class GraphStatsSpec extends SparkSpecBase {
     assert(math.abs(total - 1.0) < 1e-9, s"rank mass $total != 1")
   }
 
+  test("degree stats: node counts sum to side cardinality and shares to 1") {
+    val r = Graph.graphDegreeStats(spark, sfSmoke).collect()
+    val li = Tables.lineitem(spark, sfSmoke)
+      .select("l_partkey", "l_suppkey").distinct()
+    val nParts = li.select("l_partkey").distinct().count()
+    val nSupps = li.select("l_suppkey").distinct().count()
+    def tot(side: String) =
+      r.filter(_.getString(0) == side).map(_.getLong(2)).sum
+    assert(tot("part") == nParts && tot("supplier") == nSupps)
+    // Σ degree·n_nodes per side = |E| (each edge counted once per side)
+    val edges = li.count()
+    def mass(side: String) =
+      r.filter(_.getString(0) == side).map(x => x.getLong(1) * x.getLong(2)).sum
+    assert(mass("part") == edges && mass("supplier") == edges)
+    def shares(side: String) =
+      r.filter(_.getString(0) == side).map(_.getDouble(3)).sum
+    assert(math.abs(shares("part") - 1.0) < 1e-4)
+    assert(math.abs(shares("supplier") - 1.0) < 1e-4)
+  }
+
+  test("recursive CTE: chain length is floor(log2(key)) for every supplier") {
+    val r = operators.Relational.sqlRecursiveCte(spark, sfSmoke).collect()
+    val n = Tables.supplier(spark, sfSmoke).count()
+    assert(r.map(_.getLong(1)).sum == n, "every supplier walks one chain")
+    // depth d covers keys [2^d, 2^(d+1)); depth 0 additionally holds
+    // key 0 (the corpus keys start at 0, and 0's walk never steps)
+    r.foreach { row =>
+      val (d, lo, hi) = (row.getLong(0), row.getLong(2), row.getLong(3))
+      val floor = if (d == 0) 0L else 1L << d
+      assert(lo >= floor && hi < (2L << d),
+        s"depth $d bracket [$lo,$hi] escapes [$floor, 2^${d + 1})")
+    }
+  }
+
   test("triangles: count is non-negative and bounded by edge triples") {
     val row = Graph.graphTriangles(spark, sfSmoke).head()
     val (e, t) = (row.getLong(0), row.getLong(1))
