@@ -270,6 +270,8 @@ object SparkEntry {
     "timeseries_holt"    -> Stats.timeseriesHolt _,
     "sql_recursive_cte"  -> Relational.sqlRecursiveCte _,
     "graph_degree_stats" -> Graph.graphDegreeStats _,
+    "stats_jackknife"    -> Stats.statsJackknife _,
+    "timeseries_lag_features" -> Stats.timeseriesLagFeatures _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1009,5 +1011,14 @@ object SparkEntry {
     // node total, rounded like every derived double.
     "graph_degree_stats" ->
       "WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), p AS (SELECT 'part' AS side, degree, count(*) AS n_nodes FROM (SELECT l_partkey, count(*) AS degree FROM e GROUP BY 1) GROUP BY 2), s AS (SELECT 'supplier' AS side, degree, count(*) AS n_nodes FROM (SELECT l_suppkey, count(*) AS degree FROM e GROUP BY 1) GROUP BY 2), u AS (SELECT * FROM p UNION ALL SELECT * FROM s) SELECT side, degree, n_nodes, round(CAST(n_nodes AS DOUBLE) / sum(n_nodes) OVER (PARTITION BY side), 6) AS node_share FROM u ORDER BY side, degree",
+    // stats_jackknife: identical leave-one-day-out replicate algebra on
+    // the 4-rounded daily (revenue, count) pairs; Tukey SE uses the
+    // var_samp identity Σ(θ_i−θ̄)² = (n−1)·var_samp(θ_i) on both sides.
+    "stats_jackknife" ->
+      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS r, CAST(count(*) AS DOUBLE) AS c FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), repl AS (SELECT event_type, count(*) OVER (PARTITION BY event_type) AS n, (sum(r) OVER (PARTITION BY event_type) - r) / (sum(c) OVER (PARTITION BY event_type) - c) AS th_i, sum(r) OVER (PARTITION BY event_type) / sum(c) OVER (PARTITION BY event_type) AS theta FROM daily) SELECT event_type, any_value(n) AS n_days, round(any_value(theta), 6) AS theta, round(sqrt((any_value(n) - 1) * (any_value(n) - 1) / any_value(n) * var_samp(th_i)), 6) AS jk_se, round(any_value(theta) - 1.96 * sqrt((any_value(n) - 1) * (any_value(n) - 1) / any_value(n) * var_samp(th_i)), 6) AS ci_lo, round(any_value(theta) + 1.96 * sqrt((any_value(n) - 1) * (any_value(n) - 1) / any_value(n) * var_samp(th_i)), 6) AS ci_hi FROM repl GROUP BY event_type ORDER BY event_type",
+    // timeseries_lag_features: window feature block over the same
+    // 4-rounded daily grid; nullif guards the percent-change divisor.
+    "timeseries_lag_features" ->
+      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2) SELECT event_type, d, x, lag(x, 1) OVER w AS lag_1, lag(x, 7) OVER w AS lag_7, round(avg(x) OVER w7, 6) AS roll_mean_7, min(x) OVER w7 AS roll_min_7, max(x) OVER w7 AS roll_max_7, round(x - lag(x, 1) OVER w, 6) AS delta_1, round((x - lag(x, 1) OVER w) / nullif(lag(x, 1) OVER w, 0), 6) AS pct_change_1 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d), w7 AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY event_type, d",
   )
 }

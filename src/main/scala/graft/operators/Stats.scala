@@ -804,4 +804,80 @@ object Stats {
            round(sum(col("value")), 4).as("attributed_value"))
       .orderBy("touch_type")
   }
+
+  /** Delete-one-day jackknife of the ratio estimator θ = Σrevenue/Σcount
+    * (mean purchase value weighted by day) per event type. The ratio is
+    * the canonical NON-linear statistic where naive var/n is biased and
+    * resampling earns its keep — for a plain mean the jackknife
+    * collapses to var_samp/n and teaches nothing. Emits θ, the Tukey
+    * jackknife standard error over the n leave-one-day-out replicates
+    * θ_i = (R−r_i)/(C−c_i), and the ±1.96·SE interval.
+    *
+    * Scale shape: the raw scan reduces to DAY grain in one map-side-
+    * combinable aggregate; every downstream step (totals window, the
+    * replicate aggregate) runs on that ≤ |types|·|days| frame — bounded
+    * by the calendar, not the data, so a 100× corpus only widens the
+    * first aggregate. The totals join is a window over the tiny daily
+    * frame partitioned by type, never a second scan of events.
+    */
+  def statsJackknife(s: SparkSession, sf: String): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("r"),
+           count(lit(1)).cast("double").as("c"))
+    val repl = daily
+      .withColumn("n", count(lit(1)).over(wType))
+      .withColumn("th_i", (sum(col("r")).over(wType) - col("r")) /
+                          (sum(col("c")).over(wType) - col("c")))
+      .withColumn("theta", sum(col("r")).over(wType) / sum(col("c")).over(wType))
+    repl.groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_days"),
+           first(col("theta")).as("theta"),
+           var_samp(col("th_i")).as("v"))
+      .select(col("event_type"), col("n_days"),
+        round(col("theta"), 6).as("theta"),
+        round(sqrt((col("n_days") - 1) * (col("n_days") - 1) / col("n_days")
+                   * col("v")), 6).as("jk_se"),
+        round(col("theta") - lit(1.96) *
+          sqrt((col("n_days") - 1) * (col("n_days") - 1) / col("n_days")
+               * col("v")), 6).as("ci_lo"),
+        round(col("theta") + lit(1.96) *
+          sqrt((col("n_days") - 1) * (col("n_days") - 1) / col("n_days")
+               * col("v")), 6).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  /** Supervised-learning feature generation over the per-type daily
+    * revenue series: calendar lags (1 and 7 days), the trailing 7-row
+    * rolling mean/min/max, and day-over-day delta / percent change —
+    * the standard tabular-forecasting feature block a training-data
+    * pipeline emits before model fitting.
+    *
+    * Scale shape: the events scan reduces to day grain FIRST (map-side
+    * combinable), and every window runs partitioned by event_type over
+    * that calendar-bounded frame — no global window, no join. At 100 TB
+    * a per-entity variant would partition by (entity, type) with the
+    * same shape; the per-partition series length stays calendar-bounded
+    * either way.
+    */
+  def timeseriesLagFeatures(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val w7 = w.rowsBetween(-6, 0)
+    Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"), col("x"),
+        lag(col("x"), 1).over(w).as("lag_1"),
+        lag(col("x"), 7).over(w).as("lag_7"),
+        round(avg(col("x")).over(w7), 6).as("roll_mean_7"),
+        min(col("x")).over(w7).as("roll_min_7"),
+        max(col("x")).over(w7).as("roll_max_7"),
+        round(col("x") - lag(col("x"), 1).over(w), 6).as("delta_1"),
+        round((col("x") - lag(col("x"), 1).over(w)) /
+              nullif(lag(col("x"), 1).over(w), lit(0.0)), 6).as("pct_change_1"))
+      .orderBy("event_type", "d")
+  }
 }

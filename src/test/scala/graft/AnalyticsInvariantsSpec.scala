@@ -12,6 +12,41 @@ import org.apache.spark.sql.functions._
   */
 class AnalyticsInvariantsSpec extends SparkSpecBase {
 
+  test("jackknife: SE positive, CI brackets theta, theta inside daily ratio hull") {
+    val r = Stats.statsJackknife(spark, sfSmoke).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (theta, se, lo, hi) =
+        (row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5))
+      assert(se > 0, "jackknife SE must be positive on a varying series")
+      assert(lo < theta && theta < hi, "CI must bracket the estimate")
+      assert(math.abs((hi + lo) / 2 - theta) < 1e-4, "CI symmetric about theta")
+    }
+    // the ratio estimator lies inside the hull of the daily ratios
+    val daily = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts"))).agg((sum("value") / count(lit(1))).as("q"))
+      .agg(min("q"), max("q")).head()
+    val theta = r.head.getDouble(2)
+    assert(theta >= daily.getDouble(0) - 1e-6 && theta <= daily.getDouble(1) + 1e-6)
+  }
+
+  test("lag features: windows consistent with the daily grid") {
+    val r = Stats.timeseriesLagFeatures(spark, sfSmoke)
+    val nDaily = Tables.events(spark, sfSmoke)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), to_date(col("ts"))).distinct().count()
+    assert(r.count() == nDaily, "one feature row per (type, day)")
+    // rolling bounds hold and delta is exactly x - lag_1 where defined
+    assert(r.filter(col("x") < col("roll_min_7") ||
+                    col("x") > col("roll_max_7")).count() == 0)
+    assert(r.filter(col("lag_1").isNotNull &&
+      abs(col("delta_1") - (col("x") - col("lag_1"))) > 1e-9).count() == 0)
+    // exactly one null lag_1 per event_type (the series head)
+    val heads = r.filter(col("lag_1").isNull).groupBy("event_type").count()
+    assert(heads.filter(col("count") =!= 1).count() == 0)
+  }
+
   test("sessionize: intra-session gaps ≤ 30 min, session starts follow > 30 min silence") {
     import org.apache.spark.sql.expressions.Window
     val sessions = Pipeline.sessionizeGap(spark, sfSmoke)
