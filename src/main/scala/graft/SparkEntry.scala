@@ -272,6 +272,8 @@ object SparkEntry {
     "graph_degree_stats" -> Graph.graphDegreeStats _,
     "stats_jackknife"    -> Stats.statsJackknife _,
     "timeseries_lag_features" -> Stats.timeseriesLagFeatures _,
+    "text_gopher_rules"  -> TextOps.textGopherRules _,
+    "stats_bootstrap_ci" -> Stats.statsBootstrapCi _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1020,5 +1022,15 @@ object SparkEntry {
     // 4-rounded daily grid; nullif guards the percent-change divisor.
     "timeseries_lag_features" ->
       "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2) SELECT event_type, d, x, lag(x, 1) OVER w AS lag_1, lag(x, 7) OVER w AS lag_7, round(avg(x) OVER w7, 6) AS roll_mean_7, min(x) OVER w7 AS roll_min_7, max(x) OVER w7 AS roll_max_7, round(x - lag(x, 1) OVER w, 6) AS delta_1, round((x - lag(x, 1) OVER w) / nullif(lag(x, 1) OVER w, 0), 6) AS pct_change_1 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d), w7 AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY event_type, d",
+    // text_gopher_rules: list-lambda replay of every rule; the word-
+    // share rule re-derives per-(doc, word) counts via unnest+group.
+    // Integer arithmetic everywhere until the final rounded ratios.
+    "text_gopher_rules" ->
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws), 6) AS mean_word_len, CAST(len(list_filter(ws, x -> list_contains(['the','a','of','to','and','in','is','that','for','it'], x))) AS BIGINT) AS n_stopwords, round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws), 6) AS alpha_word_ratio FROM w), f AS (SELECT doc_id, max(c) AS max_freq FROM (SELECT doc_id, word, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2) GROUP BY 1) SELECT b.doc_id, n_words, mean_word_len, n_stopwords, alpha_word_ratio, round(CAST(max_freq AS DOUBLE) / n_words, 6) AS max_word_ratio, n_words BETWEEN 50 AND 100000 AS rule_word_count, mean_word_len BETWEEN 3.0 AND 10.0 AS rule_word_len, n_stopwords >= 2 AS rule_stopwords, alpha_word_ratio >= 0.8 AS rule_alpha, round(CAST(max_freq AS DOUBLE) / n_words, 6) <= 0.2 AS rule_repetition, (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) AND n_stopwords >= 2 AND alpha_word_ratio >= 0.8 AND round(CAST(max_freq AS DOUBLE) / n_words, 6) <= 0.2 AS pass_gopher FROM base b JOIN f USING (doc_id) ORDER BY doc_id",
+    // stats_bootstrap_ci: the LCG + Poisson-CDF inversion is exact
+    // integer arithmetic, so DuckDB draws the identical 32 resamples;
+    // only the final weighted means/SE are floating and rounded.
+    "stats_bootstrap_ci" ->
+      "WITH p AS (SELECT event_id, value FROM events WHERE event_type = 'purchase'), r AS (SELECT event_id, value, unnest(range(1, 33)) AS rep FROM p), u AS (SELECT rep, value, ((event_id % 999983) * 1103515245 + rep * 12345 + 6789) % 1000000 AS h FROM r), w AS (SELECT rep, value, CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1 WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3 WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5 WHEN h < 999917 THEN 6 ELSE 7 END AS wt FROM u), m AS (SELECT rep, sum(wt * value) / sum(wt) AS mu FROM w GROUP BY rep), b AS (SELECT avg(mu) AS boot_mean, stddev_samp(mu) AS se FROM m), s AS (SELECT count(*) AS n_purchases, avg(value) AS mean_value FROM p) SELECT CAST(n_purchases AS BIGINT) AS n_purchases, round(mean_value, 6) AS mean_value, CAST(32 AS BIGINT) AS n_reps, round(boot_mean, 6) AS boot_mean, round(se, 6) AS boot_se, round(mean_value - 1.96 * se, 6) AS ci_lo, round(mean_value + 1.96 * se, 6) AS ci_hi FROM s CROSS JOIN b",
   )
 }

@@ -849,6 +849,55 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Poisson bootstrap of the mean purchase value — the RESAMPLING-AT-
+    * SCALE pattern (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): instead of materializing R
+    * resamples, each row draws a Poisson(1) weight per replicate and
+    * every replicate mean is a weighted aggregate in ONE pass. Weights
+    * come from a seeded integer LCG inverted through the Poisson CDF
+    * (thresholds at 6-digit precision), so both engines draw the SAME
+    * resample and the whole Monte-Carlo procedure stays hash-checked —
+    * randomness is replayed, never re-rolled. Emits the plain estimate,
+    * the bootstrap SE (stddev over R=32 replicate means), and the
+    * normal-approximation 95% CI.
+    *
+    * Scale shape: the replicate axis is a 32-wide explode (constant
+    * fan-out, no shuffle), and each replicate mean partial-aggregates
+    * map-side into a 32-row frame — the shuffle carries 32·partitions
+    * rows regardless of data size. The scalar base stats ride along via
+    * a broadcast-scalar crossJoin, never a driver collect. The LCG
+    * seeds off event_id mod a prime below 10⁶, so the 64-bit product
+    * never overflows even at snowflake-scale ids.
+    */
+  def statsBootstrapCi(s: SparkSession, sf: String): DataFrame = {
+    val p = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val h = ((col("event_id") % 999983L) * 1103515245L +
+             col("rep") * 12345L + 6789L) % 1000000L
+    // Poisson(1) inverse CDF at 6-digit thresholds: P(X<=k) for k=0..6
+    val wt = when(h < 367879L, 0L).when(h < 735759L, 1L)
+      .when(h < 919699L, 2L).when(h < 981012L, 3L)
+      .when(h < 996340L, 4L).when(h < 999406L, 5L)
+      .when(h < 999917L, 6L).otherwise(7L)
+    val repMeans = p
+      .withColumn("rep", explode(expr("sequence(1L, 32L)")))
+      .withColumn("wt", wt)
+      .groupBy(col("rep"))
+      .agg((sum(col("wt") * col("value")) / sum(col("wt"))).as("mu"))
+    val boot = repMeans.agg(avg(col("mu")).as("boot_mean"),
+                            stddev_samp(col("mu")).as("se"))
+    p.agg(count(lit(1)).as("n_purchases"), avg(col("value")).as("mean_value"))
+      .crossJoin(boot)
+      .select(col("n_purchases"),
+        round(col("mean_value"), 6).as("mean_value"),
+        lit(32L).as("n_reps"),
+        round(col("boot_mean"), 6).as("boot_mean"),
+        round(col("se"), 6).as("boot_se"),
+        round(col("mean_value") - lit(1.96) * col("se"), 6).as("ci_lo"),
+        round(col("mean_value") + lit(1.96) * col("se"), 6).as("ci_hi"))
+  }
+
   /** Supervised-learning feature generation over the per-type daily
     * revenue series: calendar lags (1 and 7 days), the trailing 7-row
     * rolling mean/min/max, and day-over-day delta / percent change —

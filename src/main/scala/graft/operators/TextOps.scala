@@ -618,4 +618,52 @@ object TextOps {
         (expr("graft_nfc(text)") =!= col("text")).as("changed_nfc"))
       .orderBy("doc_id")
   }
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    * filter table Dolma/RefinedWeb reuse): per-document hard rules with
+    * per-rule verdict columns plus the conjunctive gate — word count in
+    * [50, 100k], mean word length in [3, 10], ≥ 2 stopwords, ≥ 80% of
+    * words alphabetic, and no single word above 20% of the document
+    * (the repetition rule). Unlike text_quality_score's scalar score,
+    * this is the AUDITABLE form: a corpus report can aggregate each
+    * rule's kill-rate independently before committing to the gate.
+    *
+    * Scale shape: every metric except max-word share is a per-row
+    * higher-order-function expression (no shuffle at all); the share
+    * needs per-(doc, word) counts — ONE explode + hash aggregate whose
+    * partial combine happens map-side, then a doc-grain max joined back
+    * on the doc-id shuffle key. All integer arithmetic until the final
+    * rounded ratios, so both engines agree bit-exactly.
+    */
+  def textGopherRules(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf).filter(col("text").isNotNull)
+    val base = docs.select(col("doc_id"),
+      size(words()).cast("bigint").as("n_words"),
+      round(expr("aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))")
+        .cast("double") / size(words()), 6).as("mean_word_len"),
+      expr("""size(filter(split(text, ' '), x -> x IN
+             |('the','a','of','to','and','in','is','that','for','it')))"""
+        .stripMargin).cast("bigint").as("n_stopwords"),
+      round(expr("size(filter(split(text, ' '), x -> x rlike '[a-z]'))")
+        .cast("double") / size(words()), 6).as("alpha_word_ratio"))
+    val maxFreq = docs
+      .select(col("doc_id"), explode(words()).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_freq"))
+    base.join(maxFreq, "doc_id")
+      .withColumn("max_word_ratio",
+        round(col("max_freq").cast("double") / col("n_words"), 6))
+      .drop("max_freq")
+      .withColumn("rule_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("rule_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("rule_stopwords", col("n_stopwords") >= 2)
+      .withColumn("rule_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("rule_repetition", col("max_word_ratio") <= 0.2)
+      .withColumn("pass_gopher",
+        col("rule_word_count") && col("rule_word_len") &&
+        col("rule_stopwords") && col("rule_alpha") && col("rule_repetition"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AdvancedAggs, Dedup, Pipeline, Stats}
+import graft.operators.{AdvancedAggs, Dedup, Pipeline, Stats, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Cross-key invariants for the round-7 analytics operators — properties
@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
   * being a true argmax, and forward-fill never inventing values.
   */
 class AnalyticsInvariantsSpec extends SparkSpecBase {
+
+  test("gopher rules: gate is the exact conjunction and metrics rebuild from text") {
+    val r = TextOps.textGopherRules(spark, sfSmoke)
+    val nDocs = Tables.documents(spark, sfSmoke)
+      .filter(col("text").isNotNull).count()
+    assert(r.count() == nDocs, "one verdict row per non-null document")
+    assert(r.filter(col("pass_gopher") =!=
+      (col("rule_word_count") && col("rule_word_len") && col("rule_stopwords") &&
+       col("rule_alpha") && col("rule_repetition"))).count() == 0,
+      "gate must be the conjunction of its rules")
+    // spot-rebuild one doc's metrics from the raw text
+    val row = r.orderBy("doc_id").head()
+    val text = Tables.documents(spark, sfSmoke)
+      .filter(col("doc_id") === row.getLong(0)).head().getAs[String]("text")
+    val ws = text.split(" ", -1)
+    assert(row.getLong(1) == ws.length, "n_words")
+    assert(math.abs(row.getDouble(2) -
+      ws.map(_.length).sum.toDouble / ws.length) < 1e-4, "mean_word_len")
+    val maxShare = ws.groupBy(identity).values.map(_.length).max.toDouble / ws.length
+    assert(math.abs(row.getDouble(5) - maxShare) < 1e-4, "max_word_ratio")
+  }
+
+  test("bootstrap: weights draw Poisson(1), SE positive, boot mean near estimate") {
+    val row = Stats.statsBootstrapCi(spark, sfSmoke).head()
+    val (n, mean, bootMean, se) = (row.getLong(0), row.getDouble(1),
+      row.getDouble(3), row.getDouble(4))
+    assert(n > 0 && se > 0)
+    assert(row.getLong(2) == 32L)
+    // replicate-mean average concentrates on the plain mean (SE/√32 scale)
+    assert(math.abs(bootMean - mean) < 5 * se)
+    assert(math.abs(row.getDouble(5) - (mean - 1.96 * se)) < 1e-4)
+    assert(math.abs(row.getDouble(6) - (mean + 1.96 * se)) < 1e-4)
+  }
 
   test("jackknife: SE positive, CI brackets theta, theta inside daily ratio hull") {
     val r = Stats.statsJackknife(spark, sfSmoke).collect()
