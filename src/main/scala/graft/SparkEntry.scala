@@ -274,6 +274,9 @@ object SparkEntry {
     "timeseries_lag_features" -> Stats.timeseriesLagFeatures _,
     "text_gopher_rules"  -> TextOps.textGopherRules _,
     "stats_bootstrap_ci" -> Stats.statsBootstrapCi _,
+    "fn_interval"        -> Families.fnInterval _,
+    "agg_bitmap_distinct" -> AdvancedAggs.aggBitmapDistinct _,
+    "event_sequence_pattern" -> Stats.eventSequencePattern _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1032,5 +1035,21 @@ object SparkEntry {
     // only the final weighted means/SE are floating and rounded.
     "stats_bootstrap_ci" ->
       "WITH p AS (SELECT event_id, value FROM events WHERE event_type = 'purchase'), r AS (SELECT event_id, value, unnest(range(1, 33)) AS rep FROM p), u AS (SELECT rep, value, ((event_id % 999983) * 1103515245 + rep * 12345 + 6789) % 1000000 AS h FROM r), w AS (SELECT rep, value, CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1 WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3 WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5 WHEN h < 999917 THEN 6 ELSE 7 END AS wt FROM u), m AS (SELECT rep, sum(wt * value) / sum(wt) AS mu FROM w GROUP BY rep), b AS (SELECT avg(mu) AS boot_mean, stddev_samp(mu) AS se FROM m), s AS (SELECT count(*) AS n_purchases, avg(value) AS mean_value FROM p) SELECT CAST(n_purchases AS BIGINT) AS n_purchases, round(mean_value, 6) AS mean_value, CAST(32 AS BIGINT) AS n_reps, round(boot_mean, 6) AS boot_mean, round(se, 6) AS boot_se, round(mean_value - 1.96 * se, 6) AS ci_lo, round(mean_value + 1.96 * se, 6) AS ci_hi FROM s CROSS JOIN b",
+    // fn_interval: DuckDB's date_diff counts boundary CROSSINGS while
+    // Spark's timestampdiff counts COMPLETE units — equal for HOUR on
+    // midnight-aligned stamps; the quarter diff is re-derived as
+    // complete-months arithmetic (day-of-month borrow) floor-divided.
+    "fn_interval" ->
+      "SELECT o_orderkey, CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus_45d, CAST(o_orderdate - INTERVAL 14 DAY AS DATE) AS minus_2w, CAST(o_orderdate + INTERVAL '1 year 3 months' AS DATE) AS plus_1y3m, date_diff('hour', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS hours_to_cutoff, CAST(trunc(((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate)) - CASE WHEN o_orderdate <= TIMESTAMP '1998-12-01 00:00:00' AND day(o_orderdate) > 1 THEN 1 ELSE 0 END) / 3.0) AS BIGINT) AS quarters_to_cutoff, o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1998-06-01 00:00:00' AS overdue_by_jun98 FROM orders ORDER BY o_orderkey",
+    // agg_bitmap_distinct: the oracle is plain count(DISTINCT) — the
+    // bitmap two-level algebra must reproduce it EXACTLY, proving the
+    // scale pattern lossless rather than approximate.
+    "agg_bitmap_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS ndv_users FROM events WHERE user_id IS NOT NULL GROUP BY event_type ORDER BY event_type",
+    // event_sequence_pattern: journey rebuilt with ordered string_agg;
+    // regexp_extract_all length = Java's non-overlapping find count for
+    // these literal-class patterns; first-position logic via strpos.
+    "event_sequence_pattern" ->
+      "WITH j AS (SELECT user_id, string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey FROM events WHERE user_id IS NOT NULL GROUP BY 1) SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events, CAST(len(regexp_extract_all(journey, 'vp')) AS BIGINT) AS n_direct_vp, CAST(len(regexp_extract_all(journey, 'vc+p')) AS BIGINT) AS n_assisted, (strpos(journey, 'e') > 0 AND (strpos(journey, 'p') = 0 OR strpos(journey, 'e') < strpos(journey, 'p'))) AS error_before_purchase FROM j ORDER BY user_id",
   )
 }

@@ -193,6 +193,30 @@ object Families {
                   dayofmonth(col("o_orderdate"))).as("rebuilt_date"))
       .orderBy("o_orderkey")
 
+  /** INTERVAL-typed arithmetic proper — the family fn_date/fn_date2 do
+    * NOT touch: adding literal day/year-month intervals, unit-truncated
+    * timestamp differences (timestampdiff), and an interval-comparison
+    * predicate. Interval VALUES never reach the output (CalendarInterval
+    * is not parquet-writable on either engine); every expression lands
+    * as date/bigint/boolean. Pure per-row codegen'd projection — no
+    * shuffle, fully pushdown-transparent at any scale.
+    */
+  def fnInterval(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select(
+        col("o_orderkey"),
+        expr("CAST(o_orderdate + INTERVAL 45 DAY AS DATE)").as("plus_45d"),
+        expr("CAST(o_orderdate - INTERVAL 14 DAY AS DATE)").as("minus_2w"),
+        expr("CAST(o_orderdate + INTERVAL '1-3' YEAR TO MONTH AS DATE)")
+          .as("plus_1y3m"),
+        expr("timestampdiff(HOUR, o_orderdate, TIMESTAMP '1998-12-01 00:00:00')")
+          .as("hours_to_cutoff"),
+        expr("timestampdiff(QUARTER, o_orderdate, TIMESTAMP '1998-12-01 00:00:00')")
+          .as("quarters_to_cutoff"),
+        expr("o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1998-06-01 00:00:00'")
+          .as("overdue_by_jun98"))
+      .orderBy("o_orderkey")
+
   /** Bitwise family on orders keys. */
   def fnBitwise(s: SparkSession, sf: String): DataFrame =
     Tables.orders(s, sf)

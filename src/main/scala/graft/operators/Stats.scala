@@ -849,6 +849,43 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Sequence-pattern matching over per-user journeys — the
+    * MATCH_RECOGNIZE-style question ("how often does view lead straight
+    * to purchase?") expressed as regex algebra over an ordered journey
+    * string: one initial per event (s/c/e/v/p, all five types distinct),
+    * then non-overlapping regexp counts for the direct-conversion
+    * pattern `vp`, the assisted pattern `vc+p`, and whether the journey
+    * ever errors before first purchase. Literal-class regexes keep
+    * Java and RE2-ish engines agreeing exactly.
+    *
+    * Scale shape: ONE user-grain sort-aggregate builds each journey
+    * (sort_array over collected structs — the per-group data, not a
+    * global sort), and the regex work is per-row codegen'd string ops.
+    * Journey length is events-per-user; at 100 TB a per-user cap (slice
+    * of the first N events) bounds the string — the aggregate itself
+    * already partial-combines map-side. Users here are few and long,
+    * the skew-worst-case for this shape, which is exactly what the key
+    * is meant to exercise.
+    */
+  def eventSequencePattern(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+               substring(col("event_type"), 1, 1).as("i")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("e"))),
+             e => e.getField("i")), "").as("journey"))
+      .select(col("user_id"),
+        length(col("journey")).cast("bigint").as("n_events"),
+        regexp_count(col("journey"), lit("vp")).cast("bigint").as("n_direct_vp"),
+        regexp_count(col("journey"), lit("vc+p")).cast("bigint").as("n_assisted"),
+        (regexp_instr(col("journey"), lit("e")) > lit(0) &&
+         (regexp_instr(col("journey"), lit("p")) === lit(0) ||
+          regexp_instr(col("journey"), lit("e")) <
+            regexp_instr(col("journey"), lit("p")))).as("error_before_purchase"))
+      .orderBy("user_id")
+
   /** Poisson bootstrap of the mean purchase value — the RESAMPLING-AT-
     * SCALE pattern (Chamandy et al., "Estimating Uncertainty for
     * Massive Data Streams", Google 2012): instead of materializing R

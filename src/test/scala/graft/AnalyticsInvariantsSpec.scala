@@ -12,6 +12,44 @@ import org.apache.spark.sql.functions._
   */
 class AnalyticsInvariantsSpec extends SparkSpecBase {
 
+  test("bitmap distinct: two-level bitmap algebra equals plain count distinct") {
+    val bm = AdvancedAggs.aggBitmapDistinct(spark, sfSmoke)
+    val plain = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("expect"))
+    val bad = bm.join(plain, "event_type")
+      .filter(col("ndv_users") =!= col("expect")).count()
+    assert(bad == 0, "bitmap NDV must be exact, not approximate")
+  }
+
+  test("sequence pattern: journey lengths partition events, spot-rebuild one user") {
+    val r = Stats.eventSequencePattern(spark, sfSmoke)
+    val events = Tables.events(spark, sfSmoke).filter(col("user_id").isNotNull)
+    assert(r.agg(sum("n_events")).head.getLong(0) == events.count())
+    val uid = r.head().getLong(0)
+    val manual = events.filter(col("user_id") === uid)
+      .orderBy("ts", "event_id")
+      .collect().map(_.getAs[String]("event_type").take(1)).mkString
+    val row = r.filter(col("user_id") === uid).head()
+    assert(row.getLong(1) == manual.length)
+    assert(row.getLong(2) == "vp".r.findAllIn(manual).length)
+    val ePos = manual.indexOf('e'); val pPos = manual.indexOf('p')
+    assert(row.getBoolean(4) == (ePos >= 0 && (pPos < 0 || ePos < pPos)))
+  }
+
+  test("fn_interval: day arithmetic is exact and the overdue flag consistent") {
+    import graft.functions.Families
+    val r = Families.fnInterval(spark, sfSmoke)
+      .join(Tables.orders(spark, sfSmoke), "o_orderkey")
+    assert(r.filter(
+      datediff(col("plus_45d"), col("o_orderdate").cast("date")) =!= 45).count() == 0)
+    assert(r.filter(
+      datediff(col("minus_2w"), col("o_orderdate").cast("date")) =!= -14).count() == 0)
+    assert(r.filter(col("overdue_by_jun98") =!=
+      (col("o_orderdate").cast("date") < lit("1998-05-02").cast("date"))).count() == 0)
+  }
+
   test("gopher rules: gate is the exact conjunction and metrics rebuild from text") {
     val r = TextOps.textGopherRules(spark, sfSmoke)
     val nDocs = Tables.documents(spark, sfSmoke)
