@@ -277,6 +277,16 @@ object SparkEntry {
     "fn_interval"        -> Families.fnInterval _,
     "agg_bitmap_distinct" -> AdvancedAggs.aggBitmapDistinct _,
     "event_sequence_pattern" -> Stats.eventSequencePattern _,
+    "graph_bfs_distance" -> Graph.graphBfsDistance _,
+    "graph_jaccard_neighbors" -> Graph.graphJaccardNeighbors _,
+    "timeseries_interpolate" -> Stats.timeseriesInterpolate _,
+    "stats_benjamini_hochberg" -> Stats.statsBenjaminiHochberg _,
+    "event_funnel_time" -> Stats.eventFunnelTime _,
+    "pipeline_repeat_upsample" -> Pipeline.repeatUpsample _,
+    "sim_range_search"   -> Similarity.simRangeSearch _,
+    "text_ngram_novelty" -> TextOps.textNgramNovelty _,
+    "timeseries_seasonality" -> Stats.timeseriesSeasonality _,
+    "stats_theil_sen"    -> Stats.statsTheilSen _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1051,5 +1061,98 @@ object SparkEntry {
     // these literal-class patterns; first-position logic via strpos.
     "event_sequence_pattern" ->
       "WITH j AS (SELECT user_id, string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey FROM events WHERE user_id IS NOT NULL GROUP BY 1) SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events, CAST(len(regexp_extract_all(journey, 'vp')) AS BIGINT) AS n_direct_vp, CAST(len(regexp_extract_all(journey, 'vc+p')) AS BIGINT) AS n_assisted, (strpos(journey, 'e') > 0 AND (strpos(journey, 'p') = 0 OR strpos(journey, 'e') < strpos(journey, 'p'))) AS error_before_purchase FROM j ORDER BY user_id",
+    // graph_bfs_distance: the recursive CTE enumerates (node, dist)
+    // pairs level-by-level with set-UNION dedup and a depth-4 cutoff;
+    // min(dist) per node IS first-visit level, so the profile equals
+    // the engine's synchronous frontier expansion exactly.
+    "graph_bfs_distance" ->
+      ("WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "bfs AS (SELECT (SELECT min(u) FROM e) AS node, CAST(0 AS BIGINT) AS dist " +
+       "UNION SELECT e.v AS node, bfs.dist + 1 AS dist FROM bfs JOIN e ON bfs.node = e.u WHERE bfs.dist < 4) " +
+       "SELECT dist, count(*) AS n_nodes FROM (SELECT node, min(dist) AS dist FROM bfs WHERE node IS NOT NULL GROUP BY node) t GROUP BY dist ORDER BY dist"),
+    // graph_jaccard_neighbors: wedge join on the shared neighbor over
+    // the symmetric adjacency; integer degree algebra until the one
+    // rounded division, (a, b) tie-order makes the top-20 total.
+    "graph_jaccard_neighbors" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1), " +
+       "c AS (SELECT x.u AS a, y.u AS b, count(*) AS common FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u GROUP BY 1, 2) " +
+       "SELECT a, b, common, round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 6) AS jaccard " +
+       "FROM c JOIN deg da ON c.a = da.u JOIN deg db ON c.b = db.u " +
+       "ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20"),
+    // timeseries_interpolate: both anchors ride IGNORE NULLS window
+    // structs over the same grid as ffill; the interpolation algebra
+    // ((nv-pv)·Δd/span, left-to-right) is written identically on both
+    // engines over 4-rounded day sums, so the rounded line matches.
+    "timeseries_interpolate" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2), " +
+       "span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), " +
+       "grid AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span), " +
+       "j AS (SELECT user_id, d, day_value FROM grid LEFT JOIN daily USING (user_id, d)), " +
+       "w AS (SELECT user_id, d, day_value, " +
+       "last_value(CASE WHEN day_value IS NOT NULL THEN struct_pack(pd := d, pv := day_value) END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p, " +
+       "first_value(CASE WHEN day_value IS NOT NULL THEN struct_pack(nd := d, nv := day_value) END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n FROM j) " +
+       "SELECT user_id, d, round(CASE WHEN day_value IS NOT NULL THEN day_value WHEN p IS NULL THEN n.nv WHEN n IS NULL THEN p.pv " +
+       "ELSE p.pv + (n.nv - p.pv) * CAST(date_diff('day', p.pd, d) AS DOUBLE) / date_diff('day', p.pd, n.nd) END, 6) AS filled_value, " +
+       "day_value IS NOT NULL AS observed FROM w ORDER BY user_id, d"),
+    // stats_benjamini_hochberg: the A&S 7.1.26 polynomial is the same
+    // literal arithmetic on both engines over 4-rounded moments, so
+    // ranks agree exactly; the step-up min is a reverse running min.
+    "stats_benjamini_hochberg" ->
+      ("WITH base AS (SELECT event_type, hour(ts) AS hh, value FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+       "cells AS (SELECT event_type, hh, count(*) AS n, round(avg(value), 4) AS cell_mean FROM base GROUP BY 1, 2), " +
+       "typ AS (SELECT event_type, round(avg(value), 4) AS mu, round(stddev_samp(value), 4) AS sigma FROM base GROUP BY 1), " +
+       "zt AS (SELECT c.event_type, hh, n, (cell_mean - mu) / (sigma / sqrt(n)) AS z FROM cells c JOIN typ USING (event_type)), " +
+       "pt AS (SELECT event_type, hh, n, z, least(1.0, 2.0 * (0.3989422804014327 * exp(-abs(z) * abs(z) / 2) * ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))))) AS p FROM zt), " +
+       "rk AS (SELECT *, count(*) OVER () AS m, row_number() OVER (ORDER BY p ASC, event_type ASC, hh ASC) AS r FROM pt), " +
+       "ad AS (SELECT *, least(1.0, min(p * m / r) OVER (ORDER BY p DESC, event_type DESC, hh DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj FROM rk) " +
+       "SELECT event_type, hh, CAST(n AS BIGINT) AS n, round(z, 4) AS z, round(p, 6) AS p_value, round(p_adj, 6) AS p_adj, p_adj <= 0.10 AS significant FROM ad ORDER BY event_type, hh"),
+    // event_funnel_time: day-grain latency keeps the diff integer-exact
+    // (no epoch truncation semantics to reconcile across engines).
+    "event_funnel_time" ->
+      ("WITH fv AS (SELECT user_id, min(ts) AS vt FROM events WHERE user_id IS NOT NULL AND event_type = 'view' GROUP BY 1), " +
+       "pa AS (SELECT f.user_id, min(e.ts) AS pt FROM fv f JOIN events e ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.vt GROUP BY 1), " +
+       "c AS (SELECT fv.user_id, date_diff('day', CAST(vt AS DATE), CAST(pt AS DATE)) AS days FROM fv LEFT JOIN pa ON fv.user_id = pa.user_id) " +
+       "SELECT count(*) AS n_viewers, count(days) AS n_converted, round(CAST(count(days) AS DOUBLE) / count(*), 6) AS conv_rate, CAST(min(days) AS BIGINT) AS min_days, round(avg(days), 6) AS avg_days, CAST(max(days) AS BIGINT) AS max_days FROM c"),
+    // pipeline_repeat_upsample: ceil algebra over the source counts and
+    // a range-explode — closed-form repetition, replayed exactly.
+    "pipeline_repeat_upsample" ->
+      ("WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1), " +
+       "r AS (SELECT source, CAST(least(ceil(CAST((SELECT max(n_src) FROM c) AS DOUBLE) / n_src), 4) AS BIGINT) AS n_copies FROM c) " +
+       "SELECT doc_id, d.source AS source, n_copies, unnest(range(1, n_copies + 1)) AS copy_idx FROM documents d JOIN r ON d.source = r.source ORDER BY doc_id, copy_idx"),
+    // sim_range_search: same broadcast-query dot product as the top-k
+    // oracle; the τ filter applies to the 6-rounded score on BOTH
+    // engines, so the radius boundary is bit-identical.
+    "sim_range_search" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+       "sc AS (SELECT e.vec_id AS vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * qv[i])), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0) " +
+       "SELECT vec_id, cos FROM sc WHERE cos >= 0.2 ORDER BY cos DESC, vec_id ASC"),
+    // text_ngram_novelty: same distinct-trigram frame as the
+    // boilerplate oracle; first-owner = min(doc_id) per gram, then a
+    // doc-grain re-aggregate — integer counts until the one division.
+    "text_ngram_novelty" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), " +
+       "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w) u), " +
+       "f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1) " +
+       "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(count(*) FILTER (f.first_doc = g.doc_id) AS BIGINT) AS n_novel, round(CAST(count(*) FILTER (f.first_doc = g.doc_id) AS DOUBLE) / count(*), 6) AS novelty FROM g JOIN f USING (gram) GROUP BY 1 ORDER BY doc_id"),
+    // timeseries_seasonality: DuckDB's dayofweek is already Sunday=0,
+    // matching Spark's dayofweek-1; the overall mean is the same
+    // weighted-window algebra over the tiny weekday frame.
+    "timeseries_seasonality" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "b AS (SELECT event_type, CAST(dayofweek(d) AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n_days, avg(x) AS avg_x FROM daily GROUP BY 1, 2) " +
+       "SELECT event_type, dow, n_days, round(avg_x, 6) AS avg_value, round(avg_x / (sum(avg_x * n_days) OVER (PARTITION BY event_type) / sum(n_days) OVER (PARTITION BY event_type)), 6) AS seasonal_index FROM b ORDER BY event_type, dow"),
+    // stats_theil_sen: identical pair algebra over 4-rounded day sums
+    // and integer day offsets; DuckDB's quantile_cont uses the same
+    // p*(n-1) interpolation as Spark's exact percentile.
+    "stats_theil_sen" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS y FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "xs AS (SELECT event_type, y, CAST(date_diff('day', min(d) OVER (PARTITION BY event_type), d) AS BIGINT) AS x FROM daily), " +
+       "p AS (SELECT a.event_type AS event_type, (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope FROM xs a JOIN xs b ON a.event_type = b.event_type AND a.x < b.x) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, round(quantile_cont(slope, 0.5), 6) AS theil_slope FROM p GROUP BY 1 ORDER BY event_type"),
   )
 }

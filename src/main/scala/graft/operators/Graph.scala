@@ -207,4 +207,121 @@ object Graph {
           sum(col("n_nodes")).over(Window.partitionBy(col("side"))), 6))
       .orderBy("side", "degree")
   }
+
+  /** Oriented co-purchase edge set shared by the BFS and neighborhood
+    * kernels: parts linked when they share ≥ 2 distinct orders (the
+    * same support threshold `graphTriangles` uses — pairs are blocked
+    * per order, Σ basket², never global n²). Returned oriented
+    * (u < v); callers symmetrize as needed. */
+  private def coPurchaseEdges(s: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(s, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+  }
+
+  /** Breadth-first search over the co-purchase graph: hop distance from
+    * the minimum part id in the edge set, four synchronous frontier
+    * expansions, emitted as the reachability profile (one row per hop
+    * level with the node count first reached there). The fixed depth
+    * keeps the result closed-form — the oracle replays the same four
+    * levels with a recursive CTE whose per-node min(dist) equals
+    * first-visit level, so the iterative kernel is hash-checked
+    * exactly.
+    *
+    * Scale shape: the frontier loop is the textbook distributed BFS —
+    * each level is ONE hash join (frontier ⋈ edges, frontier always the
+    * small build side) plus a node-grain distinct and an anti-join
+    * against the visited set; every level is localCheckpoint'ed so
+    * level i reads level i−1's materialized rows instead of replaying
+    * the whole expansion lineage (work linear in depth, the pagerank
+    * lesson). Frontiers and the visited set are node-grain — edge-sized
+    * frames exist only inside a single level's join. All checkpoints
+    * except the final visited snapshot are unpersisted on exit. At
+    * 100 TB the visited anti-join shuffles on node id per level —
+    * pre-partitioning visited and the symmetric edge list on the same
+    * key makes the loop exchange-free after level 1.
+    */
+  def graphBfsDistance(s: SparkSession, sf: String): DataFrame = {
+    val cpIds = scala.collection.mutable.ArrayBuffer[Int]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      c.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => cpIds += lr.rdd.id
+        case _ => ()
+      }
+      c
+    }
+    val und = coPurchaseEdges(s, sf)
+    val edges = cp(und.unionAll(und.select(col("v").as("u"), col("u").as("v"))))
+    // source = min node, derived in-plan (no driver .head()); an empty
+    // edge set yields a null node filtered to an empty result
+    var visited = cp(edges.agg(min(col("u")).as("node"))
+      .filter(col("node").isNotNull)
+      .select(col("node"), lit(0L).as("dist")))
+    var frontier = visited
+    for (d <- 1 to 4) {
+      val next = cp(frontier.select(col("node").as("u"))
+        .join(edges, Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("dist")))
+      visited = cp(visited.unionAll(next))
+      frontier = next
+    }
+    val out = visited.groupBy(col("dist"))
+      .agg(count(lit(1)).cast("bigint").as("n_nodes"))
+      .orderBy("dist")
+    val keep = visited.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    s.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => cpIds.contains(id) && !keep.contains(id) }
+      .foreach { case (_, rdd) => rdd.unpersist(false) }
+    out
+  }
+
+  /** Neighborhood-Jaccard link prediction over the co-purchase graph:
+    * for every part pair sharing at least one common neighbor, the
+    * Jaccard similarity of their neighbor sets |N(a)∩N(b)| /
+    * (|N(a)|+|N(b)|−|N(a)∩N(b)|) — the classic common-neighbors score
+    * that ranks parts bought alongside the SAME other parts even when
+    * never co-purchased directly. Top-20 by score with a (a, b) total
+    * tie-order, so the cutoff is deterministic on both engines.
+    *
+    * Scale shape: candidate pairs are generated by the wedge join
+    * (adj ⋈ adj on the shared neighbor, a < b orientation halving the
+    * space) — work is Σ_w deg(w)², the intrinsic common-neighbor
+    * bound, never all-pairs; a skewed hub vertex w fans out deg(w)²
+    * wedges and is the canonical AQE skew-split case (or cap hubs
+    * first — production systems drop the top-degree percentile, which
+    * contributes noise pairs anyway). Degree frames are node-grain and
+    * join BROADCAST; the top-20 is distributed TakeOrderedAndProject,
+    * never a global sort.
+    */
+  def graphJaccardNeighbors(s: SparkSession, sf: String): DataFrame = {
+    val und = coPurchaseEdges(s, sf)
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val common = adj.as("x").join(adj.as("y"),
+        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("a"), col("y.u").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val scored = common
+      .join(broadcast(deg.select(col("u").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("u").as("b"), col("deg").as("db"))), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")), 6).as("jaccard"))
+    val out = scored
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(20)
+      .select(col("a"), col("b"), col("common"), col("jaccard"))
+    out
+  }
 }

@@ -512,4 +512,40 @@ object Pipeline {
         "AS (stage_idx, stage, n_in, n_dropped, n_out)"))
       .orderBy("stage_idx")
   }
+
+  /** Domain upsampling by deterministic repetition — the other half of
+    * the mixture toolkit: `pipelineDomainMix` DOWNsamples over-
+    * represented sources; this key UPsamples scarce ones by repeating
+    * each document ⌈max_count/count⌉ times (capped at 4 — the standard
+    * "no more than a few epochs of any slice" rule from data-mixture
+    * practice), emitting one row per (doc, copy) with the copy index a
+    * trainer's shuffle consumes directly. Repetition (not bootstrap
+    * sampling) keeps the output closed-form: the oracle replays the
+    * same ceil algebra and range-explode.
+    *
+    * Scale shape: the source→repeat map is a SOURCE-grain aggregate
+    * (map-side combinable) whose max rides a window over the tiny
+    * source frame; docs join it BROADCAST (dozens of sources, never
+    * data-sized) and the explode is map-side — output rows ≤ cap×input,
+    * no shuffle at all past the count aggregate. At 100 TB the repeat
+    * factors come from catalog statistics and the whole plan is one
+    * map stage.
+    */
+  def repeatUpsample(s: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.documents(s, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .withColumn("max_n",
+        max(col("n_src")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))))  // source-grain frame: dozens of rows
+      .select(col("source"),
+        least(ceil(col("max_n").cast("double") / col("n_src")), lit(4L))
+          .cast("bigint").as("n_copies"))
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
 }

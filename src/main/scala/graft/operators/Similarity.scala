@@ -40,6 +40,31 @@ object Similarity {
       .limit(10)
   }
 
+  /** Threshold range search — the other fundamental similarity query
+    * next to `simCosineTopk`'s top-k: ALL vectors scoring ≥ τ = 0.2
+    * against the query (radius semantics — "everything this similar",
+    * the retrieval mode recall-sensitive dedup and contamination
+    * checks need, where a fixed k would truncate dense neighborhoods
+    * and pad sparse ones). The filter applies to the 6-rounded score,
+    * so the τ boundary is the same double on both engines.
+    *
+    * Scale shape: identical to the top-k brute force — broadcast the
+    * one query row, score map-side with the codegen'd native dot
+    * product — but WITHOUT the TakeOrdered: the predicate prunes
+    * map-side, so the only post-scan data movement is the final
+    * result-sized sort. The ANN keys are the sub-linear path; this is
+    * the exact baseline they are recall-measured against.
+    */
+  def simRangeSearch(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dot(s)("embedding", "qv"), 6).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+  }
+
   /** Collection count for the LSH plane knob — the ONE remaining driver
     * scalar in this file (r7's `.agg(sum,max).head()` block-stats
     * pre-pass is gone: the grid-chunk and k-means-stride knobs now ride

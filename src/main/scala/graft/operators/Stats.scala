@@ -966,4 +966,221 @@ object Stats {
               nullif(lag(col("x"), 1).over(w), lit(0.0)), 6).as("pct_change_1"))
       .orderBy("event_type", "d")
   }
+
+  /** Linear gap interpolation over the daily grid — the third standard
+    * imputation policy next to `timeseriesResample`'s zero-fill and
+    * `timeseriesFfill`'s carry-forward: a missing day takes the value
+    * on the straight line between its nearest observed neighbors
+    * (metrics/telemetry semantics, "the signal moved smoothly through
+    * the gap"). The grid spans each user's first..last observed day, so
+    * interior gaps always have both anchors; the boundary fallbacks
+    * still guard the degenerate single-observation user.
+    *
+    * Scale shape: same grid build as ffill, plus TWO
+    * `last/first(ignoreNulls)` windows per user carrying (day, value)
+    * anchor structs — both partitioned by user_id in the SAME
+    * clustering, so the second window reuses the first's exchange and
+    * sort (one shuffle total past the grid join); frames are
+    * running-unbounded in one direction each (O(1) state per row).
+    */
+  def timeseriesInterpolate(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val wBack = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val anchor = grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"), col("day_value"),
+        last(when(col("day_value").isNotNull,
+          struct(col("d").as("pd"), col("day_value").as("pv"))),
+          ignoreNulls = true).over(wBack).as("p"),
+        first(when(col("day_value").isNotNull,
+          struct(col("d").as("nd"), col("day_value").as("nv"))),
+          ignoreNulls = true).over(wFwd).as("n"))
+    anchor.select(col("user_id"), col("d"),
+        round(
+          when(col("day_value").isNotNull, col("day_value"))
+            .when(col("p").isNull, col("n.nv"))
+            .when(col("n").isNull, col("p.pv"))
+            .otherwise(col("p.pv") + (col("n.nv") - col("p.pv")) *
+              datediff(col("d"), col("p.pd")).cast("double") /
+              datediff(col("n.nd"), col("p.pd"))), 6).as("filled_value"),
+        col("day_value").isNotNull.as("observed"))
+      .orderBy("user_id", "d")
+  }
+
+  /** Benjamini–Hochberg FDR correction — the multiple-testing control
+    * every profiling sweep needs once it fires one hypothesis per cell:
+    * here, "does this (event_type, hour-of-day) cell's mean purchase
+    * size differ from its type's overall mean" (a one-sample z against
+    * the type mean, normal CDF via the Abramowitz–Stegun 7.1.26
+    * polynomial — closed-form arithmetic both engines replay
+    * identically). BH then ranks the m p-values ascending and adjusts
+    * p_(i) → min_{j≥i} p_(j)·m/j, the step-up procedure that bounds the
+    * expected false-discovery rate at the chosen level.
+    *
+    * Scale shape: the data-sized pass is ONE HashAggregate to
+    * (type, hour) grain (map-side combinable) plus a broadcast join of
+    * the type-grain moments; everything after runs at HYPOTHESIS grain
+    * — m is bounded by construction (|types|·24), so the global
+    * rank/running-min windows touch ≤ m rows regardless of corpus
+    * size. That is the structural difference from the ks/mann-whitney
+    * rewrite: BH's sequential step is over hypotheses, not data. Cell
+    * means are rounded to 4 before the z so both engines rank
+    * identical doubles (the repo's daily-sum convention).
+    */
+  def statsBenjaminiHochberg(s: SparkSession, sf: String): DataFrame = {
+    val base = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+    val cells = base
+      .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hh"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+           round(avg(col("value")), 4).as("cell_mean"))
+    val typ = base.groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 4).as("mu"),
+           round(stddev_samp(col("value")), 4).as("sigma"))
+    val z = cells.join(broadcast(typ), Seq("event_type"))
+      .withColumn("z",
+        (col("cell_mean") - col("mu")) / (col("sigma") / sqrt(col("n"))))
+      // two-sided p via A&S 7.1.26 — the identical literal polynomial
+      // runs in the oracle, so p is the same double on both engines
+      .withColumn("p", expr(
+        """least(1.0, 2.0 * (0.3989422804014327 * exp(-abs(z) * abs(z) / 2) *
+          |  ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 +
+          |   (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 +
+          |   (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 +
+          |   (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 +
+          |   (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429)))))))"""
+          .stripMargin))
+    val m = z.agg(count(lit(1)).cast("bigint").as("m"))
+    val wRank = Window.orderBy(col("p").asc, col("event_type").asc,
+                               col("hh").asc)
+    val wStep = Window.orderBy(col("p").desc, col("event_type").desc,
+                               col("hh").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    z.crossJoin(broadcast(m))
+      .withColumn("r", row_number().over(wRank).cast("bigint"))
+      .withColumn("p_adj",
+        least(lit(1.0), min(col("p") * col("m") / col("r")).over(wStep)))
+      .select(col("event_type"), col("hh"), col("n"),
+              round(col("z"), 4).as("z"),
+              round(col("p"), 6).as("p_value"),
+              round(col("p_adj"), 6).as("p_adj"),
+              (col("p_adj") <= 0.10).as("significant"))
+      .orderBy("event_type", "hh")
+  }
+
+  /** Weekday seasonality profile — the decomposition step between the
+    * lag-feature block and a forecast: each (event_type, weekday)'s
+    * mean daily total over the type's overall mean daily total, the
+    * multiplicative seasonal index (index > 1 = that weekday runs
+    * hot). Weekday is Sunday-based 0..6 — Spark's `dayofweek`−1
+    * equals DuckDB's `dayofweek`, the one calendar convention the two
+    * engines share exactly.
+    *
+    * Scale shape: day-grain HashAggregate first (map-side combinable),
+    * then a ≤ |types|·7-row aggregate; the per-type denominator is a
+    * window over the tiny weekday frame — no second scan, no global
+    * window at data grain.
+    */
+  def timeseriesSeasonality(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+    val byDow = daily
+      .groupBy(col("event_type"),
+               (dayofweek(col("d")) - 1).cast("bigint").as("dow"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+           avg(col("x")).as("avg_x"))
+    val wType = Window.partitionBy(col("event_type"))
+    byDow
+      .withColumn("overall",
+        sum(col("avg_x") * col("n_days")).over(wType) /
+          sum(col("n_days")).over(wType))
+      .select(col("event_type"), col("dow"), col("n_days"),
+              round(col("avg_x"), 6).as("avg_value"),
+              round(col("avg_x") / col("overall"), 6).as("seasonal_index"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** Theil–Sen robust trend — the median-of-pairwise-slopes estimator
+    * next to `statsTrendRegression`'s OLS: immune to the outlier days
+    * that drag a least-squares slope (breakdown point ~29%). Slopes
+    * are computed over integer day offsets from each type's first day,
+    * so the pair algebra is integer-exact until the one division.
+    *
+    * Scale shape: the pair space is the day-grain SELF-join per type —
+    * Σ days² per type, calendar-bounded (a decade is ~3.7k days →
+    * ~7 M pairs per type, a partition not a problem), never data-sized.
+    * The median is Spark's exact `percentile` (the same p·(n−1)
+    * interpolation DuckDB's quantile_cont uses) over the per-type pair
+    * groups — partial-aggregatable buffers, no global sort. At true
+    * streaming scale the standard fallback is the repeated-median or a
+    * sampled pair subset; the day-bounded exact form is right here.
+    */
+  def statsTheilSen(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("y"))
+      .withColumn("x",
+        datediff(col("d"),
+          min(col("d")).over(Window.partitionBy(col("event_type"))))
+          .cast("bigint"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+        col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.y") - col("a.y")) /
+         (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+           round(expr("percentile(slope, 0.5)"), 6).as("theil_slope"))
+      .orderBy("event_type")
+  }
+
+  /** Funnel latency — the time dimension `funnelStages` (pure counts)
+    * does not see: per user, the whole-day gap between the FIRST view
+    * and the first purchase at-or-after it, summarized as conversion
+    * counts plus min/mean/max days-to-convert. Day grain keeps the
+    * latency integer-exact on both engines (no sub-second epoch
+    * truncation semantics to reconcile).
+    *
+    * Scale shape: two map-side-combinable min-aggregates to user grain
+    * (the purchase side pre-filters to purchases BEFORE the join), one
+    * user-grain hash join between them, and a single-row final
+    * aggregate with partial combine. Nothing data-sized survives past
+    * the user-grain aggregates.
+    */
+  def eventFunnelTime(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf).filter(col("user_id").isNotNull)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val pAfter = firstView.join(purchases, Seq("user_id"))
+      .filter(col("ts") >= col("vt"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    val conv = firstView.join(pAfter.select("user_id", "pt"),
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+              datediff(to_date(col("pt")), to_date(col("vt")))
+                .cast("bigint").as("days"))
+    conv.agg(
+        count(lit(1)).cast("bigint").as("n_viewers"),
+        count(col("days")).cast("bigint").as("n_converted"),
+        round(count(col("days")).cast("double") / count(lit(1)), 6)
+          .as("conv_rate"),
+        min(col("days")).as("min_days"),
+        round(avg(col("days")), 6).as("avg_days"),
+        max(col("days")).as("max_days"))
+  }
 }

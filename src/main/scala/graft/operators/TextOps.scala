@@ -403,6 +403,42 @@ object TextOps {
           .as("avg_sentence_words"))
       .orderBy("doc_id")
 
+  /** N-gram novelty — the curriculum/ordering signal dedup families
+    * don't emit: for each document, the fraction of its DISTINCT word
+    * trigrams seen for the first time in the corpus (first occurrence =
+    * minimum doc_id over the ingest order). Low novelty late in the
+    * corpus is the redundancy a data scheduler down-weights; the
+    * metric is also the incremental-contribution curve data-mixture
+    * papers plot per source.
+    *
+    * Scale shape: explode to (doc, trigram) distinct pairs, ONE
+    * gram-grain HashAggregate for the min-doc owner, one shuffle join
+    * back on the gram, and a doc-grain re-aggregate — the same
+    * two-aggregate profile as text_bigram_logprob, all partial-
+    * aggregatable. The gram table is data-sized and never broadcast.
+    */
+  def textNgramNovelty(s: SparkSession, sf: String): DataFrame = {
+    val grams = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w) - 2),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |                 element_at(w, i + 2))))""".stripMargin))
+        .as("g"))
+    val firstOwner = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstOwner, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_grams"),
+           sum((col("first_doc") === col("doc_id")).cast("long"))
+             .cast("bigint").as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
   /** BPE TRAINING step 1 — the top-20 adjacent character pairs by
     * corpus frequency, i.e. the first merge candidates a byte-pair
     * tokenizer trainer would rank (the existing BPE keys APPLY a fixed

@@ -366,4 +366,135 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(rows.length == Tables.documents(spark, sfOracle)
       .filter(col("text").isNotNull).count())
   }
+
+  test("interpolate: observed days pass through, gaps stay inside anchor bounds") {
+    val rows = Stats.timeseriesInterpolate(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    // every filled value is non-null: the grid spans first..last
+    // observed day, so an anchor always exists on at least one side
+    assert(rows.forall(!_.isNullAt(2)))
+    // cross-check one user against ffill's observed days: where
+    // observed=true the two policies agree exactly (both pass through)
+    val ff = Stats.timeseriesFfill(spark, sfOracle).collect()
+      .filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
+    rows.filter(_.getBoolean(3)).foreach { r =>
+      val k = (r.getLong(0), r.getDate(1).toString)
+      assert(math.abs(ff(k) - r.getDouble(2)) < 1e-9,
+        s"observed day diverges from ffill at $k")
+    }
+  }
+
+  test("benjamini-hochberg: p_adj >= p, monotone in p-rank, bounded by 1") {
+    val rows = Stats.statsBenjaminiHochberg(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getDouble(4); val pa = r.getDouble(5)
+      assert(p >= 0 && p <= 1 && pa <= 1.0 + 1e-9, s"p out of range: $p $pa")
+      assert(pa >= p - 1e-6, s"adjusted p below raw p: $pa < $p")
+      assert(r.getBoolean(6) == (pa <= 0.10), "significance flag mismatch")
+    }
+    // step-up property: sorting by raw p, adjusted p never decreases
+    val byP = rows.sortBy(_.getDouble(4)).map(_.getDouble(5))
+    assert(byP.sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-6),
+      "p_adj must be monotone in the p-value rank")
+  }
+
+  test("funnel time: converted subset of viewers, latency bounds ordered") {
+    val r = Stats.eventFunnelTime(spark, sfOracle).head()
+    val (nv, nc) = (r.getLong(0), r.getLong(1))
+    assert(nv > 0 && nc <= nv)
+    assert(math.abs(r.getDouble(2) - nc.toDouble / nv) < 1e-6)
+    if (nc > 0) {
+      assert(r.getLong(3) >= 0, "first purchase at/after first view")
+      assert(r.getLong(3) <= r.getDouble(4) + 1e-9 &&
+             r.getDouble(4) <= r.getLong(5) + 1e-9, "min <= avg <= max")
+    }
+  }
+
+  test("repeat upsample: copies per doc equal the source's capped ceil factor") {
+    val rows = Pipeline.repeatUpsample(spark, sfOracle).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    val counts = Tables.documents(spark, sfOracle)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxN = counts.values.max
+    perDoc.foreach { case (_, copies) =>
+      val src = copies.head.getString(1)
+      val want = math.min(math.ceil(maxN.toDouble / counts(src)).toLong, 4L)
+      assert(copies.length == want, s"source $src: ${copies.length} != $want")
+      assert(copies.map(_.getLong(3)).sorted.sameElements(1L to want),
+        "copy indices must be 1..n_copies")
+    }
+    // every document appears; the largest source is never repeated
+    assert(perDoc.size == counts.values.sum)
+  }
+
+  test("seasonality: indices positive and weighted-mean to exactly 1 per type") {
+    val rows = Stats.timeseriesSeasonality(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.forall(_.getDouble(4) > 0), s"$t: non-positive index")
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length,
+        s"$t: duplicate weekday rows")
+      assert(rs.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 6))
+      // Σ index·n_days / Σ n_days = 1 by construction (the overall
+      // mean is the n_days-weighted mean of the weekday means)
+      val w = rs.map(r => r.getDouble(4) * r.getLong(2)).sum /
+              rs.map(_.getLong(2)).sum
+      assert(math.abs(w - 1.0) < 1e-4, s"$t: weighted index mean $w != 1")
+    }
+  }
+
+  test("theil-sen: pair count is C(days,2); slope robust to one outlier day") {
+    val rows = Stats.statsTheilSen(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    val nDays = Tables.events(spark, sfOracle)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val n = nDays(r.getString(0))
+      assert(r.getLong(1) == n * (n - 1) / 2,
+        s"${r.getString(0)}: pair count != C($n,2)")
+    }
+    // robustness: the median-of-slopes over a clean line with one wild
+    // outlier still recovers the line's slope (OLS would not)
+    import spark.implicits._
+    val pts = ((0 until 20).map(i => ("t", i.toLong, 2.0 * i)) :+
+               (("t", 20L, 1e6))).toDF("event_type", "x", "y")
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+        col("a.x") < col("b.x"))
+      .select(((col("b.y") - col("a.y")) /
+        (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    val med = pairs.agg(expr("percentile(slope, 0.5)")).head().getDouble(0)
+    assert(math.abs(med - 2.0) < 1e-9, s"outlier dragged the median slope: $med")
+  }
+
+  test("ngram novelty: earliest doc fully novel, novel counts partition the gram space") {
+    val rows = TextOps.textNgramNovelty(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 0 &&
+             r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+    // the first emitting doc owns every one of its grams
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(2) == first.getLong(1),
+      "the earliest document must be 100% novel")
+    // Σ n_novel = |distinct grams|: each gram is novel exactly once
+    val distinctGrams = Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull)
+      .select(explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+          |       element_at(split(text, ' '), i + 1),
+          |       element_at(split(text, ' '), i + 2))))""".stripMargin)).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctGrams,
+      "novel counts must partition the distinct gram universe")
+  }
 }

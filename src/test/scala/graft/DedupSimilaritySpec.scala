@@ -451,4 +451,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(q.exists(_.getString(2).split(",").map(_.toInt.abs).max == 127),
       "the max-magnitude component must quantize to exactly ±127")
   }
+
+  test("range search: τ-radius set ⊇ every top-k hit at-or-above τ") {
+    val range = Similarity.simRangeSearch(spark, sfOracle).collect()
+    assert(range.nonEmpty, "τ=0.2 should catch at least one neighbor")
+    assert(range.forall(_.getDouble(1) >= 0.2), "radius predicate violated")
+    assert(range.map(_.getDouble(1)).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)), "must emit score-descending")
+    assert(range.map(_.getLong(0)).distinct.length == range.length)
+    // containment vs the brute-force top-k over the same query: any
+    // top-k hit scoring ≥ τ must appear in the radius set with the
+    // SAME rounded score (both ride the identical native dot product)
+    val topk = Similarity.simCosineTopk(spark, sfOracle).collect()
+      .filter(_.getDouble(1) >= 0.2)
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inRange = range.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    topk.foreach { case (id, cos) =>
+      assert(inRange.get(id).contains(cos),
+        s"top-k hit $id (cos=$cos) missing or rescored in the radius set")
+    }
+  }
 }

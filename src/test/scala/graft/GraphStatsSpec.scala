@@ -231,4 +231,41 @@ class GraphStatsSpec extends SparkSpecBase {
     // = (1<<0)+(1<<4) + (1<<1)+(1<<3) = 1+16+2+8 = 27
     assert(z == 27L, s"morton(5,3)=$z != 27")
   }
+
+  test("bfs: level profile starts at one source and is a contiguous prefix") {
+    val rows = Graph.graphBfsDistance(spark, sfOracle).collect()
+    assert(rows.nonEmpty, "bfs reached no nodes")
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == 1L,
+      "level 0 must hold exactly the source")
+    // synchronous BFS cannot skip a level: emitted dists are 0,1,2,…
+    rows.map(_.getLong(0)).zipWithIndex.foreach { case (d, i) =>
+      assert(d == i.toLong, s"level gap: dist $d at position $i")
+    }
+    assert(rows.forall(_.getLong(1) >= 1))
+    // reached set is bounded by the co-purchase node universe
+    val li = Tables.lineitem(spark, sfOracle)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nodes = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p"), col("b.p")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(explode(array(col("a.p"), col("b.p"))).as("n"))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum <= nodes,
+      "bfs reached more nodes than the graph holds")
+  }
+
+  test("jaccard neighbors: scores in (0,1], non-increasing, common>=1") {
+    val rows = Graph.graphJaccardNeighbors(spark, sfOracle).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair must be oriented a<b")
+      assert(r.getLong(2) >= 1, "pairs need a common neighbor")
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+    }
+    assert(rows.map(_.getDouble(3)).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)),
+      "top-k must be emitted in non-increasing score order")
+  }
 }
