@@ -287,6 +287,16 @@ object SparkEntry {
     "text_ngram_novelty" -> TextOps.textNgramNovelty _,
     "timeseries_seasonality" -> Stats.timeseriesSeasonality _,
     "stats_theil_sen"    -> Stats.statsTheilSen _,
+    "graph_kcore"        -> Graph.graphKcore _,
+    "stats_spearman"     -> Stats.statsSpearman _,
+    "timeseries_rolling_median" -> Stats.timeseriesRollingMedian _,
+    "stats_cohens_kappa" -> Stats.statsCohensKappa _,
+    "pipeline_length_histogram" -> Pipeline.lengthHistogram _,
+    "stats_levene"       -> Stats.statsLevene _,
+    "stats_wilcoxon_signed_rank" -> Stats.statsWilcoxonSignedRank _,
+    "graph_adamic_adar"  -> Graph.graphAdamicAdar _,
+    "scan_text_lines"    -> Sources.scanTextLines _,
+    "fn_struct"          -> Families.fnStruct _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1154,5 +1164,95 @@ object SparkEntry {
        "xs AS (SELECT event_type, y, CAST(date_diff('day', min(d) OVER (PARTITION BY event_type), d) AS BIGINT) AS x FROM daily), " +
        "p AS (SELECT a.event_type AS event_type, (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope FROM xs a JOIN xs b ON a.event_type = b.event_type AND a.x < b.x) " +
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, round(quantile_cont(slope, 0.5), 6) AS theil_slope FROM p GROUP BY 1 ORDER BY event_type"),
+    // graph_kcore: the four peel rounds unroll as chained CTEs — the
+    // same degree-filter + endpoint-join algebra the iterative kernel
+    // runs, integer counts throughout.
+    "graph_kcore" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "a0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "n1 AS (SELECT u FROM (SELECT u, count(*) AS deg FROM a0 GROUP BY 1) t WHERE deg >= 2), " +
+       "a1 AS (SELECT a.u, a.v FROM a0 a JOIN n1 x ON a.u = x.u JOIN n1 y ON a.v = y.u), " +
+       "n2 AS (SELECT u FROM (SELECT u, count(*) AS deg FROM a1 GROUP BY 1) t WHERE deg >= 2), " +
+       "a2 AS (SELECT a.u, a.v FROM a1 a JOIN n2 x ON a.u = x.u JOIN n2 y ON a.v = y.u), " +
+       "n3 AS (SELECT u FROM (SELECT u, count(*) AS deg FROM a2 GROUP BY 1) t WHERE deg >= 2), " +
+       "a3 AS (SELECT a.u, a.v FROM a2 a JOIN n3 x ON a.u = x.u JOIN n3 y ON a.v = y.u), " +
+       "n4 AS (SELECT u FROM (SELECT u, count(*) AS deg FROM a3 GROUP BY 1) t WHERE deg >= 2), " +
+       "a4 AS (SELECT a.u, a.v FROM a3 a JOIN n4 x ON a.u = x.u JOIN n4 y ON a.v = y.u) " +
+       "SELECT * FROM (" +
+       "SELECT CAST(1 AS BIGINT) AS round, (SELECT CAST(count(*) AS BIGINT) FROM n1) AS n_nodes, (SELECT count(*) // 2 FROM a1) AS n_edges " +
+       "UNION ALL SELECT CAST(2 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM n2), (SELECT count(*) // 2 FROM a2) " +
+       "UNION ALL SELECT CAST(3 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM n3), (SELECT count(*) // 2 FROM a3) " +
+       "UNION ALL SELECT CAST(4 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM n4), (SELECT count(*) // 2 FROM a4)) t ORDER BY round"),
+    // stats_spearman: midrank = rank() + (ties-1)/2 — algebraically the
+    // Spark side's cum_before + (ties+1)/2; ranks are exact half-
+    // integers, so only corr's final double rounds.
+    "stats_spearman" ->
+      ("WITH base AS (SELECT l_returnflag AS f, round(CAST(l_quantity AS DOUBLE), 4) AS q, round(CAST(l_extendedprice AS DOUBLE), 4) AS p FROM lineitem), " +
+       "r AS (SELECT f, rank() OVER (PARTITION BY f ORDER BY q) + (count(*) OVER (PARTITION BY f, q) - 1) / 2.0 AS rq, " +
+       "rank() OVER (PARTITION BY f ORDER BY p) + (count(*) OVER (PARTITION BY f, p) - 1) / 2.0 AS rp FROM base) " +
+       "SELECT f AS l_returnflag, CAST(count(*) AS BIGINT) AS n, round(corr(rq, rp), 6) AS spearman_rho FROM r GROUP BY 1 ORDER BY 1"),
+    // timeseries_rolling_median: the RANGE frame is calendar-based on
+    // the same epoch day index; quantile_cont interpolates identically
+    // to Spark's exact percentile over the same 4-rounded day sums.
+    "timeseries_rolling_median" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS day_value FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "i AS (SELECT *, date_diff('day', DATE '1970-01-01', d) AS day_idx FROM daily) " +
+       "SELECT event_type, d, day_value, round(quantile_cont(day_value, 0.5) OVER w, 6) AS rolling_median_7d, CAST(count(*) OVER w AS BIGINT) AS n_in_window " +
+       "FROM i WINDOW w AS (PARTITION BY event_type ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY event_type, d"),
+    // stats_cohens_kappa: four FILTERed boolean counts, then the same
+    // rounded p_o/p_e arithmetic — integer-exact until the divisions.
+    "stats_cohens_kappa" ->
+      ("WITH f AS (SELECT (len(string_split(text, ' ')) >= 50) AS a, (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) >= 0.5) AS b FROM documents WHERE text IS NOT NULL), " +
+       "c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (a AND b) AS BIGINT) AS n_both_keep, CAST(count(*) FILTER (a AND NOT b) AS BIGINT) AS n_a_only, CAST(count(*) FILTER (NOT a AND b) AS BIGINT) AS n_b_only, CAST(count(*) FILTER (NOT a AND NOT b) AS BIGINT) AS n_both_drop FROM f), " +
+       "p AS (SELECT *, round(CAST(n_both_keep + n_both_drop AS DOUBLE) / n, 6) AS p_observed, round(CAST((n_both_keep + n_a_only) * (n_both_keep + n_b_only) + (n_b_only + n_both_drop) * (n_a_only + n_both_drop) AS DOUBLE) / (n * n), 6) AS p_expected FROM c) " +
+       "SELECT n, n_both_keep, n_a_only, n_b_only, n_both_drop, p_observed, p_expected, round((p_observed - p_expected) / (1.0 - p_expected), 6) AS kappa FROM p"),
+    // pipeline_length_histogram: ⌊log₂⌋ via binary-string length on
+    // both engines (never floating log2 at the power-of-two boundary);
+    // the cumulative fraction rides the ≤64-row bucket frame.
+    "pipeline_length_histogram" ->
+      ("WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT NULL), " +
+       "t2 AS (SELECT n_tokens, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket FROM t WHERE n_tokens >= 1), " +
+       "h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t2 GROUP BY 1) " +
+       "SELECT bucket, CAST(1 << CAST(bucket AS INT) AS BIGINT) AS min_len, n_docs, total_tokens, round(CAST(sum(total_tokens) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / sum(total_tokens) OVER (), 6) AS cum_token_frac FROM h ORDER BY bucket"),
+    // stats_levene: the same two-aggregate algebra over 4-rounded group
+    // means; the F assembles from the tiny group summary like the
+    // anova oracle.
+    "stats_levene" ->
+      ("WITH base AS (SELECT event_type, value FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+       "m AS (SELECT event_type, round(avg(value), 4) AS mu FROM base GROUP BY 1), " +
+       "zt AS (SELECT b.event_type, abs(value - mu) AS z FROM base b JOIN m USING (event_type)), " +
+       "g AS (SELECT event_type, count(*) AS n, avg(z) AS mz, var_samp(z) AS vz FROM zt GROUP BY 1), " +
+       "t AS (SELECT sum(n) AS n_total, count(*) AS k, sum(n * mz) / sum(n) AS gm FROM g), " +
+       "f AS (SELECT n_total, k, sum(n * (mz - gm) * (mz - gm)) AS ssb, sum((n - 1) * vz) AS ssw FROM g, t GROUP BY 1, 2, gm) " +
+       "SELECT CAST(n_total AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups, round(ssb, 4) AS ss_between, round(ssw, 4) AS ss_within, round((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS w_stat FROM f"),
+    // stats_wilcoxon_signed_rank: identical midrank algebra (rank +
+    // (ties-1)/2) over integer count diffs — exact half-integer ranks,
+    // closed-form normal approximation replayed literally.
+    "stats_wilcoxon_signed_rank" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) FILTER (event_type = 'view') - count(*) FILTER (event_type = 'purchase') AS diff FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1), " +
+       "nz AS (SELECT diff FROM daily WHERE diff <> 0), " +
+       "r AS (SELECT diff, rank() OVER (ORDER BY abs(diff)) + (count(*) OVER (PARTITION BY abs(diff)) - 1) / 2.0 AS r FROM nz), " +
+       "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, sum(CASE WHEN diff > 0 THEN r ELSE 0 END) AS wp, sum(CASE WHEN diff < 0 THEN r ELSE 0 END) AS wm FROM r) " +
+       "SELECT n_pairs, round(wp, 6) AS w_plus, round(wm, 6) AS w_minus, round((wp - n_pairs * (n_pairs + 1) / 4.0) / sqrt(n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) / 24.0), 6) AS z_stat FROM agg"),
+    // graph_adamic_adar: the jaccard wedge join with 1/ln(deg(center))
+    // weights — a shared neighbor has degree >= 2, so ln > 0 always.
+    "graph_adamic_adar" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1), " +
+       "wedge AS (SELECT x.u AS a, y.u AS b, x.v AS w FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u), " +
+       "sc AS (SELECT a, b, count(*) AS common, round(sum(1.0 / ln(deg)), 6) AS aa_score FROM wedge JOIN deg ON wedge.w = deg.u GROUP BY 1, 2) " +
+       "SELECT a, b, common, aa_score FROM sc ORDER BY aa_score DESC, a ASC, b ASC LIMIT 20"),
+    // scan_text_lines: order-free profile of the round-tripped lines —
+    // a lossless text round trip is exactly a hash match with the same
+    // profile computed from the source table.
+    "scan_text_lines" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_lines, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, CAST(sum(length(text)) AS BIGINT) AS total_chars, CAST(min(length(text)) AS BIGINT) AS min_chars, CAST(max(length(text)) AS BIGINT) AS max_chars, round(avg(length(text)), 6) AS avg_chars FROM documents WHERE text IS NOT NULL",
+    // fn_struct: the struct build/amend/flatten chain collapses to this
+    // flat projection — which is the point (OptimizeUpdateFields).
+    "fn_struct" ->
+      "SELECT o_orderkey, o_custkey AS cust, round(CAST(o_totalprice AS DOUBLE), 4) AS total, CASE WHEN o_totalprice < 100000 THEN 'small' ELSE 'large' END AS total_band, CAST(year(o_orderdate) AS BIGINT) AS order_year FROM orders ORDER BY o_orderkey",
   )
 }

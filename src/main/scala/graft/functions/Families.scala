@@ -373,4 +373,34 @@ object Families {
           lit("?id="),
           parse_url(col("url"), lit("QUERY"), lit("id"))).as("canonical_url"))
       .orderBy("doc_id")
+
+  /** Struct family on orders: named construction, dotted field access,
+    * and `withField`/`dropFields` surgery — the Column-level nested-
+    * schema evolution path (Spark 3.1+) a lakehouse pipeline uses to
+    * amend one field inside a deep struct without exploding and
+    * re-nesting. The final struct flattens back to scalar columns at
+    * the output boundary (struct cells are exercised in-plan; scalars
+    * cross the grading comparator — fnArray2's CSV-string policy).
+    * Catalyst collapses the whole build→amend→project chain to a flat
+    * projection (OptimizeUpdateFields + SimplifyExtractValueOps), so
+    * the struct surface costs nothing at scan time.
+    */
+  def fnStruct(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").as("cust"),
+               col("o_totalprice").as("total"),
+               col("o_orderdate").as("odate")).as("o"))
+      .select(col("o_orderkey"),
+        col("o")
+          .withField("total_band",
+            when(col("o.total") < 100000, lit("small")).otherwise(lit("large")))
+          .withField("order_year", year(col("o.odate")))
+          .dropFields("odate").as("o2"))
+      .select(col("o_orderkey"),
+        col("o2.cust").as("cust"),
+        round(col("o2.total").cast("double"), 4).as("total"),
+        col("o2.total_band").as("total_band"),
+        col("o2.order_year").cast("bigint").as("order_year"))
+      .orderBy("o_orderkey")
 }

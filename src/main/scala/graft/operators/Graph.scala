@@ -247,15 +247,8 @@ object Graph {
     * key makes the loop exchange-free after level 1.
     */
   def graphBfsDistance(s: SparkSession, sf: String): DataFrame = {
-    val cpIds = scala.collection.mutable.ArrayBuffer[Int]()
-    def cp(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true)
-      c.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => cpIds += lr.rdd.id
-        case _ => ()
-      }
-      c
-    }
+    val tracker = new CpTracker(s)
+    def cp(df: DataFrame): DataFrame = tracker(df)
     val und = coPurchaseEdges(s, sf)
     val edges = cp(und.unionAll(und.select(col("v").as("u"), col("u").as("v"))))
     // source = min node, derived in-plan (no driver .head()); an empty
@@ -276,12 +269,7 @@ object Graph {
     val out = visited.groupBy(col("dist"))
       .agg(count(lit(1)).cast("bigint").as("n_nodes"))
       .orderBy("dist")
-    val keep = visited.queryExecution.analyzed.collectLeaves().collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.toSet
-    s.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => cpIds.contains(id) && !keep.contains(id) }
-      .foreach { case (_, rdd) => rdd.unpersist(false) }
+    tracker.releaseAllExcept(visited)
     out
   }
 
@@ -323,5 +311,107 @@ object Graph {
       .limit(20)
       .select(col("a"), col("b"), col("common"), col("jaccard"))
     out
+  }
+
+  /** Tracks the RDDs behind eager localCheckpoints taken inside an
+    * iterative kernel so everything EXCEPT the frames the final result
+    * still reads can be unpersisted on exit — the long-lived harness
+    * session runs hundreds of keys, and leaked checkpoint blocks
+    * accumulate across them (the round-7 `.cache()` advice item,
+    * generalized). */
+  private final class CpTracker(s: SparkSession) {
+    private val ids = scala.collection.mutable.ArrayBuffer[Int]()
+    private def leafIds(df: DataFrame): Seq[Int] =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSeq
+    def apply(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      ids ++= leafIds(c)
+      c
+    }
+    def releaseAllExcept(keep: DataFrame*): Unit = {
+      val keepIds = keep.flatMap(leafIds).toSet
+      s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => ids.contains(id) && !keepIds.contains(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(false) }
+    }
+  }
+
+  /** K-core peeling profile over the co-purchase graph: four rounds of
+    * "drop every node with degree < 2, then re-count", emitting one row
+    * per round with the surviving node and edge counts. The 2-core is
+    * the standard noise filter before community/centrality analysis —
+    * degree-1 tendrils carry no cycle structure, and removing them
+    * exposes more sub-threshold nodes, hence the iterative peel. The
+    * fixed round count keeps the result closed-form; the oracle unrolls
+    * the same four peels as chained CTEs, so the iterative kernel is
+    * hash-checked exactly.
+    *
+    * Scale shape: each round is one node-grain HashAggregate (degree
+    * count, map-side combinable) plus two semi-joins filtering the edge
+    * list to surviving endpoints — shuffle ∝ current edge count, which
+    * only shrinks as the peel proceeds. Each round's adjacency is
+    * localCheckpoint'ed so round i never replays rounds 1..i−1, and the
+    * per-round stat rows are themselves checkpointed (one row each) so
+    * every edge-sized intermediate can be unpersisted before return.
+    * True k-core at 100 TB runs the same loop to a fixpoint with a
+    * convergence check on the dropped-node count per round.
+    */
+  def graphKcore(s: SparkSession, sf: String): DataFrame = {
+    val tracker = new CpTracker(s)
+    val und = coPurchaseEdges(s, sf)
+    var adj = tracker(und.unionAll(
+      und.select(col("v").as("u"), col("u").as("v"))))
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to 4) {
+      // node-grain survivor set, checkpointed once — read by both
+      // endpoint semi-joins and the stat row without re-aggregating
+      val keep = tracker(adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select(col("u")))
+      adj = tracker(adj
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")))
+      // one-row stat frame, checkpointed so the union below reads a
+      // materialized row instead of pinning this round's edge frame
+      rounds += tracker(
+        keep.agg(count(lit(1)).cast("bigint").as("n_nodes"))
+          .crossJoin(adj.agg(expr("count(1) div 2").as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges")))
+    }
+    val out = rounds.reduce(_ unionAll _).orderBy("round")
+    tracker.releaseAllExcept(rounds.toSeq: _*)
+    out
+  }
+
+  /** Adamic–Adar link prediction over the co-purchase graph — the
+    * degree-weighted refinement of `graphJaccardNeighbors`: each common
+    * neighbor w contributes 1/ln(deg(w)), so sharing a RARE neighbor
+    * (specialist part) counts far more than sharing a hub everyone
+    * buys. A shared neighbor always has degree ≥ 2 (it is adjacent to
+    * both endpoints), so ln(deg) > 0 and the weight is well-defined by
+    * construction. Top-20 with the (a, b) total tie-order.
+    *
+    * Scale shape: identical wedge join to the Jaccard kernel — the
+    * weight joins in BROADCAST at node grain on the wedge CENTER before
+    * pair aggregation, so the Σ 1/ln(deg) is a map-side-combinable sum
+    * per (a, b); hubs are the same AQE skew-split case. The top-20 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def graphAdamicAdar(s: SparkSession, sf: String): DataFrame = {
+    val und = coPurchaseEdges(s, sf)
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    adj.as("x").join(adj.as("y"),
+        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .select(col("x.u").as("a"), col("y.u").as("b"), col("x.v").as("w"))
+      .join(broadcast(deg.select(col("u").as("w"), col("deg"))), Seq("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+           round(sum(lit(1.0) / log(col("deg"))), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("a").asc, col("b").asc)
+      .limit(20)
   }
 }

@@ -548,4 +548,40 @@ object Pipeline {
         explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
       .orderBy("doc_id", "copy_idx")
   }
+
+  /** Power-of-two sequence-length histogram — the capacity-planning
+    * profile a packing stage reads before choosing its context length:
+    * documents bucketed by ⌊log₂(token count)⌋, with doc counts, token
+    * mass, and the running token-mass fraction per bucket (read off
+    * "the context length that covers 99% of tokens" directly).
+    * The bucket index comes from the BINARY-STRING length of the count
+    * (len(bin(n))−1), an integer-exact ⌊log₂⌋ on both engines — never
+    * floating log2, whose boundary values (log2(8) = 2.9999…) would
+    * misbucket on one engine and not the other.
+    *
+    * Scale shape: token count and bucket are pure column expressions at
+    * scan speed; the histogram is one ≤64-row HashAggregate (map-side
+    * combinable), and the cumulative fraction is a window over that
+    * bounded frame. The same profile at 100 TB is the same plan.
+    */
+  def lengthHistogram(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("bigint"))
+    val wCum = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+           sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+      .select(col("bucket"),
+        expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)")
+          .as("min_len"),
+        col("n_docs"), col("total_tokens"),
+        round(sum(col("total_tokens")).over(wCum).cast("double") /
+          sum(col("total_tokens")).over(wAll), 6).as("cum_token_frac"))
+      .orderBy("bucket")
+  }
 }

@@ -415,4 +415,31 @@ object Sources {
     s.read.schema(src.schema).option("rowTag", "doc").format("xml").load(dir)
       .orderBy("doc_id")
   }
+
+  /** Plain-text round-trip — the rawest ingest format a corpus pipeline
+    * meets (one document per line, no schema, no types): write the
+    * document bodies out with the text sink, read them back with the
+    * line-oriented text source, and profile the read-back lines. Line
+    * order is non-deterministic across partitioned writers, so the
+    * profile is ORDER-FREE aggregates only — which is also exactly what
+    * makes the oracle able to replay it from the source table without
+    * ever seeing the temp path (corpus text contains no newlines; a
+    * real ingest normalizes them first or flips to `wholetext`).
+    *
+    * Scale shape: the write fans out per partition; the read-back is a
+    * parallel line scan with lazy UTF-8 decode; the profile is one
+    * single-row aggregate with partial combine. Nothing driver-side.
+    */
+  def scanTextLines(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_text_")
+    Tables.documents(s, sf).filter(col("text").isNotNull)
+      .select(col("text")).write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .agg(count(lit(1)).cast("bigint").as("n_lines"),
+           countDistinct(col("value")).cast("bigint").as("n_distinct"),
+           sum(length(col("value"))).cast("bigint").as("total_chars"),
+           min(length(col("value"))).cast("bigint").as("min_chars"),
+           max(length(col("value"))).cast("bigint").as("max_chars"),
+           round(avg(length(col("value"))), 6).as("avg_chars"))
+  }
 }

@@ -497,4 +497,118 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(2)).sum == distinctGrams,
       "novel counts must partition the distinct gram universe")
   }
+
+  test("spearman: distributed midranks equal the naive in-memory computation") {
+    val rows = Stats.statsSpearman(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho $rho out of range")
+    }
+    // ground truth: collect the raw pairs, midrank in memory, Pearson
+    // over the ranks — the bucketed two-pass prefix must agree exactly
+    val raw = Tables.lineitem(spark, sfSmoke)
+      .select(col("l_returnflag"),
+        round(col("l_quantity").cast("double"), 4),
+        round(col("l_extendedprice").cast("double"), 4))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def midrank(xs: Array[Double]): Map[Double, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v); val hi = sorted.lastIndexWhere(_ == v)
+        v -> (lo + hi + 2) / 2.0  // 1-based average rank over the tie run
+      }.toMap
+    }
+    val expect = raw.groupBy(_._1).map { case (f, rs) =>
+      val rq = midrank(rs.map(_._2)); val rp = midrank(rs.map(_._3))
+      val xs = rs.map(t => rq(t._2)); val ys = rs.map(t => rp(t._3))
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+      val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+      f -> cov / (sx * sy)
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - expect(r.getString(0))) < 1e-6,
+        s"${r.getString(0)}: distributed rho ${r.getDouble(2)} != " +
+          s"naive ${expect(r.getString(0))}")
+    }
+  }
+
+  test("rolling median: window never exceeds 7 days, median brackets within window") {
+    val rows = Stats.timeseriesRollingMedian(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 7),
+      "calendar RANGE frame holds at most 7 day rows")
+    // per type: the median lies within [min, max] of the trailing week
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byDay = rs.sortBy(_.getDate(1).toString)
+      byDay.zipWithIndex.foreach { case (r, i) =>
+        val d0 = r.getDate(1).toLocalDate
+        val window = byDay.slice(math.max(0, i - 6), i + 1)
+          .filter(x => !x.getDate(1).toLocalDate.isBefore(d0.minusDays(6)))
+          .flatMap(x => if (x.isNullAt(2)) None else Some(x.getDouble(2)))
+        if (window.nonEmpty && !r.isNullAt(3)) {
+          val m = r.getDouble(3)
+          assert(m >= window.min - 1e-6 && m <= window.max + 1e-6,
+            s"median $m outside window bounds [${window.min}, ${window.max}]")
+        }
+      }
+    }
+  }
+
+  test("cohens kappa: confusion partitions n; kappa <= observed agreement scale") {
+    val r = Stats.statsCohensKappa(spark, sfOracle).head()
+    val n = r.getLong(0)
+    assert(n > 0)
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n,
+      "the 2x2 confusion must partition the corpus")
+    val (po, pe, k) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    assert(k <= 1.0 + 1e-9, "kappa cannot exceed 1")
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-5, "kappa formula mismatch")
+  }
+
+  test("length histogram: buckets are powers of two, masses total the corpus") {
+    val rows = Pipeline.lengthHistogram(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == (1L << r.getLong(0)), "min_len must be 2^bucket")
+      assert(r.getLong(2) > 0 && r.getLong(3) >= r.getLong(2) * r.getLong(1),
+        "bucket token mass must be at least n_docs * min_len")
+    }
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-9,
+      "cumulative token fraction must end at exactly 1")
+    assert(rows.map(_.getDouble(4)).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)), "cum frac must be monotone")
+    val totalDocs = Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_.getLong(2)).sum == totalDocs,
+      "every non-empty doc lands in exactly one bucket")
+  }
+
+  test("levene: F non-negative, group accounting matches the anova frame") {
+    val r = Stats.statsLevene(spark, sfOracle).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) >= 2)
+    assert(r.getDouble(2) >= 0 && r.getDouble(3) > 0, "sums of squares sign")
+    assert(r.getDouble(4) >= 0, "F statistic is a ratio of non-negatives")
+    // same population as statsAnova: group count and n_total agree
+    val a = Stats.statsAnova(spark, sfOracle).head()
+    assert(r.getLong(0) == a.getLong(0) && r.getLong(1) == a.getLong(1),
+      "levene and anova must see the same (n_total, k_groups)")
+  }
+
+  test("wilcoxon: rank sums partition n(n+1)/2, z matches the closed form") {
+    val r = Stats.statsWilcoxonSignedRank(spark, sfOracle).head()
+    val n = r.getLong(0)
+    assert(n > 0)
+    val (wp, wm) = (r.getDouble(1), r.getDouble(2))
+    assert(wp >= 0 && wm >= 0)
+    assert(math.abs(wp + wm - n * (n + 1) / 2.0) < 1e-6,
+      "signed rank sums must partition the total rank mass")
+    val z = (wp - n * (n + 1) / 4.0) /
+      math.sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0)
+    assert(math.abs(r.getDouble(3) - z) < 1e-5, "z normal approximation")
+  }
 }

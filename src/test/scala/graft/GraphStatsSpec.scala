@@ -268,4 +268,40 @@ class GraphStatsSpec extends SparkSpecBase {
       .forall(p => p.length < 2 || p(0) >= p(1)),
       "top-k must be emitted in non-increasing score order")
   }
+
+  test("kcore: peel profile monotone non-increasing, survivors have degree >= 2") {
+    val rows = Graph.graphKcore(spark, sfOracle).collect()
+    assert(rows.length == 4, "exactly four peel rounds")
+    assert(rows.map(_.getLong(0)).sameElements(1L to 4L))
+    val nodes = rows.map(_.getLong(1)); val edges = rows.map(_.getLong(2))
+    assert(nodes.sliding(2).forall(p => p(0) >= p(1)),
+      "peeling can only shrink the node set")
+    assert(edges.sliding(2).forall(p => p(0) >= p(1)),
+      "peeling can only shrink the edge set")
+    // round i+1's keep-filter sees round i's FILTERED adjacency, so the
+    // next node count is bounded by nodes that could still have degree
+    // >= 2 there: n_{i+1} <= min(n_i, e_i) (degree sum = 2e, deg >= 2
+    // per survivor => survivors <= e)
+    (0 until 3).foreach { i =>
+      assert(nodes(i + 1) <= math.min(nodes(i), edges(i)),
+        s"round ${i + 2}: ${nodes(i + 1)} survivors exceed the degree bound " +
+          s"min(${nodes(i)}, ${edges(i)})")
+    }
+  }
+
+  test("adamic-adar: scores positive, bounded by common/ln(2), ordered") {
+    val rows = Graph.graphAdamicAdar(spark, sfOracle).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs oriented a<b")
+      val (common, score) = (r.getLong(2), r.getDouble(3))
+      assert(common >= 1)
+      assert(score > 0.0, "a shared neighbor always contributes")
+      // every contribution is 1/ln(deg) with deg >= 2
+      assert(score <= common / math.log(2.0) + 1e-6,
+        s"score $score exceeds the ln(2) bound for $common common neighbors")
+    }
+    assert(rows.map(_.getDouble(3)).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)), "descending score order")
+  }
 }

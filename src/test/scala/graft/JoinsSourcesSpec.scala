@@ -96,4 +96,29 @@ class JoinsSourcesSpec extends SparkSpecBase {
     val viaUdf = Sources.udfScalar(spark, sfSmoke)
     assert(viaUdf.exceptAll(viaBuiltins).isEmpty)
   }
+
+  test("text round-trip profile equals the profile computed from the source table") {
+    val rt = Sources.scanTextLines(spark, sfSmoke).head()
+    val src = Tables.documents(spark, sfSmoke).filter(col("text").isNotNull)
+      .agg(count(lit(1)), countDistinct(col("text")),
+           sum(length(col("text"))), min(length(col("text"))),
+           max(length(col("text"))), round(avg(length(col("text"))), 6))
+      .head()
+    (0 until 6).foreach { i =>
+      assert(rt.get(i).toString == src.get(i).toString,
+        s"field $i diverges after the text round trip: ${rt.get(i)} != ${src.get(i)}")
+    }
+  }
+
+  test("fn_struct flattened fields equal the plain projection") {
+    val viaStruct = graft.functions.Families.fnStruct(spark, sfSmoke)
+    val plain = Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"),
+        round(col("o_totalprice").cast("double"), 4).as("total"),
+        when(col("o_totalprice") < 100000, lit("small")).otherwise(lit("large"))
+          .as("total_band"),
+        year(col("o_orderdate")).cast("bigint").as("order_year"))
+    assert(viaStruct.exceptAll(plain).isEmpty,
+      "withField/dropFields surgery must collapse to the flat projection")
+  }
 }
