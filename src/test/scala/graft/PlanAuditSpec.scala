@@ -284,4 +284,47 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Generate".r.findAllIn(plan).length >= 2,
       s"multiplicity re-expansion generates must be present:\n$plan")
   }
+
+  test("spearman: every window is partitioned (midranks ride the bucket prefix)") {
+    // statsSpearman's ranks come from the distributed midrank helper —
+    // the ks/mann-whitney discipline generalized. A bare
+    // Window.orderBy(value) here would funnel both variables' distinct
+    // values through one task; pin that NO unpartitioned window exists
+    // anywhere in the plan (even the offset windows partition by the
+    // group key).
+    val plan = graft.operators.Stats.statsSpearman(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition("),
+      s"midrank windows missing entirely:\n$plan")
+    val unpartitioned = plan.linesIterator
+      .filter(l => l.contains("Window [") && "\\], \\[".r.findAllIn(l).length <= 1)
+      .toSeq
+    assert(unpartitioned.isEmpty,
+      s"spearman must not plan any unpartitioned window:\n" +
+        unpartitioned.mkString("\n"))
+  }
+
+  test("link-prediction kernels broadcast the node-grain degree frame") {
+    for ((name, df) <- Seq(
+        "graph_jaccard_neighbors" ->
+          graft.operators.Graph.graphJaccardNeighbors(spark, sfSmoke),
+        "graph_adamic_adar" ->
+          graft.operators.Graph.graphAdamicAdar(spark, sfSmoke))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: degree join must broadcast the node-grain side:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name: top-20 must never globally sort:\n$plan")
+    }
+  }
+
+  test("length histogram prunes the documents scan to the text column") {
+    val plan = graft.operators.Pipeline.lengthHistogram(spark, sfSmoke)
+      .queryExecution.explainString(FormattedMode)
+    val read = plan.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(read.contains("text"), read)
+    assert(!read.contains("source") && !read.contains("lang") &&
+           !read.contains("doc_id"),
+      s"histogram needs only text; scan must prune the rest: $read")
+  }
 }
