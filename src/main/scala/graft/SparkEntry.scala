@@ -297,6 +297,10 @@ object SparkEntry {
     "graph_adamic_adar"  -> Graph.graphAdamicAdar _,
     "scan_text_lines"    -> Sources.scanTextLines _,
     "fn_struct"          -> Families.fnStruct _,
+    "stats_mann_kendall" -> Stats.statsMannKendall _,
+    "stats_runs_test"    -> Stats.statsRunsTest _,
+    "event_inter_arrival" -> Stats.eventInterArrival _,
+    "text_char_class_profile" -> TextOps.textCharClassProfile _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1254,5 +1258,36 @@ object SparkEntry {
     // flat projection — which is the point (OptimizeUpdateFields).
     "fn_struct" ->
       "SELECT o_orderkey, o_custkey AS cust, round(CAST(o_totalprice AS DOUBLE), 4) AS total, CASE WHEN o_totalprice < 100000 THEN 'small' ELSE 'large' END AS total_band, CAST(year(o_orderdate) AS BIGINT) AS order_year FROM orders ORDER BY o_orderkey",
+    // stats_mann_kendall: S from CASE-sign pair sums (integer-exact),
+    // the tie-corrected variance, and the ±1 continuity-corrected z —
+    // identical closed-form algebra on both engines.
+    "stats_mann_kendall" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS y FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "sp AS (SELECT a.event_type AS event_type, sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d GROUP BY 1), " +
+       "nd AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1), " +
+       "tc AS (SELECT event_type, sum(t * (t - 1) * (t * 2 + 5)) AS tie_corr FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2) g GROUP BY 1), " +
+       "v AS (SELECT sp.event_type, n, s_stat, (n * (n - 1) * (n * 2 + 5) - tie_corr) / 18.0 AS var_s FROM sp JOIN nd USING (event_type) JOIN tc USING (event_type)) " +
+       "SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(s_stat AS BIGINT) AS s_stat, round(var_s, 4) AS var_s, round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END, 6) AS z_stat FROM v ORDER BY event_type"),
+    // stats_runs_test: run boundaries from a lag over the day-grain
+    // sign series; integer counts until the closed-form moments.
+    "stats_runs_test" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) FILTER (event_type = 'view') - count(*) FILTER (event_type = 'purchase') AS diff FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1), " +
+       "sg AS (SELECT d, CAST(sign(diff) AS BIGINT) AS sgn FROM daily WHERE diff <> 0), " +
+       "b AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY d) IS NULL OR lag(sgn) OVER (ORDER BY d) <> sgn THEN 1 ELSE 0 END AS boundary FROM sg), " +
+       "c AS (SELECT CAST(count(*) FILTER (sgn = 1) AS BIGINT) AS n_pos, CAST(count(*) FILTER (sgn = -1) AS BIGINT) AS n_neg, CAST(sum(boundary) AS BIGINT) AS n_runs FROM b) " +
+       "SELECT n_pos, n_neg, n_runs, round(1.0 + CAST(n_pos * n_neg * 2 AS DOUBLE) / (n_pos + n_neg), 6) AS expected_runs, " +
+       "round((n_runs - (1.0 + CAST(n_pos * n_neg * 2 AS DOUBLE) / (n_pos + n_neg))) / sqrt(CAST(n_pos * n_neg * 2 AS DOUBLE) * (n_pos * n_neg * 2 - n_pos - n_neg) / (pow(CAST(n_pos + n_neg AS DOUBLE), 2) * (n_pos + n_neg - 1))), 6) AS z_stat FROM c"),
+    // event_inter_arrival: lag over (user, type) order with the
+    // event_id tiebreak; date_diff('second') equals the floor-seconds
+    // subtraction Spark's unix_timestamp does.
+    "event_inter_arrival" ->
+      ("WITH g AS (SELECT event_type, date_diff('second', lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id), ts) AS gap_s FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, round(avg(gap_s), 6) AS avg_gap_s, round(stddev_samp(gap_s), 6) AS stddev_gap_s, CAST(min(gap_s) AS BIGINT) AS min_gap_s, CAST(max(gap_s) AS BIGINT) AS max_gap_s FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1"),
+    // text_char_class_profile: class counts as length differences after
+    // global regexp deletion ('g' — DuckDB replaces first-only by
+    // default, Spark always-global).
+    "text_char_class_profile" ->
+      ("WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space FROM documents WHERE text IS NOT NULL AND length(text) > 0) " +
+       "SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_chars - n_alpha - n_digit - n_space AS n_symbol, round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio, round(CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars, 6) AS symbol_ratio FROM t ORDER BY doc_id"),
   )
 }

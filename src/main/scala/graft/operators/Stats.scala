@@ -1404,4 +1404,123 @@ object Stats {
           sqrt(col("n_pairs") * (col("n_pairs") + 1) *
                (col("n_pairs") * 2 + 1) / 24.0), 6).as("z_stat"))
   }
+
+  /** Mann–Kendall trend test on each event type's daily value series —
+    * the hypothesis-test companion to `statsTheilSen`'s slope estimate
+    * (the two are literally paired in every environmental/ops trend
+    * methodology): S counts concordant-minus-discordant day pairs, the
+    * variance gets the tie correction over equal daily sums, and z uses
+    * the ±1 continuity correction. S is a sum of {-1,0,1} — integer-
+    * exact, so only variance and z round.
+    *
+    * Scale shape: same day-grain self-join pair space as Theil–Sen —
+    * calendar-bounded (Σ days² per type), never data-sized; the tie
+    * spectrum is a ≤days-row aggregate joined back at type grain. The
+    * sequential O(n log n) merge-count formulation matters only when
+    * "days" is replaced by raw observations; at day grain the pair join
+    * is the simpler plan and embarrassingly parallel.
+    */
+  def statsMannKendall(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("y"))
+    val sPairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+        col("a.d") < col("b.d"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+            .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s_stat"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_corr"))
+    sPairs.join(broadcast(nDays), Seq("event_type"))
+      .join(broadcast(ties), Seq("event_type"))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_corr"))
+          / lit(18.0))
+      .select(col("event_type"), col("n").cast("bigint").as("n_days"),
+        col("s_stat").cast("bigint").as("s_stat"),
+        round(col("var_s"), 4).as("var_s"),
+        round(
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+            .otherwise(0.0), 6).as("z_stat"))
+      .orderBy("event_type")
+  }
+
+  /** Wald–Wolfowitz runs test on the daily view-vs-purchase sign
+    * sequence — the randomness check behind `statsWilcoxonSignedRank`'s
+    * paired diffs: too FEW runs of like sign mean the imbalance drifts
+    * (autocorrelated regimes), too many mean oscillation; either breaks
+    * the independence the signed-rank p-value assumes. Counts are
+    * integers; runs are integer; only the closed-form moments round.
+    *
+    * Scale shape: one data-sized (day, type) count aggregate, then the
+    * run boundary count is a lag window over the DAY-grain sign series
+    * — calendar-bounded like every sequential day-grain op here
+    * (statsAutocorr discipline).
+    */
+  def statsRunsTest(s: SparkSession, sf: String): DataFrame = {
+    val signs = Tables.events(s, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg((sum((col("event_type") === "view").cast("long")) -
+            sum((col("event_type") === "purchase").cast("long"))).as("diff"))
+      .filter(col("diff") =!= 0)
+      .select(col("d"), signum(col("diff")).cast("long").as("sgn"))
+    val w = Window.orderBy(col("d").asc)
+    val runs = signs
+      .select(col("sgn"),
+        when(lag(col("sgn"), 1).over(w).isNull ||
+             lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L)
+          .otherwise(0L).as("boundary"))
+    runs.agg(
+        sum((col("sgn") === 1).cast("long")).cast("bigint").as("n_pos"),
+        sum((col("sgn") === -1).cast("long")).cast("bigint").as("n_neg"),
+        sum(col("boundary")).cast("bigint").as("n_runs"))
+      .select(col("n_pos"), col("n_neg"), col("n_runs"),
+        round(lit(1.0) + (col("n_pos") * col("n_neg") * 2).cast("double") /
+          (col("n_pos") + col("n_neg")), 6).as("expected_runs"),
+        round((col("n_runs") -
+            (lit(1.0) + (col("n_pos") * col("n_neg") * 2).cast("double") /
+             (col("n_pos") + col("n_neg")))) /
+          sqrt((col("n_pos") * col("n_neg") * 2).cast("double") *
+               (col("n_pos") * col("n_neg") * 2 - col("n_pos") - col("n_neg")) /
+               (pow((col("n_pos") + col("n_neg")).cast("double"), 2) *
+                (col("n_pos") + col("n_neg") - 1))), 6).as("z_stat"))
+  }
+
+  /** Inter-arrival profile — per event type, the gap in whole seconds
+    * between a user's consecutive events of that type, summarized as
+    * count/mean/stddev/extremes. The operational twin of
+    * `sessionizeGap` (which CUTS on a gap threshold; this measures the
+    * gap distribution that justifies the threshold).
+    *
+    * Scale shape: the lag runs in windows partitioned by (user, type) —
+    * user-grain parallelism, the sessionize shape, never a global
+    * window; the summary is one moments aggregate (map-side
+    * combinable) at type grain. Second-floor diffs keep the gaps
+    * integer-exact; only the two moments round.
+    */
+  def eventInterArrival(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_s"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_gaps"),
+           round(avg(col("gap_s")), 6).as("avg_gap_s"),
+           round(stddev_samp(col("gap_s")), 6).as("stddev_gap_s"),
+           min(col("gap_s")).cast("bigint").as("min_gap_s"),
+           max(col("gap_s")).cast("bigint").as("max_gap_s"))
+      .orderBy("event_type")
+  }
 }

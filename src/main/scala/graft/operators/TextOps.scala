@@ -439,6 +439,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Character-class profile — the CHARACTER-level quality layer under
+    * `textGopherRules`' word-level gates: per document, counts of
+    * alphabetic / digit / whitespace / other ("symbol") characters and
+    * the two screening ratios (alpha and symbol). RefinedWeb/CCNet-
+    * style gibberish and markup-residue filters cut on exactly these —
+    * a page that survives word-level gates can still be 40% symbols.
+    * Counts come from length differences after class-wise
+    * `regexp_replace` deletion — integer-exact, no explode to char
+    * grain (a char-grain explode is corpus-bytes-sized; the length
+    * algebra is a scan-speed projection).
+    *
+    * Scale shape: pure column expressions over the pruned text column;
+    * one narrow projection, no shuffle until the output sort.
+    */
+  def textCharClassProfile(s: SparkSession, sf: String): DataFrame = {
+    def without(pat: String) =
+      length(regexp_replace(col("text"), pat, ""))
+    Tables.documents(s, sf)
+      // empty docs have no char distribution (0/0 is NaN on one engine,
+      // error-or-NaN on the other — exclude them on both)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        (length(col("text")) - without("[A-Za-z]")).cast("bigint")
+          .as("n_alpha"),
+        (length(col("text")) - without("[0-9]")).cast("bigint").as("n_digit"),
+        (length(col("text")) - without(" ")).cast("bigint").as("n_space"))
+      .withColumn("n_symbol",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("alpha_ratio",
+        round(col("n_alpha").cast("double") / col("n_chars"), 6))
+      .withColumn("symbol_ratio",
+        round(col("n_symbol").cast("double") / col("n_chars"), 6))
+      .orderBy("doc_id")
+  }
+
   /** BPE TRAINING step 1 — the top-20 adjacent character pairs by
     * corpus frequency, i.e. the first merge candidates a byte-pair
     * tokenizer trainer would rank (the existing BPE keys APPLY a fixed

@@ -611,4 +611,50 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
       math.sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0)
     assert(math.abs(r.getDouble(3) - z) < 1e-5, "z normal approximation")
   }
+
+  test("mann-kendall: S bounded by the pair count, z sign follows S") {
+    val rows = Stats.statsMannKendall(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(s) <= n * (n - 1) / 2, "S cannot exceed the pair count")
+      assert(r.getDouble(3) > 0, "tie-corrected variance must stay positive")
+      val z = r.getDouble(4)
+      assert(s.signum == 0 && z == 0.0 || s.signum == z.signum.toInt ||
+             z == 0.0, s"z sign must follow S: s=$s z=$z")
+    }
+  }
+
+  test("runs test: run count within [1, n], moments match the closed form") {
+    val r = Stats.statsRunsTest(spark, sfOracle).head()
+    val (np, nn, runs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(np + nn > 0)
+    assert(runs >= 1 && runs <= np + nn, "runs bounded by the sequence length")
+    val e = 1.0 + 2.0 * np * nn / (np + nn)
+    assert(math.abs(r.getDouble(3) - e) < 1e-5, "expected-runs closed form")
+  }
+
+  test("inter-arrival: gaps non-negative, moments ordered") {
+    val rows = Stats.eventInterArrival(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val (avg, mn, mx) = (r.getDouble(2), r.getLong(4), r.getLong(5))
+      assert(mn >= 0, "time is ordered within a user — gaps cannot be negative")
+      assert(avg >= mn - 1e-6 && avg <= mx + 1e-6, "mean within extremes")
+    }
+  }
+
+  test("char classes partition every document's characters") {
+    val rows = TextOps.textCharClassProfile(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, a, d, sp, sym) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a + d + sp + sym == n, "classes must partition the char count")
+      assert(a >= 0 && d >= 0 && sp >= 0 && sym >= 0)
+      assert(math.abs(r.getDouble(6) - a.toDouble / n) < 1e-6)
+      assert(math.abs(r.getDouble(7) - sym.toDouble / n) < 1e-6)
+    }
+  }
 }
