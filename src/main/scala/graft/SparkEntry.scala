@@ -301,6 +301,10 @@ object SparkEntry {
     "stats_runs_test"    -> Stats.statsRunsTest _,
     "event_inter_arrival" -> Stats.eventInterArrival _,
     "text_char_class_profile" -> TextOps.textCharClassProfile _,
+    "agg_time_decay"     -> AdvancedAggs.aggTimeDecay _,
+    "win_drawdown"       -> Windows.winDrawdown _,
+    "graph_assortativity" -> Graph.graphAssortativity _,
+    "multimodal_wav_energy" -> Multimodal.multimodalWavEnergy _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1289,5 +1293,37 @@ object SparkEntry {
     "text_char_class_profile" ->
       ("WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space FROM documents WHERE text IS NOT NULL AND length(text) > 0) " +
        "SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_chars - n_alpha - n_digit - n_space AS n_symbol, round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio, round(CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars, 6) AS symbol_ratio FROM t ORDER BY doc_id"),
+    // agg_time_decay: integer week exponents make every weight an exact
+    // power of two; only the 4-rounded sums carry accumulation-order
+    // noise (inside the 4-decimal band).
+    "agg_time_decay" ->
+      ("WITH a AS (SELECT max(CAST(ts AS DATE)) AS d_max FROM events), " +
+       "w AS (SELECT event_type, value, pow(0.5, CAST(floor(date_diff('day', CAST(ts AS DATE), d_max) / 7) AS DOUBLE)) AS w FROM events, a WHERE event_type IS NOT NULL) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, round(sum(w), 4) AS decayed_count, round(sum(w * value), 4) AS decayed_value FROM w GROUP BY 1 ORDER BY 1"),
+    // win_drawdown: per-type sequential cumsum/runmax over 4-rounded
+    // day sums — deterministic on both engines; the argmax date uses an
+    // explicit min-date tie-break on the 4-rounded drawdown.
+    "win_drawdown" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "c AS (SELECT event_type, d, sum(x) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM daily), " +
+       "dd AS (SELECT event_type, d, round(max(cum) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum, 4) AS dd FROM c), " +
+       "w AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, max(dd) AS max_drawdown FROM dd GROUP BY 1) " +
+       "SELECT dd.event_type AS event_type, n_days, max_drawdown, min(d) AS worst_day FROM dd JOIN w ON dd.event_type = w.event_type AND dd.dd = w.max_drawdown GROUP BY 1, 2, 3 ORDER BY 1"),
+    // graph_assortativity: endpoint degrees attach at edge grain;
+    // integer degrees, one corr.
+    "graph_assortativity" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1) " +
+       "SELECT count(*) // 2 AS n_edges, round(corr(CAST(du.deg AS DOUBLE), CAST(dv.deg AS DOUBLE)), 6) AS assortativity FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u"),
+    // multimodal_wav_energy: the oracle replays the planted PCM ramp
+    // per (frame, sample); sum-of-squares is integer-exact and sqrt is
+    // IEEE-exact on both engines — the REAL encode/decode cycle on the
+    // Spark side must round-trip losslessly to hash-match this.
+    "multimodal_wav_energy" ->
+      ("WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), fr AS (SELECT unnest(range(0, 4)) AS fi), ix AS (SELECT unnest(range(0, 64)) AS i), " +
+       "v AS (SELECT doc_id, fi, (doc_id * 7 + 13 * (fi * 64 + i)) % 2000 - 1000 AS v FROM g, fr, ix) " +
+       "SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, CAST(sum(v * v) AS BIGINT) AS sum_sq, round(sqrt(CAST(sum(v * v) AS DOUBLE) / 64.0), 6) AS rms FROM v GROUP BY 1, 2 ORDER BY doc_id, frame_idx"),
   )
 }

@@ -413,4 +413,42 @@ object AdvancedAggs {
       .groupBy(col("event_type"))
       .agg(sum(expr("bitmap_count(bm)")).cast("bigint").as("ndv_users"))
       .orderBy("event_type")
+
+  /** Half-life time-decayed aggregates — the "recent activity counts
+    * more" rollup every freshness-weighted dashboard and retrieval
+    * ranker runs: each event's weight halves per 7-day step of age
+    * (measured back from the corpus's own last day), and the per-type
+    * decayed count/value sit next to the raw ones. The exponent is the
+    * INTEGER week count, so every weight is an exact power of two —
+    * pow(0.5, k) is bit-identical across engines, where a fractional
+    * exponent (exp·ln roundings differ per libm) would be a latent
+    * hash flake.
+    *
+    * Scale shape: the as-of anchor is a one-row max aggregate that
+    * broadcast-crossJoins back in-plan (the TextOps scalar pattern —
+    * no driver pre-pass); the rollup is ONE map-side-combinable
+    * HashAggregate over the scan. A streaming deployment maintains the
+    * same statistic incrementally by multiplying the running aggregate
+    * by 2^-Δweeks at each anchor advance.
+    */
+  def aggTimeDecay(s: SparkSession, sf: String): DataFrame = {
+    val anchor = Tables.events(s, sf)
+      .agg(max(to_date(col("ts"))).as("d_max"))
+    Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .crossJoin(broadcast(anchor))
+      .select(col("event_type"), col("value"),
+        pow(lit(0.5),
+          floor(datediff(col("d_max"), to_date(col("ts"))) / lit(7))
+            .cast("double")).as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+           // 4-rounded like every corpus-sized double sum here: the
+           // addends are exact, but engines accumulate in different
+           // orders (~1e-11 relative), and 6 decimals on a 1e6-scale
+           // sum would sit inside that noise band
+           round(sum(col("w")), 4).as("decayed_count"),
+           round(sum(col("w") * col("value")), 4).as("decayed_value"))
+      .orderBy("event_type")
+  }
 }

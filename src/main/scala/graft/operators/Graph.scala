@@ -425,4 +425,29 @@ object Graph {
       .orderBy(col("aa_score").desc, col("a").asc, col("b").asc)
       .limit(20)
   }
+
+  /** Degree assortativity of the co-purchase graph — the one-number
+    * mixing summary: the Pearson correlation of (deg(u), deg(v)) over
+    * the directed edge list. Positive = hubs buy with hubs (social-
+    * network-like), negative = hubs anchor low-degree satellites
+    * (catalog hub-and-spoke) — which of the two regimes holds decides
+    * whether hub-capping is safe for the link-prediction kernels above.
+    *
+    * Scale shape: one degree HashAggregate, two BROADCAST joins
+    * attaching endpoint degrees at edge grain, one corr aggregate
+    * (sum-of-moments, map-side combinable). Degrees are integers, so
+    * only the final coefficient rounds.
+    */
+  def graphAssortativity(s: SparkSession, sf: String): DataFrame = {
+    val und = coPurchaseEdges(s, sf)
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    adj
+      .join(broadcast(deg.select(col("u"), col("deg").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("u").as("v"), col("deg").as("dv"))),
+        Seq("v"))
+      .agg((count(lit(1)) / 2).cast("bigint").as("n_edges"),
+           round(corr(col("du").cast("double"), col("dv").cast("double")), 6)
+             .as("assortativity"))
+  }
 }

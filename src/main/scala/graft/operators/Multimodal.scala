@@ -327,6 +327,77 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame-level audio energy — the first real feature a speech/audio
+    * curation pipeline computes after decode (silence trimming, energy-
+    * based VAD, loudness normalization all start from per-frame RMS):
+    * the same REAL WAV encode→decode cycle as `multimodalDecodeWav`,
+    * then the 256 decoded samples split into 4 frames of 64 and each
+    * frame's sum-of-squares and RMS emitted. The planted PCM is the
+    * same closed-form ramp, so the oracle replays sample values in SQL
+    * and the REAL codec path is hash-checked end-to-end: sum-of-squares
+    * is integer-exact, and RMS = sqrt(ss/64) is one IEEE-identical
+    * sqrt per frame.
+    *
+    * Scale shape: identical to decode_wav — id-only repartition fans
+    * the codec work across all cores, one ServiceLoader provider
+    * resolution per task (not per clip), bytes never leave the task;
+    * the 4-row-per-clip explode happens inside the decoding task.
+    */
+  def multimodalWavEnergy(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).na.drop()
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .asScala.find(_.isFileTypeSupported(wave)).get
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .asScala.toList
+        var waveReader: javax.sound.sampled.spi.AudioFileReader = null
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        it.flatMap { id =>
+          val pcm = new Array[Byte](256 * 2)
+          for (i <- 0 until 256) {
+            val v = (((id * 7 + 13L * i) % 2000) - 1000).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, 256)
+          val bos = new java.io.ByteArrayOutputStream()
+          writer.write(ais, wave, bos)
+          if (waveReader == null)
+            waveReader = readers.find { r =>
+              try { r.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bos.toByteArray)); true }
+              catch { case _: Exception => false }
+            }.get
+          val in = waveReader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val decoded = in.readAllBytes()
+          (0 until 4).map { f =>
+            var ss = 0L
+            for (i <- 0 until 64) {
+              val k = f * 64 + i
+              val v = ((decoded(2 * k) & 0xff) |
+                       (decoded(2 * k + 1) << 8)).toShort.toLong
+              ss += v * v
+            }
+            (id, f.toLong, ss, math.sqrt(ss / 64.0))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "sum_sq", "rms")
+      .select(col("doc_id"), col("frame_idx"), col("sum_sq"),
+              round(col("rms"), 6).as("rms"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** REAL frame sampling — the video path without a video codec: a
     * "clip" is a length-prefixed container of 6 real PNG frames
     * (frame f's pixels = (id·31 + 7x + 13y + 17f) mod 256), and the

@@ -244,4 +244,46 @@ object Windows {
               col("streak_start"), col("streak_end"))
       .orderBy("user_id")
   }
+
+  /** Maximum drawdown of each event type's cumulative daily value — the
+    * classic peak-to-trough risk measure transplanted to ops metrics
+    * ("how far below its best-so-far did this KPI sink, and when"):
+    * running cumulative sum, running peak, drawdown = peak − cum, and
+    * the max with its FIRST occurrence date (an explicit min-date
+    * tie-break — max_by would pick an engine-dependent row on ties).
+    *
+    * Scale shape: events collapse to (type, day) first — the only
+    * data-sized aggregate; both running windows and the argmax
+    * join-back run on the calendar-bounded daily frame partitioned by
+    * type (statsAutocorr discipline). Per-type sequential cumsums over
+    * 4-rounded day sums are deterministic and engine-identical.
+    */
+  def winDrawdown(s: SparkSession, sf: String): DataFrame = {
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"),
+        sum(col("x")).over(wRun).as("cum"))
+      .select(col("event_type"), col("d"),
+        (max(col("cum")).over(wRun) - col("cum")).as("dd"))
+    // round BEFORE the max so the equality join-back below compares the
+    // same 4-rounded doubles on both sides (rounding after max could
+    // disagree with a row's own rounding at the boundary)
+    val rounded = daily.select(col("event_type"), col("d"),
+      round(col("dd"), 4).as("dd"))
+    val worst = rounded.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+           max(col("dd")).as("max_drawdown"))
+    rounded
+      .join(broadcast(worst), Seq("event_type"))
+      .filter(col("dd") === col("max_drawdown"))
+      .groupBy(col("event_type"), col("n_days"), col("max_drawdown"))
+      .agg(min(col("d")).as("worst_day"))
+      .select(col("event_type"), col("n_days"), col("max_drawdown"),
+              col("worst_day"))
+      .orderBy("event_type")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AdvancedAggs, Dedup, Pipeline, Stats, TextOps}
+import graft.operators.{AdvancedAggs, Dedup, Pipeline, Stats, TextOps, Windows}
 import org.apache.spark.sql.functions._
 
 /** Cross-key invariants for the round-7 analytics operators — properties
@@ -642,6 +642,34 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
       val (avg, mn, mx) = (r.getDouble(2), r.getLong(4), r.getLong(5))
       assert(mn >= 0, "time is ordered within a user — gaps cannot be negative")
       assert(avg >= mn - 1e-6 && avg <= mx + 1e-6, "mean within extremes")
+    }
+  }
+
+  test("time decay: decayed mass positive and below the raw count") {
+    val rows = AdvancedAggs.aggTimeDecay(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dc) = (r.getLong(1), r.getDouble(2))
+      assert(dc > 0 && dc <= n + 1e-6,
+        s"${r.getString(0)}: decayed count $dc must lie in (0, $n]")
+      // events span months, so decay must actually bite (not all weight 1)
+      assert(dc < n, s"${r.getString(0)}: no event older than a week?")
+    }
+  }
+
+  test("drawdown: non-negative, worst day inside the type's span") {
+    val rows = Windows.winDrawdown(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    val spans = Tables.events(spark, sfOracle)
+      .filter(col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .collect().map(r => r.getString(0) -> (r.getDate(1), r.getDate(2))).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0, "drawdown is peak minus current: never negative")
+      val (d0, d1) = spans(r.getString(0))
+      val wd = r.getDate(3)
+      assert(!wd.before(d0) && !wd.after(d1), "worst day outside the data span")
     }
   }
 

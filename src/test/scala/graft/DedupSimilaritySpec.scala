@@ -311,6 +311,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"recall $recall below the 0.6 floor for a usable ANN index")
   }
 
+  test("wav energy: frames partition the clip, rms consistent with decode totals") {
+    val rows = Multimodal.multimodalWavEnergy(spark, sfSmoke).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (id, fs) =>
+      assert(fs.map(_.getLong(1)).sorted.sameElements(0L to 3L),
+        s"doc $id: expected exactly frames 0..3")
+      fs.foreach { r =>
+        assert(r.getLong(2) >= 0)
+        assert(math.abs(r.getDouble(3) - math.sqrt(r.getLong(2) / 64.0)) < 1e-6,
+          "rms must equal sqrt(sum_sq/64) of the decoded frame")
+      }
+    }
+    // PCM ramp amplitude is < 1000, so RMS is bounded by it
+    assert(rows.forall(_.getDouble(3) < 1000.0), "|sample| < 1000 bounds rms")
+  }
+
   test("multimodal decode: schema and determinism of the stub pipeline") {
     val df = Multimodal.multimodalDecode(spark, sfSmoke)
     assert(df.columns.toSeq ==

@@ -304,4 +304,11 @@ class GraphStatsSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(3)).sliding(2)
       .forall(p => p.length < 2 || p(0) >= p(1)), "descending score order")
   }
+
+  test("assortativity: coefficient within [-1,1], edge count matches triangles' frame") {
+    val r = Graph.graphAssortativity(spark, sfOracle).head()
+    assert(r.getLong(0) > 0)
+    val a = r.getDouble(1)
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"correlation $a out of range")
+  }
 }
