@@ -305,6 +305,8 @@ object SparkEntry {
     "win_drawdown"       -> Windows.winDrawdown _,
     "graph_assortativity" -> Graph.graphAssortativity _,
     "multimodal_wav_energy" -> Multimodal.multimodalWavEnergy _,
+    "text_feature_hashing" -> TextOps.textFeatureHashing _,
+    "dedup_substring_shingle" -> Dedup.dedupSubstringShingle _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1325,5 +1327,20 @@ object SparkEntry {
       ("WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), fr AS (SELECT unnest(range(0, 4)) AS fi), ix AS (SELECT unnest(range(0, 64)) AS i), " +
        "v AS (SELECT doc_id, fi, (doc_id * 7 + 13 * (fi * 64 + i)) % 2000 - 1000 AS v FROM g, fr, ix) " +
        "SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, CAST(sum(v * v) AS BIGINT) AS sum_sq, round(sqrt(CAST(sum(v * v) AS DOUBLE) / 64.0), 6) AS rms FROM v GROUP BY 1, 2 ORDER BY doc_id, frame_idx"),
+    // text_feature_hashing: the ascii-over-md5-hex bucket is plain
+    // integer arithmetic both engines replay; the sparse vector
+    // serializes dim-ordered, so the string is canonical.
+    "text_feature_hashing" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL), " +
+       "d AS (SELECT doc_id, CAST((ascii(substr(md5(word), 1, 1)) * 31 + ascii(substr(md5(word), 2, 1))) % 64 AS BIGINT) AS dim FROM w), " +
+       "c AS (SELECT doc_id, dim, count(*) AS cnt FROM d GROUP BY 1, 2) " +
+       "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, CAST(count(*) AS BIGINT) AS n_active_dims, string_agg(dim || ':' || cnt, ',' ORDER BY dim) AS features FROM c GROUP BY 1 ORDER BY doc_id"),
+    // dedup_substring_shingle: the same overlapping 40/10 char grid,
+    // distinct per doc, owner-counted — integer counts to the one
+    // division.
+    "dedup_substring_shingle" ->
+      ("WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((length(text) - 40) / 10) AS BIGINT) + 1), i -> substr(text, CAST(i * 10 + 1 AS INT), 40))) AS sh FROM documents WHERE text IS NOT NULL AND length(text) >= 40) u), " +
+       "o AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1) " +
+       "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(count(*) FILTER (o.n_docs >= 2) AS BIGINT) AS n_dup_shingles, round(CAST(count(*) FILTER (o.n_docs >= 2) AS DOUBLE) / count(*), 6) AS dup_frac, (round(CAST(count(*) FILTER (o.n_docs >= 2) AS DOUBLE) / count(*), 6) >= 0.5) AS substring_dup_flag FROM sh JOIN o USING (sh) GROUP BY 1 ORDER BY doc_id"),
   )
 }

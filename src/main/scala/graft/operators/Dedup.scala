@@ -875,4 +875,43 @@ object Dedup {
            count(lit(1)).as("n_crawled"))
       .orderBy("canonical_url")
   }
+
+  /** Substring-level duplication audit — the shingle approximation of
+    * exact-substring dedup (Lee et al.'s suffix-array method finds
+    * repeated spans at ANY offset; a char-shingle grid with stride <
+    * shingle length catches the same spans to within one stride, at
+    * hash-groupBy cost instead of a distributed suffix array): 40-char
+    * shingles every 10 chars, a shingle seen in ≥ 2 DISTINCT documents
+    * marks its span duplicated, and each doc reports its duplicated-
+    * shingle fraction. Unlike `dedupPassage` (chunk-ALIGNED 10-word
+    * blocks), the overlapping grid also catches duplicates that start
+    * mid-chunk — the boilerplate case chunk alignment misses.
+    *
+    * Scale shape: explode is (len/10) rows per doc — corpus-bytes-
+    * bounded like the word explodes; one shingle-grain HashAggregate
+    * for the distinct-doc count (map-side combinable after the
+    * per-doc distinct), one shuffle join back, one doc-grain
+    * re-aggregate — the textNgramNovelty profile at char grain. A hot
+    * boilerplate shingle collapses map-side, never skewing a reducer.
+    */
+  def dedupSubstringShingle(s: SparkSession, sf: String): DataFrame = {
+    val sh = Tables.documents(s, sf)
+      .filter(col("text").isNotNull && length(col("text")) >= 40)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+          |  sequence(0, CAST(floor((length(text) - 40) / 10) AS INT)),
+          |  i -> substring(text, i * 10 + 1, 40)))""".stripMargin))
+        .as("sh"))
+    val owners = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    sh.join(owners, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_shingles"),
+           sum((col("n_docs") >= 2).cast("long")).cast("bigint")
+             .as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+      .withColumn("substring_dup_flag", col("dup_frac") >= 0.5)
+      .orderBy("doc_id")
+  }
 }

@@ -475,6 +475,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Feature hashing (the "hashing trick") — the fixed-width bag-of-
+    * words featurization that needs NO vocabulary pass: each word maps
+    * to one of 64 buckets through a hash of its md5 hex prefix, and the
+    * per-bucket multiplicities form the document's sparse feature
+    * vector (emitted as the canonical "dim:count" string — the fnArray2
+    * serialization policy, since the comparator cannot hash array
+    * cells). One pass, no dictionary shuffle, collision-tolerant — why
+    * linear-model text baselines scale to any corpus. The bucket comes
+    * from ascii() over two md5 hex chars, arithmetic both engines
+    * replay identically (neither engine's native hash matches the
+    * other's).
+    *
+    * Scale shape: explode → one (doc, dim) HashAggregate (map-side
+    * combinable; 64 dims cap the per-doc fan-in) → one doc-grain
+    * collect_list of ≤64 structs. No vocabulary table, no broadcast,
+    * no second scan — the defining property of the trick.
+    */
+  def textFeatureHashing(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(words()).as("word"))
+      .select(col("doc_id"),
+        ((ascii(substring(md5(col("word").cast("binary")), 1, 1)) * 31 +
+          ascii(substring(md5(col("word").cast("binary")), 2, 1))) % 64)
+          .cast("bigint").as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("bigint").as("n_words"),
+           count(lit(1)).cast("bigint").as("n_active_dims"),
+           array_join(expr(
+             "transform(array_sort(collect_list(struct(dim, cnt))), " +
+             "x -> concat(x.dim, ':', x.cnt))"), ",").as("features"))
+      .orderBy("doc_id")
+
   /** BPE TRAINING step 1 — the top-20 adjacent character pairs by
     * corpus frequency, i.e. the first merge candidates a byte-pair
     * tokenizer trainer would rank (the existing BPE keys APPLY a fixed

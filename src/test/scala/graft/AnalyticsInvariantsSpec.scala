@@ -673,6 +673,54 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("feature hashing: dims bounded, counts total the word mass") {
+    val rows = TextOps.textFeatureHashing(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    val wordCounts = Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val feats = r.getString(3).split(",").map { f =>
+        val Array(d, c) = f.split(":"); (d.toLong, c.toLong)
+      }
+      assert(feats.forall { case (d, _) => d >= 0 && d < 64 },
+        "hashed dims must land in [0, 64)")
+      assert(feats.map(_._1).distinct.length == feats.length, "dims unique")
+      assert(feats.map(_._1).sorted.sameElements(feats.map(_._1)),
+        "serialization must be dim-ordered")
+      assert(feats.map(_._2).sum == r.getLong(1), "counts total n_words")
+      assert(feats.length == r.getLong(2).toInt)
+      assert(r.getLong(1) == wordCounts(r.getLong(0)),
+        "n_words must equal the doc's word count")
+    }
+  }
+
+  test("substring shingles: exact-duplicate docs are 100% duplicated spans") {
+    val rows = Dedup.dedupSubstringShingle(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getBoolean(4) == (f >= 0.5))
+    }
+    // any two docs with identical text share every shingle: dup_frac 1
+    val dupDocs = Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull && length(col("text")) >= 40)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    if (dupDocs.nonEmpty) {
+      val byId = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      dupDocs.foreach { id =>
+        assert(byId(id) == 1.0,
+          s"doc $id has an exact twin but dup_frac ${byId(id)} != 1.0")
+      }
+    }
+  }
+
   test("char classes partition every document's characters") {
     val rows = TextOps.textCharClassProfile(spark, sfOracle).collect()
     assert(rows.nonEmpty)
