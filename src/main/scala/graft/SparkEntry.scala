@@ -307,6 +307,9 @@ object SparkEntry {
     "multimodal_wav_energy" -> Multimodal.multimodalWavEnergy _,
     "text_feature_hashing" -> TextOps.textFeatureHashing _,
     "dedup_substring_shingle" -> Dedup.dedupSubstringShingle _,
+    "text_readability"   -> TextOps.textReadability _,
+    "multimodal_image_histogram" -> Multimodal.multimodalImageHistogram _,
+    "sim_mmr_diversify"  -> Similarity.simMmrDiversify _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1342,5 +1345,25 @@ object SparkEntry {
       ("WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((length(text) - 40) / 10) AS BIGINT) + 1), i -> substr(text, CAST(i * 10 + 1 AS INT), 40))) AS sh FROM documents WHERE text IS NOT NULL AND length(text) >= 40) u), " +
        "o AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1) " +
        "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(count(*) FILTER (o.n_docs >= 2) AS BIGINT) AS n_dup_shingles, round(CAST(count(*) FILTER (o.n_docs >= 2) AS DOUBLE) / count(*), 6) AS dup_frac, (round(CAST(count(*) FILTER (o.n_docs >= 2) AS DOUBLE) / count(*), 6) >= 0.5) AS substring_dup_flag FROM sh JOIN o USING (sh) GROUP BY 1 ORDER BY doc_id"),
+    // text_readability: integer word/sentence/vowel-group counts (same
+    // [.!?]+ segmentation as the sentence-stats oracle) into the one
+    // closed-form Flesch expression.
+    "text_readability" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+       "CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]+'), x -> length(trim(x)) > 0)), 1) AS BIGINT) AS n_sentences, " +
+       "CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS BIGINT) AS n_syllables " +
+       "FROM documents WHERE text IS NOT NULL AND length(text) > 0) " +
+       "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+       "round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 4) AS flesch, " +
+       "CASE WHEN round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 4) >= 60 THEN 'easy' " +
+       "WHEN round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 4) >= 30 THEN 'standard' ELSE 'difficult' END AS band " +
+       "FROM t ORDER BY doc_id"),
+    // multimodal_image_histogram: the oracle replays the planted raster
+    // ramp per pixel and bins it — the REAL PNG encode/decode cycle on
+    // the Spark side must round-trip losslessly to hash-match.
+    "multimodal_image_histogram" ->
+      ("WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), xs AS (SELECT unnest(range(0, 8)) AS x), ys AS (SELECT unnest(range(0, 8)) AS y), " +
+       "p AS (SELECT doc_id, (doc_id * 31 + 7 * x + 13 * y) % 256 AS px FROM g, xs, ys) " +
+       "SELECT doc_id, CAST(px // 32 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_pixels FROM p GROUP BY 1, 2 ORDER BY doc_id, bin"),
   )
 }

@@ -398,6 +398,50 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Luminance histogram from REAL PNG decode — the first feature an
+    * image curation pipeline computes (exposure/contrast screening,
+    * near-black/near-white frame drops): the same encode→decode cycle
+    * as `multimodalDecodePng`, then the 64 decoded pixels bucketed into
+    * 8 intensity bins of 32 gray levels, emitted one row per non-empty
+    * bin. The planted raster is the closed-form ramp, so the oracle
+    * replays the bin counts in SQL and the REAL codec path is
+    * hash-checked — integer counts, nothing rounds.
+    *
+    * Scale shape: identical to decode_png — id-only repartition fans
+    * the codec work, the histogram is computed inside the decoding task
+    * (an 8-entry array), and only (id, bin, count) rows leave it.
+    */
+  def multimodalImageHistogram(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).na.drop()
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.flatMap { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          for (y <- 0 until 8; x <- 0 until 8)
+            raster.setSample(x, y, 0, ((id * 31 + 7 * x + 13 * y) % 256).toInt)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val r = back.getRaster
+          val bins = new Array[Long](8)
+          for (y <- 0 until 8; x <- 0 until 8)
+            bins(r.getSample(x, y, 0) / 32) += 1
+          bins.zipWithIndex.collect {
+            case (n, b) if n > 0 => (id, b.toLong, n)
+          }
+        }
+      }
+      .toDF("doc_id", "bin", "n_pixels")
+      .orderBy("doc_id", "bin")
+  }
+
   /** REAL frame sampling — the video path without a video codec: a
     * "clip" is a length-prefixed container of 6 real PNG frames
     * (frame f's pixels = (id·31 + 7x + 13y + 17f) mod 256), and the

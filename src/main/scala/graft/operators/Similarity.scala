@@ -65,6 +65,65 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
   }
 
+  /** Maximal Marginal Relevance — the diversity-aware re-rank every
+    * retrieval-augmented and dataset-curation selector runs on top of
+    * raw similarity: greedily pick the item maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so the second pick is
+    * penalized for resembling the first (plain top-k returns ten
+    * near-copies of the best hit; MMR returns the best hit plus nine
+    * that ADD something). λ = 0.5, k = 10 over the top-50 relevance
+    * candidates; ties break on vec_id, so selection is total-ordered.
+    *
+    * Scale shape: the DISTRIBUTED stage is the relevance scan (the
+    * brute-force top-k plan — broadcast query, codegen dot product,
+    * TakeOrdered 50); the greedy loop then runs on the driver over the
+    * 50-row candidate set — k·|C| dot products on 64-dim vectors,
+    * microseconds, and intrinsically sequential (each pick depends on
+    * the previous). This is the bounded-collect pattern of the CC
+    * probe: the collect is capped at 50 rows BY CONSTRUCTION (the
+    * TakeOrdered), not by data size. Oracle-N: the sequential greedy
+    * argmax has no SQL replay; the spec pins determinism, the rank-1 =
+    * top-relevance identity, and the diversity win over plain top-k.
+    */
+  def simMmrDiversify(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(dot(s)("embedding", "qv"), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(50)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val lambda = 0.5
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Double)]()
+    val pool = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.length < 10 && pool.nonEmpty) {
+      val scored = pool.map { case (id, v, rel) =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.map(sel => cosine(v, cands.find(_._1 == sel._1).get._2)).max
+        (id, rel, maxSim, lambda * rel - (1 - lambda) * maxSim)
+      }
+      val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+      selected += best
+      pool.remove(pool.indexWhere(_._1 == best._1))
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel, maxSim, mmr), i) =>
+        (i + 1L, id, rel, math.rint(maxSim * 1e6) / 1e6,
+         math.rint(mmr * 1e6) / 1e6)
+      }
+      .toSeq
+      .toDF("rank", "vec_id", "relevance", "max_sim_selected", "mmr_score")
+  }
+
   /** Collection count for the LSH plane knob — the ONE remaining driver
     * scalar in this file (r7's `.agg(sum,max).head()` block-stats
     * pre-pass is gone: the grid-chunk and k-means-stride knobs now ride

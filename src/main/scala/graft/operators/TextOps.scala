@@ -475,6 +475,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Flesch reading-ease readability — the curriculum/difficulty signal
+    * next to the gate-style quality scores: grade text by sentence
+    * length and syllable density (206.835 − 1.015·w/s − 84.6·syl/w).
+    * Syllables use the standard vowel-group heuristic, counted doc-wide
+    * with one regexp_extract_all — the same [.!?]+ sentence convention
+    * as `textSentenceStats`, so the two keys agree on segmentation.
+    * All three inputs are integers; the score is one closed-form double
+    * both engines evaluate identically.
+    *
+    * Scale shape: three column expressions over the pruned text column
+    * and a band CASE — scan-speed, no shuffle before the output sort.
+    */
+  def textReadability(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        size(words()).cast("bigint").as("n_words"),
+        greatest(expr(
+          "size(filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0))"),
+          lit(1)).cast("bigint").as("n_sentences"),
+        greatest(expr(
+          "size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))"), lit(1))
+          .cast("bigint").as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * col("n_words").cast("double") / col("n_sentences") -
+          lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 4))
+      .withColumn("band",
+        when(col("flesch") >= 60, "easy")
+          .when(col("flesch") >= 30, "standard")
+          .otherwise("difficult"))
+      .orderBy("doc_id")
+
   /** Feature hashing (the "hashing trick") — the fixed-width bag-of-
     * words featurization that needs NO vocabulary pass: each word maps
     * to one of 64 buckets through a hash of its md5 hex prefix, and the

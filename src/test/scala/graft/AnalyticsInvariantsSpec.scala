@@ -721,6 +721,20 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("readability: formula recomputes, bands consistent, syllables >= words' vowels") {
+    val rows = TextOps.textReadability(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, sn, sy) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w >= 1 && sn >= 1 && sy >= 1)
+      val f = 206.835 - 1.015 * w.toDouble / sn - 84.6 * sy.toDouble / w
+      assert(math.abs(r.getDouble(4) - f) < 1e-3, "flesch closed form")
+      val band = if (r.getDouble(4) >= 60) "easy"
+        else if (r.getDouble(4) >= 30) "standard" else "difficult"
+      assert(r.getString(5) == band, "band thresholds")
+    }
+  }
+
   test("char classes partition every document's characters") {
     val rows = TextOps.textCharClassProfile(spark, sfOracle).collect()
     assert(rows.nonEmpty)

@@ -311,6 +311,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"recall $recall below the 0.6 floor for a usable ANN index")
   }
 
+  test("mmr: deterministic, relevance-first, strictly more diverse than top-10") {
+    val a = Similarity.simMmrDiversify(spark, sfOracle).collect()
+    val b = Similarity.simMmrDiversify(spark, sfOracle).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "greedy selection must be deterministic")
+    assert(a.length == 10 && a.map(_.getLong(1)).distinct.length == 10)
+    assert(a.map(_.getLong(0)).sameElements(1L to 10L))
+    // rank 1 is the relevance argmax — identical to the brute top-k head
+    val top = Similarity.simCosineTopk(spark, sfOracle).head()
+    assert(a.head.getLong(1) == top.getLong(0),
+      "MMR must open with the most relevant item")
+    // diversity: the MMR set's mean pairwise similarity must undercut
+    // the plain top-10's (the whole point of the re-rank)
+    val emb = Tables.embeddings(spark, sfOracle)
+      .filter(col("vec_id") =!= 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length) yield {
+        val (x, y) = (emb(ids(i)), emb(ids(j)))
+        x.indices.map(k => x(k).toDouble * y(k).toDouble).sum
+      }
+      ps.sum / ps.length
+    }
+    val topIds = Similarity.simCosineTopk(spark, sfOracle).collect()
+      .map(_.getLong(0)).toSeq
+    val mmrIds = a.map(_.getLong(1)).toSeq
+    assert(meanPairSim(mmrIds) < meanPairSim(topIds),
+      s"MMR set must be more diverse: ${meanPairSim(mmrIds)} vs ${meanPairSim(topIds)}")
+  }
+
   test("wav energy: frames partition the clip, rms consistent with decode totals") {
     val rows = Multimodal.multimodalWavEnergy(spark, sfSmoke).collect()
     val perDoc = rows.groupBy(_.getLong(0))
@@ -326,6 +356,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
     // PCM ramp amplitude is < 1000, so RMS is bounded by it
     assert(rows.forall(_.getDouble(3) < 1000.0), "|sample| < 1000 bounds rms")
+  }
+
+  test("image histogram: bins partition the 64 pixels and match the planted raster") {
+    val rows = Multimodal.multimodalImageHistogram(spark, sfSmoke).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (id, bs) =>
+      assert(bs.map(_.getLong(2)).sum == 64, s"doc $id: bins must cover 8x8")
+      assert(bs.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 7))
+      // recompute from the closed-form raster the decode round-trips
+      val expect = (for (y <- 0 until 8; x <- 0 until 8)
+        yield ((id * 31 + 7 * x + 13 * y) % 256) / 32)
+        .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+      bs.foreach { r =>
+        assert(expect(r.getLong(1)) == r.getLong(2),
+          s"doc $id bin ${r.getLong(1)}: decoded histogram diverges from plant")
+      }
+    }
   }
 
   test("multimodal decode: schema and determinism of the stub pipeline") {
