@@ -310,6 +310,8 @@ object SparkEntry {
     "text_readability"   -> TextOps.textReadability _,
     "multimodal_image_histogram" -> Multimodal.multimodalImageHistogram _,
     "sim_mmr_diversify"  -> Similarity.simMmrDiversify _,
+    "sim_ann_pq"         -> Similarity.simAnnPq _,
+    "embed_truncate_recall" -> Similarity.embedTruncateRecall _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1365,5 +1367,17 @@ object SparkEntry {
       ("WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), xs AS (SELECT unnest(range(0, 8)) AS x), ys AS (SELECT unnest(range(0, 8)) AS y), " +
        "p AS (SELECT doc_id, (doc_id * 31 + 7 * x + 13 * y) % 256 AS px FROM g, xs, ys) " +
        "SELECT doc_id, CAST(px // 32 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_pixels FROM p GROUP BY 1, 2 ORDER BY doc_id, bin"),
+    // embed_truncate_recall: both rankings replay with the same
+    // list-fold dot products and row_number windows; the prefix norm
+    // divides two unrounded deterministic sums before the one round.
+    "embed_truncate_recall" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
+       "c AS (SELECT vec_id AS nid, embedding, embedding[1:16] AS p16 FROM embeddings), " +
+       "p AS (SELECT qid, nid, round(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * embedding[i])), 6) AS cos_full, " +
+       "round(list_sum(list_transform(range(1, 17), i -> CAST(qv[i] AS DOUBLE) * p16[i])) / sqrt(list_sum(list_transform(range(1, 17), i -> CAST(p16[i] AS DOUBLE) * p16[i]))), 6) AS cos_trunc FROM q, c WHERE qid <> nid), " +
+       "tf AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, nid ASC) AS rn FROM p) t WHERE rn <= 5), " +
+       "tt AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos_trunc DESC, nid ASC) AS rn FROM p) t WHERE rn <= 5), " +
+       "o AS (SELECT tf.qid, count(*) AS n_overlap FROM tf JOIN tt ON tf.qid = tt.qid AND tf.nid = tt.nid GROUP BY 1) " +
+       "SELECT q.qid AS qid, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap, round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / 5, 6) AS recall_at_5 FROM q LEFT JOIN o ON q.qid = o.qid ORDER BY qid"),
   )
 }

@@ -311,6 +311,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"recall $recall below the 0.6 floor for a usable ANN index")
   }
 
+  test("pq: deterministic codebooks, recall@5 over the 0.6 floor, 5 per query") {
+    val a = Similarity.simAnnPq(spark, sfOracle).collect()
+    val b = Similarity.simAnnPq(spark, sfOracle).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "seeds and Lloyd rounds are deterministic — two builds must agree")
+    val perQ = a.groupBy(_.getLong(0))
+    assert(perQ.size == 20 && perQ.values.forall(_.length == 5))
+    // brute-force ground truth per query
+    val e = Tables.embeddings(spark, sfOracle).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+    val brute = (0L until 20L).flatMap { q =>
+      e.keys.filter(_ != q).toSeq
+        .map(n => (n, math.rint(cos(e(q), e(n)) * 1e6) / 1e6))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(n => (q, n._1))
+    }.toSet
+    val got = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    info(s"PQ recall@5 = $recall (8 subspaces x 16 codes, 50-cand re-rank)")
+    assert(recall >= 0.6, s"recall $recall below the 0.6 floor")
+  }
+
   test("mmr: deterministic, relevance-first, strictly more diverse than top-10") {
     val a = Similarity.simMmrDiversify(spark, sfOracle).collect()
     val b = Similarity.simMmrDiversify(spark, sfOracle).collect()
