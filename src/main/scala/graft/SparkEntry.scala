@@ -312,6 +312,7 @@ object SparkEntry {
     "sim_mmr_diversify"  -> Similarity.simMmrDiversify _,
     "sim_ann_pq"         -> Similarity.simAnnPq _,
     "embed_truncate_recall" -> Similarity.embedTruncateRecall _,
+    "stats_proportion_ztest" -> Stats.statsProportionZtest _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1379,5 +1380,12 @@ object SparkEntry {
        "tt AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos_trunc DESC, nid ASC) AS rn FROM p) t WHERE rn <= 5), " +
        "o AS (SELECT tf.qid, count(*) AS n_overlap FROM tf JOIN tt ON tf.qid = tt.qid AND tf.nid = tt.nid GROUP BY 1) " +
        "SELECT q.qid AS qid, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap, round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / 5, 6) AS recall_at_5 FROM q LEFT JOIN o ON q.qid = o.qid ORDER BY qid"),
+    // stats_proportion_ztest: the same md5 arm split as the t/KS tests;
+    // four FILTERed integer counts into the pooled closed form.
+    "stats_proportion_ztest" ->
+      ("WITH b AS (SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS a, event_type = 'purchase' AS conv FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+       "c AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a, CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b, CAST(count(*) FILTER (a AND conv) AS BIGINT) AS x_a, CAST(count(*) FILTER (NOT a AND conv) AS BIGINT) AS x_b FROM b) " +
+       "SELECT n_a, n_b, x_a, x_b, round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b, " +
+       "round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat FROM c"),
   )
 }

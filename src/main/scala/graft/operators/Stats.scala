@@ -1494,6 +1494,42 @@ object Stats {
                 (col("n_pos") + col("n_neg") - 1))), 6).as("z_stat"))
   }
 
+  /** Two-proportion z-test on conversion — the categorical companion to
+    * `experimentTtest` (means) and `statsKsTest` (distributions) over
+    * the same deterministic md5 arms: does the purchase RATE differ
+    * between arms? Pooled-proportion z with integer success/trial
+    * counts; every input to the closed form is exact, so only the
+    * final rates and z round.
+    *
+    * Scale shape: ONE map-side-combinable aggregate of four counts over
+    * the scan — the cheapest possible test, which is the point
+    * (proportion tests run on every experiment dashboard refresh).
+    */
+  def statsProportionZtest(s: SparkSession, sf: String): DataFrame = {
+    val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(arm.as("a"), (col("event_type") === "purchase").as("conv"))
+      .agg(
+        sum(col("a").cast("long")).cast("bigint").as("n_a"),
+        sum((!col("a")).cast("long")).cast("bigint").as("n_b"),
+        sum((col("a") && col("conv")).cast("long")).cast("bigint").as("x_a"),
+        sum((!col("a") && col("conv")).cast("long")).cast("bigint").as("x_b"))
+      .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        round(col("x_a").cast("double") / col("n_a"), 6).as("rate_a"),
+        round(col("x_b").cast("double") / col("n_b"), 6).as("rate_b"),
+        round(
+          (col("x_a").cast("double") / col("n_a") -
+           col("x_b").cast("double") / col("n_b")) /
+          sqrt(((col("x_a") + col("x_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+               (lit(1.0) - (col("x_a") + col("x_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+          .as("z_stat"))
+  }
+
   /** Inter-arrival profile — per event type, the gap in whole seconds
     * between a user's consecutive events of that type, summarized as
     * count/mean/stddev/extremes. The operational twin of

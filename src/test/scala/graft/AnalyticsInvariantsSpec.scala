@@ -735,6 +735,21 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("proportion z-test: counts partition, rates bounded, z recomputes") {
+    val r = Stats.statsProportionZtest(spark, sfOracle).head()
+    val (na, nb, xa, xb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na > 0 && nb > 0 && xa <= na && xb <= nb)
+    val total = Tables.events(spark, sfOracle)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull).count()
+    assert(na + nb == total, "arms must partition the filtered events")
+    val (ra, rb) = (xa.toDouble / na, xb.toDouble / nb)
+    assert(math.abs(r.getDouble(4) - ra) < 1e-6 &&
+           math.abs(r.getDouble(5) - rb) < 1e-6)
+    val p = (xa + xb).toDouble / (na + nb)
+    val z = (ra - rb) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(6) - z) < 1e-5, "pooled z closed form")
+  }
+
   test("char classes partition every document's characters") {
     val rows = TextOps.textCharClassProfile(spark, sfOracle).collect()
     assert(rows.nonEmpty)
