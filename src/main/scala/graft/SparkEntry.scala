@@ -313,6 +313,7 @@ object SparkEntry {
     "sim_ann_pq"         -> Similarity.simAnnPq _,
     "embed_truncate_recall" -> Similarity.embedTruncateRecall _,
     "stats_proportion_ztest" -> Stats.statsProportionZtest _,
+    "graph_modularity"   -> Graph.graphModularity _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1387,5 +1388,26 @@ object SparkEntry {
        "c AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a, CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b, CAST(count(*) FILTER (a AND conv) AS BIGINT) AS x_a, CAST(count(*) FILTER (NOT a AND conv) AS BIGINT) AS x_b FROM b) " +
        "SELECT n_a, n_b, x_a, x_b, round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b, " +
        "round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat FROM c"),
+    // graph_modularity: eight unrolled min-label rounds (the defined
+    // semantics — min node id within 8 hops), then the same Q algebra
+    // over 6-rounded per-community contributions.
+    "graph_modularity" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "adj AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM adj), " +
+       "l1 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (SELECT a.v AS node, l.lab FROM adj a JOIN l0 l ON a.u = l.node UNION ALL SELECT node, lab FROM l0) t GROUP BY 1), " +
+       "l2 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (SELECT a.v AS node, l.lab FROM adj a JOIN l1 l ON a.u = l.node UNION ALL SELECT node, lab FROM l1) t GROUP BY 1), " +
+       "l3 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (SELECT a.v AS node, l.lab FROM adj a JOIN l2 l ON a.u = l.node UNION ALL SELECT node, lab FROM l2) t GROUP BY 1), " +
+       "l4 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (SELECT a.v AS node, l.lab FROM adj a JOIN l3 l ON a.u = l.node UNION ALL SELECT node, lab FROM l3) t GROUP BY 1), " +
+       "l5 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (SELECT a.v AS node, l.lab FROM adj a JOIN l4 l ON a.u = l.node UNION ALL SELECT node, lab FROM l4) t GROUP BY 1), " +
+       "l6 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (SELECT a.v AS node, l.lab FROM adj a JOIN l5 l ON a.u = l.node UNION ALL SELECT node, lab FROM l5) t GROUP BY 1), " +
+       "l7 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (SELECT a.v AS node, l.lab FROM adj a JOIN l6 l ON a.u = l.node UNION ALL SELECT node, lab FROM l6) t GROUP BY 1), " +
+       "l8 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (SELECT a.v AS node, l.lab FROM adj a JOIN l7 l ON a.u = l.node UNION ALL SELECT node, lab FROM l7) t GROUP BY 1), " +
+       "mm AS (SELECT count(*) / 2.0 AS m FROM adj), " +
+       "c AS (SELECT lu.lab AS lab, CAST(sum(CASE WHEN lu.lab = lv.lab THEN 1 ELSE 0 END) / 2 AS BIGINT) AS internal_edges, CAST(count(*) AS BIGINT) AS degree_sum FROM adj JOIN l8 lu ON adj.u = lu.node JOIN l8 lv ON adj.v = lv.node GROUP BY 1), " +
+       "sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_nodes FROM l8 GROUP BY 1), " +
+       "sc AS (SELECT c.lab AS lab, n_nodes, internal_edges, degree_sum, round(internal_edges / m - pow(degree_sum / (2.0 * m), 2), 6) AS q_contribution FROM c JOIN sz USING (lab), mm) " +
+       "SELECT lab, n_nodes, internal_edges, degree_sum, q_contribution, round(sum(q_contribution) OVER (), 6) AS modularity FROM sc ORDER BY n_nodes DESC, lab ASC LIMIT 20"),
   )
 }

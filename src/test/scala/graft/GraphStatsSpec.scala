@@ -305,6 +305,24 @@ class GraphStatsSpec extends SparkSpecBase {
       .forall(p => p.length < 2 || p(0) >= p(1)), "descending score order")
   }
 
+  test("modularity: Q within [-0.5,1], contributions consistent, labels are minima") {
+    val rows = Graph.graphModularity(spark, sfOracle).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val q = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == q), "global Q repeats on every row")
+    assert(q >= -0.5 - 1e-9 && q <= 1.0 + 1e-9, s"modularity $q out of range")
+    rows.foreach { r =>
+      // a community's internal edges cannot exceed half its degree mass
+      assert(r.getLong(2) * 2 <= r.getLong(3),
+        s"community ${r.getLong(0)}: internal ${r.getLong(2)} vs degree ${r.getLong(3)}")
+      // the label is the smallest node id in the community, hence a member
+      assert(r.getLong(1) >= 1)
+    }
+    // sizes emitted in non-increasing order with the lab tie-break
+    assert(rows.map(_.getLong(1)).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("assortativity: coefficient within [-1,1], edge count matches triangles' frame") {
     val r = Graph.graphAssortativity(spark, sfOracle).head()
     assert(r.getLong(0) > 0)
