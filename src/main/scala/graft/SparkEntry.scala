@@ -314,6 +314,7 @@ object SparkEntry {
     "embed_truncate_recall" -> Similarity.embedTruncateRecall _,
     "stats_proportion_ztest" -> Stats.statsProportionZtest _,
     "graph_modularity"   -> Graph.graphModularity _,
+    "stats_effect_size"  -> Stats.statsEffectSize _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1409,5 +1410,13 @@ object SparkEntry {
        "sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_nodes FROM l8 GROUP BY 1), " +
        "sc AS (SELECT c.lab AS lab, n_nodes, internal_edges, degree_sum, round(internal_edges / m - pow(degree_sum / (2.0 * m), 2), 6) AS q_contribution FROM c JOIN sz USING (lab), mm) " +
        "SELECT lab, n_nodes, internal_edges, degree_sum, q_contribution, round(sum(q_contribution) OVER (), 6) AS modularity FROM sc ORDER BY n_nodes DESC, lab ASC LIMIT 20"),
+    // stats_effect_size: 4-rounded arm moments into the pooled-sd
+    // closed form with the Hedges small-sample correction.
+    "stats_effect_size" ->
+      ("WITH b AS (SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS a, value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL), " +
+       "c AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a, CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b, round(avg(value) FILTER (a), 4) AS m_a, round(avg(value) FILTER (NOT a), 4) AS m_b, round(var_samp(value) FILTER (a), 4) AS v_a, round(var_samp(value) FILTER (NOT a), 4) AS v_b FROM b), " +
+       "p AS (SELECT *, round(sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)), 6) AS pooled_sd FROM c), " +
+       "d AS (SELECT *, round((m_a - m_b) / pooled_sd, 6) AS cohens_d FROM p) " +
+       "SELECT n_a, n_b, m_a, m_b, v_a, v_b, pooled_sd, cohens_d, round(cohens_d * (1.0 - 3.0 / (4.0 * (n_a + n_b - 2) - 1)), 6) AS hedges_g FROM d"),
   )
 }

@@ -1530,6 +1530,43 @@ object Stats {
           .as("z_stat"))
   }
 
+  /** Effect size for the md5-arm experiment — the number every test
+    * statistic in this family (t, KS, Mann–Whitney, proportion z) needs
+    * next to it before anyone acts: Cohen's d on the pooled standard
+    * deviation plus the small-sample Hedges' g correction
+    * (1 − 3/(4df − 1)). A tiny p-value with d = 0.02 ships nothing.
+    * Group moments are 4-rounded (the corpus-sized-sum convention), so
+    * the closed form runs on identical doubles.
+    *
+    * Scale shape: ONE map-side-combinable moments aggregate at arm
+    * grain; everything after is scalar algebra on a two-row frame.
+    */
+  def statsEffectSize(s: SparkSession, sf: String): DataFrame = {
+    val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull
+        && col("value").isNotNull)
+      .select(arm.as("a"), col("value"))
+      .agg(
+        sum(col("a").cast("long")).cast("bigint").as("n_a"),
+        sum((!col("a")).cast("long")).cast("bigint").as("n_b"),
+        round(avg(when(col("a"), col("value"))), 4).as("m_a"),
+        round(avg(when(!col("a"), col("value"))), 4).as("m_b"),
+        round(var_samp(when(col("a"), col("value"))), 4).as("v_a"),
+        round(var_samp(when(!col("a"), col("value"))), 4).as("v_b"))
+      .withColumn("pooled_sd",
+        round(sqrt(((col("n_a") - 1) * col("v_a") +
+                    (col("n_b") - 1) * col("v_b")) /
+                   (col("n_a") + col("n_b") - 2)), 6))
+      .withColumn("cohens_d",
+        round((col("m_a") - col("m_b")) / col("pooled_sd"), 6))
+      .withColumn("hedges_g",
+        round(col("cohens_d") *
+          (lit(1.0) - lit(3.0) /
+            (lit(4.0) * (col("n_a") + col("n_b") - 2) - 1)), 6))
+  }
+
   /** Inter-arrival profile — per event type, the gap in whole seconds
     * between a user's consecutive events of that type, summarized as
     * count/mean/stddev/extremes. The operational twin of

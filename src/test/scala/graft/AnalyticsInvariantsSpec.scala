@@ -750,6 +750,21 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(6) - z) < 1e-5, "pooled z closed form")
   }
 
+  test("effect size: pooled sd between arm sds, |g| < |d|, formulas recompute") {
+    val r = Stats.statsEffectSize(spark, sfOracle).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na > 2 && nb > 2)
+    val (va, vb, sd) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(sd >= math.sqrt(math.min(va, vb)) - 1e-6 &&
+           sd <= math.sqrt(math.max(va, vb)) + 1e-6,
+      "pooled sd must lie between the arm sds")
+    val d = (r.getDouble(2) - r.getDouble(3)) / sd
+    assert(math.abs(r.getDouble(7) - d) < 1e-4, "Cohen's d closed form")
+    val g = r.getDouble(8)
+    assert(math.abs(g) <= math.abs(r.getDouble(7)) + 1e-9,
+      "the Hedges correction always shrinks |d|")
+  }
+
   test("char classes partition every document's characters") {
     val rows = TextOps.textCharClassProfile(spark, sfOracle).collect()
     assert(rows.nonEmpty)
