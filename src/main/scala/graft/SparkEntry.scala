@@ -113,6 +113,7 @@ object SparkEntry {
     // §2.1 extra sources/sinks — round-trips return the read-back rows,
     // oracle-paired against the SOURCE table (lossless ⇔ hash match)
     "scan_csv"          -> Sources.scanCsv _,
+    "scan_csv_gzip"     -> Sources.scanCsvGzip _,
     "scan_json_file"    -> Sources.scanJsonFile _,
     "scan_json_nested"  -> Sources.scanJsonNested _,
     "scan_orc"          -> Sources.scanOrc _,
@@ -371,6 +372,10 @@ object SparkEntry {
     // the SOURCE table's SQL makes losslessness oracle-provable — any
     // write/read corruption breaks the hash match.
     "scan_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // scan_csv_gzip: a lossless compressed round trip hash-matches the
+    // same source profile — the codec must not alter a byte.
+    "scan_csv_gzip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json_file" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -416,6 +416,24 @@ object Sources {
       .orderBy("doc_id")
   }
 
+  /** Compressed-CSV round-trip — the `scanCsv` cycle through gzip, the
+    * codec most third-party data still arrives in. The catch a scale
+    * plan must own: gzip is NOT splittable, so one .csv.gz file = one
+    * task no matter its size (a single 100 GB gzip drops ingest to one
+    * core) — the write keeps the source's partitioning so the read-back
+    * gets one task per written shard, and a production ingest either
+    * requests many smaller gzip shards upstream or recompresses to a
+    * splittable layout (parquet/zstd-in-parquet) on first touch.
+    */
+  def scanCsvGzip(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_csvgz_")
+    val src = Tables.nation(s, sf)
+    src.write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(dir)
+    s.read.schema(src.schema).option("header", "true").csv(dir)
+      .orderBy("n_nationkey")
+  }
+
   /** Plain-text round-trip — the rawest ingest format a corpus pipeline
     * meets (one document per line, no schema, no types): write the
     * document bodies out with the text sink, read them back with the

@@ -97,6 +97,19 @@ class JoinsSourcesSpec extends SparkSpecBase {
     assert(viaUdf.exceptAll(viaBuiltins).isEmpty)
   }
 
+  test("gzip csv round-trip preserves nation exactly and writes .csv.gz shards") {
+    val back = Sources.scanCsvGzip(spark, sfSmoke)
+    val src = Tables.nation(spark, sfSmoke)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "compression must not alter a single value")
+    val dir = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .filter(p => p.getFileName.toString.startsWith("graft_csvgz_"))
+      .findFirst().get()
+    val gz = dir.toFile.listFiles.count(_.getName.endsWith(".csv.gz"))
+    assert(gz >= 1, "the sink must actually emit gzip-compressed shards")
+  }
+
   test("text round-trip profile equals the profile computed from the source table") {
     val rt = Sources.scanTextLines(spark, sfSmoke).head()
     val src = Tables.documents(spark, sfSmoke).filter(col("text").isNotNull)
