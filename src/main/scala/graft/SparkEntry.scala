@@ -316,6 +316,8 @@ object SparkEntry {
     "stats_proportion_ztest" -> Stats.statsProportionZtest _,
     "graph_modularity"   -> Graph.graphModularity _,
     "stats_effect_size"  -> Stats.statsEffectSize _,
+    "stats_roc_auc"      -> Stats.statsRocAuc _,
+    "stats_confusion_metrics" -> Stats.statsConfusionMetrics _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1423,5 +1425,21 @@ object SparkEntry {
        "p AS (SELECT *, round(sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)), 6) AS pooled_sd FROM c), " +
        "d AS (SELECT *, round((m_a - m_b) / pooled_sd, 6) AS cohens_d FROM p) " +
        "SELECT n_a, n_b, m_a, m_b, v_a, v_b, pooled_sd, cohens_d, round(cohens_d * (1.0 - 3.0 / (4.0 * (n_a + n_b - 2) - 1)), 6) AS hedges_g FROM d"),
+    // stats_roc_auc: the Mann-Whitney identity over midranks — rank
+    // sums are exact half-integer arithmetic below 2^53 on both
+    // engines, so only the final ratio rounds.
+    "stats_roc_auc" ->
+      ("WITH b AS (SELECT round(value, 4) AS sc, event_type = 'purchase' AS y FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+       "r AS (SELECT y, rank() OVER (ORDER BY sc) + (count(*) OVER (PARTITION BY sc) - 1) / 2.0 AS mr FROM b), " +
+       "c AS (SELECT CAST(count(*) FILTER (y) AS BIGINT) AS n_pos, CAST(count(*) FILTER (NOT y) AS BIGINT) AS n_neg, sum(CASE WHEN y THEN mr ELSE 0 END) AS rsum FROM r) " +
+       "SELECT n_pos, n_neg, round((rsum - n_pos * (n_pos + 1) / 2.0) / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc FROM c"),
+    // stats_confusion_metrics: four FILTERed counts into the standard
+    // accuracy/precision/recall/F1 ratios; F1 from the 6-rounded P/R so
+    // both engines divide identical doubles.
+    "stats_confusion_metrics" ->
+      ("WITH b AS (SELECT value >= 100 AS pred, event_type = 'purchase' AS y FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+       "c AS (SELECT CAST(count(*) FILTER (pred AND y) AS BIGINT) AS tp, CAST(count(*) FILTER (pred AND NOT y) AS BIGINT) AS fp, CAST(count(*) FILTER (NOT pred AND y) AS BIGINT) AS fn, CAST(count(*) FILTER (NOT pred AND NOT y) AS BIGINT) AS tn FROM b), " +
+       "m AS (SELECT tp, fp, fn, tn, round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy, round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision, round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall FROM c) " +
+       "SELECT tp, fp, fn, tn, accuracy, precision, recall, round(2.0 * precision * recall / (precision + recall), 6) AS f1 FROM m"),
   )
 }

@@ -1567,6 +1567,68 @@ object Stats {
             (lit(4.0) * (col("n_a") + col("n_b") - 2) - 1)), 6))
   }
 
+  /** ROC AUC of "event value discriminates purchases" — the rank-based
+    * evaluation metric every trained quality/relevance scorer in a data
+    * pipeline is judged by, computed through the Mann–Whitney identity
+    * AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with midranks over ties.
+    * Midranks are exact half-integers and every partial sum stays far
+    * below 2⁵³, so the rank sum is EXACT on both engines regardless of
+    * accumulation order — the one data-sized sum here carries no FP
+    * noise at all.
+    *
+    * Scale shape: ranks ride the distributed `midranks` helper
+    * (bucketed prefix, no global window — the constant group column
+    * degenerates the offset frame to bucket-count rows), joined back at
+    * (score) grain; the AUC assembles from one three-number aggregate.
+    */
+  def statsRocAuc(s: SparkSession, sf: String): DataFrame = {
+    val base = Tables.events(s, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(lit("all").as("g"), round(col("value"), 4).as("sc"),
+        (col("event_type") === "purchase").as("y"))
+    val mr = midranks(base.select(col("g"), col("sc")), "g", "sc")
+      .select(col("g"), col("value").as("sc"), col("midrank"))
+    base.join(mr, Seq("g", "sc"))
+      .agg(
+        sum(col("y").cast("long")).cast("bigint").as("n_pos"),
+        sum((!col("y")).cast("long")).cast("bigint").as("n_neg"),
+        sum(when(col("y"), col("midrank")).otherwise(0.0)).as("rsum"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("rsum") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Confusion-matrix metrics for a fixed-threshold classifier — the
+    * precision/recall/F1 readout every gate in a filtering pipeline is
+    * tuned by: predict "purchase" when the event value clears 100, and
+    * score the prediction against the actual type. Integer counts into
+    * four closed-form ratios; the threshold is a named constant a
+    * deployment sweeps.
+    *
+    * Scale shape: ONE map-side-combinable four-count aggregate —
+    * classifier evaluation at any corpus size is a single scan.
+    */
+  def statsConfusionMetrics(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select((col("value") >= 100).as("pred"),
+              (col("event_type") === "purchase").as("y"))
+      .agg(
+        sum((col("pred") && col("y")).cast("long")).cast("bigint").as("tp"),
+        sum((col("pred") && !col("y")).cast("long")).cast("bigint").as("fp"),
+        sum((!col("pred") && col("y")).cast("long")).cast("bigint").as("fn"),
+        sum((!col("pred") && !col("y")).cast("long")).cast("bigint").as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+          .as("recall"))
+      .withColumn("f1",
+        round(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")), 6))
+
   /** Inter-arrival profile — per event type, the gap in whole seconds
     * between a user's consecutive events of that type, summarized as
     * count/mean/stddev/extremes. The operational twin of

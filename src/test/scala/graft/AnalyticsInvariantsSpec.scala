@@ -765,6 +765,37 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
       "the Hedges correction always shrinks |d|")
   }
 
+  test("roc auc: in [0,1], equals the pairwise concordance probability") {
+    val r = Stats.statsRocAuc(spark, sfOracle).head()
+    val (np, nn, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(np > 0 && nn > 0)
+    assert(auc >= 0.0 && auc <= 1.0, s"auc $auc out of range")
+    // ground truth on the smoke corpus: P(score+ > score-) + 0.5 ties
+    val small = Tables.events(spark, sfSmoke)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(round(col("value"), 4), (col("event_type") === "purchase"))
+      .collect().map(x => (x.getDouble(0), x.getBoolean(1)))
+    val pos = small.filter(_._2).map(_._1); val neg = small.filterNot(_._2).map(_._1)
+    val conc = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.length.toLong * neg.length)
+    val smokeAuc = Stats.statsRocAuc(spark, sfSmoke).head().getDouble(2)
+    assert(math.abs(smokeAuc - conc) < 1e-6,
+      s"rank-formula AUC $smokeAuc != pairwise concordance $conc")
+  }
+
+  test("confusion metrics: counts partition, F1 is the P/R harmonic mean") {
+    val r = Stats.statsConfusionMetrics(spark, sfOracle).head()
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val total = Tables.events(spark, sfOracle)
+      .filter(col("value").isNotNull && col("event_type").isNotNull).count()
+    assert(tp + fp + fn + tn == total, "confusion cells partition the events")
+    val (p, rec) = (r.getDouble(5), r.getDouble(6))
+    assert(math.abs(r.getDouble(4) - (tp + tn).toDouble / total) < 1e-6)
+    assert(math.abs(p - tp.toDouble / (tp + fp)) < 1e-6)
+    assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-6)
+    assert(math.abs(r.getDouble(7) - 2 * p * rec / (p + rec)) < 1e-5)
+  }
+
   test("char classes partition every document's characters") {
     val rows = TextOps.textCharClassProfile(spark, sfOracle).collect()
     assert(rows.nonEmpty)
