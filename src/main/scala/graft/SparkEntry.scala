@@ -318,6 +318,8 @@ object SparkEntry {
     "stats_effect_size"  -> Stats.statsEffectSize _,
     "stats_roc_auc"      -> Stats.statsRocAuc _,
     "stats_confusion_metrics" -> Stats.statsConfusionMetrics _,
+    "stats_ndcg"         -> Similarity.statsNdcg _,
+    "text_js_divergence" -> TextOps.textJsDivergence _,
     // §2.10 LLM-pipeline: multimodal
     "multimodal_struct"  -> Multimodal.multimodalStruct _,
     "multimodal_binary"  -> Multimodal.multimodalBinary _,
@@ -1441,5 +1443,27 @@ object SparkEntry {
        "c AS (SELECT CAST(count(*) FILTER (pred AND y) AS BIGINT) AS tp, CAST(count(*) FILTER (pred AND NOT y) AS BIGINT) AS fp, CAST(count(*) FILTER (NOT pred AND y) AS BIGINT) AS fn, CAST(count(*) FILTER (NOT pred AND NOT y) AS BIGINT) AS tn FROM b), " +
        "m AS (SELECT tp, fp, fn, tn, round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy, round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision, round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall FROM c) " +
        "SELECT tp, fp, fn, tn, accuracy, precision, recall, round(2.0 * precision * recall / (precision + recall), 6) AS f1 FROM m"),
+    // stats_ndcg: the truncate-recall rankings with full-cos gains and
+    // the log2 discount — both engines window and discount identically.
+    "stats_ndcg" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
+       "c AS (SELECT vec_id AS nid, embedding, embedding[1:16] AS p16 FROM embeddings), " +
+       "p AS (SELECT qid, nid, greatest(round(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * embedding[i])), 6), 0.0) AS gain, " +
+       "round(list_sum(list_transform(range(1, 17), i -> CAST(qv[i] AS DOUBLE) * p16[i])) / sqrt(list_sum(list_transform(range(1, 17), i -> CAST(p16[i] AS DOUBLE) * p16[i]))), 6) AS sc_trunc FROM q, c WHERE qid <> nid), " +
+       "d AS (SELECT qid, sum(gain / log2(rn + 1)) AS dcg FROM (SELECT qid, gain, row_number() OVER (PARTITION BY qid ORDER BY sc_trunc DESC, nid ASC) AS rn FROM p) t WHERE rn <= 10 GROUP BY 1), " +
+       "i AS (SELECT qid, sum(gain / log2(rn + 1)) AS idcg FROM (SELECT qid, gain, row_number() OVER (PARTITION BY qid ORDER BY gain DESC, nid ASC) AS rn FROM p) t WHERE rn <= 10 GROUP BY 1) " +
+       "SELECT d.qid AS qid, round(dcg, 6) AS dcg_at_10, round(idcg, 6) AS idcg_at_10, round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg_at_10 FROM d JOIN i ON d.qid = i.qid ORDER BY qid"),
+    // text_js_divergence: identical probability ratios and log2 terms;
+    // the uncovered-vocabulary mass folds in closed form as
+    // (1 - q_covered)/2 on both engines.
+    "text_js_divergence" ->
+      ("WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+       "bs AS (SELECT source, w, count(*) AS c FROM w0 GROUP BY 1, 2), " +
+       "st AS (SELECT source, sum(c) AS n_src FROM bs GROUP BY 1), " +
+       "cp AS (SELECT w, count(*) AS cc FROM w0 GROUP BY 1), " +
+       "ct AS (SELECT sum(cc) AS n_all FROM cp), " +
+       "j AS (SELECT source, CAST(c AS DOUBLE) / n_src AS p, CAST(cc AS DOUBLE) / n_all AS q FROM bs JOIN st USING (source) JOIN cp USING (w), ct), " +
+       "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab, sum(p * log2(p / ((p + q) / 2)) / 2 + q * log2(q / ((p + q) / 2)) / 2) AS jsd_core, sum(q) AS q_covered FROM j GROUP BY 1) " +
+       "SELECT source, n_vocab, round(jsd_core + (1.0 - q_covered) / 2, 4) AS jsd_bits FROM g ORDER BY source"),
   )
 }

@@ -701,6 +701,55 @@ object Similarity {
     * (slice + the same windows), so this ANN-adjacent key IS
     * oracle-paired, unlike the index-build families.
     */
+  /** NDCG@10 of the truncated-prefix ranking — the graded-relevance
+    * companion to `embedTruncateRecall`'s set overlap: rank candidates
+    * by the cheap 16-dim prefix score, but credit each position with
+    * the FULL-precision cosine as its gain (clamped at 0), discounted
+    * by 1/log₂(i+1), and normalize by the ideal ordering's DCG. Overlap
+    * says "did the cheap index find the same five"; NDCG says "how much
+    * of the achievable relevance did its ORDER capture" — the metric
+    * retrieval evaluations actually report.
+    *
+    * Scale shape: the same two broadcast-query brute-force scans as the
+    * recall key, two row_number windows partitioned per query, and a
+    * 10-term discounted sum per query — everything past the scans is
+    * |Q|-bounded.
+    */
+  def statsNdcg(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = qs.crossJoin(
+        e.select(col("vec_id").as("nid"), col("embedding"),
+          expr("slice(embedding, 1, 16)").as("p16")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        greatest(round(dot(s)("qv", "embedding"), 6), lit(0.0)).as("gain"),
+        round(expr("graft_dot(slice(qv, 1, 16), p16)") /
+          sqrt(dot(s)("p16", "p16")), 6).as("sc_trunc"))
+    val wTrunc = Window.partitionBy(col("qid"))
+      .orderBy(col("sc_trunc").desc, col("nid").asc)
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(col("gain").desc, col("nid").asc)
+    val dcg = pairs.withColumn("rn", row_number().over(wTrunc))
+      .filter(col("rn") <= 10)
+      .groupBy(col("qid"))
+      .agg(sum(col("gain") / log2(col("rn") + 1)).as("dcg"))
+    val idcg = pairs.withColumn("rn", row_number().over(wIdeal))
+      .filter(col("rn") <= 10)
+      .groupBy(col("qid"))
+      .agg(sum(col("gain") / log2(col("rn") + 1)).as("idcg"))
+    dcg.join(idcg, Seq("qid"))
+      .select(col("qid"), round(col("dcg"), 6).as("dcg_at_10"),
+        round(col("idcg"), 6).as("idcg_at_10"),
+        // all-zero gains (degenerate corpora) have no achievable
+        // relevance — NDCG is undefined there, and ANSI mode would
+        // trap the 0/0 instead of emitting NaN
+        round(when(col("idcg") > 0, col("dcg") / col("idcg")), 6)
+          .as("ndcg_at_10"))
+      .orderBy("qid")
+  }
+
   def embedTruncateRecall(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf)
     val qs = e.filter(col("vec_id") < 20)

@@ -543,6 +543,56 @@ object TextOps {
              "x -> concat(x.dim, ':', x.cnt))"), ",").as("features"))
       .orderBy("doc_id")
 
+  /** Jensen–Shannon divergence of each source's word distribution from
+    * the corpus-wide distribution — the drift/mixture metric data-
+    * curation reports lean on (which sources are linguistic outliers,
+    * how far a new crawl sits from the training mix): JSD(P‖M) with
+    * M = ½(P+Q) over the shared vocabulary, in bits (log₂), bounded
+    * [0, 1]. The per-word terms use the natural x·log₂(x/m) convention
+    * with zero-count terms contributing 0 — both engines evaluate the
+    * identical expression over identical integer-ratio probabilities.
+    *
+    * Scale shape: two word-count HashAggregates (per-source and
+    * corpus-wide, both map-side combinable), one shuffle join on the
+    * word, and a per-source sum — the tf-idf cost profile. The final
+    * sum is data-sized (vocabulary grain) so it rounds at 4, the
+    * corpus-sized-sum convention.
+    */
+  def textJsDivergence(s: SparkSession, sf: String): DataFrame = {
+    val words0 = Tables.documents(s, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(words()).as("w"))
+    val bySrc = words0.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val corpus = words0.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val corpusTot = broadcast(corpus.agg(sum(col("cc")).as("n_all")))
+    // join at (source, word) grain: p = source prob, q = corpus prob;
+    // the corpus side always covers the source side, so inner join
+    // loses nothing
+    bySrc
+      .join(broadcast(srcTot), Seq("source"))
+      .join(corpus, Seq("w"))
+      .crossJoin(corpusTot)
+      .select(col("source"),
+        (col("c").cast("double") / col("n_src")).as("p"),
+        (col("cc").cast("double") / col("n_all")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_vocab"),
+        // q-only words (in corpus, absent from source) contribute to
+        // the Q half; their mass is (1 - coverage) handled below
+        sum(col("p") * log2(col("p") / col("m")) / 2 +
+            col("q") * log2(col("q") / col("m")) / 2).as("jsd_core"),
+        sum(col("q")).as("q_covered"))
+      // words the source never uses: p=0 there, so the P half adds 0
+      // and the Q half adds Σ q·log₂(q/(q/2))/2 = (1−q_covered)/2 bits
+      .select(col("source"), col("n_vocab"),
+        round(col("jsd_core") + (lit(1.0) - col("q_covered")) / 2, 4)
+          .as("jsd_bits"))
+      .orderBy("source")
+  }
+
   /** BPE TRAINING step 1 — the top-20 adjacent character pairs by
     * corpus frequency, i.e. the first merge candidates a byte-pair
     * tokenizer trainer would rank (the existing BPE keys APPLY a fixed

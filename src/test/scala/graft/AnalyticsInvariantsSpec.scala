@@ -796,6 +796,31 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(7) - 2 * p * rec / (p + rec)) < 1e-5)
   }
 
+  test("ndcg: bounded by the ideal ordering, within [0,1]") {
+    val rows = graft.operators.Similarity.statsNdcg(spark, sfOracle).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (dcg, idcg) = (r.getDouble(1), r.getDouble(2))
+      assert(dcg >= -1e-9 && idcg > 0)
+      assert(dcg <= idcg + 1e-6, "no ordering beats the ideal ordering")
+      val n = r.getDouble(3)
+      assert(n >= 0.0 && n <= 1.0 + 1e-9, s"ndcg $n out of range")
+      assert(math.abs(n - dcg / idcg) < 1e-3, "ndcg = dcg/idcg")
+    }
+  }
+
+  test("js divergence: within [0,1] bits, zero iff identical distribution") {
+    val rows = TextOps.textJsDivergence(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= -1e-9 && j <= 1.0 + 1e-9, s"${r.getString(0)}: jsd $j out of range")
+      assert(r.getLong(1) >= 1)
+      // a real source is a strict subset of the corpus mix, never equal
+      assert(j > 0, s"${r.getString(0)}: a proper sub-corpus cannot have JSD 0")
+    }
+  }
+
   test("char classes partition every document's characters") {
     val rows = TextOps.textCharClassProfile(spark, sfOracle).collect()
     assert(rows.nonEmpty)
