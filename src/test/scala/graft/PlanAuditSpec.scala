@@ -327,4 +327,36 @@ class PlanAuditSpec extends SparkSpecBase {
            !read.contains("doc_id"),
       s"histogram needs only text; scan must prune the rest: $read")
   }
+
+  test("pq: codebook and ADC table broadcast; ranking windows partition per query") {
+    val plan = graft.operators.Similarity.simAnnPq(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"the 128-row codebook and |Q|x128 ADC table must broadcast:\n$plan")
+    val unpartitioned = plan.linesIterator
+      .filter(l => l.contains("Window [") && "\\], \\[".r.findAllIn(l).length <= 1)
+      .toSeq
+    assert(unpartitioned.isEmpty,
+      s"pq rank windows must partition by query:\n${unpartitioned.mkString("\n")}")
+  }
+
+  test("roc auc: midrank windows stay bucket-partitioned (no global rank)") {
+    // the constant AUC group lets Catalyst drop the group key from the
+    // offsets window's partition spec — the surviving unpartitioned
+    // window may only ride the BUCKET SUMMARY (its lines reference the
+    // per-bucket count sums sc, never the row-grain cnt), the same
+    // bounded single-partition point the ks/mann-whitney pin allows
+    val plan = graft.operators.Stats.statsRocAuc(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    // Catalyst folds the constant group key out of the partition specs
+    // entirely, so the per-value window must still partition by bucket
+    assert(plan.contains("windowspecdefinition(bkt"),
+      s"the per-value midrank window must partition by bucket:\n$plan")
+    val unpartitioned = plan.linesIterator
+      .filter(l => l.contains("Window [") && "\\], \\[".r.findAllIn(l).length <= 1)
+      .toSeq
+    assert(unpartitioned.forall(l => l.contains("sc") && !l.contains("cnt")),
+      s"an unpartitioned window touches the distinct-value frame:\n" +
+        unpartitioned.mkString("\n"))
+  }
 }
