@@ -137,6 +137,7 @@ object SparkEntry {
     "agg_freq_sketch"   -> Profiling.aggFreqSketch _,
     "dedup_semantic"    -> Similarity.dedupSemantic _,
     "join_fuzzy_editdist" -> AdvancedJoins.joinFuzzyEditdist _,
+    "join_anti_null_aware" -> AdvancedJoins.joinAntiNullAware _,
     // §2.8 scalar function families
     "fn_string"         -> Families.fnString _,
     "fn_date"           -> Families.fnDate _,
@@ -233,6 +234,8 @@ object SparkEntry {
     "behavior_rfm"       -> Stats.behaviorRfm _,
     "basket_affinity"    -> Stats.basketAffinity _,
     "stats_chi_square"   -> Stats.statsChiSquare _,
+    "stats_cramers_v"    -> Stats.statsCramersV _,
+    "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
     "stats_autocorr"     -> Stats.statsAutocorr _,
@@ -327,6 +330,7 @@ object SparkEntry {
     "multimodal_resize_png" -> Multimodal.multimodalResizePng _,
     "multimodal_decode_wav" -> Multimodal.multimodalDecodeWav _,
     "multimodal_framesample_png" -> Multimodal.multimodalFramesamplePng _,
+    "multimodal_phash"  -> Multimodal.multimodalPhash _,
     "multimodal_decode"  -> Multimodal.multimodalDecode _,
     "multimodal_resize"  -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
@@ -622,6 +626,16 @@ object SparkEntry {
     // same result as a direct levenshtein theta-join over the small vocab.
     "join_fuzzy_editdist" ->
       "WITH d AS (SELECT doc_id, string_split(text, ' ')[1] AS w0 FROM documents), d2 AS (SELECT doc_id, substr(w0, 1, CAST(doc_id % length(w0) AS INT)) || substr(w0, CAST(doc_id % length(w0) AS INT) + 2) AS dirty FROM d WHERE length(w0) >= 1), v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS clean FROM documents), v2 AS (SELECT clean FROM v WHERE length(clean) >= 1) SELECT doc_id, dirty, clean, CAST(levenshtein(dirty, clean) AS BIGINT) AS dist FROM d2 JOIN v2 ON levenshtein(dirty, clean) <= 1 ORDER BY doc_id, clean",
+    // join_anti_null_aware: NOT IN three-valued logic — DuckDB evaluates
+    // the identical planted-NULL NOT IN sets; the null-build count MUST
+    // be 0 on both engines.
+    "join_anti_null_aware" ->
+      ("SELECT " +
+       "(SELECT count(*) FROM customer) AS n_customers, " +
+       "(SELECT count(*) FROM customer WHERE nullif(c_nationkey, 3) NOT IN " +
+       "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0)) AS kept_clean_build, " +
+       "(SELECT count(*) FROM customer WHERE nullif(c_nationkey, 3) NOT IN " +
+       "(SELECT nullif(n_nationkey, 0) FROM nation WHERE n_regionkey = 0)) AS kept_null_build"),
     "quality_constraints" ->
       "WITH s AS (SELECT count(*) - count(o_custkey) AS v_notnull, count(*) - count(DISTINCT o_orderkey) AS v_unique, coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 END), 0) AS v_range, coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END), 0) AS v_accepted FROM orders), f AS (SELECT count(*) AS v_fk FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)), r AS (SELECT 'o_custkey_not_null' AS rule, CAST(v_notnull AS BIGINT) AS violations FROM s UNION ALL SELECT 'o_orderkey_unique', CAST(v_unique AS BIGINT) FROM s UNION ALL SELECT 'o_totalprice_positive', CAST(v_range AS BIGINT) FROM s UNION ALL SELECT 'o_orderstatus_accepted', CAST(v_accepted AS BIGINT) FROM s UNION ALL SELECT 'l_orderkey_fk_orders', CAST(v_fk AS BIGINT) FROM f) SELECT rule, violations, violations = 0 AS pass FROM r ORDER BY rule",
     "profile_heavy_hitters" ->
@@ -712,6 +726,27 @@ object SparkEntry {
     // contingency matrix on both engines.
     "stats_chi_square" ->
       "WITH c AS (SELECT source, lang, count(*) AS obs FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), t AS (SELECT source, lang, obs, CAST(sum(obs) OVER (PARTITION BY source) AS DOUBLE) * sum(obs) OVER (PARTITION BY lang) / sum(obs) OVER () AS exp FROM c) SELECT source, lang, CAST(obs AS BIGINT) AS obs, round(exp, 4) AS expected, round(pow(obs - exp, 2) / exp, 6) AS chi2_contrib FROM t ORDER BY source, lang",
+    // stats_cramers_v: same contingency cells as chi_square; the V /
+    // corrected-V / T reductions are scalar math over one row.
+    "stats_cramers_v" ->
+      ("WITH c AS (SELECT source, lang, count(*) AS obs FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), " +
+       "t AS (SELECT obs, CAST(sum(obs) OVER (PARTITION BY source) AS DOUBLE) * sum(obs) OVER (PARTITION BY lang) / sum(obs) OVER () AS exp FROM c), " +
+       "s AS (SELECT CAST(sum(obs) AS BIGINT) AS n, CAST(count(DISTINCT source) AS BIGINT) AS r_levels, CAST(count(DISTINCT lang) AS BIGINT) AS c_levels FROM c), " +
+       "x AS (SELECT sum(pow(obs - exp, 2) / exp) AS chi2 FROM t) " +
+       "SELECT n, r_levels, c_levels, round(chi2, 6) AS chi2, " +
+       "round(sqrt(chi2 / n / (least(r_levels, c_levels) - 1.0)), 6) AS cramers_v, " +
+       "round(sqrt(greatest(0.0, chi2 / n - (r_levels - 1.0) * (c_levels - 1.0) / (n - 1.0)) / " +
+       "(least(r_levels - pow(r_levels - 1.0, 2) / (n - 1.0), c_levels - pow(c_levels - 1.0, 2) / (n - 1.0)) - 1.0)), 6) AS cramers_v_corrected, " +
+       "round(sqrt(chi2 / n / sqrt((r_levels - 1.0) * (c_levels - 1.0))), 6) AS tschuprow_t " +
+       "FROM s, x"),
+    // stats_mutual_info: entropies as per-cell weighted sums (row/col
+    // marginals distribute over cells), MI = Hs + Hl − Hsl.
+    "stats_mutual_info" ->
+      ("WITH c AS (SELECT source, lang, CAST(count(*) AS DOUBLE) AS obs FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), " +
+       "t AS (SELECT obs, CAST(sum(obs) OVER (PARTITION BY source) AS DOUBLE) AS rx, CAST(sum(obs) OVER (PARTITION BY lang) AS DOUBLE) AS cy, CAST(sum(obs) OVER () AS DOUBLE) AS n FROM c), " +
+       "e AS (SELECT CAST(max(n) AS BIGINT) AS n, -sum(obs / n * ln(rx / n)) AS hs, -sum(obs / n * ln(cy / n)) AS hl, -sum(obs / n * ln(obs / n)) AS hj FROM t) " +
+       "SELECT n, round(hs, 6) AS h_source, round(hl, 6) AS h_lang, round(hj, 6) AS h_joint, " +
+       "round(hs + hl - hj, 6) AS mi_nats, round((hs + hl - hj) / sqrt(hs * hl), 6) AS nmi FROM e"),
     // stats_ks_test: per-distinct-value arm counts first (intra-tie
     // running order is engine-arbitrary), then running ECDFs and the sup.
     "stats_ks_test" ->
@@ -919,6 +954,24 @@ object SparkEntry {
     // pixel sum is exact and the mean is one double division.
     "multimodal_framesample_png" ->
       "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), fs AS (SELECT unnest([0, 2, 4]) AS f), xs AS (SELECT unnest(range(0, 8)) AS x), ys AS (SELECT unnest(range(0, 8)) AS y), px AS (SELECT doc_id, (doc_id * 31 + 7 * x + 13 * y + 17 * f) % 256 AS p FROM g, fs, xs, ys) SELECT doc_id, CAST(6 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_sampled, CAST(sum(p) AS BIGINT) AS px_sum, round(CAST(sum(p) AS DOUBLE) / 192, 6) AS px_mean FROM px GROUP BY doc_id ORDER BY doc_id",
+    // multimodal_phash: the oracle re-derives every aHash from the
+    // planted pixel formula (PNG is lossless, so a codec that dropped
+    // a pixel would shift some hash) and brute-forces the ≤3-bit pair
+    // space the Spark side finds via exact 16-bit band blocking.
+    "multimodal_phash" ->
+      ("WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), " +
+       "xs AS (SELECT unnest(range(0, 8)) AS x), ys AS (SELECT unnest(range(0, 8)) AS y), " +
+       "px AS (SELECT doc_id, y * 8 + x AS i, (doc_id * 31 + 7 * x + 13 * y) % 256 AS p FROM g, xs, ys), " +
+       "m AS (SELECT doc_id, CAST(sum(p) AS DOUBLE) / 64 AS mean FROM px GROUP BY 1), " +
+       "h AS (SELECT px.doc_id, " +
+       "CAST(coalesce(sum(CASE WHEN i >= 32 AND p > mean THEN 1::BIGINT << CAST(i - 32 AS INT) END), 0) AS BIGINT) AS phash_hi, " +
+       "CAST(coalesce(sum(CASE WHEN i < 32 AND p > mean THEN 1::BIGINT << CAST(i AS INT) END), 0) AS BIGINT) AS phash_lo " +
+       "FROM px JOIN m USING (doc_id) GROUP BY 1), " +
+       "pr AS (SELECT a.doc_id AS da, b.doc_id AS db FROM h a JOIN h b ON a.doc_id < b.doc_id " +
+       "AND bit_count(xor(a.phash_hi, b.phash_hi)) + bit_count(xor(a.phash_lo, b.phash_lo)) <= 3), " +
+       "c AS (SELECT doc_id, count(*) AS n FROM (SELECT da AS doc_id FROM pr UNION ALL SELECT db FROM pr) GROUP BY 1) " +
+       "SELECT h.doc_id, phash_hi, phash_lo, CAST(coalesce(n, 0) AS BIGINT) AS n_near " +
+       "FROM h LEFT JOIN c USING (doc_id) ORDER BY doc_id"),
     // set_ops_all: multiset INTERSECT ALL / EXCEPT ALL between two
     // deterministic overlapping extracts, tagged and unioned.
     "set_ops_all" ->

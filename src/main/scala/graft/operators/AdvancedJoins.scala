@@ -259,4 +259,42 @@ object AdvancedJoins {
               levenshtein(col("dirty"), col("clean")).cast("bigint").as("dist"))
       .orderBy("doc_id", "clean")
   }
+
+  /** Null-aware anti join — SQL `NOT IN (subquery)` three-valued-logic
+    * semantics, which `join_anti` (left_anti = NOT EXISTS) deliberately
+    * does NOT have: a NULL probe key is dropped (NULL NOT IN S is
+    * unknown, never true), and ONE NULL in the build set vetoes every
+    * probe row (x NOT IN (S ∪ {NULL}) can never evaluate true). The
+    * corpus has no natural NULL keys, so both are planted
+    * deterministically: probe key = nullif(c_nationkey, 3); the second
+    * build set nulls out region 0's nation 0. The one-row report makes
+    * all three semantic surfaces hash-visible: the probe total, the
+    * clean-build NOT IN count (nulless anti join), and the null-build
+    * count, which MUST be exactly 0.
+    *
+    * Scale shape: Spark plans NOT IN as a null-aware anti join —
+    * BroadcastHashJoin(LeftAnti, NAAJ) when the build side fits a
+    * broadcast, which a NOT IN set (a distinct key list, here ≤25
+    * nations) virtually always does. The probe side streams — no
+    * shuffle at any corpus size. A BroadcastNestedLoop fallback only
+    * appears for multi-column NOT IN, which this key avoids on purpose;
+    * PlanAuditSpec pins the single-column NAAJ shape.
+    */
+  def joinAntiNullAware(s: SparkSession, sf: String): DataFrame = {
+    Tables.customer(s, sf).createOrReplaceTempView("v_naaj_customer")
+    Tables.nation(s, sf).createOrReplaceTempView("v_naaj_nation")
+    s.sql("""
+      SELECT
+        (SELECT count(*) FROM v_naaj_customer) AS n_customers,
+        (SELECT count(*) FROM v_naaj_customer
+          WHERE nullif(c_nationkey, 3) NOT IN
+            (SELECT n_nationkey FROM v_naaj_nation WHERE n_regionkey = 0))
+          AS kept_clean_build,
+        (SELECT count(*) FROM v_naaj_customer
+          WHERE nullif(c_nationkey, 3) NOT IN
+            (SELECT nullif(n_nationkey, 0) FROM v_naaj_nation
+              WHERE n_regionkey = 0))
+          AS kept_null_build
+    """)
+  }
 }

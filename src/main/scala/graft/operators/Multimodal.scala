@@ -508,4 +508,91 @@ object Multimodal {
               round(col("px_mean"), 6).as("px_mean"))
       .orderBy("doc_id")
   }
+
+  /** Perceptual-hash image dedup — the image twin of `dedup_simhash`:
+    * a 64-bit average hash (bit i set iff pixel i is brighter than the
+    * image mean) over the REAL PNG round trip, near-dup pairs found by
+    * 16-bit band blocking, never an all-pairs scan. The hash is split
+    * into two 32-bit halves (`phash_hi`/`phash_lo`) so neither engine
+    * touches the sign bit of an int64.
+    *
+    * Oracle-provable despite the real codec: the planted pixels are
+    * (id·31+7x+13y) mod 256 and PNG is lossless, so DuckDB re-derives
+    * every hash from the formula and brute-forces the ≤3-bit pair
+    * space — if ImageIO dropped or rounded one pixel, some hash (and
+    * the pair counts) would diverge. Banding is EXACT here, not
+    * approximate: ≤3 differing bits can touch at most 3 of the 4
+    * bands, so a clean band always survives (pigeonhole) — the Spark
+    * side provably finds the same pairs the oracle's n² scan does.
+    *
+    * Scale shape: codec work fans out over the id-only repartition
+    * (see decode_png); candidates come from a band equi-join (the LSH
+    * band shape — shuffle ∝ docs·4, pair space ∝ band-bucket
+    * occupancy), the exact hamming filter prunes to true pairs, and
+    * the per-doc counts are one HashAggregate + a broadcast-size
+    * left join back to the hash frame.
+    */
+  def multimodalPhash(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, sf)
+      .select(col("doc_id")).na.drop()
+      // decouple codec parallelism from input splits (see decode_png)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          for (y <- 0 until 8; x <- 0 until 8)
+            raster.setSample(x, y, 0, ((id * 31 + 7 * x + 13 * y) % 256).toInt)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val decoded = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val r = decoded.getRaster
+          val px = Array.ofDim[Int](64)
+          var sum = 0L
+          for (y <- 0 until 8; x <- 0 until 8) {
+            px(y * 8 + x) = r.getSample(x, y, 0); sum += px(y * 8 + x)
+          }
+          val mean = sum.toDouble / 64
+          var hi = 0L; var lo = 0L
+          for (i <- 0 until 32) {
+            if (px(i) > mean) lo |= 1L << i
+            if (px(i + 32) > mean) hi |= 1L << i
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "phash_hi", "phash_lo")
+    // 4×16-bit bands straight off the halves — the blocking key
+    val bands = hashes.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        posexplode(array(
+          col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.phash_hi").as("ha"), col("a.phash_lo").as("la"),
+        col("b.phash_hi").as("hb"), col("b.phash_lo").as("lb"))
+      .distinct() // a pair can match in several bands
+      .filter(expr("bit_count(ha ^ hb) + bit_count(la ^ lb) <= 3"))
+    val nearCounts = pairs
+      .select(col("da").as("doc_id")).unionAll(pairs.select(col("db")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    hashes
+      .join(nearCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        coalesce(col("n_near"), lit(0L)).cast("bigint").as("n_near"))
+      .orderBy("doc_id")
+  }
 }

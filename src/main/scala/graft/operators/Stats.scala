@@ -1658,4 +1658,92 @@ object Stats {
            max(col("gap_s")).cast("bigint").as("max_gap_s"))
       .orderBy("event_type")
   }
+
+  /** Cramér's V (plus the Bergsma bias-corrected variant and Tschuprow's
+    * T) for the source×lang association on documents — the effect-size
+    * companion to `statsChiSquare`: χ² says "dependent or not", V says
+    * "how strongly", on a 0..1 scale comparable across tables. V =
+    * √(φ²/(min(r,c)−1)) with φ² = χ²/n; the corrected form subtracts
+    * the (r−1)(c−1)/(n−1) chance inflation (Bergsma 2013) so small
+    * tables don't over-report association.
+    *
+    * Scale shape: identical to chi-square — ONE partial+final
+    * HashAggregate over the documents scan builds the ≤|src|·|lang|
+    * contingency cells; expected counts are windows over that tiny
+    * frame and everything after is a one-row reduction. The only
+    * data-sized cost is the first aggregate.
+    */
+  def statsCramersV(s: SparkSession, sf: String): DataFrame = {
+    val wRow = Window.partitionBy(col("source"))
+    val wCol = Window.partitionBy(col("lang"))
+    val wAll = Window.partitionBy()
+    Tables.documents(s, sf)
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+      .withColumn("exp",
+        sum(col("obs")).over(wRow) * sum(col("obs")).over(wCol) /
+          sum(col("obs")).over(wAll))
+      .agg(sum(col("obs")).cast("bigint").as("n"),
+           countDistinct(col("source")).cast("bigint").as("r_levels"),
+           countDistinct(col("lang")).cast("bigint").as("c_levels"),
+           sum(pow(col("obs") - col("exp"), 2) / col("exp")).as("chi2"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") / col("n") /
+          (least(col("r_levels"), col("c_levels")) - lit(1.0))), 6)
+          .as("cramers_v"),
+        // Bergsma correction: φ²c = max(0, φ² − (r−1)(c−1)/(n−1)),
+        // rc = r − (r−1)²/(n−1), cc = c − (c−1)²/(n−1)
+        round(sqrt(
+          greatest(lit(0.0), col("chi2") / col("n") -
+            (col("r_levels") - lit(1.0)) * (col("c_levels") - lit(1.0)) /
+              (col("n") - lit(1.0))) /
+          (least(
+            col("r_levels") - pow(col("r_levels") - lit(1.0), 2) / (col("n") - lit(1.0)),
+            col("c_levels") - pow(col("c_levels") - lit(1.0), 2) / (col("n") - lit(1.0)))
+            - lit(1.0))), 6).as("cramers_v_corrected"),
+        round(sqrt(col("chi2") / col("n") /
+          sqrt((col("r_levels") - lit(1.0)) * (col("c_levels") - lit(1.0)))), 6)
+          .as("tschuprow_t"))
+  }
+
+  /** Mutual information between document source and language — how many
+    * nats knowing the source tells you about the language (the
+    * information-theoretic view of the same source×lang table χ² and
+    * Cramér's V score). Computed as H(src)+H(lang)−H(src,lang) with
+    * every entropy expressed as a PER-CELL weighted sum (Σ_y obs = row
+    * total, so −Σ_xy (obs/n)·ln(rx/n) ≡ H(src)) — one pass over the
+    * contingency cells, no separate marginal frames. NMI normalizes by
+    * √(H(src)·H(lang)) to the 0..1 scale clustering papers use.
+    *
+    * Scale shape: the chi-square shape again — one data-sized
+    * HashAggregate to cells, windows over the tiny cell frame for the
+    * marginals, a one-row reduction for the entropies. Nothing else
+    * touches the scan.
+    */
+  def statsMutualInfo(s: SparkSession, sf: String): DataFrame = {
+    val wRow = Window.partitionBy(col("source"))
+    val wCol = Window.partitionBy(col("lang"))
+    val wAll = Window.partitionBy()
+    Tables.documents(s, sf)
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+      .select(col("obs").cast("double").as("obs"),
+        sum(col("obs")).over(wRow).cast("double").as("rx"),
+        sum(col("obs")).over(wCol).cast("double").as("cy"),
+        sum(col("obs")).over(wAll).cast("double").as("n"))
+      .agg(max(col("n")).cast("bigint").as("n"),
+           (-sum(col("obs") / col("n") * log(col("rx") / col("n")))).as("hs"),
+           (-sum(col("obs") / col("n") * log(col("cy") / col("n")))).as("hl"),
+           (-sum(col("obs") / col("n") * log(col("obs") / col("n")))).as("hj"))
+      .select(col("n"),
+        round(col("hs"), 6).as("h_source"),
+        round(col("hl"), 6).as("h_lang"),
+        round(col("hj"), 6).as("h_joint"),
+        round(col("hs") + col("hl") - col("hj"), 6).as("mi_nats"),
+        round((col("hs") + col("hl") - col("hj")) /
+          sqrt(col("hs") * col("hl")), 6).as("nmi"))
+  }
 }

@@ -833,4 +833,33 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(7) - sym.toDouble / n) < 1e-6)
     }
   }
+
+  test("cramers v: agrees with chi_square contributions, effect sizes in [0,1]") {
+    val v = Stats.statsCramersV(spark, sfOracle).head()
+    val chi2FromKey = Stats.statsChiSquare(spark, sfOracle)
+      .agg(sum("chi2_contrib")).head().getDouble(0)
+    // same contingency table → same χ² (contributions rounded at 6, so
+    // the sum can drift by #cells·5e-7 at most)
+    assert(math.abs(v.getDouble(3) - chi2FromKey) < 1e-3,
+      s"cramers_v chi2 ${v.getDouble(3)} != chi_square key sum $chi2FromKey")
+    val (cv, cvc, tt) = (v.getDouble(4), v.getDouble(5), v.getDouble(6))
+    for (x <- Seq(cv, cvc, tt))
+      assert(x >= 0 && x <= 1 + 1e-9, s"effect size $x out of [0,1]")
+    // correction only shrinks; T ≤ V always (√(min−1) ≤ ⁴√((r−1)(c−1)))
+    assert(cvc <= cv + 1e-9)
+    assert(tt <= cv + 1e-9)
+  }
+
+  test("mutual info: H identities and 0 ≤ MI ≤ min(Hs, Hl)") {
+    val r = Stats.statsMutualInfo(spark, sfOracle).head()
+    val (hs, hl, hj, mi, nmi) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(hs > 0 && hl > 0, "marginals are non-degenerate on this corpus")
+    assert(hj <= hs + hl + 1e-9, "subadditivity H(X,Y) ≤ H(X)+H(Y)")
+    assert(hj >= math.max(hs, hl) - 1e-9, "joint entropy dominates marginals")
+    assert(mi >= -1e-9 && mi <= math.min(hs, hl) + 1e-9,
+      s"MI $mi outside [0, min($hs, $hl)]")
+    assert(nmi >= -1e-9 && nmi <= 1 + 1e-9)
+    assert(math.abs(mi - (hs + hl - hj)) < 2e-6, "MI must equal Hs+Hl−Hj")
+  }
 }

@@ -559,4 +559,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
         s"top-k hit $id (cos=$cos) missing or rescored in the radius set")
     }
   }
+
+  test("phash: codec-integrity hashes, band blocking equals brute force") {
+    val rows = Multimodal.multimodalPhash(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    // codec integrity: the decoded hash must equal the formula hash
+    rows.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val px = Array.tabulate(64)(i => ((id * 31 + 7 * (i % 8) + 13 * (i / 8)) % 256).toInt)
+      val mean = px.map(_.toLong).sum.toDouble / 64
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 32) {
+        if (px(i) > mean) lo |= 1L << i
+        if (px(i + 32) > mean) hi |= 1L << i
+      }
+      assert(r.getLong(1) == hi && r.getLong(2) == lo,
+        s"doc $id: decoded hash (${r.getLong(1)},${r.getLong(2)}) != formula ($hi,$lo)")
+    }
+    // the banded join must find EXACTLY the brute-force ≤3-bit pairs
+    // (pigeonhole guarantees recall at t=3 with 4 bands)
+    val hashes = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (i <- hashes.indices; j <- (i + 1) until hashes.length) {
+      val d = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) +
+        java.lang.Long.bitCount(hashes(i)._3 ^ hashes(j)._3)
+      if (d <= 3) { expect(hashes(i)._1) += 1; expect(hashes(j)._1) += 1 }
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) == expect(r.getLong(0)),
+        s"doc ${r.getLong(0)}: n_near ${r.getLong(3)} != brute ${expect(r.getLong(0))}")
+    }
+  }
 }

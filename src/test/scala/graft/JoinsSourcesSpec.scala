@@ -134,4 +134,22 @@ class JoinsSourcesSpec extends SparkSpecBase {
     assert(viaStruct.exceptAll(plain).isEmpty,
       "withField/dropFields surgery must collapse to the flat projection")
   }
+
+  test("null-aware anti join: NOT IN three-valued logic holds exactly") {
+    val r = graft.operators.AdvancedJoins.joinAntiNullAware(spark, sfSmoke).head()
+    val cust = Tables.customer(spark, sfSmoke)
+    val region0 = Tables.nation(spark, sfSmoke)
+      .filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(r.getLong(0) == cust.count())
+    // clean build: survivors are non-null planted keys outside the set
+    val expectClean = cust
+      .filter(col("c_nationkey") =!= 3)
+      .select(col("c_nationkey").cast("long"))
+      .collect().count(row => !region0.contains(row.getLong(0)))
+    assert(r.getLong(1) == expectClean,
+      s"clean-build NOT IN kept ${r.getLong(1)}, manual count $expectClean")
+    // one NULL in the build set vetoes every probe row
+    assert(r.getLong(2) == 0L, "NOT IN over a set containing NULL must be empty")
+  }
 }

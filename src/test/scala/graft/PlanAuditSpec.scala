@@ -359,4 +359,18 @@ class PlanAuditSpec extends SparkSpecBase {
       s"an unpartitioned window touches the distinct-value frame:\n" +
         unpartitioned.mkString("\n"))
   }
+
+  test("null-aware anti join plans as broadcast NAAJ, never nested-loop") {
+    // NOT IN compiles to LeftAnti + NAAJ only for single-column keys with
+    // a broadcastable build; a BroadcastNestedLoopJoin here would be the
+    // quadratic fallback that dies at scale.
+    val plan = graft.operators.AdvancedJoins.joinAntiNullAware(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as a bare
+    // trailing `true` after the build side
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN must plan as a null-aware broadcast anti join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN must not fall back to nested-loop:\n$plan")
+  }
 }
