@@ -316,6 +316,9 @@ object SparkEntry {
     "sim_mmr_diversify"  -> Similarity.simMmrDiversify _,
     "sim_ann_pq"         -> Similarity.simAnnPq _,
     "embed_truncate_recall" -> Similarity.embedTruncateRecall _,
+    // oracle-N by design: the top-4 basis comes from an iterative
+    // eigensolve (spec asserts the projection identity instead)
+    "embed_pca_project" -> Similarity.embedPcaProject _,
     "stats_proportion_ztest" -> Stats.statsProportionZtest _,
     "graph_modularity"   -> Graph.graphModularity _,
     "stats_effect_size"  -> Stats.statsEffectSize _,

@@ -782,4 +782,122 @@ object Similarity {
         round(col("n_overlap").cast("double") / 5, 6))
       .orderBy("qid")
   }
+
+  /** Distributed PCA over the 64-dim embeddings — the dimensionality-
+    * reduction step an embedding pipeline runs before quantization or
+    * indexing. One `treeAggregate` accumulates (n, Σv, upper-tri Σvvᵀ)
+    * per partition — 2 145 doubles of state regardless of row count,
+    * the textbook moments-then-solve decomposition — the 64×64
+    * covariance eigenproblem is solved ON THE DRIVER (power iteration
+    * + deflation, deterministic all-ones start; ~8 KB of state), and
+    * the top-4 basis is broadcast back for a single projection pass.
+    *
+    * Honest-convergence note: near-isotropic embeddings have tiny
+    * eigengaps, so the iteration may stop at an orthonormal basis that
+    * only approximates the true top-4 invariant subspace. Every
+    * reported number stays EXACT for the basis actually used —
+    * `lam_i` is the Rayleigh quotient wᵢᵀCwᵢ, and the projection
+    * identity avg_recon = trace(C) − Σ lam holds algebraically for any
+    * orthonormal W (the spec asserts it to 1e-6) — so no output
+    * overclaims convergence.
+    *
+    * Scale shape: two data passes (moments, projection), no shuffle in
+    * either; driver state is O(d²), independent of n. The projection
+    * emits only (label, err), so the final label aggregate is a tiny
+    * HashAggregate. This is how a 100 TB corpus does PCA: moments are
+    * map-side combinable, the solve is constant-size.
+    */
+  def embedPcaProject(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val d = 64; val k = 4; val tri = d * (d + 1) / 2
+    val vecs = Tables.embeddings(s, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+    val (n, sv, m2) = vecs.select(col("embedding")).as[Array[Float]].rdd
+      .treeAggregate((0L, new Array[Double](d), new Array[Double](tri)))(
+        seqOp = { case ((cnt, sum, m), v) =>
+          var i = 0; var t = 0
+          while (i < d) {
+            val vi = v(i).toDouble
+            sum(i) += vi
+            var j = i
+            while (j < d) { m(t) += vi * v(j).toDouble; t += 1; j += 1 }
+            i += 1
+          }
+          (cnt + 1, sum, m)
+        },
+        combOp = { case ((c1, s1, m1), (c2, s2, m2a)) =>
+          var i = 0
+          while (i < d) { s1(i) += s2(i); i += 1 }
+          var t = 0
+          while (t < tri) { m1(t) += m2a(t); t += 1 }
+          (c1 + c2, s1, m1)
+        })
+    require(n > 1, s"PCA needs at least 2 vectors, got $n")
+    // covariance from the moments: C = Σvvᵀ/n − μμᵀ
+    val mu = sv.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    for (i <- 0 until d; j <- i until d) {
+      val c = m2(t) / n - mu(i) * mu(j)
+      cov(i)(j) = c; cov(j)(i) = c; t += 1
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    // top-k basis: power iteration with Gram-Schmidt deflation against
+    // already-found directions; deterministic all-ones start
+    val basis = Array.ofDim[Double](k, d)
+    val lam = new Array[Double](k)
+    for (p <- 0 until k) {
+      var w = Array.fill(d)(1.0 / math.sqrt(d))
+      for (_ <- 0 until 300) {
+        // project out found directions, multiply, renormalize
+        for (q <- 0 until p) {
+          val proj = (0 until d).map(i => w(i) * basis(q)(i)).sum
+          for (i <- 0 until d) w(i) -= proj * basis(q)(i)
+        }
+        val cw = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * w(j)).sum)
+        val nrm = math.sqrt(cw.map(x => x * x).sum)
+        w = if (nrm > 1e-300) cw.map(_ / nrm) else w
+      }
+      for (q <- 0 until p) { // final re-orthogonalization
+        val proj = (0 until d).map(i => w(i) * basis(q)(i)).sum
+        for (i <- 0 until d) w(i) -= proj * basis(q)(i)
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      basis(p) = w.map(_ / nrm)
+      lam(p) = (0 until d).map(i =>
+        (0 until d).map(j => basis(p)(i) * cov(i)(j) * basis(p)(j)).sum).sum
+    }
+    val bMu = s.sparkContext.broadcast(mu)
+    val bW = s.sparkContext.broadcast(basis)
+    // projection pass: orthonormal W ⇒ recon err = ‖c‖² − ‖Wc‖²
+    val errs = vecs.select(col("label").cast("int"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .mapPartitions { it =>
+        val m = bMu.value; val w = bW.value
+        it.map { case (label, v) =>
+          var c2 = 0.0
+          val c = new Array[Double](d)
+          var i = 0
+          while (i < d) { c(i) = v(i).toDouble - m(i); c2 += c(i) * c(i); i += 1 }
+          var z2 = 0.0
+          var p = 0
+          while (p < k) {
+            var z = 0.0; var j = 0
+            while (j < d) { z += w(p)(j) * c(j); j += 1 }
+            z2 += z * z; p += 1
+          }
+          (label, c2 - z2)
+        }
+      }
+      .toDF("label", "err")
+    errs.groupBy(col("label"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+           round(avg(col("err")), 6).as("avg_recon_err"))
+      .withColumn("total_var", round(lit(trace), 6))
+      .withColumn("lam1", round(lit(lam(0)), 6))
+      .withColumn("lam2", round(lit(lam(1)), 6))
+      .withColumn("lam3", round(lit(lam(2)), 6))
+      .withColumn("lam4", round(lit(lam(3)), 6))
+      .orderBy("label")
+  }
 }

@@ -590,4 +590,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
         s"doc ${r.getLong(0)}: n_near ${r.getLong(3)} != brute ${expect(r.getLong(0))}")
     }
   }
+
+  test("pca: projection identity, captured variance ordered and bounded") {
+    val rows = Similarity.embedPcaProject(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    val (trace, lams) = (rows.head.getDouble(3),
+      (4 to 7).map(rows.head.getDouble))
+    // Rayleigh quotients of an orthonormal basis: positive, (weakly)
+    // descending from the deflated iteration, capped by the total variance
+    lams.foreach(l => assert(l > 0, s"non-positive captured variance $l"))
+    lams.sliding(2).foreach(p =>
+      assert(p(0) >= p(1) - 1e-6, s"captured variances out of order: $lams"))
+    assert(lams.sum <= trace + 1e-6)
+    // avg_recon = trace − Σ lam holds ALGEBRAICALLY for any orthonormal
+    // basis — this catches a broken projection pass even if the
+    // eigensolve stopped early
+    val n = rows.map(_.getLong(1)).sum
+    val pooled = rows.map(r => r.getLong(1) * r.getDouble(2)).sum / n
+    assert(math.abs(pooled - (trace - lams.sum)) < 1e-4,
+      s"projection identity violated: pooled $pooled vs ${trace - lams.sum}")
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-9, "negative recon error"))
+  }
 }
