@@ -296,6 +296,7 @@ object SparkEntry {
     "timeseries_rolling_median" -> Stats.timeseriesRollingMedian _,
     "stats_cohens_kappa" -> Stats.statsCohensKappa _,
     "pipeline_length_histogram" -> Pipeline.lengthHistogram _,
+    "privacy_k_anonymity" -> Pipeline.privacyKAnonymity _,
     "stats_levene"       -> Stats.statsLevene _,
     "stats_wilcoxon_signed_rank" -> Stats.statsWilcoxonSignedRank _,
     "graph_adamic_adar"  -> Graph.graphAdamicAdar _,
@@ -1298,6 +1299,19 @@ object SparkEntry {
        "t2 AS (SELECT n_tokens, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket FROM t WHERE n_tokens >= 1), " +
        "h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t2 GROUP BY 1) " +
        "SELECT bucket, CAST(1 << CAST(bucket AS INT) AS BIGINT) AS min_len, n_docs, total_tokens, round(CAST(sum(total_tokens) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / sum(total_tokens) OVER (), 6) AS cum_token_frac FROM h ORDER BY bucket"),
+    // privacy_k_anonymity: identical QI grouping (type, value hundred-
+    // band, hour) and the same k=5 / l=3 thresholds; the report is one
+    // aggregate over the tiny group frame on both engines.
+    "privacy_k_anonymity" ->
+      ("WITH g AS (SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS value_band, hour(ts) AS hh, " +
+       "count(*) AS n_rows, count(DISTINCT user_id) AS n_sensitive " +
+       "FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2, 3) " +
+       "SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_groups, " +
+       "CAST(min(n_rows) AS BIGINT) AS min_group_size, " +
+       "CAST(sum(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT) AS k_violating_groups, " +
+       "CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_to_suppress, " +
+       "CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT) AS l_violating_groups, " +
+       "round(CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS DOUBLE) / sum(n_rows), 6) AS suppression_rate FROM g"),
     // stats_levene: the same two-aggregate algebra over 4-rounded group
     // means; the F assembles from the tiny group summary like the
     // anova oracle.

@@ -584,4 +584,42 @@ object Pipeline {
           sum(col("total_tokens")).over(wAll), 6).as("cum_token_frac"))
       .orderBy("bucket")
   }
+
+  /** k-anonymity / l-diversity audit — the privacy gate a dataset runs
+    * before release: with quasi-identifiers (event_type, value
+    * hundred-band, hour-of-day), a row is re-identifiable when its QI
+    * group holds fewer than k=5 rows, and a group leaks its sensitive
+    * attribute (user_id) when it shows fewer than l=3 distinct values.
+    * Emits the one-row release report: group counts, violating groups
+    * under each criterion, rows needing suppression, and the
+    * suppression rate — the numbers that decide publish vs generalize.
+    *
+    * Scale shape: ONE partial+final HashAggregate over the events scan
+    * builds the QI-group frame (count + distinct-sensitive per group —
+    * the distinct rides a two-level aggregate, both map-side
+    * combinable); the report is a second aggregate over the group
+    * frame, which is ≤ |types|·bands·24 rows. Nothing else touches the
+    * scan, and no QI group ever materializes row lists.
+    */
+  def privacyKAnonymity(s: SparkSession, sf: String): DataFrame = {
+    val groups = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .groupBy(col("event_type"), floor(col("value") / 100).as("value_band"),
+        hour(col("ts")).as("hh"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("user_id")).as("n_sensitive"))
+    groups.agg(
+      sum(col("n_rows")).cast("bigint").as("n_rows"),
+      count(lit(1)).cast("bigint").as("n_groups"),
+      min(col("n_rows")).cast("bigint").as("min_group_size"),
+      sum(when(col("n_rows") < 5, lit(1)).otherwise(lit(0)))
+        .cast("bigint").as("k_violating_groups"),
+      sum(when(col("n_rows") < 5, col("n_rows")).otherwise(lit(0)))
+        .cast("bigint").as("rows_to_suppress"),
+      sum(when(col("n_sensitive") < 3, lit(1)).otherwise(lit(0)))
+        .cast("bigint").as("l_violating_groups"))
+      .withColumn("suppression_rate",
+        round(col("rows_to_suppress").cast("double") / col("n_rows"), 6))
+  }
 }

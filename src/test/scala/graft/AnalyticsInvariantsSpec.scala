@@ -862,4 +862,24 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(nmi >= -1e-9 && nmi <= 1 + 1e-9)
     assert(math.abs(mi - (hs + hl - hj)) < 2e-6, "MI must equal Hs+Hl−Hj")
   }
+
+  test("k-anonymity: report recomputes from the QI group frame") {
+    val r = Pipeline.privacyKAnonymity(spark, sfOracle).head()
+    val groups = Tables.events(spark, sfOracle)
+      .filter(col("user_id").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .groupBy(col("event_type"), floor(col("value") / 100), hour(col("ts")))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("s"))
+      .collect()
+    assert(r.getLong(0) == groups.map(_.getLong(3)).sum, "rows partition")
+    assert(r.getLong(1) == groups.length, "group count")
+    assert(r.getLong(2) == groups.map(_.getLong(3)).min, "min group size")
+    assert(r.getLong(3) == groups.count(_.getLong(3) < 5), "k violations")
+    assert(r.getLong(4) == groups.filter(_.getLong(3) < 5).map(_.getLong(3)).sum)
+    assert(r.getLong(5) == groups.count(_.getLong(4) < 3), "l violations")
+    assert(math.abs(r.getDouble(6) - r.getLong(4).toDouble / r.getLong(0)) < 1e-6)
+    // the chosen QI grid must actually stress the gate on this corpus
+    assert(r.getLong(3) > 0 && r.getLong(3) < r.getLong(1),
+      "k-gate should neither pass everything nor suppress everything")
+  }
 }
