@@ -138,6 +138,7 @@ object SparkEntry {
     "dedup_semantic"    -> Similarity.dedupSemantic _,
     "join_fuzzy_editdist" -> AdvancedJoins.joinFuzzyEditdist _,
     "join_anti_null_aware" -> AdvancedJoins.joinAntiNullAware _,
+    "join_asof_native"  -> AdvancedJoins.joinAsofNative _,
     // §2.8 scalar function families
     "fn_string"         -> Families.fnString _,
     "fn_date"           -> Families.fnDate _,
@@ -630,6 +631,19 @@ object SparkEntry {
     // same result as a direct levenshtein theta-join over the small vocab.
     "join_fuzzy_editdist" ->
       "WITH d AS (SELECT doc_id, string_split(text, ' ')[1] AS w0 FROM documents), d2 AS (SELECT doc_id, substr(w0, 1, CAST(doc_id % length(w0) AS INT)) || substr(w0, CAST(doc_id % length(w0) AS INT) + 2) AS dirty FROM d WHERE length(w0) >= 1), v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS clean FROM documents), v2 AS (SELECT clean FROM v WHERE length(clean) >= 1) SELECT doc_id, dirty, clean, CAST(levenshtein(dirty, clean) AS BIGINT) AS dist FROM d2 JOIN v2 ON levenshtein(dirty, clean) <= 1 ORDER BY doc_id, clean",
+    // join_asof_native: the oracle states the custom exec's exact
+    // semantics — per purchase, the max-(ts, event_id) view at or
+    // before the instant, left-outer multiplicity — via a deterministic
+    // row_number pick (no engine-arbitrary ASOF tie order).
+    "join_asof_native" ->
+      ("SELECT user_id, purchase_id, purchase_ts, last_view_id, last_view_ts FROM (" +
+       "SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, " +
+       "v.event_id AS last_view_id, v.ts AS last_view_ts, " +
+       "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn " +
+       "FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL) p " +
+       "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view' AND user_id IS NOT NULL) v " +
+       "ON p.user_id = v.user_id AND v.ts <= p.ts) t WHERE rn = 1 " +
+       "ORDER BY user_id, purchase_ts, purchase_id"),
     // join_anti_null_aware: NOT IN three-valued logic — DuckDB evaluates
     // the identical planted-NULL NOT IN sets; the null-build count MUST
     // be 0 on both engines.

@@ -113,5 +113,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                         UnicodeNorm.builderNfc))
     ext.injectFunction((UnicodeNorm.identUnaccent, UnicodeNorm.infoUnaccent,
                         UnicodeNorm.builderUnaccent))
+    // the native as-of join's full stack: marker condition function,
+    // Join→AsOfJoinPlan optimizer rewrite, AsOfJoinPlan→AsOfJoinExec
+    // strategy (plans/AsOfJoin.scala)
+    ext.injectFunction((graft.plans.AsOfJoin.ident, graft.plans.AsOfJoin.info,
+                        graft.plans.AsOfJoin.builder))
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

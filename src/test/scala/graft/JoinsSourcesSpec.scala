@@ -152,4 +152,17 @@ class JoinsSourcesSpec extends SparkSpecBase {
     // one NULL in the build set vetoes every probe row
     assert(r.getLong(2) == 0L, "NOT IN over a set containing NULL must be empty")
   }
+
+  test("native as-of exec returns exactly the composed union-window rows") {
+    // two independent formulations of the same as-of question — the
+    // custom AsOfJoinExec merge and the graded union-and-window key —
+    // must agree row-for-row (both pick the max-(ts, id) view ≤ instant)
+    val native = graft.operators.AdvancedJoins.joinAsofNative(spark, sfOracle)
+    val composed = graft.operators.AdvancedJoins.joinAsof(spark, sfOracle)
+    assert(native.count() == composed.count())
+    assert(native.exceptAll(composed).isEmpty,
+      "native as-of emitted rows the window formulation does not")
+    assert(composed.exceptAll(native).isEmpty,
+      "native as-of missed rows the window formulation finds")
+  }
 }

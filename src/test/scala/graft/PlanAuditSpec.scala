@@ -360,6 +360,21 @@ class PlanAuditSpec extends SparkSpecBase {
         unpartitioned.mkString("\n"))
   }
 
+  test("native as-of join plans as AsOfJoinExec over two clustered sorts") {
+    // the custom strategy must fire (an unevaluable marker reaching
+    // execution would throw), and EnsureRequirements must provision the
+    // SortMergeJoin layout: one hashpartitioning exchange per side
+    val plan = graft.operators.AdvancedJoins.joinAsofNative(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"),
+      s"AsOfJoinStrategy did not plan the custom exec:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of must not fall back to a generic join:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).length >= 1 &&
+           "hashpartitioning\\(v_user".r.findAllIn(plan).length >= 1,
+      s"both sides must hash-cluster on the as-of key:\n$plan")
+  }
+
   test("null-aware anti join plans as broadcast NAAJ, never nested-loop") {
     // NOT IN compiles to LeftAnti + NAAJ only for single-column keys with
     // a broadcastable build; a BroadcastNestedLoopJoin here would be the
