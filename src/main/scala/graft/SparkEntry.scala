@@ -236,6 +236,7 @@ object SparkEntry {
     "basket_affinity"    -> Stats.basketAffinity _,
     "stats_chi_square"   -> Stats.statsChiSquare _,
     "stats_cramers_v"    -> Stats.statsCramersV _,
+    "stats_xi_correlation" -> Stats.statsXiCorrelation _,
     "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
@@ -336,6 +337,7 @@ object SparkEntry {
     "multimodal_decode_wav" -> Multimodal.multimodalDecodeWav _,
     "multimodal_framesample_png" -> Multimodal.multimodalFramesamplePng _,
     "multimodal_phash"  -> Multimodal.multimodalPhash _,
+    "multimodal_wav_resample" -> Multimodal.multimodalWavResample _,
     "multimodal_decode"  -> Multimodal.multimodalDecode _,
     "multimodal_resize"  -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
@@ -757,6 +759,18 @@ object SparkEntry {
        "(least(r_levels - pow(r_levels - 1.0, 2) / (n - 1.0), c_levels - pow(c_levels - 1.0, 2) / (n - 1.0)) - 1.0)), 6) AS cramers_v_corrected, " +
        "round(sqrt(chi2 / n / sqrt((r_levels - 1.0) * (c_levels - 1.0))), 6) AS tschuprow_t " +
        "FROM s, x"),
+    // stats_xi_correlation: identical tie-robust rank algebra — RANGE
+    // frames give #{≤}/#{≥} counts, day-order lead the rank jumps;
+    // integer-exact until the single final division.
+    "stats_xi_correlation" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS y FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "rk AS (SELECT event_type, d, count(*) OVER (PARTITION BY event_type ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r, " +
+       "count(*) OVER (PARTITION BY event_type ORDER BY y DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l, " +
+       "count(*) OVER (PARTITION BY event_type) AS n FROM daily), " +
+       "dd AS (SELECT event_type, n, l, abs(lead(r) OVER (PARTITION BY event_type ORDER BY d) - r) AS dr FROM rk) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
+       "round(1.0 - count(*) * CAST(sum(dr) AS DOUBLE) / (2.0 * sum(l * (n - l))), 6) AS xi " +
+       "FROM dd GROUP BY event_type ORDER BY event_type"),
     // stats_mutual_info: entropies as per-cell weighted sums (row/col
     // marginals distribute over cells), MI = Hs + Hl − Hsl.
     "stats_mutual_info" ->
@@ -972,6 +986,16 @@ object SparkEntry {
     // pixel sum is exact and the mean is one double division.
     "multimodal_framesample_png" ->
       "WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), fs AS (SELECT unnest([0, 2, 4]) AS f), xs AS (SELECT unnest(range(0, 8)) AS x), ys AS (SELECT unnest(range(0, 8)) AS y), px AS (SELECT doc_id, (doc_id * 31 + 7 * x + 13 * y + 17 * f) % 256 AS p FROM g, fs, xs, ys) SELECT doc_id, CAST(6 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_sampled, CAST(sum(p) AS BIGINT) AS px_sum, round(CAST(sum(p) AS DOUBLE) / 192, 6) AS px_mean FROM px GROUP BY doc_id ORDER BY doc_id",
+    // multimodal_wav_resample: 2:1 pair-average over the REAL decoded
+    // stream; (a+b)/2 witnesses are IEEE-exact from the planted ramp,
+    // so the oracle replays them without touching a codec.
+    "multimodal_wav_resample" ->
+      ("WITH g AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL), " +
+       "idx AS (SELECT unnest(range(0, 128)) AS j), " +
+       "o AS (SELECT doc_id, j, (CAST((doc_id * 7 + 13 * (2 * j)) % 2000 - 1000 AS DOUBLE) + ((doc_id * 7 + 13 * (2 * j + 1)) % 2000 - 1000)) / 2.0 AS v FROM g, idx) " +
+       "SELECT doc_id, CAST(128 AS BIGINT) AS n_out, max(CASE WHEN j = 0 THEN v END) AS out_first, " +
+       "max(v) AS out_peak, round(sqrt(sum(v * v) / 128), 6) AS out_rms " +
+       "FROM o GROUP BY doc_id ORDER BY doc_id"),
     // multimodal_phash: the oracle re-derives every aHash from the
     // planted pixel formula (PNG is lossless, so a codec that dropped
     // a pixel would shift some hash) and brute-forces the ≤3-bit pair

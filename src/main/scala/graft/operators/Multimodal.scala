@@ -509,6 +509,80 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL sample-rate conversion — the audio-pipeline op after decode
+    * and energy scoring: the 256-sample 8 kHz planted clip goes through
+    * the REAL WAV encode→decode cycle (same provider-resolution
+    * discipline as decode_wav), then 2:1 downsample to 4 kHz by exact
+    * pair averaging. (a+b)/2.0 on 16-bit ints is IEEE-exact, so the
+    * first/peak/RMS witnesses are oracle-replayable from the planted
+    * formula — a codec that altered one sample shifts some witness.
+    *
+    * Scale shape: identical to decode_wav — id-only repartition fans
+    * codec work across cores, resample runs in the decoding task,
+    * bytes never shuffle; output is 5 scalars per clip.
+    */
+  def multimodalWavResample(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).na.drop()
+      // decouple codec parallelism from input splits (see decode_png)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .asScala.find(_.isFileTypeSupported(wave)).get
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .asScala.toList
+        var waveReader: javax.sound.sampled.spi.AudioFileReader = null
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        it.map { id =>
+          val pcm = new Array[Byte](256 * 2)
+          for (i <- 0 until 256) {
+            val v = (((id * 7 + 13L * i) % 2000) - 1000).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, 256)
+          val bos = new java.io.ByteArrayOutputStream()
+          writer.write(ais, wave, bos)
+          if (waveReader == null)
+            waveReader = readers.find { r =>
+              try { r.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bos.toByteArray)); true }
+              catch { case _: Exception => false }
+            }.get
+          val in = waveReader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val decoded = in.readAllBytes()
+          val n = decoded.length / 2
+          // 2:1 box resample on the DECODED stream: out(j) = (s(2j)+s(2j+1))/2
+          var first = 0.0; var peak = Double.MinValue; var ss = 0.0
+          var j = 0
+          while (2 * j + 1 < n) {
+            val a = ((decoded(4 * j) & 0xff) |
+              (decoded(4 * j + 1) << 8)).toShort.toDouble
+            val b = ((decoded(4 * j + 2) & 0xff) |
+              (decoded(4 * j + 3) << 8)).toShort.toDouble
+            val o = (a + b) / 2.0
+            if (j == 0) first = o
+            if (o > peak) peak = o
+            ss += o * o
+            j += 1
+          }
+          (id, j.toLong, first, peak, math.sqrt(ss / j))
+        }
+      }
+      .toDF("doc_id", "n_out", "out_first", "out_peak", "out_rms")
+      .select(col("doc_id"), col("n_out"), col("out_first"), col("out_peak"),
+              round(col("out_rms"), 6).as("out_rms"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual-hash image dedup — the image twin of `dedup_simhash`:
     * a 64-bit average hash (bit i set iff pixel i is brighter than the
     * image mean) over the REAL PNG round trip, near-dup pairs found by

@@ -1708,6 +1708,48 @@ object Stats {
           .as("tschuprow_t"))
   }
 
+  /** Chatterjee's ξ rank correlation (2021) of each event type's daily
+    * metric against time — the modern nonparametric dependence measure:
+    * unlike Pearson/Spearman it detects ANY measurable functional
+    * relationship (oscillating seasonality included), converging to 0
+    * iff independent and 1 iff Y is a function of X. Tie-robust form:
+    * with r_i = #{y_j ≤ y_i}, l_i = #{y_j ≥ y_i}, and i running in day
+    * order, ξ = 1 − n·Σ|r_{i+1}−r_i| / (2·Σ l_i(n−l_i)). Everything is
+    * integer-exact until the final division, so both engines agree to
+    * the bit before the single round.
+    *
+    * Scale shape: the data-sized work is the (type, day) aggregate; the
+    * rank machinery runs in windows PARTITIONED BY TYPE over series
+    * whose length is calendar-bounded (≤ days in the corpus window, not
+    * rows), so no global-window funnel exists at any corpus size —
+    * the same bound the EWMA/CUSUM family rides.
+    */
+  def statsXiCorrelation(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("y"))
+    val wLe = Window.partitionBy(col("event_type")).orderBy(col("y").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGe = Window.partitionBy(col("event_type")).orderBy(col("y").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+    daily
+      .select(col("event_type"), col("d"),
+        count(lit(1)).over(wLe).as("r"),
+        count(lit(1)).over(wGe).as("l"),
+        count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
+      .withColumn("dr", abs(lead(col("r"), 1).over(wDay) - col("r")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+           sum(col("dr")).as("num"),
+           sum(col("l") * (col("n") - col("l"))).as("den"))
+      .select(col("event_type"), col("n_days"),
+        round(lit(1.0) - col("n_days") * col("num").cast("double") /
+          (lit(2.0) * col("den")), 6).as("xi"))
+      .orderBy("event_type")
+  }
+
   /** Mutual information between document source and language — how many
     * nats knowing the source tells you about the language (the
     * information-theoretic view of the same source×lang table χ² and

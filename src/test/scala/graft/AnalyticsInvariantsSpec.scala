@@ -882,4 +882,29 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(r.getLong(3) > 0 && r.getLong(3) < r.getLong(1),
       "k-gate should neither pass everything nor suppress everything")
   }
+
+  test("xi correlation: bounded, equals the naive tie-robust computation") {
+    val rows = Stats.statsXiCorrelation(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // ξ ∈ [−1/2 + O(1/n), 1]; n ≥ 2 for the statistic to exist
+      assert(r.getLong(1) >= 2)
+      assert(r.getDouble(2) >= -0.5 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    // recompute one type naively from the daily frame
+    val t = rows.head.getString(0)
+    val daily = Tables.events(spark, sfOracle)
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("y"))
+      .orderBy("d").collect().map(_.getDouble(1))
+    val n = daily.length
+    val rks = daily.map(yi => daily.count(_ <= yi).toLong)
+    val ls = daily.map(yi => daily.count(_ >= yi).toLong)
+    val num = rks.sliding(2).map(p => math.abs(p(1) - p(0))).sum
+    val den = ls.map(l => l * (n - l)).sum
+    val xi = 1.0 - n * num.toDouble / (2.0 * den)
+    assert(math.abs(rows.head.getDouble(2) - xi) < 1e-6,
+      s"type $t: distributed ξ ${rows.head.getDouble(2)} != naive $xi")
+  }
 }

@@ -591,6 +591,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("wav resample: witnesses equal the planted-formula recompute") {
+    val rows = Multimodal.multimodalWavResample(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.take(25).foreach { r =>
+      val id = r.getLong(0)
+      def s(i: Int): Double = ((id * 7 + 13L * i) % 2000 - 1000).toDouble
+      val out = (0 until 128).map(j => (s(2 * j) + s(2 * j + 1)) / 2.0)
+      assert(r.getLong(1) == 128, "2:1 resample of 256 samples must emit 128")
+      assert(r.getDouble(2) == out.head, "first output sample diverged")
+      assert(r.getDouble(3) == out.max, "peak diverged")
+      val rms = math.sqrt(out.map(o => o * o).sum / 128)
+      assert(math.abs(r.getDouble(4) - rms) < 1e-6, "rms diverged")
+    }
+  }
+
   test("pca: projection identity, captured variance ordered and bounded") {
     val rows = Similarity.embedPcaProject(spark, sfOracle).collect()
     assert(rows.nonEmpty)
