@@ -348,6 +348,7 @@ object SparkEntry {
     "stream_dedup"      -> Streaming.dedupBatch _,
     "stream_stateful"   -> Streaming.statefulBatch _,
     "stream_agg_sink"   -> Streaming.streamAggSink _,
+    "stream_tws_counter" -> Streaming.streamTwsCounter _,
     "stream_foreach_batch" -> Streaming.streamForeachBatch _,
     "stream_join"       -> Streaming.streamJoinBatch _,
     "stream_late_audit" -> Streaming.lateAuditBatch _,
@@ -1063,6 +1064,10 @@ object SparkEntry {
       "SELECT user_id, event_type, event_id, ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id, event_type",
     "stream_stateful" ->
       "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY user_id ORDER BY user_id",
+    // stream_tws_counter: a REAL transformWithState availableNow run
+    // whose final per-user counters must equal the plain GROUP BY.
+    "stream_tws_counter" ->
+      "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY user_id ORDER BY user_id",
     // stream_late_audit: rows a 10-min watermark drops under the
     // deterministic arrival jitter (event_id*7919 mod 1200 seconds);
     // epoch_ns//1000 floor-truncates to the same microsecond instants

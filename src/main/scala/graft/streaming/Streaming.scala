@@ -361,6 +361,55 @@ object Streaming {
     * watermark on `ts` (bounding state to open windows) and a durable
     * file/table sink instead of memory — streamForeachBatch above IS
     * that form, graded with its own oracle. */
+  /** REAL transformWithState run, graded — the Spark 4 arbitrary-state
+    * flagship API (explicit ValueState in a StatefulProcessor over the
+    * mandatory RocksDB store) driven end to end: file-source readStream
+    * over the staged events, per-user counters in update mode to a
+    * memory sink via availableNow, then the FINAL counter per user
+    * (max_by on the monotone event count — robust to the source
+    * splitting the backlog into several micro-batches). Output equals
+    * `statefulBatch`, so the oracle is the same per-user GROUP BY.
+    *
+    * Scale note: update mode + RocksDB keeps per-key state O(1) and
+    * incremental — this exact plan runs unbounded; only the memory
+    * sink + final compaction here are graded-backfill conveniences
+    * (a production job foreachBatch-upserts the updates instead).
+    */
+  def streamTwsCounter(s: SparkSession, sf: String): DataFrame = {
+    val src = stagedEventStream(s, sf, "graft_tws_src_")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+    withStatePartitions(s, 4) {
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val counters = applyStatefulTws(s, src)
+        val ckpt = graft.Scratch.dir("graft_tws_ckpt_")
+        val q = counters.writeStream
+          .format("memory").queryName("graft_tws_sink")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sink = s.table("graft_tws_sink")
+        val out = graft.Scratch.dir("graft_tws_out_")
+        sink.write.mode("overwrite").parquet(out)
+        s.read.schema(sink.schema).parquet(out)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+               round(max_by(col("sum_value"), col("n_events")), 4)
+                 .as("sum_value"))
+          .orderBy("user_id")
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   def streamAggSink(s: SparkSession, sf: String): DataFrame = {
     val agg = stagedEventStream(s, sf, "graft_stream_src_")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
