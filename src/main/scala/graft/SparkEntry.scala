@@ -237,6 +237,11 @@ object SparkEntry {
     "stats_chi_square"   -> Stats.statsChiSquare _,
     "stats_cramers_v"    -> Stats.statsCramersV _,
     "stats_xi_correlation" -> Stats.statsXiCorrelation _,
+    "stats_kendall_tau"  -> Stats.statsKendallTau _,
+    // oracle-N by design: DEFLATE byte counts are implementation-defined
+    // (spec asserts determinism + repetition monotonicity)
+    "text_compression_ratio" -> TextOps.textCompressionRatio _,
+    "timeseries_stl_decompose" -> Stats.timeseriesStlDecompose _,
     "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
@@ -772,6 +777,28 @@ object SparkEntry {
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
        "round(1.0 - count(*) * CAST(sum(dr) AS DOUBLE) / (2.0 * sum(l * (n - l))), 6) AS xi " +
        "FROM dd GROUP BY event_type ORDER BY event_type"),
+    // timeseries_stl_decompose: identical centered-mean trend, dow-mean
+    // seasonal (dow encodings differ but partition identically; the key
+    // is never output), re-centered and rounded the same way.
+    "timeseries_stl_decompose" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "t AS (SELECT event_type, d, x, CASE WHEN count(*) OVER w7 = 7 THEN round(avg(x) OVER w7, 6) END AS trend FROM daily " +
+       "WINDOW w7 AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+       "u AS (SELECT event_type, d, x, trend, x - trend AS detr, dayofweek(d) AS dow FROM t), " +
+       "v AS (SELECT event_type, d, x, trend, detr, avg(detr) OVER (PARTITION BY event_type, dow) AS sraw FROM u), " +
+       "w AS (SELECT event_type, d, x, trend, detr, round(sraw - avg(sraw) OVER (PARTITION BY event_type), 6) AS seasonal FROM v) " +
+       "SELECT event_type, d, x, trend, seasonal, round(detr - seasonal, 6) AS residual FROM w ORDER BY event_type, d"),
+    // stats_kendall_tau: identical day-pair sign algebra per type;
+    // integer-exact counts into one final sqrt/division.
+    "stats_kendall_tau" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x, count(*) AS y FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "p AS (SELECT a.event_type AS event_type, sign(b.x - a.x) AS sx, sign(CAST(b.y - a.y AS DOUBLE)) AS sy FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, " +
+       "CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant, " +
+       "CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant, " +
+       "round((sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) - sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)) / " +
+       "sqrt(CAST(count(*) - sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS DOUBLE) * (count(*) - sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END))), 6) AS tau_b " +
+       "FROM p GROUP BY event_type ORDER BY event_type"),
     // stats_mutual_info: entropies as per-cell weighted sums (row/col
     // marginals distribute over cells), MI = Hs + Hl − Hsl.
     "stats_mutual_info" ->

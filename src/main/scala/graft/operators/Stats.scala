@@ -1750,6 +1750,90 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Additive seasonal-trend decomposition of each event type's daily
+    * metric (the STL shape, single-pass moving-average flavor): trend =
+    * centered 7-observation mean (null until the window is full),
+    * seasonal = day-of-week mean of the detrended series re-centered to
+    * zero across the partition, residual = what's left. The triple is
+    * what anomaly pipelines alert on (residual), capacity planning reads
+    * (trend), and scheduling reads (seasonal).
+    *
+    * Day-of-week is a grouping key only (never output), so Spark's 1-7
+    * and DuckDB's 0-6 encodings partition identically. Windows are
+    * row-centered over OBSERVED days — a gap day narrows the physical
+    * week; both engines see the same rows, so the choice is
+    * deterministic.
+    *
+    * Scale shape: the data-sized work is the (type, day) aggregate; all
+    * four windows partition by type (± dow) over calendar-bounded
+    * series — the EWMA/CUSUM bound again, no global window anywhere.
+    */
+  def timeseriesStlDecompose(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+      .rowsBetween(-3, 3)
+    val wDow = Window.partitionBy(col("event_type"), col("dow"))
+    val wAll = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("trend",
+        when(count(lit(1)).over(w7) === 7, round(avg(col("x")).over(w7), 6)))
+      .withColumn("detr", col("x") - col("trend"))
+      .withColumn("dow", dayofweek(col("d")))
+      .withColumn("sraw", avg(col("detr")).over(wDow))
+      .withColumn("seasonal",
+        round(col("sraw") - avg(col("sraw")).over(wAll), 6))
+      .select(col("event_type"), col("d"), col("x"), col("trend"),
+        col("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("residual"))
+      .orderBy("event_type", "d")
+  }
+
+  /** Kendall's τ-b between each event type's daily metric total and its
+    * daily event count — the third classic rank correlation (Pearson
+    * rides `regr_*`/`corr`, Spearman and Chatterjee's ξ have their own
+    * keys), with BOTH tie corrections (τ-b), since counts tie often:
+    * over day pairs i<j, τ_b = (n_c − n_d) / √((n0 − t_x)(n0 − t_y)).
+    * Integer-exact counts into one final sqrt/division.
+    *
+    * Scale shape: the pair space is a self-join BLOCKED PER TYPE over
+    * the (type, day) frame — calendar-bounded (Σ days², independent of
+    * row count), the Mann-Kendall/Theil-Sen discipline: daily grains
+    * make quadratic-in-days affordable at any corpus size. The
+    * data-sized work is one aggregate; nothing else touches the scan.
+    */
+  def statsKendallTau(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"),
+           count(lit(1)).as("y"))
+    val a = daily.select(col("event_type"), col("d").as("d1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"),
+      col("x").as("x2"), col("y").as("y2"))
+    a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        signum(col("x2") - col("x1")).as("sx"),
+        signum(col("y2") - col("y1")).cast("double").as("sy"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n0"),
+           sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("nc"),
+           sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L)).as("nd"),
+           sum(when(col("sx") === 0, 1L).otherwise(0L)).as("tx"),
+           sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ty"))
+      .select(col("event_type"),
+        col("n0").cast("bigint").as("n_pairs"),
+        col("nc").cast("bigint").as("concordant"),
+        col("nd").cast("bigint").as("discordant"),
+        round((col("nc") - col("nd")).cast("double") /
+          sqrt((col("n0") - col("tx")).cast("double") *
+               (col("n0") - col("ty"))), 6).as("tau_b"))
+      .orderBy("event_type")
+  }
+
   /** Mutual information between document source and language — how many
     * nats knowing the source tells you about the language (the
     * information-theoretic view of the same source×lang table χ² and

@@ -907,4 +907,80 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(math.abs(rows.head.getDouble(2) - xi) < 1e-6,
       s"type $t: distributed ξ ${rows.head.getDouble(2)} != naive $xi")
   }
+
+  test("kendall tau-b: pair accounting closes, |tau| bounded by 1") {
+    val rows = Stats.statsKendallTau(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n0, nc, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nc + nd <= n0, "concordant+discordant cannot exceed the pairs")
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, s"tau_b out of [-1,1]")
+      // n0 must be exactly C(days, 2) for this type
+      val days = Tables.events(spark, sfOracle)
+        .filter(col("event_type") === r.getString(0))
+        .select(to_date(col("ts"))).distinct().count()
+      assert(n0 == days * (days - 1) / 2, "pair space must be C(days,2)")
+    }
+  }
+
+  test("compression ratio: executor bytes equal local deflate, bounds hold") {
+    val rows = TextOps.textCompressionRatio(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+    // word-soup docs from a small vocabulary must compress on average
+    assert(rows.map(_.getDouble(3)).sum / rows.length < 1.0)
+    // pin the executor path against a local recompute, and repetition
+    // monotonicity: doc ⧺ doc (×8) compresses strictly better
+    val texts = Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull).select("doc_id", "text")
+      .orderBy("doc_id").limit(20).collect()
+    def deflate(sIn: String): Long = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(sIn.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    texts.foreach { t =>
+      val (id, txt) = (t.getLong(0), t.getString(1))
+      val row = byId(id)
+      assert(row.getLong(2) == deflate(txt),
+        s"doc $id: executor deflate ${row.getLong(2)} != local ${deflate(txt)}")
+      val rep = txt * 8
+      assert(deflate(rep).toDouble / rep.getBytes("UTF-8").length <
+        row.getDouble(3) + 1e-9,
+        s"doc $id: 8x repetition must compress better")
+    }
+  }
+
+  test("stl: components reassemble to x, trend null exactly at edges") {
+    val rows = Stats.timeseriesStlDecompose(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, series) =>
+      // first/last 3 observed days of each type have no full window
+      val nullTrend = series.count(_.isNullAt(3))
+      assert(nullTrend == math.min(6, series.length), s"$t: edge-null count")
+      series.filter(r => !r.isNullAt(3)).foreach { r =>
+        val (x, tr, se, res) = (r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))
+        // x = trend + seasonal + residual up to the three roundings
+        assert(math.abs(x - (tr + se + res)) < 3e-6,
+          s"$t @ ${r.getDate(1)}: components don't reassemble")
+      }
+      // seasonal must (approximately) center to zero across the series
+      // zero by construction (seasonal = sraw − row-mean(sraw)), so only
+      // the per-row rounding can move the mean
+      val seas = series.filter(!_.isNullAt(4)).map(_.getDouble(4))
+      assert(math.abs(seas.sum / seas.length) < 1e-5,
+        s"$t: seasonal must center to zero")
+    }
+  }
 }
