@@ -242,6 +242,7 @@ object SparkEntry {
     // (spec asserts determinism + repetition monotonicity)
     "text_compression_ratio" -> TextOps.textCompressionRatio _,
     "timeseries_stl_decompose" -> Stats.timeseriesStlDecompose _,
+    "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
@@ -777,6 +778,15 @@ object SparkEntry {
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
        "round(1.0 - count(*) * CAST(sum(dr) AS DOUBLE) / (2.0 * sum(l * (n - l))), 6) AS xi " +
        "FROM dd GROUP BY event_type ORDER BY event_type"),
+    // agg_heavy_hitters_sketch: the 31-word vocabulary never overflows
+    // the 256 Misra–Gries counters, so the sketch's estimates equal the
+    // exact counts — the oracle is the plain GROUP BY top-10 plus the
+    // n/256 error bound the sketch reports.
+    "agg_heavy_hitters_sketch" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents WHERE text IS NOT NULL), " +
+       "f AS (SELECT item, CAST(count(*) AS BIGINT) AS est_count FROM w WHERE length(item) > 0 GROUP BY 1), " +
+       "t AS (SELECT CAST(sum(est_count) // 256 AS BIGINT) AS max_overcount FROM f) " +
+       "SELECT item, est_count, max_overcount FROM f, t ORDER BY est_count DESC, item LIMIT 10"),
     // timeseries_stl_decompose: identical centered-mean trend, dow-mean
     // seasonal (dow encodings differ but partition identically; the key
     // is never output), re-centered and rounded the same way.

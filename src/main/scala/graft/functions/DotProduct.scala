@@ -118,6 +118,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strategy (plans/AsOfJoin.scala)
     ext.injectFunction((graft.plans.AsOfJoin.ident, graft.plans.AsOfJoin.info,
                         graft.plans.AsOfJoin.builder))
+    ext.injectFunction((MisraGriesTopK.ident, MisraGriesTopK.info,
+                        MisraGriesTopK.builder))
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -451,4 +451,31 @@ object AdvancedAggs {
            round(sum(col("w") * col("value")), 4).as("decayed_value"))
       .orderBy("event_type")
   }
+
+  /** Heavy hitters through the NATIVE TypedImperativeAggregate path
+    * (functions/MisraGriesTopK.scala) — the engine-grade sketch
+    * surface: arbitrary mutable state, binary partial buffers,
+    * map-side combine; only 256-entry summaries cross the shuffle at
+    * any corpus size. `profile_heavy_hitters` stays the exact groupBy
+    * baseline; this key grades the sketch machinery itself.
+    *
+    * Oracle-pairable despite being a sketch: the corpus vocabulary
+    * (31 words at every SF) is far below the 256 counters, so
+    * Misra–Gries never overflows and the estimates ARE the exact
+    * counts — hash-stable against the plain GROUP BY top-10. The spec
+    * separately forces overflow with m=4 and asserts the ε = n/m
+    * bounds that hold under any merge order.
+    */
+  def aggHeavyHittersSketch(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.MisraGriesTopK.register(s)
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(expr("graft_topk(word, 256, 10)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"),
+              col("e.est_count").cast("bigint").as("est_count"),
+              col("e.max_overcount").cast("bigint").as("max_overcount"))
+  }
 }

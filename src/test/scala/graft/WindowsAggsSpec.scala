@@ -108,4 +108,37 @@ class WindowsAggsSpec extends SparkSpecBase {
         s"estimate $direct too far from exact $exact")
     }
   }
+
+  test("misra-gries: exact below capacity, eps-bounded under forced overflow") {
+    graft.functions.MisraGriesTopK.register(spark)
+    val words = Tables.documents(spark, sfOracle)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val exact = words.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    // m=256 ≫ vocab: sketch must BE the exact counts
+    val big = graft.operators.AdvancedAggs
+      .aggHeavyHittersSketch(spark, sfOracle).collect()
+    assert(big.length == 10)
+    big.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: sketch must be exact below capacity")
+      assert(r.getLong(2) == n / 256)
+    }
+    // m=4 < vocab: genuine overflow path — the MG guarantees must hold
+    // under whatever partial-merge order this run produced
+    val small = words.agg(expr("graft_topk(word, 4, 4)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est_count")).collect()
+    assert(small.length <= 4)
+    small.foreach { r =>
+      val (item, est) = (r.getString(0), r.getLong(1))
+      val truth = exact(item)
+      assert(est <= truth, s"$item: overestimate $est > true $truth")
+      assert(truth <= est + n / 4 + 1,
+        s"$item: undercount beyond the eps=n/m bound")
+    }
+  }
 }
