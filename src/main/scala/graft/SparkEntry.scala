@@ -243,6 +243,7 @@ object SparkEntry {
     "text_compression_ratio" -> TextOps.textCompressionRatio _,
     "timeseries_stl_decompose" -> Stats.timeseriesStlDecompose _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
+    "graph_random_walk" -> Graph.graphRandomWalk _,
     "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
@@ -778,6 +779,24 @@ object SparkEntry {
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
        "round(1.0 - count(*) * CAST(sum(dr) AS DOUBLE) / (2.0 * sum(l * (n - l))), 6) AS xi " +
        "FROM dd GROUP BY event_type ORDER BY event_type"),
+    // graph_random_walk: the oracle replays the identical seeded-hash
+    // walks — ranked adjacency, md5-int choice mod degree, 4 unrolled
+    // hop joins.
+    "graph_random_walk" ->
+      ("WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q FROM lineitem), " +
+       "e AS (SELECT p AS src, q AS dst FROM li UNION ALL SELECT q AS src, p AS dst FROM li), " +
+       "adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn, count(*) OVER (PARTITION BY src) AS deg FROM e), " +
+       "s0 AS (SELECT DISTINCT src AS start, src AS cur FROM adj), " +
+       "h1 AS (SELECT f.start AS start, a.dst AS hop1, a.dst AS cur FROM s0 f JOIN adj a ON a.src = f.cur AND a.rn = CAST(('0x' || substring(md5(concat_ws('_', f.start, 1, f.cur)), 1, 8)) AS BIGINT) % a.deg + 1), " +
+       "h2 AS (SELECT f.start AS start, f.hop1 AS hop1, a.dst AS hop2, a.dst AS cur FROM h1 f JOIN adj a ON a.src = f.cur AND a.rn = CAST(('0x' || substring(md5(concat_ws('_', f.start, 2, f.cur)), 1, 8)) AS BIGINT) % a.deg + 1), " +
+       "h3 AS (SELECT f.start AS start, f.hop1 AS hop1, f.hop2 AS hop2, a.dst AS hop3, a.dst AS cur FROM h2 f JOIN adj a ON a.src = f.cur AND a.rn = CAST(('0x' || substring(md5(concat_ws('_', f.start, 3, f.cur)), 1, 8)) AS BIGINT) % a.deg + 1), " +
+       "h4 AS (SELECT f.start AS start, f.hop1 AS hop1, f.hop2 AS hop2, f.hop3 AS hop3, a.dst AS hop4 FROM h3 f JOIN adj a ON a.src = f.cur AND a.rn = CAST(('0x' || substring(md5(concat_ws('_', f.start, 4, f.cur)), 1, 8)) AS BIGINT) % a.deg + 1) " +
+       "SELECT CASE WHEN start % 2 = 0 THEN 'p' || CAST(start // 2 AS VARCHAR) ELSE 's' || CAST((start - 1) // 2 AS VARCHAR) END AS start_node, " +
+       "CASE WHEN hop1 % 2 = 0 THEN 'p' || CAST(hop1 // 2 AS VARCHAR) ELSE 's' || CAST((hop1 - 1) // 2 AS VARCHAR) END AS hop1, " +
+       "CASE WHEN hop2 % 2 = 0 THEN 'p' || CAST(hop2 // 2 AS VARCHAR) ELSE 's' || CAST((hop2 - 1) // 2 AS VARCHAR) END AS hop2, " +
+       "CASE WHEN hop3 % 2 = 0 THEN 'p' || CAST(hop3 // 2 AS VARCHAR) ELSE 's' || CAST((hop3 - 1) // 2 AS VARCHAR) END AS hop3, " +
+       "CASE WHEN hop4 % 2 = 0 THEN 'p' || CAST(hop4 // 2 AS VARCHAR) ELSE 's' || CAST((hop4 - 1) // 2 AS VARCHAR) END AS hop4 " +
+       "FROM h4 ORDER BY start_node"),
     // agg_heavy_hitters_sketch: the 31-word vocabulary never overflows
     // the 256 Misra–Gries counters, so the sketch's estimates equal the
     // exact counts — the oracle is the plain GROUP BY top-10 plus the

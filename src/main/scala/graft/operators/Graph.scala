@@ -517,4 +517,60 @@ object Graph {
            round(corr(col("du").cast("double"), col("dv").cast("double")), 6)
              .as("assortativity"))
   }
+
+  /** Deterministic random walks — the node2vec/DeepWalk sampling
+    * primitive a graph-embedding pipeline runs before training: from
+    * EVERY node of the part↔supplier bipartite graph, a 4-hop walk
+    * whose "random" choice at step t from node cur is the neighbor
+    * ranked pmod(md5-int(start_t_cur), deg(cur)) in the dst-sorted
+    * adjacency — a seeded hash, so both engines replay the identical
+    * walk and the key stays oracle-paired despite sampling semantics.
+    *
+    * Scale shape: each hop is ONE equi-join of the node-sized frontier
+    * against the ranked adjacency — 4 joins, shuffle ∝ |V| per hop,
+    * never edge-quadratic; walks per node and hop count are knobs, not
+    * structure. Measured alternatives, rejected: min_by(dst,
+    * md5(..._dst)) per hop avoids the adjacency window but pays an
+    * edge-fan-out hash + aggregate per hop (24.7 s at sf0.1);
+    * checkpointing the adjacency (5.2 s), frontier broadcast hints
+    * (5.7 s), shuffle-hash hints (7.4 s), and a reuse-bait repartition
+    * (63 s) all lose to letting AQE plan the plain form (4.9 s).
+    */
+  def graphRandomWalk(s: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(s, sf)
+      .select((col("l_partkey").cast("long") * 2).as("p"),
+              (col("l_suppkey").cast("long") * 2 + 1).as("q"))
+      .distinct()
+    val edges = li.select(col("p").as("src"), col("q").as("dst"))
+      .unionAll(li.select(col("q").as("src"), col("p").as("dst")))
+    val wAdj = Window.partitionBy(col("src")).orderBy(col("dst").asc)
+    val adj = edges
+      .select(col("src"), col("dst"),
+        row_number().over(wAdj).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+    def hop(frontier: DataFrame, t: Int): DataFrame = {
+      // idx = pmod(int(md5(start_t_cur)[0:8], 16), deg) + 1 — seeded,
+      // engine-replayable choice among the cur node's ranked neighbors
+      val idx = pmod(
+        conv(substring(md5(concat_ws("_",
+          col("start"), lit(t), col("cur"))), 1, 8), 16, 10).cast("long"),
+        col("deg")) + 1
+      frontier.join(adj, col("cur") === col("src"))
+        .filter(col("rn") === idx)
+        .drop("src", "rn", "deg")
+        .withColumn(s"hop$t", col("dst"))
+        .drop("cur")
+        .withColumnRenamed("dst", "cur")
+    }
+    val start = adj.select(col("src").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    val w4 = hop(hop(hop(hop(start, 1), 2), 3), 4)
+    def label(c: org.apache.spark.sql.Column) =
+      when(c % 2 === 0, concat(lit("p"), (c / 2).cast("long")))
+        .otherwise(concat(lit("s"), ((c - 1) / 2).cast("long")))
+    w4.select(label(col("start")).as("start_node"),
+      label(col("hop1")).as("hop1"), label(col("hop2")).as("hop2"),
+      label(col("hop3")).as("hop3"), label(col("hop4")).as("hop4"))
+      .orderBy("start_node")
+  }
 }

@@ -329,4 +329,29 @@ class GraphStatsSpec extends SparkSpecBase {
     val a = r.getDouble(1)
     assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"correlation $a out of range")
   }
+
+  test("random walk: one walk per node, strict bipartite alternation, real edges") {
+    val rows = Graph.graphRandomWalk(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length,
+      "exactly one walk per start node")
+    // part↔supplier bipartite ⇒ labels must alternate p/s every hop
+    rows.foreach { r =>
+      val path = (0 to 4).map(i => r.getString(i).charAt(0))
+      path.sliding(2).foreach(p =>
+        assert(p(0) != p(1), s"walk ${r.getString(0)} broke bipartiteness"))
+    }
+    // spot-check: every traversed step is a real edge of the graph
+    val li = Tables.lineitem(spark, sfSmoke)
+      .select(col("l_partkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.take(50).foreach { r =>
+      (0 until 4).foreach { i =>
+        val (a, b) = (r.getString(i), r.getString(i + 1))
+        val (pLab, sLab) = if (a.startsWith("p")) (a, b) else (b, a)
+        assert(li.contains((pLab.drop(1).toLong, sLab.drop(1).toLong)),
+          s"walk step $a → $b is not an edge")
+      }
+    }
+  }
 }
