@@ -244,6 +244,7 @@ object SparkEntry {
     "timeseries_stl_decompose" -> Stats.timeseriesStlDecompose _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
+    "fn_higher_order"   -> Families.fnHigherOrder _,
     "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
@@ -779,6 +780,18 @@ object SparkEntry {
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
        "round(1.0 - count(*) * CAST(sum(dr) AS DOUBLE) / (2.0 * sum(l * (n - l))), 6) AS xi " +
        "FROM dd GROUP BY event_type ORDER BY event_type"),
+    // fn_higher_order: DuckDB's list lambdas restate each Catalyst
+    // lambda — exists = filtered length > 0, forall = no
+    // counterexample, aggregate = reduce over a transform (same
+    // left-to-right fold).
+    "fn_higher_order" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL) " +
+       "SELECT doc_id, CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long_words, " +
+       "len(list_filter(w, x -> x = 'data')) > 0 AS has_data, " +
+       "len(list_filter(w, x -> length(x) < 2)) = 0 AS all_min2, " +
+       "CAST(list_reduce(list_prepend(0, list_transform(w, x -> length(x))), (acc, x) -> acc + x) AS BIGINT) AS total_chars, " +
+       "array_to_string(list_transform(list_slice(w, 1, 5), x -> upper(x)), ',') AS head_upper " +
+       "FROM d ORDER BY doc_id"),
     // graph_random_walk: the oracle replays the identical seeded-hash
     // walks — ranked adjacency, md5-int choice mod degree, 4 unrolled
     // hop joins.

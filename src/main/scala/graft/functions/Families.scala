@@ -403,4 +403,28 @@ object Families {
         col("o2.total_band").as("total_band"),
         col("o2.order_year").cast("bigint").as("order_year"))
       .orderBy("o_orderkey")
+
+  /** Higher-order lambda family — the Catalyst lambda functions
+    * (filter/exists/forall/aggregate/transform) that keep per-element
+    * array logic IN-PLAN instead of exploding or dropping to a UDF:
+    * codegen-adjacent, null-safe, and shuffle-free. The oracle states
+    * each through DuckDB's list lambdas (exists = filtered length > 0,
+    * forall = no counterexample, aggregate = reduce over a transform —
+    * same fold, same left-to-right order).
+    */
+  def fnHigherOrder(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(expr("filter(w, x -> length(x) > 4)"))
+          .cast("bigint").as("n_long_words"),
+        expr("exists(w, x -> x = 'data')").as("has_data"),
+        expr("forall(w, x -> length(x) >= 2)").as("all_min2"),
+        expr("aggregate(w, 0, (acc, x) -> acc + length(x))")
+          .cast("bigint").as("total_chars"),
+        array_join(expr("transform(slice(w, 1, 5), x -> upper(x))"), ",")
+          .as("head_upper"))
+      .orderBy("doc_id")
 }
