@@ -245,6 +245,7 @@ object SparkEntry {
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
+    "agg_count_min"     -> AdvancedAggs.aggCountMin _,
     "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
@@ -780,6 +781,13 @@ object SparkEntry {
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
        "round(1.0 - count(*) * CAST(sum(dr) AS DOUBLE) / (2.0 * sum(l * (n - l))), 6) AS xi " +
        "FROM dd GROUP BY event_type ORDER BY event_type"),
+    // agg_count_min: collision-free at this vocabulary (31 words vs
+    // width 2000), so the fixed-seed sketch estimates ARE the exact
+    // top-20 word counts.
+    "agg_count_min" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL), " +
+       "f AS (SELECT word, CAST(count(*) AS BIGINT) AS est_count FROM w WHERE length(word) > 0 GROUP BY 1 ORDER BY est_count DESC, word LIMIT 20) " +
+       "SELECT word, est_count FROM f ORDER BY word"),
     // fn_higher_order: DuckDB's list lambdas restate each Catalyst
     // lambda — exists = filtered length > 0, forall = no
     // counterexample, aggregate = reduce over a transform (same

@@ -466,6 +466,48 @@ object AdvancedAggs {
     * separately forces overflow with m=4 and asserts the ε = n/m
     * bounds that hold under any merge order.
     */
+  /** Count–min sketch — Spark's OTHER built-in frequency sketch
+    * (`count_min_sketch` aggregate → `util.sketch.CountMinSketch`),
+    * completing the sketch family next to HLL (distinct), Misra–Gries
+    * (top-k), and Bloom (membership): a fixed seed makes the sketch
+    * bytes deterministic, and probing the ~KB summary on the DRIVER is
+    * the intended usage (the sketch IS the driver-sized artifact; the
+    * probe set is the distributed exact top-20, a bounded collect).
+    * With 31 distinct words against a 2 000-wide sketch, the min-over-
+    * rows estimate is collision-free at every SF — verified exact, so
+    * the key is oracle-paired against the plain counts; a real
+    * natural-language corpus would make it approximate, which the
+    * CMS overcount guarantee (est ≥ true) covers.
+    *
+    * Scale shape: ONE partial+final aggregate builds the sketch
+    * (map-side mergeable, constant state); the top-20 probe list is a
+    * distributed TakeOrdered. Nothing data-sized reaches the driver.
+    */
+  def aggCountMin(s: SparkSession, sf: String): DataFrame = {
+    val words = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val skBytes = words
+      .agg(expr("count_min_sketch(word, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val probes = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(20)
+      .collect().map(_.getString(0))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      probes.map(w => org.apache.spark.sql.Row(w, cms.estimateCount(w)))
+        .toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("est_count",
+          org.apache.spark.sql.types.LongType))))
+      .orderBy("word")
+  }
+
   def aggHeavyHittersSketch(s: SparkSession, sf: String): DataFrame = {
     graft.functions.MisraGriesTopK.register(s)
     Tables.documents(s, sf)

@@ -109,6 +109,24 @@ class WindowsAggsSpec extends SparkSpecBase {
     }
   }
 
+  test("count-min: never undercounts, exact at every graded SF's vocabulary") {
+    for (sf <- Seq(sfSmoke, sfOracle, "/root/testdata/sf0.1")) {
+      val est = graft.operators.AdvancedAggs.aggCountMin(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Tables.documents(spark, sf)
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      est.foreach { case (w, e) =>
+        assert(e >= exact(w), s"$sf $w: CMS undercounted $e < ${exact(w)}")
+        assert(e == exact(w),
+          s"$sf $w: collision at this vocabulary — un-pair the oracle")
+      }
+    }
+  }
+
   test("misra-gries: exact below capacity, eps-bounded under forced overflow") {
     graft.functions.MisraGriesTopK.register(spark)
     val words = Tables.documents(spark, sfOracle)
