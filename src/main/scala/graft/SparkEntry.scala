@@ -1318,8 +1318,8 @@ object SparkEntry {
     // ranks agree exactly; the step-up min is a reverse running min.
     "stats_benjamini_hochberg" ->
       ("WITH base AS (SELECT event_type, hour(ts) AS hh, value FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
-       "cells AS (SELECT event_type, hh, count(*) AS n, round(avg(value), 4) AS cell_mean FROM base GROUP BY 1, 2), " +
-       "typ AS (SELECT event_type, round(avg(value), 4) AS mu, round(stddev_samp(value), 4) AS sigma FROM base GROUP BY 1), " +
+       "cells AS (SELECT event_type, hh, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cell_mean FROM base GROUP BY 1, 2), " +
+       "typ AS (SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu, sqrt(greatest(0.0, (CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / (count(*) - 1))) AS sigma FROM base GROUP BY 1), " +
        "zt AS (SELECT c.event_type, hh, n, (cell_mean - mu) / (sigma / sqrt(n)) AS z FROM cells c JOIN typ USING (event_type)), " +
        "pt AS (SELECT event_type, hh, n, z, least(1.0, 2.0 * (0.3989422804014327 * exp(-abs(z) * abs(z) / 2) * ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))))) AS p FROM zt), " +
        "rk AS (SELECT *, count(*) OVER () AS m, row_number() OVER (ORDER BY p ASC, event_type ASC, hh ASC) AS r FROM pt), " +
@@ -1502,13 +1502,13 @@ object SparkEntry {
     "text_char_class_profile" ->
       ("WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space FROM documents WHERE text IS NOT NULL AND length(text) > 0) " +
        "SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_chars - n_alpha - n_digit - n_space AS n_symbol, round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio, round(CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars, 6) AS symbol_ratio FROM t ORDER BY doc_id"),
-    // agg_time_decay: integer week exponents make every weight an exact
-    // power of two; only the 4-rounded sums carry accumulation-order
-    // noise (inside the 4-decimal band).
+    // agg_time_decay: clamped integer week exponents make every weight
+    // an exact ≤18-digit decimal; DECIMAL(38,20) products and sums are
+    // exact on both engines in any order — no rounding boundary exists.
     "agg_time_decay" ->
       ("WITH a AS (SELECT max(CAST(ts AS DATE)) AS d_max FROM events), " +
-       "w AS (SELECT event_type, value, pow(0.5, CAST(floor(date_diff('day', CAST(ts AS DATE), d_max) / 7) AS DOUBLE)) AS w FROM events, a WHERE event_type IS NOT NULL) " +
-       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, round(sum(w), 4) AS decayed_count, round(sum(w * value), 4) AS decayed_value FROM w GROUP BY 1 ORDER BY 1"),
+       "w AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, CAST(pow(0.5, CAST(least(floor(date_diff('day', CAST(ts AS DATE), d_max) / 7), 18) AS DOUBLE)) AS DECIMAL(38,20)) AS w FROM events, a WHERE event_type IS NOT NULL) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, CAST(round(sum(w), 4) AS DOUBLE) AS decayed_count, CAST(round(sum(w * v), 4) AS DOUBLE) AS decayed_value FROM w GROUP BY 1 ORDER BY 1"),
     // win_drawdown: per-type sequential cumsum/runmax over 4-rounded
     // day sums — deterministic on both engines; the argmax date uses an
     // explicit min-date tie-break on the 4-rounded drawdown.

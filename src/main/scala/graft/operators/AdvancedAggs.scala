@@ -437,18 +437,26 @@ object AdvancedAggs {
     Tables.events(s, sf)
       .filter(col("event_type").isNotNull)
       .crossJoin(broadcast(anchor))
-      .select(col("event_type"), col("value"),
+      .select(col("event_type"),
+        // EXACT decimal accumulation: 0.5^k (k clamped to 18 so the
+        // weight has ≤18 decimal digits) is an exact double AND an
+        // exact DECIMAL; value carries 2 decimals — so every product
+        // and the whole sum are exact DECIMAL(38,20) arithmetic,
+        // identical on both engines in ANY accumulation order. A
+        // double sum here hit a .00005 rounding boundary at sf0.001
+        // (engines' sum orders differ by ~1e-11) — decimals remove
+        // the boundary instead of narrowing it. Weights below 2^-18
+        // (≈4e-6) are economically zero anyway.
         pow(lit(0.5),
-          floor(datediff(col("d_max"), to_date(col("ts"))) / lit(7))
-            .cast("double")).as("w"))
+          least(floor(datediff(col("d_max"), to_date(col("ts"))) / lit(7)),
+            lit(18)).cast("double"))
+          .cast("decimal(38,20)").as("w"),
+        col("value").cast("decimal(18,2)").as("v"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("n_events"),
-           // 4-rounded like every corpus-sized double sum here: the
-           // addends are exact, but engines accumulate in different
-           // orders (~1e-11 relative), and 6 decimals on a 1e6-scale
-           // sum would sit inside that noise band
-           round(sum(col("w")), 4).as("decayed_count"),
-           round(sum(col("w") * col("value")), 4).as("decayed_value"))
+           round(sum(col("w")), 4).cast("double").as("decayed_count"),
+           round(sum(col("w") * col("v")), 4).cast("double")
+             .as("decayed_value"))
       .orderBy("event_type")
   }
 

@@ -1039,13 +1039,23 @@ object Stats {
   def statsBenjaminiHochberg(s: SparkSession, sf: String): DataFrame = {
     val base = Tables.events(s, sf)
       .filter(col("event_type").isNotNull && col("value").isNotNull)
+    // moments via EXACT decimal sums cast once to double: value carries
+    // 2 decimals, so sum(DECIMAL) and sum(DECIMAL²) are order-free
+    // exact on both engines; the old round(avg,4)/round(stddev,4)
+    // pre-rounding hit a 4-decimal boundary at sf0.001 (engines' sum
+    // orders differ ~1e-11) and flipped p by 4e-6
+    val v2 = col("value").cast("decimal(18,2)")
     val cells = base
       .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hh"))
       .agg(count(lit(1)).cast("bigint").as("n"),
-           round(avg(col("value")), 4).as("cell_mean"))
+           (sum(v2).cast("double") / count(lit(1))).as("cell_mean"))
     val typ = base.groupBy(col("event_type"))
-      .agg(round(avg(col("value")), 4).as("mu"),
-           round(stddev_samp(col("value")), 4).as("sigma"))
+      .agg((sum(v2).cast("double") / count(lit(1))).as("mu"),
+           sqrt(greatest(lit(0.0),
+             (sum((v2 * v2).cast("decimal(38,4)")).cast("double") -
+               sum(v2).cast("double") * sum(v2).cast("double") /
+                 count(lit(1))) / (count(lit(1)) - lit(1))))
+             .as("sigma"))
     val z = cells.join(broadcast(typ), Seq("event_type"))
       .withColumn("z",
         (col("cell_mean") - col("mu")) / (col("sigma") / sqrt(col("n"))))
