@@ -562,7 +562,9 @@ object Graph {
         .drop("cur")
         .withColumnRenamed("dst", "cur")
     }
-    val start = adj.select(col("src").as("start")).distinct()
+    // start frontier from the RAW edge list — deriving it from `adj`
+    // would compute the ranked-adjacency window a 5th time
+    val start = edges.select(col("src").as("start")).distinct()
       .withColumn("cur", col("start"))
     val w4 = hop(hop(hop(hop(start, 1), 2), 3), 4)
     def label(c: org.apache.spark.sql.Column) =
