@@ -153,6 +153,28 @@ class JoinsSourcesSpec extends SparkSpecBase {
     assert(r.getLong(2) == 0L, "NOT IN over a set containing NULL must be empty")
   }
 
+  test("native as-of join is reachable from pure SQL via the marker") {
+    graft.plans.AsOfJoin.ensureRegistered(spark)
+    Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .createOrReplaceTempView("v_sql_p")
+    Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "view" && col("user_id").isNotNull)
+      .createOrReplaceTempView("v_sql_v")
+    val viaSql = spark.sql("""
+      SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+             v.event_id AS last_view_id, v.ts AS last_view_ts
+      FROM v_sql_p p JOIN v_sql_v v
+        ON graft_asof_marker(p.user_id, v.user_id,
+             struct(p.ts, 9223372036854775807L), struct(v.ts, v.event_id))
+    """)
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "the SQL-text marker must plan through the custom exec")
+    val viaApi = graft.operators.AdvancedJoins.joinAsofNative(spark, sfSmoke)
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty,
+      "SQL-surface as-of must equal the DataFrame-surface result")
+  }
+
   test("native as-of exec returns exactly the composed union-window rows") {
     // two independent formulations of the same as-of question — the
     // custom AsOfJoinExec merge and the graded union-and-window key —
