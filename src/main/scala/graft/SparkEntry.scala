@@ -246,6 +246,8 @@ object SparkEntry {
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
     "agg_count_min"     -> AdvancedAggs.aggCountMin _,
+    "text_lang_confusion" -> TextOps.textLangConfusion _,
+    "stats_ljung_box"   -> Stats.statsLjungBox _,
     "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
@@ -583,6 +585,26 @@ object SparkEntry {
       "SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars, min(doc_id) AS first_doc FROM documents GROUP BY lang, source ORDER BY lang, source",
     "text_lang_id" ->
       "WITH s AS (SELECT doc_id, lang AS actual_lang, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['der','die','und','das','ist'])) AS BIGINT) AS s_de, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','and','of','to','in'])) AS BIGINT) AS s_en, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['el','la','de','que','los'])) AS BIGINT) AS s_es, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['le','la','et','les','des'])) AS BIGINT) AS s_fr, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['的','是','了','在','我'])) AS BIGINT) AS s_zh FROM documents) SELECT doc_id, actual_lang, CASE WHEN best = 0 THEN 'und' WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' ELSE 'zh' END AS predicted, best FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s) t ORDER BY doc_id",
+    // stats_ljung_box: Q assembled from the SAME 6-rounded lagged
+    // correlations the autocorr oracle computes — algebra over rounded
+    // inputs, bit-identical on both engines.
+    "stats_ljung_box" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), " +
+       "grid AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span), " +
+       "f AS (SELECT g.event_type, g.d, CAST(coalesce(c, 0) AS DOUBLE) AS c FROM grid g LEFT JOIN daily USING (event_type, d)), " +
+       "l AS (SELECT event_type, c, lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3 FROM f WINDOW w AS (PARTITION BY event_type ORDER BY d)), " +
+       "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(corr(c, c1), 6) AS r1, round(corr(c, c2), 6) AS r2, round(corr(c, c3), 6) AS r3 FROM l GROUP BY 1) " +
+       "SELECT event_type, n_days, round(n_days * (n_days + 2.0) * (r1 * r1 / (n_days - 1) + r2 * r2 / (n_days - 2) + r3 * r3 / (n_days - 3)), 6) AS q_lb, " +
+       "round(n_days * (n_days + 2.0) * (r1 * r1 / (n_days - 1) + r2 * r2 / (n_days - 2) + r3 * r3 / (n_days - 3)), 6) > 7.814728 AS reject_white_noise " +
+       "FROM a ORDER BY event_type"),
+    // text_lang_confusion: the lang-id CTE replayed, then one
+    // (actual, predicted) aggregate with a row-total window.
+    "text_lang_confusion" ->
+      ("WITH s AS (SELECT lang AS actual_lang, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['der','die','und','das','ist'])) AS BIGINT) AS s_de, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','and','of','to','in'])) AS BIGINT) AS s_en, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['el','la','de','que','los'])) AS BIGINT) AS s_es, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['le','la','et','les','des'])) AS BIGINT) AS s_fr, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['的','是','了','在','我'])) AS BIGINT) AS s_zh FROM documents), " +
+       "p AS (SELECT actual_lang, CASE WHEN best = 0 THEN 'und' WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' ELSE 'zh' END AS predicted FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s) t), " +
+       "m AS (SELECT actual_lang, predicted, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2) " +
+       "SELECT actual_lang, predicted, n_docs, round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY actual_lang), 6) AS share_of_actual, actual_lang = predicted AS is_correct FROM m ORDER BY actual_lang, predicted"),
     "text_quality_score" ->
       "SELECT *, round(CASE WHEN n_words < 5 THEN 0.0 ELSE (1.0 - non_alpha_ratio) * vocab_diversity END, 6) AS quality FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len, round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS non_alpha_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS vocab_diversity FROM documents) t ORDER BY doc_id",
     "text_token_count" ->

@@ -484,6 +484,52 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Ljung–Box portmanteau test at h = 3 lags over each type's
+    * gap-filled daily count series — the "is there ANY autocorrelation
+    * left" gate run after fitting/deseasonalizing, built directly on
+    * `statsAutocorr`'s lagged-corr machinery: Q = n(n+2)·Σ ρ̂ₖ²/(n−k),
+    * rejected at the χ²₍₃,0.95₎ = 7.814728 critical value.
+    *
+    * Determinism: Q is assembled from the 6-ROUNDED acf values — the
+    * algebra over already-rounded inputs is bit-identical on both
+    * engines, so no new rounding surface exists beyond what the
+    * green autocorr key already carries.
+    *
+    * Scale shape: identical to autocorr — (type, day) aggregate,
+    * calendar-bounded per-type windows, one tiny final reduction.
+    */
+  def statsLjungBox(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val filled = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+              coalesce(col("c"), lit(0L)).cast("double").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+    filled
+      .select(col("event_type"), col("c"),
+              lag(col("c"), 1).over(w).as("c1"),
+              lag(col("c"), 2).over(w).as("c2"),
+              lag(col("c"), 3).over(w).as("c3"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+           round(corr(col("c"), col("c1")), 6).as("r1"),
+           round(corr(col("c"), col("c2")), 6).as("r2"),
+           round(corr(col("c"), col("c3")), 6).as("r3"))
+      .select(col("event_type"), col("n_days"),
+        round(col("n_days") * (col("n_days") + lit(2.0)) *
+          (col("r1") * col("r1") / (col("n_days") - lit(1)) +
+           col("r2") * col("r2") / (col("n_days") - lit(2)) +
+           col("r3") * col("r3") / (col("n_days") - lit(3))), 6).as("q_lb"))
+      .withColumn("reject_white_noise", col("q_lb") > 7.814728)
+      .orderBy("event_type")
+  }
+
   /** Exponentially weighted moving average (α = 0.3, s₀ = x₀) of each
     * event type's daily purchase total — the smoothing baseline next to
     * `timeseries_resample`'s raw grid. The recursion s_t = αx_t +

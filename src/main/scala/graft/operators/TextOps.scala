@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -85,6 +86,30 @@ object TextOps {
           .otherwise("zh"))
       .select("doc_id", "actual_lang", "predicted", "best")
       .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix — the evaluation layer over
+    * `textLangId`: the corpus carries ground-truth `lang`, so the
+    * heuristic classifier can be SCORED, which is what a curation
+    * pipeline does before trusting a language gate. Emits the
+    * (actual, predicted) cell counts with per-cell recall share — the
+    * diagonal is per-language recall; off-diagonal mass shows which
+    * languages the stopword heuristic confuses (and 'und' = no signal).
+    *
+    * Scale shape: the classifier is the same pure column expressions
+    * as text_lang_id; the matrix is ONE HashAggregate at
+    * (actual, predicted) grain (≤ |langs|² cells) with a row-total
+    * window over that tiny frame. One scan, one data-sized aggregate.
+    */
+  def textLangConfusion(s: SparkSession, sf: String): DataFrame = {
+    val wRow = Window.partitionBy(col("actual_lang"))
+    textLangId(s, sf)
+      .groupBy(col("actual_lang"), col("predicted"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .withColumn("share_of_actual",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(wRow), 6))
+      .withColumn("is_correct", col("actual_lang") === col("predicted"))
+      .orderBy("actual_lang", "predicted")
   }
 
   /** Quality scoring: length, word stats, non-alpha ratio, vocabulary

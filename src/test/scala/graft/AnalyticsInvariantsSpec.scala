@@ -960,6 +960,37 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("lang confusion: cells partition the corpus, shares close per row") {
+    val cells = TextOps.textLangConfusion(spark, sfOracle).collect()
+    val nDocs = Tables.documents(spark, sfOracle).count()
+    assert(cells.map(_.getLong(2)).sum == nDocs, "cells must partition docs")
+    cells.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$lang: shares sum to $s, not 1")
+    }
+    // diagonal agrees with the doc-grain lang-id key
+    val correct = TextOps.textLangId(spark, sfOracle)
+      .filter(col("actual_lang") === col("predicted")).count()
+    assert(cells.filter(_.getBoolean(4)).map(_.getLong(2)).sum == correct)
+  }
+
+  test("ljung-box: Q recomputes from the autocorr key's rounded acfs") {
+    val lb = Stats.statsLjungBox(spark, sfOracle).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Stats.statsAutocorr(spark, sfOracle).collect().foreach { a =>
+      val (t, n) = (a.getString(0), a.getLong(1))
+      val (r1, r2, r3) = (a.getDouble(2), a.getDouble(3), a.getDouble(4))
+      val q = n * (n + 2.0) *
+        (r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3))
+      val row = lb(t)
+      assert(row.getLong(1) == n)
+      assert(math.abs(row.getDouble(2) - q) < 1e-5,
+        s"$t: Q ${row.getDouble(2)} != recomputed $q")
+      assert(row.getBoolean(3) == (row.getDouble(2) > 7.814728))
+      assert(row.getDouble(2) >= 0)
+    }
+  }
+
   test("stl: components reassemble to x, trend null exactly at edges") {
     val rows = Stats.timeseriesStlDecompose(spark, sfOracle).collect()
     assert(rows.nonEmpty)
