@@ -248,6 +248,7 @@ object SparkEntry {
     "agg_count_min"     -> AdvancedAggs.aggCountMin _,
     "text_lang_confusion" -> TextOps.textLangConfusion _,
     "stats_ljung_box"   -> Stats.statsLjungBox _,
+    "timeseries_snaive_backtest" -> Stats.timeseriesSnaiveBacktest _,
     "stats_mutual_info"  -> Stats.statsMutualInfo _,
     "stats_ks_test"      -> Stats.statsKsTest _,
     "stats_anova"        -> Stats.statsAnova _,
@@ -585,6 +586,13 @@ object SparkEntry {
       "SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars, min(doc_id) AS first_doc FROM documents GROUP BY lang, source ORDER BY lang, source",
     "text_lang_id" ->
       "WITH s AS (SELECT doc_id, lang AS actual_lang, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['der','die','und','das','ist'])) AS BIGINT) AS s_de, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','and','of','to','in'])) AS BIGINT) AS s_en, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['el','la','de','que','los'])) AS BIGINT) AS s_es, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['le','la','et','les','des'])) AS BIGINT) AS s_fr, CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['的','是','了','在','我'])) AS BIGINT) AS s_zh FROM documents) SELECT doc_id, actual_lang, CASE WHEN best = 0 THEN 'und' WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' ELSE 'zh' END AS predicted, best FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s) t ORDER BY doc_id",
+    // timeseries_snaive_backtest: identical d−7 calendar join and
+    // error moments over 4-rounded daily totals.
+    "timeseries_snaive_backtest" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "j AS (SELECT a.event_type AS event_type, a.x AS x, b.x AS f FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d = b.d + 7 WHERE a.x <> 0) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored, round(avg(abs(x - f)), 6) AS mae, " +
+       "round(avg(abs(x - f) / abs(x)), 6) AS mape, round(avg(f - x), 6) AS bias FROM j GROUP BY 1 ORDER BY 1"),
     // stats_ljung_box: Q assembled from the SAME 6-rounded lagged
     // correlations the autocorr oracle computes — algebra over rounded
     // inputs, bit-identical on both engines.

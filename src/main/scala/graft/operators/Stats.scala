@@ -484,6 +484,41 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive backtest — the forecasting BASELINE every model
+    * must beat before it ships: forecast(d) = value(d−7) (same weekday
+    * last week), scored per type over the overlap with MAE, MAPE, and
+    * bias. Emitting the baseline's error puts a floor under any model
+    * comparison; `timeseries_seasonality`/`stl_decompose` explain the
+    * structure, this key prices ignoring everything but the weekly
+    * cycle.
+    *
+    * Determinism: daily x is 4-rounded; |x−x₋₇| differences and their
+    * means are small exact-ish sums (≤ days addends), rounded at 6 —
+    * the green lag-features discipline.
+    *
+    * Scale shape: (type, day) aggregate + ONE lag window partitioned by
+    * type (calendar-bounded) + one moments aggregate. Nothing else
+    * touches the scan.
+    */
+  def timeseriesSnaiveBacktest(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+    // calendar-correct lag: join on d−7 rather than "7 observed rows
+    // back", so a gap week never silently shifts the weekday alignment
+    val prior = daily.select(col("event_type"),
+      date_add(col("d"), 7).as("d"), col("x").as("f"))
+    daily.join(prior, Seq("event_type", "d"))
+      .filter(col("x") =!= 0.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_scored"),
+           round(avg(abs(col("x") - col("f"))), 6).as("mae"),
+           round(avg(abs(col("x") - col("f")) / abs(col("x"))), 6).as("mape"),
+           round(avg(col("f") - col("x")), 6).as("bias"))
+      .orderBy("event_type")
+  }
+
   /** Ljung–Box portmanteau test at h = 3 lags over each type's
     * gap-filled daily count series — the "is there ANY autocorrelation
     * left" gate run after fitting/deseasonalizing, built directly on

@@ -991,6 +991,22 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("snaive backtest: errors non-negative, scored days bounded by span") {
+    val rows = Stats.timeseriesSnaiveBacktest(spark, sfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mae, mape) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 0 && mae >= 0 && mape >= 0)
+      assert(math.abs(r.getDouble(4)) <= mae + 1e-9,
+        "bias magnitude cannot exceed the MAE")
+      // scored days are at most the type's observed days minus 7
+      val days = Tables.events(spark, sfOracle)
+        .filter(col("event_type") === r.getString(0))
+        .select(to_date(col("ts"))).distinct().count()
+      assert(n <= days - 7)
+    }
+  }
+
   test("stl: components reassemble to x, trend null exactly at edges") {
     val rows = Stats.timeseriesStlDecompose(spark, sfOracle).collect()
     assert(rows.nonEmpty)
