@@ -375,6 +375,28 @@ class PlanAuditSpec extends SparkSpecBase {
       s"both sides must hash-cluster on the as-of key:\n$plan")
   }
 
+  test("round-8 pair-space keys never plan cartesian or nested-loop joins") {
+    // every key that materializes a pair space must reach it through an
+    // equi-join on a blocking key (bands for phash, type for kendall,
+    // user for the as-of frontier) — a BNLJ/cartesian here is the
+    // quadratic shape that dies at 100 TB
+    for ((name, df) <- Seq(
+        "multimodal_phash" ->
+          graft.operators.Multimodal.multimodalPhash(spark, sfSmoke),
+        "stats_kendall_tau" ->
+          graft.operators.Stats.statsKendallTau(spark, sfSmoke),
+        "graph_random_walk" ->
+          graft.operators.Graph.graphRandomWalk(spark, sfSmoke),
+        "timeseries_snaive_backtest" ->
+          graft.operators.Stats.timeseriesSnaiveBacktest(spark, sfSmoke))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must block its pair space, not cross-join it:\n" +
+          plan.linesIterator.take(25).mkString("\n"))
+    }
+  }
+
   test("null-aware anti join plans as broadcast NAAJ, never nested-loop") {
     // NOT IN compiles to LeftAnti + NAAJ only for single-column keys with
     // a broadcastable build; a BroadcastNestedLoopJoin here would be the
