@@ -1637,7 +1637,7 @@ object SparkEntry {
        "mm AS (SELECT count(*) / 2.0 AS m FROM adj), " +
        "c AS (SELECT lu.lab AS lab, CAST(sum(CASE WHEN lu.lab = lv.lab THEN 1 ELSE 0 END) / 2 AS BIGINT) AS internal_edges, CAST(count(*) AS BIGINT) AS degree_sum FROM adj JOIN l8 lu ON adj.u = lu.node JOIN l8 lv ON adj.v = lv.node GROUP BY 1), " +
        "sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_nodes FROM l8 GROUP BY 1), " +
-       "sc AS (SELECT c.lab AS lab, n_nodes, internal_edges, degree_sum, round(internal_edges / m - pow(degree_sum / (2.0 * m), 2), 6) AS q_contribution FROM c JOIN sz USING (lab), mm) " +
+       "sc AS (SELECT c.lab AS lab, n_nodes, internal_edges, degree_sum, round(internal_edges / m - pow(degree_sum / (2.0 * m), 2), 6) + 0.0 AS q_contribution FROM c JOIN sz USING (lab), mm) " +
        "SELECT lab, n_nodes, internal_edges, degree_sum, q_contribution, round(sum(q_contribution) OVER (), 6) AS modularity FROM sc ORDER BY n_nodes DESC, lab ASC LIMIT 20"),
     // stats_effect_size: 4-rounded arm moments into the pooled-sd
     // closed form with the Hedges small-sample correction.

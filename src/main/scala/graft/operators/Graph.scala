@@ -487,8 +487,12 @@ object Graph {
       .crossJoin(broadcast(m))
       .select(col("lab"), col("n_nodes"), col("internal_edges"),
         col("degree_sum"),
-        round(col("internal_edges") / col("m") -
-          pow(col("degree_sum") / (lit(2.0) * col("m")), 2), 6)
+        // `+ 0.0` — the agg_entropy idiom: an internal_edges=0 community
+        // has raw q = −(d/2m)² ≈ −8e−8, which DuckDB round()s to −0.0
+        // while Spark's BigDecimal HALF_UP (no signed zero) gives +0.0;
+        // adding +0.0 collapses both to the positive-zero bit pattern.
+        (round(col("internal_edges") / col("m") -
+          pow(col("degree_sum") / (lit(2.0) * col("m")), 2), 6) + lit(0.0))
           .as("q_contribution"))
     val out = scored
       .withColumn("modularity",
