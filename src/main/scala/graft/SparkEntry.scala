@@ -242,6 +242,16 @@ object SparkEntry {
     // (spec asserts determinism + repetition monotonicity)
     "text_compression_ratio" -> TextOps.textCompressionRatio _,
     "timeseries_stl_decompose" -> Stats.timeseriesStlDecompose _,
+    // round 9: model-eval / pareto / changepoint / charset / DP family
+    "stats_pr_auc"       -> ModelEval.statsPrAuc _,
+    "stats_brier_calibration" -> ModelEval.statsBrierCalibration _,
+    "stats_power_twoprop" -> ModelEval.statsPowerTwoprop _,
+    "graph_clustering_coeff" -> Graph.graphClusteringCoeff _,
+    "text_mojibake_detect" -> TextOps.textMojibakeDetect _,
+    "dedup_keep_best"    -> Dedup.dedupKeepBest _,
+    "timeseries_changepoint" -> Stats.timeseriesChangepoint _,
+    "win_pareto_abc"     -> Windows.winParetoAbc _,
+    "pipeline_dp_noise"  -> Pipeline.pipelineDpNoise _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
@@ -593,16 +603,17 @@ object SparkEntry {
        "j AS (SELECT a.event_type AS event_type, a.x AS x, b.x AS f FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d = b.d + 7 WHERE a.x <> 0) " +
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored, round(avg(abs(x - f)), 6) AS mae, " +
        "round(avg(abs(x - f) / abs(x)), 6) AS mape, round(avg(f - x), 6) AS bias FROM j GROUP BY 1 ORDER BY 1"),
-    // stats_ljung_box: Q assembled from the SAME 6-rounded lagged
-    // correlations the autocorr oracle computes — algebra over rounded
-    // inputs, bit-identical on both engines.
+    // stats_ljung_box: textbook ACF — global-mean autocovariance over
+    // full-series variance per lag, 6-rounded, then Q algebra over the
+    // rounded acf values; x̄ = integer-sum/n is exact on both engines.
     "stats_ljung_box" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
        "span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), " +
        "grid AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span), " +
        "f AS (SELECT g.event_type, g.d, CAST(coalesce(c, 0) AS DOUBLE) AS c FROM grid g LEFT JOIN daily USING (event_type, d)), " +
-       "l AS (SELECT event_type, c, lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3 FROM f WINDOW w AS (PARTITION BY event_type ORDER BY d)), " +
-       "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(corr(c, c1), 6) AS r1, round(corr(c, c2), 6) AS r2, round(corr(c, c3), 6) AS r3 FROM l GROUP BY 1) " +
+       "mu AS (SELECT event_type, d, c - avg(c) OVER (PARTITION BY event_type) AS xc FROM f), " +
+       "l AS (SELECT event_type, xc, lag(xc, 1) OVER w AS x1, lag(xc, 2) OVER w AS x2, lag(xc, 3) OVER w AS x3 FROM mu WINDOW w AS (PARTITION BY event_type ORDER BY d)), " +
+       "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(sum(xc * x1) / sum(xc * xc), 6) + 0.0 AS r1, round(sum(xc * x2) / sum(xc * xc), 6) + 0.0 AS r2, round(sum(xc * x3) / sum(xc * xc), 6) + 0.0 AS r3 FROM l GROUP BY 1) " +
        "SELECT event_type, n_days, round(n_days * (n_days + 2.0) * (r1 * r1 / (n_days - 1) + r2 * r2 / (n_days - 2) + r3 * r3 / (n_days - 3)), 6) AS q_lb, " +
        "round(n_days * (n_days + 2.0) * (r1 * r1 / (n_days - 1) + r2 * r2 / (n_days - 2) + r3 * r3 / (n_days - 3)), 6) > 7.814728 AS reject_white_noise " +
        "FROM a ORDER BY event_type"),
@@ -850,6 +861,84 @@ object SparkEntry {
        "FROM h4 ORDER BY start_node"),
     // agg_heavy_hitters_sketch: the 31-word vocabulary never overflows
     // the 256 Misra–Gries counters, so the sketch's estimates equal the
+    // stats_pr_auc: identical 256-bin grid (in-plan min/max), cumulative
+    // integer counts in the DEFINED bin-desc window order, AP partials
+    // accumulated sequentially and finalized with an order-free max.
+    "stats_pr_auc" ->
+      ("WITH b AS (SELECT value AS sc, event_type = 'purchase' AS y FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+       "m AS (SELECT min(sc) AS lo, max(sc) AS hi FROM b), " +
+       "g AS (SELECT CAST(least(floor((sc - lo) / ((hi - lo) / 256.0)), 255.0) AS BIGINT) AS bin, count(*) FILTER (y) AS np, count(*) FILTER (NOT y) AS nn FROM b, m GROUP BY 1), " +
+       "c AS (SELECT bin, np, nn, sum(np) OVER wd AS cum_tp, sum(np + nn) OVER wd AS cum_n, sum(np) OVER () AS n_pos FROM g WINDOW wd AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+       "t AS (SELECT bin, CAST(np AS BIGINT) AS n_pos_bin, CAST(np + nn AS BIGINT) AS n_bin, CAST(cum_tp AS BIGINT) AS cum_tp, CAST(cum_n AS BIGINT) AS cum_n, CAST(np AS DOUBLE) / n_pos * (CAST(cum_tp AS DOUBLE) / cum_n) AS ap_term, round(CAST(cum_tp AS DOUBLE) / cum_n, 6) AS precision, round(CAST(cum_tp AS DOUBLE) / n_pos, 6) AS recall FROM c), " +
+       "f AS (SELECT *, sum(ap_term) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ap FROM t) " +
+       "SELECT bin, n_pos_bin, n_bin, cum_tp, cum_n, precision, recall, round(max(cum_ap) OVER (), 6) AS average_precision FROM f ORDER BY bin"),
+    // stats_brier_calibration: integer milli/micro units end to end —
+    // every sum exact in any order; one double division per ratio.
+    "stats_brier_calibration" ->
+      ("WITH b AS (SELECT (event_id * 2654435761) % 1000 AS pm, CAST(event_type = 'purchase' AS BIGINT) AS y FROM events WHERE event_type IS NOT NULL), " +
+       "g AS (SELECT CAST(pm // 100 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_events, sum(pm) AS sum_pm, CAST(sum(y) AS BIGINT) AS n_pos, sum((pm - 1000 * y) * (pm - 1000 * y)) AS sum_sq_micro FROM b GROUP BY 1) " +
+       "SELECT bucket, n_events, n_pos, round(CAST(sum_pm AS DOUBLE) / (n_events * 1000.0), 6) AS avg_pred, round(CAST(n_pos AS DOUBLE) / n_events, 6) AS obs_rate, round(CAST(sum_sq_micro AS DOUBLE) / (n_events * 1000000.0), 6) AS brier_bucket, " +
+       "round(CAST(sum(sum_sq_micro) OVER () AS DOUBLE) / (sum(n_events) OVER () * 1000000.0), 6) AS global_brier, " +
+       "round(CAST(sum(abs(sum_pm - 1000 * n_pos)) OVER () AS DOUBLE) / (1000.0 * sum(n_events) OVER ()), 6) AS ece FROM g ORDER BY bucket"),
+    // stats_power_twoprop: closed form over the four md5-arm counts;
+    // the z constants are cast to DOUBLE so both engines run the same
+    // IEEE expression (bare DuckDB literals would be DECIMAL).
+    "stats_power_twoprop" ->
+      ("WITH b AS (SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS a, event_type = 'purchase' AS conv FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+       "c AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a, CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b, CAST(count(*) FILTER (a AND conv) AS BIGINT) AS x_a, CAST(count(*) FILTER (NOT a AND conv) AS BIGINT) AS x_b FROM b), " +
+       "p AS (SELECT *, CAST(x_a AS DOUBLE) / n_a AS p1, CAST(x_b AS DOUBLE) / n_b AS p2 FROM c) " +
+       "SELECT n_a, n_b, x_a, x_b, round(p1, 6) AS rate_a, round(p2, 6) AS rate_b, round(abs(p1 - p2), 6) AS abs_effect, " +
+       "CAST(ceil((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_required_per_arm FROM p"),
+    // graph_clustering_coeff: same oriented triangle join, 3-corner
+    // credit via UNION ALL, transitivity from two exact integer sums.
+    "graph_clustering_coeff" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u JOIN e0 e3 ON e1.u = e3.u AND e2.v = e3.v), " +
+       "tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) t GROUP BY 1), " +
+       "deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY 1), " +
+       "co AS (SELECT d.node AS node, degree, CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles FROM deg d LEFT JOIN tpn USING (node) WHERE degree >= 2), " +
+       "f AS (SELECT node, degree, n_triangles, round(CAST(2 * n_triangles AS DOUBLE) / (degree * (degree - 1)), 6) AS clustering_coeff, round(CAST(sum(2 * n_triangles) OVER () AS DOUBLE) / sum(degree * (degree - 1)) OVER (), 6) AS global_transitivity FROM co) " +
+       "SELECT node, degree, n_triangles, clustering_coeff, global_transitivity FROM f ORDER BY clustering_coeff DESC, node ASC LIMIT 20"),
+    // text_mojibake_detect: subtract-after-strip counts with literal
+    // codepoint-range classes both regex engines read identically.
+    "text_mojibake_detect" ->
+      ("WITH t AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g')) AS BIGINT) AS n_ascii, CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk FROM documents WHERE text IS NOT NULL AND length(text) > 0) " +
+       "SELECT doc_id, lang, n_chars, n_ascii, n_cjk, round(CAST(n_ascii AS DOUBLE) / n_chars, 6) AS ascii_ratio, round(CAST(n_cjk AS DOUBLE) / n_chars, 6) AS cjk_ratio, " +
+       "CASE WHEN n_ascii = n_chars THEN 'ascii' WHEN n_cjk > 0 THEN 'cjk' ELSE 'other' END AS charset_class, n_cjk > 0 AND lang <> 'zh' AS is_suspect FROM t ORDER BY doc_id"),
+    // dedup_keep_best: the dedup_exact bag hash with the argmax-quality
+    // representative (length desc, doc_id tie-break) via row_number.
+    "dedup_keep_best" ->
+      ("WITH d AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h, CAST(length(text) AS BIGINT) AS n_chars FROM documents WHERE text IS NOT NULL), " +
+       "r AS (SELECT h, doc_id, n_chars, row_number() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id ASC) AS rn, CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS n_copies, min(n_chars) OVER (PARTITION BY h) AS min_chars FROM d) " +
+       "SELECT h, doc_id AS keep_id, n_chars AS keep_chars, min_chars, n_copies, CAST(n_copies - 1 AS BIGINT) AS n_dropped FROM r WHERE rn = 1 ORDER BY h"),
+    // timeseries_changepoint: integer prefix/total moments, the same
+    // closed-form SSE-reduction expression, argmax tie-broken on day.
+    "timeseries_changepoint" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "p AS (SELECT event_type, d, c, row_number() OVER wo AS k, sum(c) OVER wc AS s_k, sum(c * c) OVER wc AS q_k, count(*) OVER wa AS n, sum(c) OVER wa AS s, sum(c * c) OVER wa AS q FROM daily WINDOW wo AS (PARTITION BY event_type ORDER BY d), wc AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), wa AS (PARTITION BY event_type)), " +
+       "sc AS (SELECT event_type, d, k, n, s_k, s, s_k * s_k / CAST(k AS DOUBLE) + (s - s_k) * (s - s_k) / CAST(n - k AS DOUBLE) - s * s / CAST(n AS DOUBLE) AS reduction FROM p WHERE k < n), " +
+       "f AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY reduction DESC, d ASC) AS rn FROM sc) " +
+       "SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS split_day, round(CAST(s_k AS DOUBLE) / k, 6) AS mean_before, round(CAST(s - s_k AS DOUBLE) / (n - k), 6) AS mean_after, round(reduction, 6) + 0.0 AS sse_reduction FROM f WHERE rn = 1 ORDER BY event_type"),
+    // win_pareto_abc: the oracle computes the plain global decimal
+    // prefix — Spark's bucket-offset decomposition equals it exactly
+    // because the per-part revenue is DECIMAL(18,4) (order-free sums)
+    // and the log-bucket is monotone in revenue (spearman precedent).
+    "win_pareto_abc" ->
+      ("WITH rev AS (SELECT l_partkey, CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS DECIMAL(18,4)) AS rev FROM lineitem GROUP BY 1), " +
+       "t AS (SELECT sum(rev) AS total FROM rev), " +
+       "c AS (SELECT rev, CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share FROM rev, t), " +
+       "k AS (SELECT rev, CASE WHEN cum_share <= 0.80 THEN 'A' WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class, cum_share FROM c) " +
+       "SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts, round(CAST(sum(rev) AS DOUBLE), 2) AS class_revenue, round(max(cum_share), 6) AS cum_share_end FROM k GROUP BY 1 ORDER BY 1"),
+    // pipeline_dp_noise: md5-seeded inverse-CDF Laplace draw, every
+    // literal cast DOUBLE; rounded noise normalized with + 0.0 (a
+    // ~1e-5 draw rounds to signed zero on DuckDB only).
+    "pipeline_dp_noise" ->
+      ("WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_count FROM events WHERE event_type IS NOT NULL GROUP BY 1), " +
+       "u AS (SELECT *, (CAST(CAST(('0x' || substring(md5(event_type), 1, 8)) AS BIGINT) % 100000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100000.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS u FROM g), " +
+       "n AS (SELECT event_type, true_count, round(CAST(-2.0 AS DOUBLE) * CAST(sign(u) AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u)), 4) + 0.0 AS noise FROM u) " +
+       "SELECT event_type, true_count, CAST(0.5 AS DOUBLE) AS epsilon, noise, round(true_count + noise, 4) + 0.0 AS noisy_count FROM n ORDER BY event_type"),
     // exact counts — the oracle is the plain GROUP BY top-10 plus the
     // n/256 error bound the sketch reports.
     "agg_heavy_hitters_sketch" ->
@@ -1047,7 +1136,7 @@ object SparkEntry {
     // graph_triangles: support-thresholded co-purchase edges, oriented
     // u<v, triangle = oriented 3-cycle counted once.
     "graph_triangles" ->
-      "WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), edges AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), tri AS (SELECT count(*) AS n_triangles FROM edges e1 JOIN edges e2 ON e1.v = e2.u JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v), ne AS (SELECT count(*) AS n_edges FROM edges) SELECT n_edges, n_triangles FROM ne CROSS JOIN tri",
+      "WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), edges AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), tri AS (SELECT count(*) AS n_triangles FROM edges e1 JOIN edges e2 ON e1.v = e2.u JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v), ne AS (SELECT count(*) AS n_edges FROM edges) SELECT n_edges, n_triangles FROM ne CROSS JOIN tri",
     // table_diff_audit: same planted changelog rules as merge_cdc_upsert;
     // full outer join + change classification, unchanged filtered.
     "table_diff_audit" ->
@@ -1403,16 +1492,21 @@ object SparkEntry {
     // runs, integer counts throughout.
     "graph_kcore" ->
       ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
-       "e0 AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
-       "a0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
-       "n1 AS (SELECT u FROM (SELECT u, count(*) AS deg FROM a0 GROUP BY 1) t WHERE deg >= 2), " +
-       "a1 AS (SELECT a.u, a.v FROM a0 a JOIN n1 x ON a.u = x.u JOIN n1 y ON a.v = y.u), " +
-       "n2 AS (SELECT u FROM (SELECT u, count(*) AS deg FROM a1 GROUP BY 1) t WHERE deg >= 2), " +
-       "a2 AS (SELECT a.u, a.v FROM a1 a JOIN n2 x ON a.u = x.u JOIN n2 y ON a.v = y.u), " +
-       "n3 AS (SELECT u FROM (SELECT u, count(*) AS deg FROM a2 GROUP BY 1) t WHERE deg >= 2), " +
-       "a3 AS (SELECT a.u, a.v FROM a2 a JOIN n3 x ON a.u = x.u JOIN n3 y ON a.v = y.u), " +
-       "n4 AS (SELECT u FROM (SELECT u, count(*) AS deg FROM a3 GROUP BY 1) t WHERE deg >= 2), " +
-       "a4 AS (SELECT a.u, a.v FROM a3 a JOIN n4 x ON a.u = x.u JOIN n4 y ON a.v = y.u) " +
+       // MATERIALIZED is load-bearing: each peel references its
+       // predecessor three times (two endpoint joins + the degree
+       // count) and the stat row re-references it — inlined, the CTE
+       // tree re-evaluates the Σbasket² base join 3^4 times and the
+       // sf0.1 oracle never finishes
+       "e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "a0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "n1 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS deg FROM a0 GROUP BY 1) t WHERE deg >= 2), " +
+       "a1 AS MATERIALIZED (SELECT a.u, a.v FROM a0 a JOIN n1 x ON a.u = x.u JOIN n1 y ON a.v = y.u), " +
+       "n2 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS deg FROM a1 GROUP BY 1) t WHERE deg >= 2), " +
+       "a2 AS MATERIALIZED (SELECT a.u, a.v FROM a1 a JOIN n2 x ON a.u = x.u JOIN n2 y ON a.v = y.u), " +
+       "n3 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS deg FROM a2 GROUP BY 1) t WHERE deg >= 2), " +
+       "a3 AS MATERIALIZED (SELECT a.u, a.v FROM a2 a JOIN n3 x ON a.u = x.u JOIN n3 y ON a.v = y.u), " +
+       "n4 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS deg FROM a3 GROUP BY 1) t WHERE deg >= 2), " +
+       "a4 AS MATERIALIZED (SELECT a.u, a.v FROM a3 a JOIN n4 x ON a.u = x.u JOIN n4 y ON a.v = y.u) " +
        "SELECT * FROM (" +
        "SELECT CAST(1 AS BIGINT) AS round, (SELECT CAST(count(*) AS BIGINT) FROM n1) AS n_nodes, (SELECT count(*) // 2 FROM a1) AS n_edges " +
        "UNION ALL SELECT CAST(2 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM n2), (SELECT count(*) // 2 FROM a2) " +
@@ -1533,11 +1627,13 @@ object SparkEntry {
       ("WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space FROM documents WHERE text IS NOT NULL AND length(text) > 0) " +
        "SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_chars - n_alpha - n_digit - n_space AS n_symbol, round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio, round(CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars, 6) AS symbol_ratio FROM t ORDER BY doc_id"),
     // agg_time_decay: clamped integer week exponents make every weight
-    // an exact ≤18-digit decimal; DECIMAL(38,20) products and sums are
-    // exact on both engines in any order — no rounding boundary exists.
+    // an exact ≤18-digit decimal ≤ 1.0, so DECIMAL(19,18) holds it and
+    // the (19,18)×(18,2) product is exact width-37/scale-20 on BOTH
+    // engines (wider weight decimals made Spark truncate to scale 6
+    // and DuckDB fall back to DOUBLE) — order-free identical sums.
     "agg_time_decay" ->
       ("WITH a AS (SELECT max(CAST(ts AS DATE)) AS d_max FROM events), " +
-       "w AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, CAST(pow(0.5, CAST(least(floor(date_diff('day', CAST(ts AS DATE), d_max) / 7), 18) AS DOUBLE)) AS DECIMAL(38,20)) AS w FROM events, a WHERE event_type IS NOT NULL) " +
+       "w AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, CAST(pow(0.5, CAST(least(floor(date_diff('day', CAST(ts AS DATE), d_max) / 7), 18) AS DOUBLE)) AS DECIMAL(19,18)) AS w FROM events, a WHERE event_type IS NOT NULL) " +
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, CAST(round(sum(w), 4) AS DOUBLE) AS decayed_count, CAST(round(sum(w * v), 4) AS DOUBLE) AS decayed_value FROM w GROUP BY 1 ORDER BY 1"),
     // win_drawdown: per-type sequential cumsum/runmax over 4-rounded
     // day sums — deterministic on both engines; the argmax date uses an

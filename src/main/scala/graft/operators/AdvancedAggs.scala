@@ -440,17 +440,20 @@ object AdvancedAggs {
       .select(col("event_type"),
         // EXACT decimal accumulation: 0.5^k (k clamped to 18 so the
         // weight has ≤18 decimal digits) is an exact double AND an
-        // exact DECIMAL; value carries 2 decimals — so every product
-        // and the whole sum are exact DECIMAL(38,20) arithmetic,
-        // identical on both engines in ANY accumulation order. A
-        // double sum here hit a .00005 rounding boundary at sf0.001
-        // (engines' sum orders differ by ~1e-11) — decimals remove
-        // the boundary instead of narrowing it. Weights below 2^-18
-        // (≈4e-6) are economically zero anyway.
+        // exact DECIMAL; value carries 2 decimals. The weight is ≤1.0
+        // with ≤18 decimals, so DECIMAL(19,18) holds it exactly — and
+        // the product (19,18)×(18,2) resolves to (38,20) on Spark with
+        // NO precision loss (a (38,20) weight resolved to (38,6) under
+        // allowPrecisionLoss, half-up rounding each product) and to
+        // width 37 on DuckDB (a width-56 multiply silently fell back
+        // to DOUBLE) — so both engines now run identical exact decimal
+        // arithmetic, order-free. A double sum here hit a .00005
+        // rounding boundary at sf0.001; weights below 2^-18 (≈4e-6)
+        // are economically zero anyway.
         pow(lit(0.5),
           least(floor(datediff(col("d_max"), to_date(col("ts"))) / lit(7)),
             lit(18)).cast("double"))
-          .cast("decimal(38,20)").as("w"),
+          .cast("decimal(19,18)").as("w"),
         col("value").cast("decimal(18,2)").as("v"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("n_events"),

@@ -41,6 +41,37 @@ object Dedup {
            count(lit(1)).as("n_copies"))
       .orderBy("h")
 
+  /** Quality-ranked exact dedup — `dedupExact` with the production
+    * representative policy: instead of keep-first (min doc_id), each
+    * bag-hash cluster keeps its HIGHEST-QUALITY member (longest text,
+    * doc_id as the total tie-break), the policy real corpus dedup runs
+    * so a truncated copy never shadows the full document. Emits the
+    * kept doc with its cluster's size and the quality spread the
+    * policy decided over.
+    *
+    * Scale shape: one hash shuffle to cluster grain; the argmax is a
+    * window row_number PARTITIONED by the cluster hash (data-
+    * proportional parallelism, never global) riding the same shuffle
+    * as the cluster stats — one exchange total.
+    */
+  def dedupKeepBest(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), bagHash.as("h"),
+        length(col("text")).cast("bigint").as("n_chars"))
+    val w = Window.partitionBy(col("h"))
+    docs
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .withColumn("n_copies", count(lit(1)).over(w).cast("bigint"))
+      .withColumn("min_chars", min(col("n_chars")).over(w))
+      .filter(col("rn") === 1)
+      .select(col("h"), col("doc_id").as("keep_id"),
+        col("n_chars").as("keep_chars"), col("min_chars"),
+        col("n_copies"), (col("n_copies") - 1).cast("bigint").as("n_dropped"))
+      .orderBy("h")
+  }
+
   /** MinHash + LSH near-duplicate candidates.
     *
     * 16 hash functions (xxhash64 with the function index as an extra

@@ -622,4 +622,36 @@ object Pipeline {
       .withColumn("suppression_rate",
         round(col("rows_to_suppress").cast("double") / col("n_rows"), 6))
   }
+
+  /** Differentially-private count release — the Laplace mechanism over
+    * the per-type event counts (sensitivity 1, ε = 0.5, so scale
+    * b = 1/ε = 2): noise = −b·sign(u)·ln(1−2|u|) with u ∈ (−½, ½) the
+    * inverse-CDF draw. The draw is SEEDED from the released key's md5
+    * (the repo's replayable-randomness idiom — graph_random_walk's
+    * md5-int choice, the experiment arms' md5 split), so both engines
+    * release the identical noisy counts and the mechanism itself is
+    * hash-checked; a production release swaps the seed column for a
+    * per-release secret salt and drops the true_count column.
+    *
+    * Scale shape: ONE map-side-combinable count aggregate; the noise
+    * math is column expressions over the ≤|types| result rows.
+    */
+  def pipelineDpNoise(s: SparkSession, sf: String): DataFrame = {
+    val b = 2.0
+    Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("true_count"))
+      .withColumn("u",
+        (pmod(conv(substring(md5(col("event_type")), 1, 8), 16, 10)
+            .cast("long"), lit(100000L)) + lit(0.5)) / lit(100000.0)
+          - lit(0.5))
+      .select(col("event_type"), col("true_count"),
+        lit(0.5).as("epsilon"),
+        round(lit(-b) * signum(col("u")) *
+          log(lit(1.0) - lit(2.0) * abs(col("u"))), 4).as("noise"))
+      .withColumn("noisy_count",
+        round(col("true_count") + col("noise"), 4))
+      .orderBy("event_type")
+  }
 }

@@ -522,13 +522,17 @@ object Stats {
   /** Ljung–Box portmanteau test at h = 3 lags over each type's
     * gap-filled daily count series — the "is there ANY autocorrelation
     * left" gate run after fitting/deseasonalizing, built directly on
-    * `statsAutocorr`'s lagged-corr machinery: Q = n(n+2)·Σ ρ̂ₖ²/(n−k),
+    * `statsAutocorr`'s lagged machinery: Q = n(n+2)·Σ ρ̂ₖ²/(n−k),
     * rejected at the χ²₍₃,0.95₎ = 7.814728 critical value.
     *
-    * Determinism: Q is assembled from the 6-ROUNDED acf values — the
-    * algebra over already-rounded inputs is bit-identical on both
-    * engines, so no new rounding surface exists beyond what the
-    * green autocorr key already carries.
+    * ρ̂ₖ is the TEXTBOOK ACF estimator (r9 advice fix): autocovariance
+    * at lag k over the GLOBAL series mean, divided by the full-series
+    * variance — Σₜ₌ₖ₊₁(xₜ−x̄)(xₜ₋ₖ−x̄) / Σₜ(xₜ−x̄)². The previous
+    * per-lag Pearson correlations (lag-specific means over n−k pairs)
+    * made Q only approximately the statistic the χ² critical value
+    * assumes; this form matches it exactly. x̄ = (integer sum)/n is
+    * bit-identical on both engines; the moment sums round at 6 like
+    * every acf surface in the repo.
     *
     * Scale shape: identical to autocorr — (type, day) aggregate,
     * calendar-bounded per-type windows, one tiny final reduction.
@@ -545,17 +549,22 @@ object Stats {
     val filled = grid.join(daily, Seq("event_type", "d"), "left")
       .select(col("event_type"), col("d"),
               coalesce(col("c"), lit(0L)).cast("double").as("c"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+    val wp = Window.partitionBy(col("event_type"))
+    val w = wp.orderBy(col("d").asc)
     filled
-      .select(col("event_type"), col("c"),
-              lag(col("c"), 1).over(w).as("c1"),
-              lag(col("c"), 2).over(w).as("c2"),
-              lag(col("c"), 3).over(w).as("c3"))
+      .withColumn("xc", col("c") - avg(col("c")).over(wp))
+      .select(col("event_type"), col("xc"),
+              lag(col("xc"), 1).over(w).as("x1"),
+              lag(col("xc"), 2).over(w).as("x2"),
+              lag(col("xc"), 3).over(w).as("x3"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("n_days"),
-           round(corr(col("c"), col("c1")), 6).as("r1"),
-           round(corr(col("c"), col("c2")), 6).as("r2"),
-           round(corr(col("c"), col("c3")), 6).as("r3"))
+           round(sum(col("xc") * col("x1")) / sum(col("xc") * col("xc")), 6)
+             .as("r1"),
+           round(sum(col("xc") * col("x2")) / sum(col("xc") * col("xc")), 6)
+             .as("r2"),
+           round(sum(col("xc") * col("x3")) / sum(col("xc") * col("xc")), 6)
+             .as("r3"))
       .select(col("event_type"), col("n_days"),
         round(col("n_days") * (col("n_days") + lit(2.0)) *
           (col("r1") * col("r1") / (col("n_days") - lit(1)) +
@@ -1962,5 +1971,67 @@ object Stats {
         round(col("hs") + col("hl") - col("hj"), 6).as("mi_nats"),
         round((col("hs") + col("hl") - col("hj")) /
           sqrt(col("hs") * col("hl")), 6).as("nmi"))
+  }
+
+  /** Single-changepoint detection by binary segmentation over each
+    * type's daily event-count series: the split minimizing the summed
+    * within-segment SSE (equivalently maximizing the SSE reduction
+    * against the unsplit series) — the first step of every changepoint
+    * tree, and the "did the metric regime shift, and when" readout
+    * CUSUM (which needs a known target mean) cannot give. One row per
+    * type: the argmax split day (earliest day on ties), segment means,
+    * and the variance explained.
+    *
+    * Determinism: all moment sums (Σx, Σx², prefixes) are INTEGER
+    * window sums over counts — exact in any order; each candidate's
+    * SSE is the same closed-form double expression both engines
+    * evaluate identically, and the argmax tie-breaks on the day.
+    *
+    * Scale shape: the data-sized work is the (type, day) count
+    * aggregate; every window after that is partitioned by type over
+    * calendar-bounded day rows (the repo's daily-series grain). The
+    * O(days) candidate scoring is column math on the prefix frame —
+    * no self-join, no day² blowup.
+    */
+  def timeseriesChangepoint(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .select(col("event_type"), col("d"), col("c"),
+        row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("d").asc))
+          .as("k"),
+        sum(col("c")).over(wOrd).as("s_k"),
+        sum(col("c") * col("c")).over(wOrd).as("q_k"),
+        count(lit(1)).over(wAll).as("n"),
+        sum(col("c")).over(wAll).as("s"),
+        sum(col("c") * col("c")).over(wAll).as("q"))
+      .filter(col("k") < col("n"))
+      .select(col("event_type"), col("d"), col("k"), col("n"),
+        col("s_k"), col("s"),
+        // SSE reduction = SSE_total − (SSE_left + SSE_right); the Σx²
+        // terms cancel, leaving s²/n subtracted from the split's two
+        // mean-square terms — integers until the two divisions
+        (col("s_k") * col("s_k") / col("k").cast("double") +
+         (col("s") - col("s_k")) * (col("s") - col("s_k")) /
+           (col("n") - col("k")).cast("double") -
+         col("s") * col("s") / col("n").cast("double")).as("reduction"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("reduction").desc, col("d").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").cast("bigint").as("n_days"),
+        col("d").as("split_day"),
+        round(col("s_k").cast("double") / col("k"), 6).as("mean_before"),
+        round((col("s") - col("s_k")).cast("double") / (col("n") - col("k")),
+          6).as("mean_after"),
+        round(col("reduction"), 6).as("sse_reduction"))
+      .orderBy("event_type")
   }
 }

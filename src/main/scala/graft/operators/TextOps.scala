@@ -500,6 +500,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Charset / encoding-sanity profile — the mojibake gate a crawl
+    * corpus runs before tokenization: per document, ASCII vs CJK
+    * character populations, their ratios, a charset class, and a
+    * suspect flag for CJK bytes appearing in a document whose declared
+    * language is not Chinese (the classic wrong-decode symptom; the
+    * clean twin of the round-trip corruption this catches in the
+    * wild). Counts use the subtract-after-strip idiom
+    * `textCharClassProfile` established, with codepoint-range
+    * character classes both regex engines evaluate identically.
+    *
+    * Scale shape: pure column expressions over the pruned text column —
+    * scan-speed, no shuffle before the output sort.
+    */
+  def textMojibakeDetect(s: SparkSession, sf: String): DataFrame = {
+    def without(pat: String) =
+      length(regexp_replace(col("text"), pat, ""))
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        (length(col("text")) - without("[ -~]")).cast("bigint")
+          .as("n_ascii"),
+        (length(col("text")) - without("[一-鿿]")).cast("bigint")
+          .as("n_cjk"))
+      .withColumn("ascii_ratio",
+        round(col("n_ascii").cast("double") / col("n_chars"), 6))
+      .withColumn("cjk_ratio",
+        round(col("n_cjk").cast("double") / col("n_chars"), 6))
+      .withColumn("charset_class",
+        when(col("n_ascii") === col("n_chars"), lit("ascii"))
+          .when(col("n_cjk") > 0, lit("cjk"))
+          .otherwise(lit("other")))
+      .withColumn("is_suspect", col("n_cjk") > 0 && col("lang") =!= "zh")
+      .orderBy("doc_id")
+  }
+
   /** Flesch reading-ease readability — the curriculum/difficulty signal
     * next to the gate-style quality scores: grade text by sentence
     * length and syllable density (206.835 − 1.015·w/s − 84.6·syl/w).

@@ -286,4 +286,59 @@ object Windows {
               col("worst_day"))
       .orderBy("event_type")
   }
+
+  /** Pareto / ABC inventory classification — the classic "which 20% of
+    * parts carry 80% of revenue" cut: parts ranked by discounted
+    * revenue, cumulative revenue share walked down the ranking, class
+    * A while cumulative share ≤ 80%, B ≤ 95%, C after. Emits the
+    * three class rows (part count, revenue, revenue share) — the
+    * assortment summary, not the part-grain ranking.
+    *
+    * Determinism: per-part revenue rounds once at 4 and is then cast
+    * DECIMAL(18,4), so every downstream sum (bucket offsets, intra-
+    * bucket prefixes, class totals) is EXACT decimal arithmetic in any
+    * accumulation order; the only double ops are the final share
+    * divisions.
+    *
+    * Scale shape: the global revenue-descending prefix uses the
+    * midranks discipline — log-bucket the per-part revenues, bucket
+    * offsets from a bucket-grain window (bounded rows), intra-bucket
+    * cumsums partitioned BY bucket ordered (revenue desc, partkey) —
+    * no global window ever sees part-grain data. The class roll-up is
+    * a 3-row aggregate.
+    */
+  def winParetoAbc(s: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.lineitem(s, sf)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        4).cast("decimal(18,4)").as("rev"))
+      .withColumn("bkt", Stats.valueBucket(col("rev").cast("double")))
+    val wPrevBkt = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rev.groupBy(col("bkt"))
+      .agg(sum(col("rev")).as("bsum"))
+      .select(col("bkt"),
+        coalesce(sum(col("bsum")).over(wPrevBkt),
+          lit(0).cast("decimal(18,4)")).as("off"))
+    val total = rev.agg(sum(col("rev")).as("total"))
+    val wIntra = Window.partitionBy(col("bkt"))
+      .orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(total))
+      .select(col("l_partkey"), col("rev"),
+        ((col("off") + sum(col("rev")).over(wIntra)).cast("double") /
+          col("total").cast("double")).as("cum_share"))
+      .select(col("rev"),
+        when(col("cum_share") <= 0.80, lit("A"))
+          .when(col("cum_share") <= 0.95, lit("B"))
+          .otherwise(lit("C")).as("abc_class"),
+        col("cum_share"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).cast("bigint").as("n_parts"),
+           round(sum(col("rev")).cast("double"), 2).as("class_revenue"),
+           round(max(col("cum_share")), 6).as("cum_share_end"))
+      .orderBy("abc_class")
+  }
 }

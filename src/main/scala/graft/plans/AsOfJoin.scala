@@ -93,12 +93,46 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Rewrites `Join(Inner, AsOfCondition)` — the analyzed carrier shape —
-  * into the custom logical node. Runs in the optimizer's user batch. */
+/** Rewrites `Join(Inner, cond)` whose condition CONTAINS the
+  * AsOfCondition marker — bare, or as one conjunct of an And (earlier
+  * optimizer rules like PushPredicateThroughJoin may fold a residual
+  * predicate into the join condition; matching only the bare marker
+  * would let the Unevaluable reach codegen). The marker becomes the
+  * custom logical node; residual conjuncts become a Filter ABOVE it —
+  * sound because the as-of join is left-outer-shaped (each left row
+  * exactly once, right columns null when unmatched), so a pushed
+  * predicate re-hoisted over it filters the same rows it would have
+  * filtered below the original inner-carrier join.
+  *
+  * Nullability constraint (checked here, not assumed): AsOfJoinPlan
+  * widens right-side output to nullable, but parent operators were
+  * RESOLVED against the inner carrier join's attributes before this
+  * rule runs — a non-nullable right-side schema would let downstream
+  * codegen misread the null-filled columns of unmatched left rows, so
+  * the rule refuses it loudly instead of miscomputing. */
 object AsOfJoinRule extends Rule[LogicalPlan] {
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Join(l, r, Inner, Some(AsOfCondition(lk, rk, lt, rt)), _) =>
-      AsOfJoinPlan(l, r, lk, rk, lt, rt)
+    case Join(l, r, Inner, Some(cond), _)
+        if conjuncts(cond).exists(_.isInstanceOf[AsOfCondition]) =>
+      val (markers, residual) =
+        conjuncts(cond).partition(_.isInstanceOf[AsOfCondition])
+      require(markers.length == 1,
+        "exactly one graft_asof_marker per join condition")
+      val nonNullable = r.output.filterNot(_.nullable)
+      require(nonNullable.isEmpty,
+        s"graft_asof_marker right side must have a nullable schema " +
+          s"(as-of is left-outer-shaped); non-nullable: " +
+          s"${nonNullable.map(_.name).mkString(", ")}")
+      val m = markers.head.asInstanceOf[AsOfCondition]
+      val asof =
+        AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime)
+      residual.reduceOption(And)
+        .map(org.apache.spark.sql.catalyst.plans.logical.Filter(_, asof))
+        .getOrElse(asof)
   }
 }
 

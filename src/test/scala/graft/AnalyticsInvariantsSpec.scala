@@ -974,12 +974,31 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     assert(cells.filter(_.getBoolean(4)).map(_.getLong(2)).sum == correct)
   }
 
-  test("ljung-box: Q recomputes from the autocorr key's rounded acfs") {
+  test("ljung-box: Q recomputes from the textbook ACF (global-mean " +
+      "autocovariance over variance) of the gap-filled daily series") {
     val lb = Stats.statsLjungBox(spark, sfOracle).collect()
       .map(r => r.getString(0) -> r).toMap
-    Stats.statsAutocorr(spark, sfOracle).collect().foreach { a =>
-      val (t, n) = (a.getString(0), a.getLong(1))
-      val (r1, r2, r3) = (a.getDouble(2), a.getDouble(3), a.getDouble(4))
+    val daily = Tables.events(spark, sfOracle)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+    daily.foreach { case (t, rows) =>
+      val byDay = rows.map(r =>
+        r.getDate(1).toLocalDate -> r.getLong(2).toDouble).toMap
+      val (d0, d1) = (byDay.keys.min(Ordering.by[java.time.LocalDate, Long](
+        _.toEpochDay)), byDay.keys.max(Ordering.by[java.time.LocalDate, Long](
+        _.toEpochDay)))
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => byDay.getOrElse(d, 0.0)).toArray
+      val n = xs.length
+      val mean = xs.sum / n
+      val xc = xs.map(_ - mean)
+      val denom = xc.map(v => v * v).sum
+      def rho(k: Int) = BigDecimal(
+        (k until n).map(i => xc(i) * xc(i - k)).sum / denom)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (r1, r2, r3) = (rho(1), rho(2), rho(3))
       val q = n * (n + 2.0) *
         (r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3))
       val row = lb(t)

@@ -85,8 +85,14 @@ def main(sf_dir, out_dir):
                 nan_mismatch = (np.isnan(av) != np.isnan(bv)).any()
                 both = ~np.isnan(av) & ~np.isnan(bv)
                 delta = float(abs(av[both] - bv[both]).max()) if both.any() else 0.0
-                if nan_mismatch or delta != 0.0:
-                    bad = f"col {c}: max|Δ|={delta} nan_mismatch={nan_mismatch}"
+                # sign-exact at zero: the driver hashes the textual value,
+                # where -0.0 != +0.0 — |Δ|=0 would hide that split (it did,
+                # for graph_modularity in round 8). Compare signbit too.
+                zero_sign = (np.signbit(av[both]) != np.signbit(bv[both])) & \
+                            (av[both] == 0.0)
+                if nan_mismatch or delta != 0.0 or zero_sign.any():
+                    bad = (f"col {c}: max|Δ|={delta} nan_mismatch={nan_mismatch}"
+                           f" zero_sign_mismatch={bool(zero_sign.any())}")
                     break
             else:
                 neq = (a.astype(str) != b.astype(str))
