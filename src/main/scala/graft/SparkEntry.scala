@@ -252,6 +252,12 @@ object SparkEntry {
     "timeseries_changepoint" -> Stats.timeseriesChangepoint _,
     "win_pareto_abc"     -> Windows.winParetoAbc _,
     "pipeline_dp_noise"  -> Pipeline.pipelineDpNoise _,
+    // oracle-N by design: t-digest centroid layout is merge-order-
+    // dependent like every parallel sketch (spec asserts the rank-error
+    // bound under two partitionings, monotonicity, n conservation)
+    "agg_tdigest"        -> AdvancedAggs.aggTdigest _,
+    "timeseries_ewm_var" -> Stats.timeseriesEwmVar _,
+    "event_markov_stationary" -> Stats.eventMarkovStationary _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
@@ -939,6 +945,38 @@ object SparkEntry {
        "u AS (SELECT *, (CAST(CAST(('0x' || substring(md5(event_type), 1, 8)) AS BIGINT) % 100000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100000.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS u FROM g), " +
        "n AS (SELECT event_type, true_count, round(CAST(-2.0 AS DOUBLE) * CAST(sign(u) AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u)), 4) + 0.0 AS noise FROM u) " +
        "SELECT event_type, true_count, CAST(0.5 AS DOUBLE) AS epsilon, noise, round(true_count + noise, 4) + 0.0 AS noisy_count FROM n ORDER BY event_type"),
+    // timeseries_ewm_var: the oracle replays the two-state RiskMetrics
+    // recursion as a RECURSIVE CTE with column-carried (m, v) state —
+    // NOT a struct-state list_reduce (duckdb 1.0.0's lambda resolves
+    // acc struct fields to the NEW values, see timeseries_holt). No
+    // mutual recursion to inline here: v_t reads the OLD m, so each
+    // step is the literal same expression tree on both engines.
+    "timeseries_ewm_var" ->
+      ("WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2), " +
+       "idx AS (SELECT event_type, d, x, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily), " +
+       "rec(event_type, rn, d, x, m, v) AS (" +
+       "SELECT event_type, rn, d, x, x, CAST(0.0 AS DOUBLE) FROM idx WHERE rn = 1 " +
+       "UNION ALL SELECT i.event_type, i.rn, i.d, i.x, " +
+       "CAST(0.3 AS DOUBLE) * i.x + CAST(0.7 AS DOUBLE) * r.m, " +
+       "CAST(0.7 AS DOUBLE) * (r.v + CAST(0.3 AS DOUBLE) * (i.x - r.m) * (i.x - r.m)) " +
+       "FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.rn = r.rn + 1) " +
+       "SELECT event_type, d, x, round(m, 6) AS ewm_mean, round(v, 6) AS ewm_var FROM rec ORDER BY event_type, d"),
+    // event_markov_stationary: each π update is an explicit seeded
+    // left fold over the terms in from-type order — list(term ORDER BY
+    // from_t) + list_reduce with a prepended 0.0 seed mirrors Spark's
+    // sort_array + aggregate lambda addition-for-addition (a windowed
+    // sum would NOT pin the op order: segment-tree re-association).
+    "event_markov_stationary" ->
+      ("WITH l AS (SELECT user_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_t, event_type AS to_t FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+       "c AS (SELECT from_t, to_t, count(*) AS c FROM l WHERE from_t IS NOT NULL GROUP BY 1, 2), " +
+       "rt AS (SELECT from_t, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1), " +
+       "p AS (SELECT c.from_t, c.to_t, CAST(c.c AS DOUBLE) / rt.tot AS p FROM c JOIN rt USING (from_t)), " +
+       "kk AS (SELECT count(*) AS k FROM rt), " +
+       "pi0 AS (SELECT from_t AS t, CAST(1.0 AS DOUBLE) / k AS pi FROM rt CROSS JOIN kk), " +
+       "it1 AS (SELECT p.to_t AS t, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.pi * p.p ORDER BY p.from_t)), (acc, v) -> acc + v) AS pi FROM p JOIN pi0 q ON p.from_t = q.t GROUP BY p.to_t), " +
+       "it2 AS (SELECT p.to_t AS t, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.pi * p.p ORDER BY p.from_t)), (acc, v) -> acc + v) AS pi FROM p JOIN it1 q ON p.from_t = q.t GROUP BY p.to_t), " +
+       "it3 AS (SELECT p.to_t AS t, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.pi * p.p ORDER BY p.from_t)), (acc, v) -> acc + v) AS pi FROM p JOIN it2 q ON p.from_t = q.t GROUP BY p.to_t) " +
+       "SELECT rt.from_t AS event_type, rt.tot AS n_transitions_out, round(it3.pi, 6) AS pi_3step FROM rt JOIN it3 ON rt.from_t = it3.t ORDER BY event_type"),
     // exact counts — the oracle is the plain GROUP BY top-10 plus the
     // n/256 error bound the sketch reports.
     "agg_heavy_hitters_sketch" ->

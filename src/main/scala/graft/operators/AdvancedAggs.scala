@@ -531,4 +531,32 @@ object AdvancedAggs {
               col("e.est_count").cast("bigint").as("est_count"),
               col("e.max_overcount").cast("bigint").as("max_overcount"))
   }
+
+  /** Per-type value quantiles through the NATIVE t-digest sketch
+    * (functions/TDigestQuantiles.scala) — the tail-accurate mergeable
+    * quantile summary next to Misra–Gries top-k: p50/p90/p99 with the
+    * group size and the digest's centroid count (the ≤2δ bound made
+    * visible). Oracle-N by design — centroid layout is merge-order-
+    * dependent like every parallel sketch; the spec asserts the rank-
+    * error bound against exact quantiles under two different
+    * partitionings, plus monotonicity and n conservation. δ = 200.
+    *
+    * Scale shape: map-side partial digests, ~3 KB summaries across the
+    * shuffle per group — the exact `percentile` key stays the graded
+    * baseline; this key grades the engine's sketch machinery.
+    */
+  def aggTdigest(s: SparkSession, sf: String): DataFrame = {
+    graft.functions.TDigestQuantiles.register(s)
+    Tables.events(s, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr("graft_tdigest(value, 200)").as("td"))
+      .select(col("event_type"), explode(col("td")).as("e"))
+      .select(col("event_type"),
+              col("e.quantile").as("quantile"),
+              round(col("e.estimate"), 4).as("estimate"),
+              col("e.n").cast("bigint").as("n_values"),
+              col("e.n_centroids").cast("bigint").as("n_centroids"))
+      .orderBy("event_type", "quantile")
+  }
 }

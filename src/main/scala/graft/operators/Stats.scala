@@ -2034,4 +2034,107 @@ object Stats {
         round(col("reduction"), 6).as("sse_reduction"))
       .orderBy("event_type")
   }
+
+  /** Exponentially weighted mean AND variance (RiskMetrics recursion,
+    * α = 0.3) of each type's daily purchase total — `timeseriesEwma`
+    * extended with the volatility track every adaptive alerting
+    * threshold needs: m_t = αx_t + (1−α)m_{t−1},
+    * v_t = (1−α)(v_{t−1} + α(x_t − m_{t−1})²), seeded m₀ = x₀, v₀ = 0.
+    * The recursion folds over each type's ordered day array exactly
+    * like the ewma key (the honest shape for a non-distributive
+    * frame); the oracle replays the identical two-state fold with
+    * list_reduce over [m, v] pairs — same IEEE op order, so the key
+    * stays hash-checked despite being sequential.
+    *
+    * Scale shape: data-sized work is the (type, day) aggregate; the
+    * fold runs per type over calendar-bounded arrays.
+    */
+  def timeseriesEwmVar(s: SparkSession, sf: String): DataFrame = {
+    Tables.events(s, sf)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(s,
+             cast(array() as array<struct<d: date, x: double, m: double, v: double>>),
+             (acc, r) -> acc || array(if(size(acc) = 0,
+               named_struct('d', r.d, 'x', r.x, 'm', r.x, 'v', 0.0d),
+               named_struct('d', r.d, 'x', r.x,
+                 'm', 0.3d * r.x + 0.7d * element_at(acc, -1).m,
+                 'v', 0.7d * (element_at(acc, -1).v +
+                   0.3d * (r.x - element_at(acc, -1).m) *
+                          (r.x - element_at(acc, -1).m))))))"""))
+        .as("r"))
+      .select(col("event_type"), col("r.d").as("d"),
+              round(col("r.x"), 4).as("x"),
+              round(col("r.m"), 6).as("ewm_mean"),
+              round(col("r.v"), 6).as("ewm_var"))
+      .orderBy("event_type", "d")
+  }
+
+  /** Stationary distribution of the event-type Markov chain — the
+    * long-run "where does a user's session settle" summary on top of
+    * `pathTransitions`' one-step matrix: three synchronous power-
+    * iteration steps π ← πP from the uniform start, unrolled so the
+    * iterative kernel stays closed-form and oracle-paired (the
+    * pagerank discipline at type grain). Emits the empirical one-step
+    * row totals and the 3-step π per type.
+    *
+    * Determinism: P's entries are exact integer-count ratios; each
+    * π update is a ≤|types|-term dot product folded SEQUENTIALLY in
+    * from-type order (sorted collect_list + `aggregate` lambda on
+    * Spark, ORDER BY list + list_reduce on DuckDB) — a windowed sum
+    * would NOT give this guarantee (DuckDB's segment-tree window
+    * aggregation may re-associate the additions), the explicit fold
+    * does.
+    *
+    * Scale shape: the data-sized work is ONE (from, to) pair count off
+    * the per-user lag window (user-grain parallelism, the
+    * pathTransitions shape); everything after lives at |types|² ≤ 25
+    * rows. The chain matrix of a 100 TB corpus is still 25 cells —
+    * power iteration at the driver-broadcast grain is the production
+    * shape.
+    */
+  def eventMarkovStationary(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("to_t"),
+        lag(col("event_type"), 1).over(w).as("from_t"))
+      .filter(col("from_t").isNotNull)
+      .groupBy(col("from_t"), col("to_t"))
+      .agg(count(lit(1)).as("c"))
+    val rowTot = pairs.groupBy(col("from_t"))
+      .agg(sum(col("c")).as("tot"))
+    val p = pairs.join(rowTot, Seq("from_t"))
+      .select(col("from_t"), col("to_t"),
+        (col("c").cast("double") / col("tot")).as("p"))
+    val nTypes = rowTot.agg(count(lit(1)).as("k"))
+    var pi = rowTot.crossJoin(broadcast(nTypes))
+      .select(col("from_t").as("t"), (lit(1.0) / col("k")).as("pi"))
+    for (_ <- 1 to 3) {
+      // π_j = Σ_i π_i·P_ij as an explicit left fold over the terms
+      // sorted by from-type: seed 0.0, one addition per term, the
+      // literal op order both engines replay (a plain groupBy sum is
+      // order-free math on paper but order-DEPENDENT doubles in
+      // practice; a windowed prefix sum may be tree-re-associated)
+      pi = p.join(pi.withColumnRenamed("t", "from_t"), Seq("from_t"))
+        .select(col("to_t"), col("from_t"), (col("pi") * col("p")).as("term"))
+        .groupBy(col("to_t"))
+        .agg(sort_array(collect_list(struct(col("from_t"), col("term"))))
+          .as("s"))
+        .select(col("to_t").as("t"),
+          expr("aggregate(s, cast(0.0 as double), (acc, r) -> acc + r.term)")
+            .as("pi"))
+    }
+    rowTot.select(col("from_t").as("t"), col("tot").cast("bigint")
+        .as("n_transitions_out"))
+      .join(pi, Seq("t"))
+      .select(col("t").as("event_type"), col("n_transitions_out"),
+        round(col("pi"), 6).as("pi_3step"))
+      .orderBy("event_type")
+  }
 }
