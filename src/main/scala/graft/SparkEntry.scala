@@ -258,6 +258,12 @@ object SparkEntry {
     "agg_tdigest"        -> AdvancedAggs.aggTdigest _,
     "timeseries_ewm_var" -> Stats.timeseriesEwmVar _,
     "event_markov_stationary" -> Stats.eventMarkovStationary _,
+    "stats_kruskal_wallis" -> Stats.statsKruskalWallis _,
+    "stats_welch_anova"  -> Stats.statsWelchAnova _,
+    "stats_ols_multi"    -> Stats.statsOlsMulti _,
+    "stats_permutation_test" -> Stats.statsPermutationTest _,
+    "pipeline_mix_temperature" -> Pipeline.pipelineMixTemperature _,
+    "sink_bloom_filter"  -> Sources.sinkBloomFilter _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
@@ -977,6 +983,79 @@ object SparkEntry {
        "it2 AS (SELECT p.to_t AS t, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.pi * p.p ORDER BY p.from_t)), (acc, v) -> acc + v) AS pi FROM p JOIN it1 q ON p.from_t = q.t GROUP BY p.to_t), " +
        "it3 AS (SELECT p.to_t AS t, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.pi * p.p ORDER BY p.from_t)), (acc, v) -> acc + v) AS pi FROM p JOIN it2 q ON p.from_t = q.t GROUP BY p.to_t) " +
        "SELECT rt.from_t AS event_type, rt.tot AS n_transitions_out, round(it3.pi, 6) AS pi_3step FROM rt JOIN it3 ON rt.from_t = it3.t ORDER BY event_type"),
+    // stats_kruskal_wallis: midranks at the distinct-value grain (the
+    // mann_whitney closed form); the one cross-group float reduction
+    // (sum R_j^2/n_j) is a seeded list_reduce in event-type order
+    // mirroring Spark's sorted-array fold addition-for-addition.
+    "stats_kruskal_wallis" ->
+      ("WITH p AS (SELECT event_type, round(value, 4) AS value FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+       "vt AS (SELECT value, event_type, count(*) AS c FROM p GROUP BY 1, 2), " +
+       "v AS (SELECT value, sum(c) AS tv FROM vt GROUP BY 1), " +
+       "r AS (SELECT value, tv, CAST(coalesce(sum(tv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) + CAST(tv + 1 AS DOUBLE) / 2 AS midrank FROM v), " +
+       "t AS (SELECT sum(tv * tv * tv - tv) AS ties, sum(tv) AS n FROM r), " +
+       "g AS (SELECT vt.event_type, sum(vt.c) AS nj, sum(CAST(vt.c AS DOUBLE) * r.midrank) AS rj FROM vt JOIN r USING (value) GROUP BY 1), " +
+       "hh AS (SELECT count(*) AS k, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(rj * rj / nj ORDER BY event_type)), (acc, x) -> acc + x) AS srn FROM g) " +
+       "SELECT g.event_type, CAST(g.nj AS BIGINT) AS n_j, round(g.rj, 4) AS rank_sum, round(g.rj / g.nj, 6) AS mean_rank, CAST(hh.k AS BIGINT) AS k_groups, " +
+       "round((12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * hh.srn - 3.0 * (CAST(t.n AS DOUBLE) + 1)) / (1.0 - CAST(t.ties AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 6) AS h_stat " +
+       "FROM g, hh, t ORDER BY event_type"),
+    // stats_welch_anova: per-group moments as in stats_anova; every
+    // cross-group reduction is a seeded list_reduce in event-type
+    // order (the sorted-fold idiom), never a bare float SUM.
+    "stats_welch_anova" ->
+      ("WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1), " +
+       "f AS (SELECT count(*) AS k, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(n / v ORDER BY event_type)), (acc, x) -> acc + x) AS sw, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(n / v * m ORDER BY event_type)), (acc, x) -> acc + x) AS swm FROM g), " +
+       "m2 AS (SELECT k, sw, swm / sw AS mw FROM f), " +
+       "a2 AS (SELECT m2.k, m2.sw, m2.mw, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(g.n / g.v * (g.m - m2.mw) * (g.m - m2.mw) ORDER BY g.event_type)), (acc, x) -> acc + x) AS a, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list((1.0 - g.n / g.v / m2.sw) * (1.0 - g.n / g.v / m2.sw) / (g.n - 1) ORDER BY g.event_type)), (acc, x) -> acc + x) AS b " +
+       "FROM g CROSS JOIN m2 GROUP BY m2.k, m2.sw, m2.mw) " +
+       "SELECT CAST(k AS BIGINT) AS k_groups, round(mw, 6) AS weighted_grand_mean, " +
+       "round(a / (k - 1) / (1.0 + 2.0 * (k - 2) / (k * k - 1) * b), 6) AS f_welch, " +
+       "round((CAST(k AS DOUBLE) * k - 1) / (3.0 * b), 4) AS df2 FROM a2"),
+    // stats_ols_multi: moments are exact (integer t/wk, DECIMAL(18,4)
+    // daily totals) so both engines hand the SAME doubles to the SAME
+    // Cramer text; weekend via isodow>=6 == Spark dayofweek IN (1,7).
+    "stats_ols_multi" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(round(sum(value), 4) AS DECIMAL(18,4)) AS y FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1), " +
+       "feat AS (SELECT CAST(d - DATE '2024-01-01' AS BIGINT) AS t, CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS wk, y FROM daily), " +
+       "mo AS (SELECT count(*) AS n, sum(t) AS st, sum(t * t) AS stt, sum(wk) AS sx, sum(t * wk) AS stx, sum(y) AS sy, sum(y * CAST(t AS DECIMAL(9,0))) AS sty, sum(y * CAST(wk AS DECIMAL(1,0))) AS sxy, sum(y * y) AS syy FROM feat), " +
+       "dd AS (SELECT CAST(n AS DOUBLE) AS a11, CAST(st AS DOUBLE) AS a12, CAST(sx AS DOUBLE) AS a13, CAST(stt AS DOUBLE) AS a22, CAST(stx AS DOUBLE) AS a23, CAST(sx AS DOUBLE) AS a33, CAST(sy AS DOUBLE) AS r1, CAST(sty AS DOUBLE) AS r2, CAST(sxy AS DOUBLE) AS r3, CAST(syy AS DOUBLE) AS syy, CAST(n AS BIGINT) AS n_days FROM mo), " +
+       "cr AS (SELECT n_days, r1, r2, r3, syy, a11, " +
+       "a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS det, " +
+       "r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - a23 * r3) + a13 * (r2 * a23 - a22 * r3) AS n0, " +
+       "a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) AS n1, " +
+       "a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) AS n2 FROM dd), " +
+       "bb AS (SELECT n_days, r1, r2, r3, syy, a11, n0 / det AS b0, n1 / det AS b1, n2 / det AS b2 FROM cr) " +
+       "SELECT n_days, round(b0, 6) AS b_intercept, round(b1, 6) AS b_day, round(b2, 6) AS b_weekend, " +
+       "round(1.0 - (syy - (b0 * r1 + b1 * r2 + b2 * r3)) / (syy - r1 * r1 / a11), 6) AS r2_fit FROM bb"),
+    // stats_permutation_test: each of the 64 permutations re-hashes the
+    // user with a ':i' salt — the replayable-randomness idiom — and the
+    // extreme-count gate compares 6-rounded deltas on both engines.
+    "stats_permutation_test" ->
+      ("WITH b AS (SELECT user_id, value FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL), " +
+       "o AS (SELECT avg(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN value END) - avg(CASE WHEN NOT (substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')) THEN value END) AS d_obs FROM b), " +
+       "ii AS (SELECT unnest(range(1, 65)) AS i), " +
+       "p AS (SELECT i, avg(CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN value END) - avg(CASE WHEN NOT (substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')) THEN value END) AS d FROM b CROSS JOIN ii GROUP BY i) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_perms, max(round(o.d_obs, 6)) AS d_obs, " +
+       "CAST(sum(CASE WHEN abs(round(p.d, 6)) >= abs(round(o.d_obs, 6)) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme, " +
+       "round(CAST(sum(CASE WHEN abs(round(p.d, 6)) >= abs(round(o.d_obs, 6)) THEN 1 ELSE 0 END) + 1 AS DOUBLE) / (count(*) + 1), 6) AS p_value FROM p, o"),
+    // pipeline_mix_temperature: tau=0.5 so the flattening is sqrt
+    // (IEEE-correctly-rounded on both engines, unlike a general pow);
+    // the normalizer folds in lang order.
+    "pipeline_mix_temperature" ->
+      ("WITH c AS (SELECT lang, sum(n_chars) AS nc FROM documents WHERE lang IS NOT NULL GROUP BY 1), " +
+       "tt AS (SELECT sum(nc) AS tot FROM c), " +
+       "zz AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sqrt(CAST(nc AS DOUBLE) / tot) ORDER BY lang)), (acc, x) -> acc + x) AS z FROM c CROSS JOIN tt) " +
+       "SELECT lang, CAST(nc AS BIGINT) AS n_chars_total, round(CAST(nc AS DOUBLE) / tot, 6) AS p_raw, " +
+       "round(sqrt(CAST(nc AS DOUBLE) / tot) / z, 6) AS weight_t05, " +
+       "CAST(floor(sqrt(CAST(nc AS DOUBLE) / tot) / z * 1000000.0) AS BIGINT) AS alloc_per_million " +
+       "FROM c CROSS JOIN tt CROSS JOIN zz ORDER BY lang"),
+    // sink_bloom_filter: round-trip proof — the bloom-filtered lookup
+    // must equal the same point filter on the table of record.
+    "sink_bloom_filter" ->
+      "SELECT event_id, user_id, event_type, round(value, 4) AS value FROM events WHERE user_id = 1 ORDER BY event_id",
     // exact counts — the oracle is the plain GROUP BY top-10 plus the
     // n/256 error bound the sketch reports.
     "agg_heavy_hitters_sketch" ->

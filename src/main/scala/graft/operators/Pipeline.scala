@@ -654,4 +654,41 @@ object Pipeline {
         round(col("true_count") + col("noise"), 4))
       .orderBy("event_type")
   }
+
+  /** Temperature-scaled language sampling weights (τ = 0.5) — the
+    * standard multilingual mixture smoother: raw char-count shares
+    * p_i are flattened to w_i ∝ p_i^τ so low-resource languages are
+    * upsampled without letting any one dominate. τ = 0.5 is chosen
+    * deliberately: p^0.5 = sqrt(p) is IEEE-correctly-rounded on BOTH
+    * engines (a general pow(p, 0.7) is libm-dependent and could split
+    * in the last ulp). The normalizer Σ√p folds SEQUENTIALLY in lang
+    * order (sorted-array `aggregate` vs ORDER BY list_reduce) so its
+    * op order is pinned; the per-million allocation floors the scaled
+    * weight (floor of identical doubles — boundary-safe).
+    *
+    * Scale shape: ONE lang-grain combinable count aggregate is the
+    * data-sized work; totals and the normalizer broadcast back in-plan.
+    * At 100 TB the lang frame is still dozens of rows — this is a
+    * catalog-statistics-sized computation at any scale.
+    */
+  def pipelineMixTemperature(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.documents(s, sf)
+      .filter(col("lang").isNotNull)
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("nc"))
+    val withTot = c.crossJoin(broadcast(c.agg(sum(col("nc")).as("tot"))))
+    val z = withTot
+      .agg(sort_array(collect_list(struct(col("lang"), col("nc"),
+        col("tot")))).as("arr"))
+      .select(expr(
+        "aggregate(arr, cast(0.0 as double), (acc, r) -> acc + sqrt(cast(r.nc as double) / r.tot))")
+        .as("z"))
+    withTot.crossJoin(broadcast(z))
+      .select(col("lang"), col("nc").cast("bigint").as("n_chars_total"),
+        round(col("nc").cast("double") / col("tot"), 6).as("p_raw"),
+        round(sqrt(col("nc").cast("double") / col("tot")) / col("z"), 6)
+          .as("weight_t05"),
+        floor(sqrt(col("nc").cast("double") / col("tot")) / col("z") *
+          lit(1000000.0d)).cast("bigint").as("alloc_per_million"))
+      .orderBy("lang")
+  }
 }

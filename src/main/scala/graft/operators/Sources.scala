@@ -460,4 +460,33 @@ object Sources {
            max(length(col("value"))).cast("bigint").as("max_chars"),
            round(avg(length(col("value"))), 6).as("avg_chars"))
   }
+
+  /** Parquet BLOOM-FILTER sink + point-lookup read-back — the layout
+    * tool for selective equality lookups on a column the table is
+    * neither sorted nor partitioned by (`sink_sorted_layout` covers the
+    * sort-key case; user_id here is scattered across every file).
+    * The writer embeds a split-block bloom filter per row group
+    * (`parquet.bloom.filter.enabled#user_id`, NDV-sized); at read time
+    * the parquet reader tests the filter BEFORE decoding a row group,
+    * so a one-user lookup on a 100 TB events table skips ~every row
+    * group at the cost of a few KB of filter per group — min/max stats
+    * can't do this for a uniformly-scattered id. Correctness is graded
+    * as a round-trip: the lookup result must equal the same filter on
+    * the table of record.
+    */
+  def sinkBloomFilter(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_bloomf_")
+    val ev = Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    ev.write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#user_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#user_id", "200000")
+      .parquet(dir)
+    s.read.schema(ev.schema).parquet(dir)
+      .filter(col("user_id") === 1L)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+  }
 }

@@ -2137,4 +2137,219 @@ object Stats {
         round(col("pi"), 6).as("pi_3step"))
       .orderBy("event_type")
   }
+
+  /** Kruskal–Wallis H test — the k-group generalization of
+    * `statsMannWhitney` (does ANY event type's value distribution
+    * differ?), the nonparametric cross-check for `statsAnova` when
+    * normality is off the table. Mid-ranks reuse the bucketed prefix
+    * decomposition proven on the two-sample key: per-distinct-value
+    * totals, per-bucket intra prefix (partitioned window), a bounded
+    * bucket-offset window, midrank = offset + prev + (tv+1)/2. Per-type
+    * rank sums R_j are exact (half-integer products ≪ 2⁵³, order-free);
+    * the one cross-group reduction Σ R_j²/n_j folds SEQUENTIALLY in
+    * event-type order on both engines (sorted array + `aggregate`
+    * lambda vs ORDER BY list + list_reduce) so its IEEE op order is
+    * pinned. H carries the standard tie correction
+    * 1 − Σ(t³−t)/(n³−n).
+    *
+    * Scale shape: a (value, type) aggregate + a value-grain aggregate
+    * are the only data-sized passes; the midrank join-back is value-
+    * grain (≤ distinct values), the bucket-offset frame is ≤256 rows,
+    * and everything after lives at k ≤ |types| rows.
+    */
+  def statsKruskalWallis(s: SparkSession, sf: String): DataFrame = {
+    val vt = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), round(col("value"), 4).as("value"))
+      .groupBy(col("value"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val v = vt.groupBy(col("value")).agg(sum(col("c")).as("tv"))
+      .withColumn("bkt", valueBucket(col("value")))
+    val wIntra = Window.partitionBy(col("bkt")).orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrevBkt = Window.orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = v.withColumn("prev",
+      coalesce(sum(col("tv")).over(wIntra), lit(0L)))
+    val offs = withPrev.groupBy(col("bkt")).agg(sum(col("tv")).as("st"))
+      .withColumn("offt", coalesce(sum(col("st")).over(wPrevBkt), lit(0L)))
+      .select(col("bkt"), col("offt"))
+    val mid = withPrev.join(broadcast(offs), Seq("bkt"))
+      .select(col("value"), col("tv"),
+        ((col("offt") + col("prev")).cast("double") +
+         (col("tv") + 1).cast("double") / 2).as("midrank"))
+    val tot = mid.agg(
+      sum(col("tv") * col("tv") * col("tv") - col("tv")).as("ties"),
+      sum(col("tv")).as("n"))
+    val grp = vt.join(mid.select(col("value"), col("midrank")), Seq("value"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("nj"),
+           sum(col("c").cast("double") * col("midrank")).as("rj"))
+    val h = grp
+      .agg(sort_array(collect_list(struct(col("event_type"), col("nj"),
+             col("rj")))).as("g"),
+           count(lit(1)).as("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"),
+        expr("aggregate(g, cast(0.0 as double), (acc, r) -> acc + r.rj * r.rj / r.nj)")
+          .as("srn"),
+        col("ties"), col("n"))
+      .select(col("k").cast("bigint").as("k_groups"),
+        round((lit(12.0) / (col("n").cast("double") * (col("n") + 1)) *
+                 col("srn") - lit(3.0) * (col("n").cast("double") + 1)) /
+              (lit(1.0) - col("ties").cast("double") /
+                 (col("n").cast("double") * col("n") * col("n") - col("n"))),
+          6).as("h_stat"))
+    grp.select(col("event_type"), col("nj").cast("bigint").as("n_j"),
+        round(col("rj"), 4).as("rank_sum"),
+        round(col("rj") / col("nj"), 6).as("mean_rank"))
+      .crossJoin(broadcast(h))
+      .orderBy("event_type")
+  }
+
+  /** Welch's ANOVA — the heteroscedasticity-robust F test the
+    * `statsLevene` key exists to motivate: when group variances differ
+    * (Levene rejects), classic ANOVA's pooled-variance F is invalid and
+    * THIS is the statistic to report. Weights w_j = n_j/s_j², weighted
+    * grand mean, A = Σw_j(m_j−m̄_w)²/(k−1), Welch's correction term
+    * B = Σ(1−w_j/Σw)²/(n_j−1), F* = A / (1 + 2(k−2)/(k²−1)·B), and the
+    * Satterthwaite df₂ = (k²−1)/(3B).
+    *
+    * Determinism: per-group n/m/v come from the same single-pass
+    * moments as `statsAnova` (established engine parity); every
+    * cross-group reduction (Σw, Σwm, A, B) folds SEQUENTIALLY in
+    * event-type order via the sorted-array `aggregate` lambda — the
+    * markov/kruskal idiom — so no double sum depends on engine
+    * aggregation order.
+    *
+    * Scale shape: one map-side-combinable moments aggregate is the only
+    * data-sized work; the folds run over a k ≤ |types| element array.
+    */
+  def statsWelchAnova(s: SparkSession, sf: String): DataFrame = {
+    val g = Tables.events(s, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+           var_samp(col("value")).as("v"))
+    g.agg(sort_array(collect_list(struct(col("event_type"), col("n"),
+            col("m"), col("v")))).as("arr"),
+          count(lit(1)).as("k"))
+      .withColumn("sw",
+        expr("aggregate(arr, cast(0.0 as double), (acc, r) -> acc + r.n / r.v)"))
+      .withColumn("swm",
+        expr("aggregate(arr, cast(0.0 as double), (acc, r) -> acc + r.n / r.v * r.m)"))
+      .withColumn("mw", col("swm") / col("sw"))
+      .withColumn("a",
+        expr("aggregate(arr, cast(0.0 as double), (acc, r) -> acc + r.n / r.v * (r.m - mw) * (r.m - mw))"))
+      .withColumn("b",
+        expr("aggregate(arr, cast(0.0 as double), (acc, r) -> acc + (1.0d - r.n / r.v / sw) * (1.0d - r.n / r.v / sw) / (r.n - 1))"))
+      .select(col("k").cast("bigint").as("k_groups"),
+        round(col("mw"), 6).as("weighted_grand_mean"),
+        round(col("a") / (col("k") - 1) /
+              (lit(1.0) + lit(2.0) * (col("k") - 2) /
+                (col("k") * col("k") - 1) * col("b")), 6).as("f_welch"),
+        round((col("k").cast("double") * col("k") - 1) /
+              (lit(3.0) * col("b")), 4).as("df2"))
+  }
+
+  /** Two-feature OLS via the closed-form normal equations — daily
+    * revenue regressed on the day index AND a weekend indicator
+    * simultaneously, the multiple-regression step up from
+    * `statsTrendRegression`'s single slope (which confounds trend with
+    * the weekly cycle; this key separates them). All moment sums are
+    * EXACT — integer day indexes / indicators and DECIMAL(18,4) daily
+    * totals, so Σt, Σt², Σty, Σy² are order-free on both engines — and
+    * the 3×3 Cramer solve + R² run as identical closed-form double
+    * expressions over those exact moments.
+    *
+    * Scale shape: the (day) aggregate is the only data-sized pass;
+    * the moments aggregate runs over calendar-bounded rows and the
+    * solve is scalar math on one row. The normal-equation trick is the
+    * production shape for low-dimensional regression at 100 TB: k²
+    * moments stream through one combinable aggregate, no iteration.
+    */
+  def statsOlsMulti(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("y"))
+      .select(
+        datediff(col("d"), lit("2024-01-01").cast("date")).cast("long").as("t"),
+        when(dayofweek(col("d")).isin(1, 7), lit(1L)).otherwise(lit(0L))
+          .as("wk"),
+        col("y"))
+    daily.agg(
+        count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"), sum(col("wk")).as("sx"),
+        sum(col("t") * col("wk")).as("stx"), sum(col("y")).as("sy"),
+        sum(col("y") * col("t").cast("decimal(9,0)")).as("sty"),
+        sum(col("y") * col("wk").cast("decimal(1,0)")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr(
+        "cast(n as double) as a11", "cast(st as double) as a12",
+        "cast(sx as double) as a13", "cast(stt as double) as a22",
+        "cast(stx as double) as a23", "cast(sx as double) as a33",
+        "cast(sy as double) as r1", "cast(sty as double) as r2",
+        "cast(sxy as double) as r3", "cast(syy as double) as syy",
+        "cast(n as bigint) as n_days")
+      .selectExpr("n_days", "r1", "r2", "r3", "syy", "a11",
+        "a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) as det",
+        "r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - a23 * r3) + a13 * (r2 * a23 - a22 * r3) as n0",
+        "a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) as n1",
+        "a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) as n2")
+      .selectExpr("n_days", "r1", "r2", "r3", "syy", "a11",
+        "n0 / det as b0", "n1 / det as b1", "n2 / det as b2")
+      .selectExpr("n_days",
+        "round(b0, 6) as b_intercept", "round(b1, 6) as b_day",
+        "round(b2, 6) as b_weekend",
+        "round(1.0d - (syy - (b0 * r1 + b1 * r2 + b2 * r3)) / (syy - r1 * r1 / a11), 6) as r2_fit")
+  }
+
+  /** Seeded permutation test on the A/B purchase-value difference — the
+    * assumption-free companion to `experimentTtest`: re-randomize the
+    * arm assignment T = 64 times and ask how often |Δ_perm| ≥ |Δ_obs|.
+    * Each permutation re-hashes the user with a salt
+    * (md5(user_id || ':' || i), first hex 0-7 → arm A) — the repo's
+    * replayable-randomness idiom (`pipelineDpNoise`,
+    * `sampleDeterministic`), so both engines draw the SAME 64
+    * permutations and the p-value (n_extreme+1)/(T+1) is exact
+    * arithmetic. The extreme-count compare runs on 6-rounded Δs so
+    * both engines gate on identical scalars.
+    *
+    * Scale shape: one filtered scan fanned ×64 map-side (explode of a
+    * constant sequence — no shuffle), then ONE 64-group combinable
+    * aggregate of conditional avgs. At 100 TB: T bounds the fan-out
+    * and the aggregate state is 64×4 doubles — a map-side-combine
+    * dream; nothing is ever collected or re-scanned per permutation.
+    */
+  def statsPermutationTest(s: SparkSession, sf: String): DataFrame = {
+    val base = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("value"))
+    val armObs = substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val obs = base
+      .agg((avg(when(armObs, col("value"))) -
+            avg(when(!armObs, col("value")))).as("d_obs"))
+    val armPerm = substring(md5(concat(col("user_id").cast("string"),
+        lit(":"), col("i").cast("string")).cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val perms = base
+      .select(col("user_id"), col("value"),
+        explode(expr("sequence(1, 64)")).as("i"))
+      .groupBy(col("i"))
+      .agg((avg(when(armPerm, col("value"))) -
+            avg(when(!armPerm, col("value")))).as("d"))
+    perms.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("t"),
+           max(round(col("d_obs"), 6)).as("dobs"),
+           sum(when(abs(round(col("d"), 6)) >= abs(round(col("d_obs"), 6)),
+             lit(1L)).otherwise(lit(0L))).as("ne"))
+      .select(col("t").cast("bigint").as("n_perms"),
+        col("dobs").as("d_obs"),
+        col("ne").cast("bigint").as("n_extreme"),
+        round((col("ne") + 1).cast("double") / (col("t") + 1), 6)
+          .as("p_value"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Pipeline, Sources, Stats}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the robust-stats / mixture / bloom-sink batch —
+  * properties the oracle hash cannot see: the rank-sum conservation law
+  * behind Kruskal–Wallis, OLS passing through the mean point, the
+  * permutation test's exact p arithmetic, sqrt-temperature flattening
+  * actually flattening, and the bloom sink's byte-faithful round trip.
+  */
+class RobustStatsSpec extends SparkSpecBase {
+
+  test("kruskal-wallis: rank sums conserve n(n+1)/2, H finite and " +
+      "nonnegative, mean ranks within [1, n]") {
+    val rows = Stats.statsKruskalWallis(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_j")).sum
+    val sumRanks = rows.map(_.getAs[Double]("rank_sum")).sum
+    // midranks are a relabeling of 1..n: their total is invariant
+    assert(math.abs(sumRanks - n.toDouble * (n + 1) / 2) < 1e-4)
+    val h = rows.head.getAs[Double]("h_stat")
+    assert(!h.isNaN && h >= -1e-9)
+    rows.foreach { r =>
+      val mr = r.getAs[Double]("mean_rank")
+      assert(mr >= 1.0 && mr <= n.toDouble)
+      assert(r.getAs[Double]("h_stat") == h) // global stat repeated
+    }
+  }
+
+  test("welch anova: F nonnegative, df2 positive, grand mean inside " +
+      "the group-mean envelope") {
+    val r = Stats.statsWelchAnova(spark, sfSmoke).head()
+    assert(r.getAs[Double]("f_welch") >= 0)
+    assert(r.getAs[Double]("df2") > 0)
+    val means = Tables.events(spark, sfSmoke)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type")).agg(avg(col("value")).as("m"))
+      .collect().map(_.getAs[Double]("m"))
+    val gm = r.getAs[Double]("weighted_grand_mean")
+    assert(gm >= means.min - 1e-6 && gm <= means.max + 1e-6)
+    assert(r.getAs[Long]("k_groups") == means.length)
+  }
+
+  test("ols multi: fitted plane passes through the mean point and " +
+      "r2 is a valid fit fraction") {
+    val r = Stats.statsOlsMulti(spark, sfSmoke).head()
+    val daily = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("y"))
+      .select(
+        datediff(col("d"), lit("2024-01-01").cast("date")).cast("double")
+          .as("t"),
+        when(dayofweek(col("d")).isin(1, 7), 1.0).otherwise(0.0).as("wk"),
+        col("y"))
+      .agg(avg("t"), avg("wk"), avg("y")).head()
+    val (mt, mwk, my) =
+      (daily.getDouble(0), daily.getDouble(1), daily.getDouble(2))
+    val fitAtMean = r.getAs[Double]("b_intercept") +
+      r.getAs[Double]("b_day") * mt + r.getAs[Double]("b_weekend") * mwk
+    // OLS with an intercept always passes through (x̄, ȳ); slack covers
+    // the 6-decimal coefficient rounding amplified by the feature means
+    assert(math.abs(fitAtMean - my) < math.max(1e-2, math.abs(my) * 1e-4))
+    val r2 = r.getAs[Double]("r2_fit")
+    assert(r2 <= 1.0 + 1e-9 && r2 >= -1e-6)
+  }
+
+  test("permutation test: 64 draws, p exactly (extreme+1)/65, in (0,1]") {
+    val r = Stats.statsPermutationTest(spark, sfSmoke).head()
+    assert(r.getAs[Long]("n_perms") == 64L)
+    val ne = r.getAs[Long]("n_extreme")
+    val p = r.getAs[Double]("p_value")
+    assert(math.abs(p - (ne + 1.0) / 65.0) < 1e-6)
+    assert(p > 0 && p <= 1)
+  }
+
+  test("mix temperature: weights normalize, sqrt flattening compresses " +
+      "shares toward uniform, allocations bounded by the budget") {
+    val rows = Pipeline.pipelineMixTemperature(spark, sfSmoke).collect()
+    assert(rows.length > 1)
+    val wSum = rows.map(_.getAs[Double]("weight_t05")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4)
+    // flattening: a lang below-uniform share gains weight, above loses
+    val k = rows.length.toDouble
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_raw"); val w = r.getAs[Double]("weight_t05")
+      if (p < 1.0 / k - 1e-9) assert(w > p - 1e-6)
+      if (p > 1.0 / k + 1e-9) assert(w < p + 1e-6)
+    }
+    assert(rows.map(_.getAs[Long]("alloc_per_million")).sum <= 1000000L)
+  }
+
+  test("bloom sink: point lookup equals the same filter on the table " +
+      "of record") {
+    val back = Sources.sinkBloomFilter(spark, sfSmoke).collect()
+    val direct = Tables.events(spark, sfSmoke)
+      .filter(col("user_id") === 1L)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_id").collect()
+    assert(back.length == direct.length && back.nonEmpty)
+    back.zip(direct).foreach { case (a, b) => assert(a == b) }
+  }
+}
