@@ -264,6 +264,11 @@ object SparkEntry {
     "stats_permutation_test" -> Stats.statsPermutationTest _,
     "pipeline_mix_temperature" -> Pipeline.pipelineMixTemperature _,
     "sink_bloom_filter"  -> Sources.sinkBloomFilter _,
+    "stats_mcnemar"      -> Stats.statsMcnemar _,
+    "stats_cochran_q"    -> Stats.statsCochranQ _,
+    "stats_ab_srm"       -> Stats.statsAbSrm _,
+    "stats_binomial_wilson" -> Stats.statsBinomialWilson _,
+    "stats_grubbs"       -> Stats.statsGrubbs _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
@@ -1056,6 +1061,71 @@ object SparkEntry {
     // must equal the same point filter on the table of record.
     "sink_bloom_filter" ->
       "SELECT event_id, user_id, event_type, round(value, 4) AS value FROM events WHERE user_id = 1 ORDER BY event_id",
+    // stats_mcnemar: integer discordant-cell counts at the (user, day)
+    // grain; the continuity-corrected chi2 is one double division.
+    "stats_mcnemar" ->
+      ("WITH u AS (SELECT user_id, CAST(ts AS DATE) AS d, " +
+       "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a, " +
+       "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b " +
+       "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2), " +
+       "c AS (SELECT count(*) AS n, sum(a * b) AS bo, sum(a * (1 - b)) AS vo, sum((1 - a) * b) AS po FROM u) " +
+       "SELECT CAST(n AS BIGINT) AS n_user_days, CAST(bo AS BIGINT) AS n_both, " +
+       "CAST(vo AS BIGINT) AS n_view_only, CAST(po AS BIGINT) AS n_purchase_only, " +
+       "round(CASE WHEN vo + po = 0 THEN 0.0 ELSE (CAST(abs(vo - po) AS DOUBLE) - 1.0) * (CAST(abs(vo - po) AS DOUBLE) - 1.0) / CAST(vo + po AS DOUBLE) END, 6) AS mcnemar_chi2, " +
+       "round(CASE WHEN vo + po = 0 THEN 0.0 ELSE (CAST(abs(vo - po) AS DOUBLE) - 1.0) * (CAST(abs(vo - po) AS DOUBLE) - 1.0) / CAST(vo + po AS DOUBLE) END, 6) > 3.841459 AS reject_marginal_homogeneity " +
+       "FROM c"),
+    // stats_cochran_q: all-integer moments; the one closing division
+    // runs over exact BIGINT casts on both engines.
+    "stats_cochran_q" ->
+      ("WITH u AS (SELECT user_id, CAST(ts AS DATE) AS d, " +
+       "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1, " +
+       "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2, " +
+       "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3 " +
+       "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2), " +
+       "m AS (SELECT count(*) AS n, sum(c1) AS s1, sum(c2) AS s2, sum(c3) AS s3, " +
+       "sum(c1 + c2 + c3) AS t, sum((c1 + c2 + c3) * (c1 + c2 + c3)) AS tr2 FROM u) " +
+       "SELECT CAST(n AS BIGINT) AS n_user_days, CAST(s1 AS BIGINT) AS n_view, " +
+       "CAST(s2 AS BIGINT) AS n_click, CAST(s3 AS BIGINT) AS n_purchase, " +
+       "round(2.0 * CAST(3 * (s1 * s1 + s2 * s2 + s3 * s3) - t * t AS DOUBLE) / CAST(3 * t - tr2 AS DOUBLE), 6) AS q_stat, " +
+       "round(2.0 * CAST(3 * (s1 * s1 + s2 * s2 + s3 * s3) - t * t AS DOUBLE) / CAST(3 * t - tr2 AS DOUBLE), 6) > 5.991465 AS reject_equal_rates " +
+       "FROM m"),
+    // stats_ab_srm: the md5 arm split replayed exactly; chi2 collapses
+    // to (na-nb)^2/n over integers.
+    "stats_ab_srm" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL), " +
+       "c AS (SELECT sum(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS na, " +
+       "sum(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END) AS nb FROM u) " +
+       "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+       "round(CAST(na - nb AS DOUBLE) * CAST(na - nb AS DOUBLE) / CAST(na + nb AS DOUBLE), 6) AS srm_chi2, " +
+       "round(CAST(na - nb AS DOUBLE) * CAST(na - nb AS DOUBLE) / CAST(na + nb AS DOUBLE), 6) > 3.841459 AS srm_detected " +
+       "FROM c"),
+    // stats_binomial_wilson: z enters as an explicit DOUBLE (a bare
+    // 1.959964 literal would be DECIMAL on DuckDB and its square would
+    // differ from the double product in the last ulp); expression text
+    // mirrors the Spark op order exactly.
+    "stats_binomial_wilson" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+       "x AS (SELECT event_type, count(*) AS x FROM ut GROUP BY 1), " +
+       "nn AS (SELECT count(DISTINCT user_id) AS n FROM ut), " +
+       "zc AS (SELECT CAST(1.959964 AS DOUBLE) AS z), " +
+       "w AS (SELECT event_type, x, n, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p, z, " +
+       "(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) + z * z / (2.0 * n)) / (1.0 + z * z / n) AS ctr, " +
+       "z * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / n + z * z / (4.0 * n * n)) / (1.0 + z * z / n) AS hw " +
+       "FROM x CROSS JOIN nn CROSS JOIN zc) " +
+       "SELECT event_type, CAST(x AS BIGINT) AS n_reached, CAST(n AS BIGINT) AS n_users, " +
+       "round(p, 6) AS p_hat, round(ctr - hw, 6) AS wilson_lo, round(ctr + hw, 6) AS wilson_hi " +
+       "FROM w ORDER BY event_type"),
+    // stats_grubbs: exact DECIMAL(18,4) daily moments -> identical
+    // mean/sd doubles; argmax day via the same (dev DESC, d ASC) sort.
+    "stats_grubbs" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(round(sum(value), 4) AS DECIMAL(18,4)) AS y FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1), " +
+       "mo AS (SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM daily), " +
+       "ms AS (SELECT n, CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS m, " +
+       "sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd FROM mo) " +
+       "SELECT CAST(ms.n AS BIGINT) AS n_days, round(ms.m, 6) AS mean_daily, round(ms.sd, 6) AS sd_daily, " +
+       "daily.d AS suspect_day, round(CAST(daily.y AS DOUBLE), 4) AS suspect_revenue, " +
+       "round(abs(CAST(daily.y AS DOUBLE) - ms.m) / ms.sd, 6) AS g_stat " +
+       "FROM daily CROSS JOIN ms ORDER BY abs(CAST(daily.y AS DOUBLE) - ms.m) DESC, daily.d ASC LIMIT 1"),
     // exact counts — the oracle is the plain GROUP BY top-10 plus the
     // n/256 error bound the sketch reports.
     "agg_heavy_hitters_sketch" ->

@@ -2352,4 +2352,188 @@ object Stats {
         round((col("ne") + 1).cast("double") / (col("t") + 1), 6)
           .as("p_value"))
   }
+
+  /** McNemar's test on paired binary outcomes — on the SAME user-days,
+    * does viewing co-occur with purchasing? The subject is the
+    * (user, day) cell (the user grain is saturated — every user
+    * eventually does everything — so pairing at the daily-session grain
+    * is where the discordance lives). The paired design removes
+    * between-subject variance that the two-proportion z-test
+    * (`statsProportionsZtest`, independent samples) cannot: only the
+    * DISCORDANT cells (viewed-not-purchased b, purchased-not-viewed c)
+    * carry information, and χ² = (|b−c|−1)²/(b+c) with the continuity
+    * correction. Every input is an integer count, so the one double
+    * division at the end is bit-identical on both engines.
+    *
+    * Scale shape: one (user, day)-grain conditional-max aggregate
+    * (map-side combinable presence bits), then a 4-cell count
+    * aggregate — two shuffles total, final state is one row.
+    */
+  def statsMcnemar(s: SparkSession, sf: String): DataFrame = {
+    val u = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("b"))
+    u.agg(count(lit(1)).as("n"),
+          sum(col("a") * col("b")).as("both"),
+          sum(col("a") * (lit(1L) - col("b"))).as("vOnly"),
+          sum((lit(1L) - col("a")) * col("b")).as("pOnly"))
+      .select(col("n").cast("bigint").as("n_user_days"),
+        col("both").cast("bigint").as("n_both"),
+        col("vOnly").cast("bigint").as("n_view_only"),
+        col("pOnly").cast("bigint").as("n_purchase_only"),
+        round(when(col("vOnly") + col("pOnly") === 0L, lit(0.0))
+          .otherwise(
+            (abs(col("vOnly") - col("pOnly")).cast("double") - 1.0) *
+            (abs(col("vOnly") - col("pOnly")).cast("double") - 1.0) /
+            (col("vOnly") + col("pOnly")).cast("double")), 6)
+          .as("mcnemar_chi2"))
+      .withColumn("reject_marginal_homogeneity",
+        col("mcnemar_chi2") > 3.841459)
+  }
+
+  /** Cochran's Q — the k-treatment generalization of McNemar: across
+    * the view/click/purchase funnel stages, is ANY stage's per-subject
+    * completion rate different? Subjects are (user, day) cells (same
+    * rationale as `statsMcnemar`: the user grain is saturated).
+    * Q = (k−1)·(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²) where Rᵢ is a subject's
+    * stage count, Cⱼ a stage's subject count, T = ΣRᵢ = ΣCⱼ. Every
+    * term is an integer sum, so the single closing division is
+    * engine-exact; compared against χ²(k−1=2) at 0.95 = 5.991465.
+    *
+    * Scale shape: one (user, day)-grain presence-bit aggregate;
+    * ΣRᵢ/ΣRᵢ² fold into the same second aggregate as the column sums —
+    * one row of final state, everything map-side combinable.
+    */
+  def statsCochranQ(s: SparkSession, sf: String): DataFrame = {
+    val u = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+             .as("c1"),
+           max(when(col("event_type") === "click", 1L).otherwise(0L))
+             .as("c2"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("c3"))
+      .withColumn("r", col("c1") + col("c2") + col("c3"))
+    u.agg(count(lit(1)).as("n"),
+          sum(col("c1")).as("s1"), sum(col("c2")).as("s2"),
+          sum(col("c3")).as("s3"),
+          sum(col("r")).as("t"), sum(col("r") * col("r")).as("tr2"))
+      .select(col("n").cast("bigint").as("n_user_days"),
+        col("s1").cast("bigint").as("n_view"),
+        col("s2").cast("bigint").as("n_click"),
+        col("s3").cast("bigint").as("n_purchase"),
+        round((lit(2.0) *
+            (lit(3L) * (col("s1") * col("s1") + col("s2") * col("s2") +
+               col("s3") * col("s3")) -
+             col("t") * col("t")).cast("double")) /
+          (lit(3L) * col("t") - col("tr2")).cast("double"), 6)
+          .as("q_stat"))
+      .withColumn("reject_equal_rates", col("q_stat") > 5.991465)
+  }
+
+  /** Sample-ratio-mismatch guardrail — the FIRST check any experiment
+    * readout runs at scale: do the md5-assigned arms actually split
+    * 50/50 at the user grain? A significant χ² here means the
+    * assignment or logging is broken and every downstream metric
+    * (`experimentTtest`, `statsPermutationTest`) is untrustworthy.
+    * χ² = (n_a−E)²/E + (n_b−E)²/E with E = n/2; integer counts, one
+    * closing double division → engine-exact.
+    *
+    * Scale shape: distinct-user pass then a 2-cell conditional count —
+    * the assignment hash is recomputed per row and never stored, the
+    * production pattern for stateless bucketing.
+    */
+  def statsAbSrm(s: SparkSession, sf: String): DataFrame = {
+    val arm = substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .agg(sum(when(arm, 1L).otherwise(0L)).as("na"),
+           sum(when(!arm, 1L).otherwise(0L)).as("nb"))
+      .select(col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        round((col("na") - col("nb")).cast("double") *
+              (col("na") - col("nb")).cast("double") /
+              (col("na") + col("nb")).cast("double"), 6).as("srm_chi2"))
+      .withColumn("srm_detected", col("srm_chi2") > 3.841459)
+  }
+
+  /** Wilson score interval for per-stage reach — the binomial CI that
+    * stays inside [0,1] and behaves at small x (the normal-approx CI of
+    * `statsProportionZtest` does neither): for each event type,
+    * x = users who did it out of n = all users, and the 95% bounds are
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) with
+    * z = 1.959964. Integer x/n and a √ (IEEE-correctly-rounded on both
+    * engines) make the bounds deterministic; both engines evaluate the
+    * SAME expression text over the same scalars.
+    *
+    * Scale shape: one distinct (user, type) pass → type-grain counts;
+    * the n scalar broadcasts back in-plan. k = |types| rows of math.
+    */
+  def statsBinomialWilson(s: SparkSession, sf: String): DataFrame = {
+    val ut = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type")).distinct()
+    val x = ut.groupBy(col("event_type")).agg(count(lit(1)).as("x"))
+    val n = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("n"))
+    val z = lit(1.959964)
+    x.crossJoin(broadcast(n))
+      .withColumn("p", col("x").cast("double") / col("n").cast("double"))
+      .withColumn("ctr",
+        (col("p") + z * z / (lit(2.0) * col("n"))) /
+        (lit(1.0) + z * z / col("n")))
+      .withColumn("hw",
+        z * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+          z * z / (lit(4.0) * col("n") * col("n"))) /
+        (lit(1.0) + z * z / col("n")))
+      .select(col("event_type"), col("x").cast("bigint").as("n_reached"),
+        col("n").cast("bigint").as("n_users"),
+        round(col("p"), 6).as("p_hat"),
+        round(col("ctr") - col("hw"), 6).as("wilson_lo"),
+        round(col("ctr") + col("hw"), 6).as("wilson_hi"))
+      .orderBy("event_type")
+  }
+
+  /** Grubbs' outlier statistic on daily revenue — G = max|y−ȳ|/s, the
+    * single-outlier screen a pipeline runs on its own daily rollups
+    * before trusting a trend fit (`statsTrendRegression` is what the
+    * flagged day would poison). Daily totals are exact DECIMAL(18,4),
+    * so ȳ and the variance moments (Σy, Σy²) are order-free; s is one
+    * √ of exact-moment arithmetic; the suspect day is the argmax with a
+    * min-date tiebreak so ties (only on bit-equal doubles) resolve
+    * identically on both engines.
+    *
+    * Scale shape: day-grain aggregate, one-row moments aggregate
+    * broadcast back, argmax via a bounded (calendar-grain) sort —
+    * nothing data-sized after the first shuffle.
+    */
+  def statsGrubbs(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("y"))
+    val mo = daily.agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        (col("sy").cast("double") / col("n").cast("double")).as("m"),
+        sqrt((col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double") /
+                col("n").cast("double")) /
+             (col("n").cast("double") - 1.0)).as("sd"))
+    daily.crossJoin(broadcast(mo))
+      .withColumn("dev", abs(col("y").cast("double") - col("m")))
+      .orderBy(col("dev").desc, col("d").asc)
+      .limit(1)
+      .select(col("n").cast("bigint").as("n_days"),
+        round(col("m"), 6).as("mean_daily"),
+        round(col("sd"), 6).as("sd_daily"),
+        col("d").as("suspect_day"),
+        round(col("y").cast("double"), 4).as("suspect_revenue"),
+        round(col("dev") / col("sd"), 6).as("g_stat"))
+  }
 }
