@@ -892,7 +892,7 @@ object SparkEntry {
     // stats_brier_calibration: integer milli/micro units end to end —
     // every sum exact in any order; one double division per ratio.
     "stats_brier_calibration" ->
-      ("WITH b AS (SELECT (event_id * 2654435761) % 1000 AS pm, CAST(event_type = 'purchase' AS BIGINT) AS y FROM events WHERE event_type IS NOT NULL), " +
+      ("WITH b AS (SELECT ((event_id % 1000000) * 2654435761) % 1000 AS pm, CAST(event_type = 'purchase' AS BIGINT) AS y FROM events WHERE event_type IS NOT NULL), " +
        "g AS (SELECT CAST(pm // 100 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_events, sum(pm) AS sum_pm, CAST(sum(y) AS BIGINT) AS n_pos, sum((pm - 1000 * y) * (pm - 1000 * y)) AS sum_sq_micro FROM b GROUP BY 1) " +
        "SELECT bucket, n_events, n_pos, round(CAST(sum_pm AS DOUBLE) / (n_events * 1000.0), 6) AS avg_pred, round(CAST(n_pos AS DOUBLE) / n_events, 6) AS obs_rate, round(CAST(sum_sq_micro AS DOUBLE) / (n_events * 1000000.0), 6) AS brier_bucket, " +
        "round(CAST(sum(sum_sq_micro) OVER () AS DOUBLE) / (sum(n_events) OVER () * 1000000.0), 6) AS global_brier, " +

@@ -209,11 +209,30 @@ object Graph {
     * family's 31 s bench cost). The checkpoints live for the session
     * (the same amortization the shared session itself is) and are
     * released with it; per-kernel CpTrackers never see these ids, so
-    * their releaseAllExcept can't evict the shared frames. */
+    * their releaseAllExcept can't evict the shared frames.
+    *
+    * Keyed by the SparkSession OBJECT through a WeakHashMap (not an
+    * identity hash, which is a hash and may collide across two live
+    * sessions — handing one session RDDs pinned to another context):
+    * reference equality is exact, and a restarted session's entry is
+    * GC-collectable the moment the old session is, so stale checkpoint
+    * blocks don't pin the old context for the JVM lifetime. A
+    * stopped-context guard drops the entry eagerly on next access. */
   private val edgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
   private def coPurchaseFrames(s: SparkSession, sf: String): (DataFrame, DataFrame) =
-    edgeMemo.computeIfAbsent((System.identityHashCode(s), sf), _ => {
+    edgeMemo.synchronized {
+      if (s.sparkContext.isStopped) edgeMemo.remove(s)
+      val perSf = {
+        val existing = edgeMemo.get(s)
+        if (existing != null) existing
+        else {
+          val m = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+          edgeMemo.put(s, m); m
+        }
+      }
+      perSf.getOrElseUpdate(sf, {
       val items = Tables.lineitem(s, sf)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val oriented = items.as("a").join(items.as("b"),
@@ -227,7 +246,8 @@ object Graph {
         .unionAll(oriented.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint(true)
       (oriented, sym)
-    })
+      })
+    }
   /** Oriented (u < v) co-purchase edges, session-memoized. */
   private def coPurchaseEdges(s: SparkSession, sf: String): DataFrame =
     coPurchaseFrames(s, sf)._1
@@ -280,10 +300,15 @@ object Graph {
       visited = visited.unionAll(next)
       frontier = next
     }
-    val out = visited.groupBy(col("dist"))
+    // Materialize the ≤5-row aggregate as its own checkpoint, then
+    // release EVERY per-level frontier checkpoint: releasing "all
+    // except visited" kept all five (visited is a unionAll whose
+    // leaves ARE the per-level checkpoints), pinning 5 RDDs per
+    // invocation across the amortized session's bench iterations.
+    val out = cp(visited.groupBy(col("dist"))
       .agg(count(lit(1)).cast("bigint").as("n_nodes"))
-      .orderBy("dist")
-    tracker.releaseAllExcept(visited)
+      .orderBy("dist"))
+    tracker.releaseAllExcept(out)
     out
   }
 

@@ -91,7 +91,13 @@ object ModelEval {
   def statsBrierCalibration(s: SparkSession, sf: String): DataFrame = {
     val base = Tables.events(s, sf)
       .filter(col("event_type").isNotNull)
-      .select(pmod(col("event_id") * lit(2654435761L), lit(1000L)).as("pm"),
+      // event_id is reduced mod 10^6 BEFORE the Knuth multiply: the raw
+      // product wraps 64-bit past event_id ≈ 3.47e9 (silently on Spark,
+      // an overflow error on DuckDB). 10^6 ≡ 0 (mod 1000), so the
+      // reduced hash is value-identical where the raw one is defined,
+      // and the product stays < 2^52 at ANY scale factor.
+      .select(pmod(pmod(col("event_id"), lit(1000000L)) * lit(2654435761L),
+                lit(1000L)).as("pm"),
               (col("event_type") === "purchase").cast("long").as("y"))
     val wAll = Window.partitionBy(lit(1))
     base

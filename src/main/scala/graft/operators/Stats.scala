@@ -2050,27 +2050,38 @@ object Stats {
     * fold runs per type over calendar-bounded arrays.
     */
   def timeseriesEwmVar(s: SparkSession, sf: String): DataFrame = {
-    Tables.events(s, sf)
+    import s.implicits._
+    val daily = Tables.events(s, sf)
       .filter(col("event_type").isNotNull && col("value").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(round(sum(col("value")), 4).as("x"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
-      .select(col("event_type"), explode(expr(
-        """aggregate(s,
-             cast(array() as array<struct<d: date, x: double, m: double, v: double>>),
-             (acc, r) -> acc || array(if(size(acc) = 0,
-               named_struct('d', r.d, 'x', r.x, 'm', r.x, 'v', 0.0d),
-               named_struct('d', r.d, 'x', r.x,
-                 'm', 0.3d * r.x + 0.7d * element_at(acc, -1).m,
-                 'v', 0.7d * (element_at(acc, -1).v +
-                   0.3d * (r.x - element_at(acc, -1).m) *
-                          (r.x - element_at(acc, -1).m))))))"""))
-        .as("r"))
-      .select(col("event_type"), col("r.d").as("d"),
-              round(col("r.x"), 4).as("x"),
-              round(col("r.m"), 6).as("ewm_mean"),
-              round(col("r.v"), 6).as("ewm_var"))
+      .as[(String, java.sql.Date, Double)]
+    // Per-type imperative scan instead of a SQL `aggregate` fold whose
+    // `acc || array(…)` accumulator copies the whole array per step
+    // (O(days²)). flatMapGroups holds ONE group (calendar-bounded) in
+    // memory, sorts it by day, and replays the recursion in O(days)
+    // with running (m, v) state — the identical IEEE op sequence
+    // (0.3·x + 0.7·m; 0.7·(v + 0.3·(x−m)·(x−m)), v reading the OLD m),
+    // so the hash-checked values are bit-identical to the fold's.
+    daily.groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var m = 0.0; var v = 0.0; var first = true
+        rows.iterator.map { case (_, d, x) =>
+          if (first) { m = x; v = 0.0; first = false }
+          else {
+            val prevM = m
+            m = 0.3d * x + 0.7d * prevM
+            v = 0.7d * (v + 0.3d * (x - prevM) * (x - prevM))
+          }
+          (t, d, x, m, v)
+        }
+      }
+      .toDF("event_type", "d", "x", "m", "v")
+      .select(col("event_type"), col("d"),
+              round(col("x"), 4).as("x"),
+              round(col("m"), 6).as("ewm_mean"),
+              round(col("v"), 6).as("ewm_var"))
       .orderBy("event_type", "d")
   }
 

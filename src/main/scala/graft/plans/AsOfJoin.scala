@@ -98,18 +98,36 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * optimizer rules like PushPredicateThroughJoin may fold a residual
   * predicate into the join condition; matching only the bare marker
   * would let the Unevaluable reach codegen). The marker becomes the
-  * custom logical node; residual conjuncts become a Filter ABOVE it —
-  * sound because the as-of join is left-outer-shaped (each left row
-  * exactly once, right columns null when unmatched), so a pushed
-  * predicate re-hoisted over it filters the same rows it would have
-  * filtered below the original inner-carrier join.
+  * custom logical node. Residual conjuncts are routed by which side
+  * they reference — the routing IS the documented semantics:
   *
-  * Nullability constraint (checked here, not assumed): AsOfJoinPlan
-  * widens right-side output to nullable, but parent operators were
-  * RESOLVED against the inner carrier join's attributes before this
-  * rule runs — a non-nullable right-side schema would let downstream
-  * codegen misread the null-filled columns of unmatched left rows, so
-  * the rule refuses it loudly instead of miscomputing. */
+  *  - RIGHT-only conjuncts → a Filter on the RIGHT CHILD, i.e.
+  *    pre-match: the as-of picks the latest right row that SATISFIES
+  *    the predicate — the semantics every ASOF-join implementation
+  *    gives ON predicates. (Optimizer pushdown never leaves a
+  *    single-side conjunct in an inner join's condition — it pushes it
+  *    into the child — so a right-only conjunct reaching this rule was
+  *    written in the ON clause and means pre-match.)
+  *  - LEFT-only conjuncts → a Filter on the LEFT CHILD. Equivalent to
+  *    filtering above (each left row appears exactly once and its
+  *    match is independent of other left rows), and cheaper: rows drop
+  *    before the shuffle.
+  *  - BOTH-side conjuncts → a Filter ABOVE the as-of join. These can
+  *    only arrive here as optimizer-pushed post-join predicates
+  *    (single-side predicates are pushed into children, two-side ones
+  *    parked in the condition), so "above" restores their original,
+  *    post-match position. A USER-written two-side ON conjunct cannot
+  *    be distinguished from a pushed filter and would get post-match
+  *    semantics — callers needing a two-side pre-match predicate must
+  *    apply it to the inputs, not the ON clause.
+  *
+  * Nullability: AsOfJoinPlan widens right-side output to nullable
+  * (as-of is left-outer-shaped). A non-nullable right schema (typed
+  * Datasets, `Seq(...).toDF` with primitive fields) is rewrapped via a
+  * Project of `KnownNullable` aliases that KEEP the original exprIds,
+  * so parents resolved against the carrier join bind to attributes of
+  * consistent identity but honest nullability — instead of refusing
+  * the plan outright. */
 object AsOfJoinRule extends Rule[LogicalPlan] {
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -122,17 +140,24 @@ object AsOfJoinRule extends Rule[LogicalPlan] {
         conjuncts(cond).partition(_.isInstanceOf[AsOfCondition])
       require(markers.length == 1,
         "exactly one graft_asof_marker per join condition")
-      val nonNullable = r.output.filterNot(_.nullable)
-      require(nonNullable.isEmpty,
-        s"graft_asof_marker right side must have a nullable schema " +
-          s"(as-of is left-outer-shaped); non-nullable: " +
-          s"${nonNullable.map(_.name).mkString(", ")}")
       val m = markers.head.asInstanceOf[AsOfCondition]
-      val asof =
-        AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime)
-      residual.reduceOption(And)
-        .map(org.apache.spark.sql.catalyst.plans.logical.Filter(_, asof))
-        .getOrElse(asof)
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+      val (rightOnly, rest) =
+        residual.partition(_.references.subsetOf(r.outputSet))
+      val (leftOnly, bothSides) =
+        rest.partition(_.references.subsetOf(l.outputSet))
+      val lf = leftOnly.reduceOption(And).map(Filter(_, l)).getOrElse(l)
+      val rf = rightOnly.reduceOption(And).map(Filter(_, r)).getOrElse(r)
+      val rNullable =
+        if (rf.output.forall(_.nullable)) rf
+        else Project(rf.output.map { a =>
+          if (a.nullable) a
+          else Alias(KnownNullable(a), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        }, rf)
+      val asof = AsOfJoinPlan(lf, rNullable,
+        m.leftKey, m.rightKey, m.leftTime, m.rightTime)
+      bothSides.reduceOption(And).map(Filter(_, asof)).getOrElse(asof)
   }
 }
 

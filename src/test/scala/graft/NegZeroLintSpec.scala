@@ -52,4 +52,15 @@ class NegZeroLintSpec extends SparkSpecBase {
       s"\n-0.0 cells (normalize with the `+ 0.0` idiom on BOTH engine " +
         s"and oracle):\n  ${hits.mkString("\n  ")}")
   }
+
+  // Round-8 proved boundary behavior can be SF-dependent (the
+  // graph_modularity escape only appeared past sf0.001), and the
+  // driver GRADES at sf0.01 — so the lint must run at the grading SF
+  // too, not just the smoke SF.
+  test("no graded query emits a -0.0 double/float cell at sf0.01") {
+    val hits = negZeroCells(sfOracle)
+    assert(hits.isEmpty,
+      s"\n-0.0 cells (normalize with the `+ 0.0` idiom on BOTH engine " +
+        s"and oracle):\n  ${hits.mkString("\n  ")}")
+  }
 }
