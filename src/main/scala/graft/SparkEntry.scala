@@ -177,6 +177,9 @@ object SparkEntry {
     // hash family) — the spec asserts the sharper property: the merged
     // standing+delta index answers IDENTICALLY to a full rebuild.
     "sim_ann_lsh_incremental" -> Similarity.simAnnLshIncremental _,
+    // sim_ann_index_persist: oracle-N (same engine hash family) — the
+    // spec asserts query-over-persisted-table ≡ query-over-rebuilt.
+    "sim_ann_index_persist" -> Similarity.simAnnIndexPersist _,
     "sim_ann_ivf"        -> Similarity.simIvfTopk _,
     "embed_quantize_int8" -> Similarity.embedQuantizeInt8 _,
     // §2.10 LLM-pipeline: text analysis
@@ -269,6 +272,7 @@ object SparkEntry {
     "stats_ab_srm"       -> Stats.statsAbSrm _,
     "stats_binomial_wilson" -> Stats.statsBinomialWilson _,
     "stats_grubbs"       -> Stats.statsGrubbs _,
+    "timeseries_ar_forecast" -> Stats.timeseriesArForecast _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
@@ -353,6 +357,7 @@ object SparkEntry {
     "multimodal_wav_energy" -> Multimodal.multimodalWavEnergy _,
     "text_feature_hashing" -> TextOps.textFeatureHashing _,
     "dedup_substring_shingle" -> Dedup.dedupSubstringShingle _,
+    "dedup_substring_exact" -> Dedup.dedupSubstringExact _,
     "text_readability"   -> TextOps.textReadability _,
     "multimodal_image_histogram" -> Multimodal.multimodalImageHistogram _,
     "sim_mmr_diversify"  -> Similarity.simMmrDiversify _,
@@ -1126,6 +1131,22 @@ object SparkEntry {
        "daily.d AS suspect_day, round(CAST(daily.y AS DOUBLE), 4) AS suspect_revenue, " +
        "round(abs(CAST(daily.y AS DOUBLE) - ms.m) / ms.sd, 6) AS g_stat " +
        "FROM daily CROSS JOIN ms ORDER BY abs(CAST(daily.y AS DOUBLE) - ms.m) DESC, daily.d ASC LIMIT 1"),
+    // timeseries_ar_forecast: ljung_box's gap-filled global-mean ACF
+    // machinery; r1/r2 round at 6 BEFORE the Yule-Walker closed forms,
+    // so phi and every one-step prediction agree bit-for-bit.
+    "timeseries_ar_forecast" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), " +
+       "grid AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span), " +
+       "f AS (SELECT g.event_type, g.d, CAST(coalesce(c, 0) AS DOUBLE) AS c FROM grid g LEFT JOIN daily USING (event_type, d)), " +
+       "mu AS (SELECT event_type, d, c - avg(c) OVER (PARTITION BY event_type) AS xc FROM f), " +
+       "l AS (SELECT event_type, d, xc, lag(xc, 1) OVER w AS x1, lag(xc, 2) OVER w AS x2 FROM mu WINDOW w AS (PARTITION BY event_type ORDER BY d)), " +
+       "p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(sum(xc * x1) / sum(xc * xc), 6) + 0.0 AS r1, round(sum(xc * x2) / sum(xc * xc), 6) + 0.0 AS r2 FROM l GROUP BY 1), " +
+       "p2 AS (SELECT event_type, n_days, r1, r2, round((r1 * (1.0 - r2)) / (1.0 - r1 * r1), 6) + 0.0 AS phi1, round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) + 0.0 AS phi2 FROM p) " +
+       "SELECT l.event_type, n_days, r1, r2, phi1, phi2, CAST(count(*) AS BIGINT) AS n_scored, " +
+       "round(avg(abs(xc - (phi1 * x1 + phi2 * x2))), 6) AS mae, " +
+       "round(sqrt(avg((xc - (phi1 * x1 + phi2 * x2)) * (xc - (phi1 * x1 + phi2 * x2)))), 6) AS rmse " +
+       "FROM l JOIN p2 USING (event_type) WHERE x2 IS NOT NULL GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY event_type"),
     // exact counts — the oracle is the plain GROUP BY top-10 plus the
     // n/256 error bound the sketch reports.
     "agg_heavy_hitters_sketch" ->
@@ -1862,6 +1883,17 @@ object SparkEntry {
       ("WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((length(text) - 40) / 10) AS BIGINT) + 1), i -> substr(text, CAST(i * 10 + 1 AS INT), 40))) AS sh FROM documents WHERE text IS NOT NULL AND length(text) >= 40) u), " +
        "o AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1) " +
        "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(count(*) FILTER (o.n_docs >= 2) AS BIGINT) AS n_dup_shingles, round(CAST(count(*) FILTER (o.n_docs >= 2) AS DOUBLE) / count(*), 6) AS dup_frac, (round(CAST(count(*) FILTER (o.n_docs >= 2) AS DOUBLE) / count(*), 6) >= 0.5) AS substring_dup_flag FROM sh JOIN o USING (sh) GROUP BY 1 ORDER BY doc_id"),
+    // dedup_substring_exact: content-defined chunks (anchor word iff
+    // md5 ≡ 0 mod 8), group-by on the chunk STRING — offset-invariant,
+    // so both engines cut identical spans; all counts integer.
+    "dedup_substring_exact" ->
+      ("WITH w AS (SELECT doc_id, t.word, t.pos FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word, generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents WHERE text IS NOT NULL AND length(text) >= 40) t WHERE length(t.word) > 0), " +
+       "a AS (SELECT doc_id, word, pos, CAST(CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT) % 8 = 0 AS BIGINT) AS anchor FROM w), " +
+       "ch AS (SELECT doc_id, sum(anchor) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id, word, pos FROM a), " +
+       "c AS (SELECT doc_id, chunk_id, string_agg(word, ' ' ORDER BY pos) AS chunk_text FROM ch GROUP BY 1, 2), " +
+       "f AS (SELECT * FROM c WHERE length(chunk_text) >= 30) " +
+       "SELECT md5(chunk_text) AS span_hash, CAST(length(chunk_text) AS BIGINT) AS span_chars, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+       "FROM f GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2 ORDER BY span_hash"),
     // text_readability: integer word/sentence/vowel-group counts (same
     // [.!?]+ segmentation as the sentence-stats oracle) into the one
     // closed-form Flesch expression.

@@ -28,34 +28,44 @@ object ScalePatterns {
     // spec (key + count, exact — not a substring match). Stamped only
     // after a successful bucketed write, so a matching fingerprint implies
     // the bucket layout too; no count() jobs run on the reuse path.
+    persistBucketed(s, left, Seq(key), buckets, leftName)
+      .join(persistBucketed(s, right, Seq(key), buckets, rightName), key)
+  }
+
+  /** Persist `df` as a bucketed+sorted parquet TABLE on `keys` and
+    * return a read over the table — the reusable half of
+    * [[bucketedCoLocatedJoin]], public because a standing index (e.g.
+    * the persisted ANN band index) is exactly this shape: built once,
+    * re-read across sessions, bucket-pruned/exchange-free on its probe
+    * key. Fingerprint-guarded like the join tables: a matching
+    * `graft.fingerprint` property skips the rebuild entirely (no jobs
+    * run on the reuse path); any input/derivation/layout change
+    * re-buckets. */
+  def persistBucketed(s: SparkSession, df: DataFrame, keys: Seq[String],
+                      buckets: Int, name: String): DataFrame = {
     def reusable(t: String, fp: String): Boolean =
       s.catalog.tableExists(t) &&
         (try s.sql(s"SHOW TBLPROPERTIES $t").collect()
            .exists(r => r.getString(0) == "graft.fingerprint" &&
                         r.getString(1) == fp)
          catch { case _: Throwable => false })
-    val (fpL, fpR) = (fingerprint(left, key, buckets),
-                      fingerprint(right, key, buckets))
-    if (!(reusable(leftName, fpL) && reusable(rightName, fpR))) {
+    val fp = fingerprint(df, keys.mkString(","), buckets)
+    if (!reusable(name, fp)) {
       // A fresh session's in-memory catalog does not know about table dirs
       // a previous session left in the warehouse; saveAsTable then refuses
       // the "new" table because its location exists. Drop both layers.
-      Seq(leftName, rightName).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
-        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-      }
-      left.write.mode("overwrite")
-        .bucketBy(buckets, key).sortBy(key).saveAsTable(leftName)
-      right.write.mode("overwrite")
-        .bucketBy(buckets, key).sortBy(key).saveAsTable(rightName)
-      s.sql(s"ALTER TABLE $leftName SET TBLPROPERTIES " +
-            s"('graft.fingerprint' = '$fpL')")
-      s.sql(s"ALTER TABLE $rightName SET TBLPROPERTIES " +
-            s"('graft.fingerprint' = '$fpR')")
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/" + name.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      df.write.mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(name)
+      s.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+            s"('graft.fingerprint' = '$fp')")
     }
-    s.table(leftName).join(s.table(rightName), key)
+    s.table(name)
   }
 
   /** Content identity of a bucketed-table input: md5 over the input

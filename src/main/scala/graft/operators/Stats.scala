@@ -456,13 +456,12 @@ object Stats {
     * tiny daily frame. `corr` is sum-of-moments, map-side combinable.
     */
   def statsAutocorr(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       // a NULL type would order NULLS FIRST here vs DuckDB's NULLS LAST,
       // and its all-zero gap-filled series yields corr = NaN vs NULL —
       // exclude it on both engines (matches sample_reservoir_group)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("d"), col("c"))
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(col("event_type"),
@@ -501,10 +500,9 @@ object Stats {
     * touches the scan.
     */
   def timeseriesSnaiveBacktest(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"), col("x4").as("x"))
     // calendar-correct lag: join on d−7 rather than "7 observed rows
     // back", so a gap week never silently shifts the weekday alignment
     val prior = daily.select(col("event_type"),
@@ -538,10 +536,9 @@ object Stats {
     * calendar-bounded per-type windows, one tiny final reduction.
     */
   def statsLjungBox(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("d"), col("c"))
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(col("event_type"),
@@ -589,10 +586,9 @@ object Stats {
     * and its state (one running array per type) is explicitly bounded.
     */
   def timeseriesEwma(s: SparkSession, sf: String): DataFrame = {
-    Tables.events(s, sf)
+    DailyFrames.daily(s, sf)
       .filter(col("event_type") === "purchase")
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"), col("x4").as("x"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
       .select(col("event_type"), explode(expr(
@@ -798,10 +794,9 @@ object Stats {
     * (type, day) aggregate; the recursion folds per type over
     * calendar-bounded arrays. */
   def timeseriesHolt(s: SparkSession, sf: String): DataFrame = {
-    Tables.events(s, sf)
+    DailyFrames.daily(s, sf)
       .filter(col("event_type") === "purchase")
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"), col("x4").as("x"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
       .select(col("event_type"), explode(expr(
@@ -840,9 +835,8 @@ object Stats {
     * replaying the identical prefix folds.
     */
   def statsCusum(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).cast("double").as("x"))
+    val daily = DailyFrames.daily(s, sf)
+      .select(col("event_type"), col("d"), col("c").cast("double").as("x"))
     val wT = Window.partitionBy(col("event_type"))
     daily
       .withColumn("mu", avg(col("x")).over(wT))
@@ -912,11 +906,10 @@ object Stats {
     */
   def statsJackknife(s: SparkSession, sf: String): DataFrame = {
     val wType = Window.partitionBy(col("event_type"))
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type") === "purchase")
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("r"),
-           count(lit(1)).cast("double").as("c"))
+      .select(col("event_type"), col("d"), col("x4").as("r"),
+              col("c").cast("double").as("c"))
     val repl = daily
       .withColumn("n", count(lit(1)).over(wType))
       .withColumn("th_i", (sum(col("r")).over(wType) - col("r")) /
@@ -1041,10 +1034,9 @@ object Stats {
   def timeseriesLagFeatures(s: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
     val w7 = w.rowsBetween(-6, 0)
-    Tables.events(s, sf)
+    DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"), col("x4").as("x"))
       .select(col("event_type"), col("d"), col("x"),
         lag(col("x"), 1).over(w).as("lag_1"),
         lag(col("x"), 7).over(w).as("lag_7"),
@@ -1191,10 +1183,9 @@ object Stats {
     * window at data grain.
     */
   def timeseriesSeasonality(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"), col("x4").as("x"))
     val byDow = daily
       .groupBy(col("event_type"),
                (dayofweek(col("d")) - 1).cast("bigint").as("dow"))
@@ -1227,10 +1218,9 @@ object Stats {
     * sampled pair subset; the day-bounded exact form is right here.
     */
   def statsTheilSen(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("y"))
+      .select(col("event_type"), col("d"), col("x4").as("y"))
       .withColumn("x",
         datediff(col("d"),
           min(col("d")).over(Window.partitionBy(col("event_type"))))
@@ -1362,10 +1352,9 @@ object Stats {
     * statsAutocorr/timeseriesEwma.
     */
   def timeseriesRollingMedian(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("day_value"))
+      .select(col("event_type"), col("d"), col("x4").as("day_value"))
       .withColumn("day_idx", datediff(col("d"), lit("1970-01-01")).cast("long"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx").asc)
       .rangeBetween(-6, 0)
@@ -1521,10 +1510,9 @@ object Stats {
     * is the simpler plan and embarrassingly parallel.
     */
   def statsMannKendall(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("y"))
+      .select(col("event_type"), col("d"), col("x4").as("y"))
     val sPairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") &&
         col("a.d") < col("b.d"))
@@ -1825,10 +1813,9 @@ object Stats {
     * the same bound the EWMA/CUSUM family rides.
     */
   def statsXiCorrelation(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("y"))
+      .select(col("event_type"), col("d"), col("x4").as("y"))
     val wLe = Window.partitionBy(col("event_type")).orderBy(col("y").asc)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wGe = Window.partitionBy(col("event_type")).orderBy(col("y").desc)
@@ -1869,10 +1856,9 @@ object Stats {
     * series — the EWMA/CUSUM bound again, no global window anywhere.
     */
   def timeseriesStlDecompose(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"), col("x4").as("x"))
     val w7 = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
       .rowsBetween(-3, 3)
     val wDow = Window.partitionBy(col("event_type"), col("dow"))
@@ -1905,11 +1891,10 @@ object Stats {
     * data-sized work is one aggregate; nothing else touches the scan.
     */
   def statsKendallTau(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"),
-           count(lit(1)).as("y"))
+      .select(col("event_type"), col("d"), col("x4").as("x"),
+              col("c").as("y"))
     val a = daily.select(col("event_type"), col("d").as("d1"),
       col("x").as("x1"), col("y").as("y1"))
     val b = daily.select(col("event_type"), col("d").as("d2"),
@@ -1994,10 +1979,9 @@ object Stats {
     * no self-join, no day² blowup.
     */
   def timeseriesChangepoint(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("d"), col("c"))
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("event_type"))
@@ -2051,10 +2035,12 @@ object Stats {
     */
   def timeseriesEwmVar(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.events(s, sf)
-      .filter(col("event_type").isNotNull && col("value").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"))
+    // value-IS-NOT-NULL pre-filter recovered post-memo as cv > 0: SUM
+    // already ignores nulls, so only the all-null days differ — exactly
+    // the cv = 0 rows
+    val daily = DailyFrames.daily(s, sf)
+      .filter(col("event_type").isNotNull && col("cv") > 0)
+      .select(col("event_type"), col("d"), col("x4").as("x"))
       .as[(String, java.sql.Date, Double)]
     // Per-type imperative scan instead of a SQL `aggregate` fold whose
     // `acc || array(…)` accumulator copies the whole array per step
@@ -2546,5 +2532,70 @@ object Stats {
         col("d").as("suspect_day"),
         round(col("y").cast("double"), 4).as("suspect_revenue"),
         round(col("dev") / col("sd"), 6).as("g_stat"))
+  }
+
+  /** AR(2) fit + one-step backtest per event type — the autoregressive
+    * rung the forecast family (naive → EWMA → Holt → seasonal-naive)
+    * was missing: Yule–Walker coefficients from the lag-1/lag-2
+    * autocorrelations of the gap-filled daily count series
+    * (φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²)), then the
+    * one-step-ahead backtest x̂_t = μ + φ₁(x_{t−1}−μ) + φ₂(x_{t−2}−μ)
+    * scored with MAE and RMSE over every day with two lags of history.
+    * One-step-ahead means each prediction reads ACTUAL lagged values —
+    * a pure window computation, no recursion, so the whole key is
+    * oracle-paired (unlike Holt, whose recursive level/trend needed
+    * the fold idiom).
+    *
+    * Determinism: the ACF estimator is `statsLjungBox`'s textbook
+    * global-mean form; r₁/r₂ round at 6 BEFORE entering the φ closed
+    * forms, so φ and every prediction are functions of already-agreed
+    * values; MAE/RMSE follow the snaive-backtest avg discipline.
+    *
+    * Scale shape: ONE (type, day) count aggregate is the only
+    * data-sized work; the grid fill, lag windows, and the per-type
+    * param join all live on the calendar-bounded daily frame (params
+    * broadcast back — a ≤|types|-row build side).
+    */
+  def timeseriesArForecast(s: SparkSession, sf: String): DataFrame = {
+    val daily = DailyFrames.daily(s, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("d"), col("c"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val filled = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+              coalesce(col("c"), lit(0L)).cast("double").as("c"))
+    val wp = Window.partitionBy(col("event_type"))
+    val w = wp.orderBy(col("d").asc)
+    val lagged = filled
+      .withColumn("m", avg(col("c")).over(wp))
+      .withColumn("xc", col("c") - col("m"))
+      .withColumn("x1", lag(col("xc"), 1).over(w))
+      .withColumn("x2", lag(col("xc"), 2).over(w))
+    val params = lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+           round(sum(col("xc") * col("x1")) / sum(col("xc") * col("xc")), 6)
+             .as("r1"),
+           round(sum(col("xc") * col("x2")) / sum(col("xc") * col("xc")), 6)
+             .as("r2"))
+      .select(col("event_type"), col("n_days"), col("r1"), col("r2"),
+        round((col("r1") * (lit(1.0) - col("r2"))) /
+              (lit(1.0) - col("r1") * col("r1")), 6).as("phi1"),
+        round((col("r2") - col("r1") * col("r1")) /
+              (lit(1.0) - col("r1") * col("r1")), 6).as("phi2"))
+    lagged.filter(col("x2").isNotNull)
+      .join(broadcast(params), Seq("event_type"))
+      .withColumn("err",
+        col("xc") - (col("phi1") * col("x1") + col("phi2") * col("x2")))
+      .groupBy(col("event_type"))
+      .agg(first(col("n_days")).as("n_days"),
+           first(col("r1")).as("r1"), first(col("r2")).as("r2"),
+           first(col("phi1")).as("phi1"), first(col("phi2")).as("phi2"),
+           count(lit(1)).cast("bigint").as("n_scored"),
+           round(avg(abs(col("err"))), 6).as("mae"),
+           round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
+      .orderBy("event_type")
   }
 }

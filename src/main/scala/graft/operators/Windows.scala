@@ -261,10 +261,9 @@ object Windows {
   def winDrawdown(s: SparkSession, sf: String): DataFrame = {
     val wRun = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val daily = Tables.events(s, sf)
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).as("x"))
+      .select(col("event_type"), col("d"), col("x4").as("x"))
       .select(col("event_type"), col("d"),
         sum(col("x")).over(wRun).as("cum"))
       .select(col("event_type"), col("d"),

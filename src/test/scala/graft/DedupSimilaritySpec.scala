@@ -29,6 +29,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
         array_distinct(split(col("text"), " ")).as("ws"))
   }
 
+  test("substring exact: boundary-straddling duplicated span caught where the 40/10 grid misses") {
+    import spark.implicits._
+    // shared span at offset 11 in doc A and offset 25 in doc B —
+    // 14 ≢ 0 (mod 10), so the two fixed grids sample DIFFERENT 40-char
+    // windows of the same span (asserted below, not assumed): the
+    // shingle key's documented miss case. Content-defined anchors are
+    // offset-invariant, so dedupSubstringExact must still report it.
+    val span = (1 to 40).map(i => s"span$i").mkString(" ")
+    val docA = "alpha beta " + span + " tailx taily"
+    val docB = "gammagamma delta epsilon " + span + " omega"
+    def grid(t: String): Set[String] =
+      (0 to (t.length - 40) / 10).map(i => t.substring(i * 10, i * 10 + 40)).toSet
+    assert(grid(docA).intersect(grid(docB)).isEmpty,
+      "fixture must actually straddle the 40/10 grid")
+    val out = Dedup.substringExactSpans(
+      Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")).collect()
+    assert(out.nonEmpty, "straddling duplicated span must be reported")
+    assert(out.forall(r => r.getLong(2) == 2L && r.getLong(4) == 1L &&
+      r.getLong(5) == 2L), "every reported span must join docs 1 and 2")
+    // control: disjoint docs produce no spans
+    val none = Dedup.substringExactSpans(Seq(
+      (1L, (1 to 40).map(i => s"aa$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"bb$i").mkString(" "))).toDF("doc_id", "text"))
+    assert(none.isEmpty)
+  }
+
   test("minhash: planted near-dups found, estimates near exact Jaccard, controls absent") {
     val pairs = Dedup.minhashPairs(fixture).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -161,6 +187,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(inc.nonEmpty)
     assert(inc.sameElements(full),
       "merged standing+delta index must equal the full rebuild")
+  }
+
+  test("persisted ann index: bucketed table round-trip answers identically to a rebuild") {
+    graft.functions.DotProduct.register(spark)
+    val dotF = (a: String, b: String) => expr(s"graft_dot($a, $b)")
+    val e = Tables.embeddings(spark, sfOracle)
+    val planes = Similarity.lshPlanesFor(e.count())
+    val rebuilt = Similarity.annLshTopk(e, dotF, nPlanes = planes,
+      nTables = Similarity.lshTablesFor(planes)).collect()
+    // first call writes the bucketed table; second exercises the
+    // fingerprint reuse path (no rebuild jobs) — both must equal the
+    // in-plan rebuild bit-for-bit.
+    val first = Similarity.simAnnIndexPersist(spark, sfOracle).collect()
+    val reused = Similarity.simAnnIndexPersist(spark, sfOracle).collect()
+    assert(first.nonEmpty)
+    assert(first.sameElements(rebuilt),
+      "query over the persisted index must equal the rebuild")
+    assert(reused.sameElements(rebuilt),
+      "fingerprint-reuse read must equal the rebuild")
+    // the standing index is a real bucketed TABLE on the probe key
+    val tbl = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "graft_ann_index_" + sfOracle.replaceAll("[^A-Za-z0-9]", "_")))
+    assert(tbl.bucketSpec.exists(b =>
+      b.bucketColumnNames == Seq("tbl", "bucket") && b.numBuckets == 8))
   }
 
   test("ann lsh: wider signature (16 planes) refines 8-plane buckets, deterministic") {
