@@ -180,6 +180,10 @@ object SparkEntry {
     // sim_ann_index_persist: oracle-N (same engine hash family) — the
     // spec asserts query-over-persisted-table ≡ query-over-rebuilt.
     "sim_ann_index_persist" -> Similarity.simAnnIndexPersist _,
+    // sim_ann_multiprobe: oracle-N (same engine hash family) — the spec
+    // asserts candidate-superset vs single-probe at equal tables and
+    // the recall floor at HALF the tables.
+    "sim_ann_multiprobe" -> Similarity.simAnnMultiprobe _,
     "sim_ann_ivf"        -> Similarity.simIvfTopk _,
     "embed_quantize_int8" -> Similarity.embedQuantizeInt8 _,
     // §2.10 LLM-pipeline: text analysis
@@ -273,6 +277,8 @@ object SparkEntry {
     "stats_binomial_wilson" -> Stats.statsBinomialWilson _,
     "stats_grubbs"       -> Stats.statsGrubbs _,
     "timeseries_ar_forecast" -> Stats.timeseriesArForecast _,
+    "stats_cuped"        -> Stats.statsCuped _,
+    "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
@@ -1147,6 +1153,29 @@ object SparkEntry {
        "round(avg(abs(xc - (phi1 * x1 + phi2 * x2))), 6) AS mae, " +
        "round(sqrt(avg((xc - (phi1 * x1 + phi2 * x2)) * (xc - (phi1 * x1 + phi2 * x2)))), 6) AS rmse " +
        "FROM l JOIN p2 USING (event_type) WHERE x2 IS NOT NULL GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY event_type"),
+    // stats_cuped: the statsOlsMulti decimal-moment discipline — per-user
+    // period sums round at 4 then DECIMAL(18,4), cross-user moments are
+    // exact decimal sums, closed forms on doubles cast from agreed values.
+    "stats_cuped" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL), " +
+       "m AS (SELECT min(d) + CAST((max(d) - min(d)) // 2 AS INTEGER) AS mid FROM ev), " +
+       "u AS (SELECT user_id, CAST(round(sum(CASE WHEN d < mid THEN value ELSE 0 END), 4) AS DECIMAL(18,4)) AS pre, CAST(round(sum(CASE WHEN d >= mid THEN value ELSE 0 END), 4) AS DECIMAL(18,4)) AS post FROM ev CROSS JOIN m GROUP BY 1), " +
+       "mo AS (SELECT count(*) AS n, sum(pre) AS sp, sum(post) AS ss, sum(pre * pre) AS spp, sum(pre * post) AS sps, sum(post * post) AS sss FROM u), " +
+       "dd AS (SELECT CAST(n AS BIGINT) AS n_users, CAST(n AS DOUBLE) AS nd, CAST(sp AS DOUBLE) AS sp, CAST(ss AS DOUBLE) AS ss, CAST(spp AS DOUBLE) AS spp, CAST(sps AS DOUBLE) AS sps, CAST(sss AS DOUBLE) AS sss FROM mo), " +
+       "vv AS (SELECT n_users, (spp - sp * sp / nd) / (nd - 1.0) AS var_pre, (sss - ss * ss / nd) / (nd - 1.0) AS var_post, (sps - sp * ss / nd) / (nd - 1.0) AS cov FROM dd) " +
+       "SELECT n_users, round(cov / var_pre, 6) AS theta, round(var_post, 6) AS var_post, round(var_post - cov * cov / var_pre, 6) AS var_adjusted, round(100.0 * cov * cov / (var_pre * var_post), 6) AS reduction_pct FROM vv"),
+    // graph_label_propagation: 3 synchronous frequency-argmax rounds over
+    // the same co-purchase adj CTE as graph_modularity; ties by min label
+    // (count DESC, lab ASC row_number) keep classic LPA replayable.
+    "graph_label_propagation" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "adj AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+       "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM adj), " +
+       "l1 AS MATERIALIZED (SELECT u AS node, lab FROM (SELECT a.u, l.lab, count(*) AS cnt, row_number() OVER (PARTITION BY a.u ORDER BY count(*) DESC, l.lab ASC) AS rn FROM adj a JOIN l0 l ON a.v = l.node GROUP BY a.u, l.lab) t WHERE rn = 1), " +
+       "l2 AS MATERIALIZED (SELECT u AS node, lab FROM (SELECT a.u, l.lab, count(*) AS cnt, row_number() OVER (PARTITION BY a.u ORDER BY count(*) DESC, l.lab ASC) AS rn FROM adj a JOIN l1 l ON a.v = l.node GROUP BY a.u, l.lab) t WHERE rn = 1), " +
+       "l3 AS MATERIALIZED (SELECT u AS node, lab FROM (SELECT a.u, l.lab, count(*) AS cnt, row_number() OVER (PARTITION BY a.u ORDER BY count(*) DESC, l.lab ASC) AS rn FROM adj a JOIN l2 l ON a.v = l.node GROUP BY a.u, l.lab) t WHERE rn = 1) " +
+       "SELECT CAST(lab AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM l3 GROUP BY 1 ORDER BY n_nodes DESC, community ASC LIMIT 20"),
     // exact counts — the oracle is the plain GROUP BY top-10 plus the
     // n/256 error bound the sketch reports.
     "agg_heavy_hitters_sketch" ->

@@ -629,7 +629,13 @@ object Graph {
     * each; walks per node and hop count are knobs, not structure.
     * Measured alternatives, rejected in r8: min_by(dst, md5(..._dst))
     * per hop (24.7 s at sf0.1), adjacency checkpoint (5.2 s), reuse-
-    * bait repartition (63 s). At 100 TB the degree frame may outgrow
+    * bait repartition (63 s). Re-measured in r10 (3-run min each at
+    * sf0.1): current 2.33 s; adjacency localCheckpoint 2.74 s;
+    * frontier checkpoint after hop 2 (the r9-verdict cadence
+    * suggestion) 3.85 s; both 2.79 s — every checkpoint variant loses
+    * because the single-plan DAG already evaluates each hop once and a
+    * checkpoint only adds materialization, so the zero-checkpoint
+    * chain stands. At 100 TB the degree frame may outgrow
     * a broadcast; the fallback is the same equi-join shuffled on node
     * id, still fan-out-free.
     */
@@ -674,5 +680,42 @@ object Graph {
       label(col("hop1")).as("hop1"), label(col("hop2")).as("hop2"),
       label(col("hop3")).as("hop3"), label(col("hop4")).as("hop4"))
       .orderBy("start_node")
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * memoized co-purchase graph — the frequency-based community
+    * detector that complements `graph_modularity`'s min-label
+    * contraction: each of 3 synchronous rounds every node adopts the
+    * label most FREQUENT among its neighbors (ties broken by the
+    * smaller label — the determinism rule that makes classic LPA,
+    * normally run with random visit order, exactly replayable on both
+    * engines). Emits the 20 largest communities.
+    *
+    * Scale shape: each round is one |E|-sized join against the
+    * node-grain label frame, a (node, label) count aggregate, and a
+    * per-node argmax window — the same bounded per-round cost as the
+    * BFS/kcore iterations; rounds are a knob, not structure (real
+    * deployments run to convergence with the same per-round shape).
+    * The adjacency is the session-memoized coPurchaseSym checkpoint,
+    * so no per-key rebuild of the Σ basket² self-join.
+    */
+  def graphLabelPropagation(s: SparkSession, sf: String): DataFrame = {
+    val adj = coPurchaseSym(s, sf)
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val wArg = Window.partitionBy(col("u"))
+      .orderBy(col("cnt").desc, col("lab").asc)
+    for (_ <- 1 to 3) {
+      labels = adj.join(labels, col("v") === col("node"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("lab"))
+    }
+    labels.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("lab").asc)
+      .limit(20)
+      .select(col("lab").cast("bigint").as("community"),
+              col("n_nodes").cast("bigint").as("n_nodes"))
   }
 }

@@ -533,6 +533,63 @@ object Similarity {
     lshQueryTopk(persisted, dot(s), maxBucket = 4096, k = 5)
   }
 
+  /** MULTIPROBE LSH — the recall/cost lever past the table cap
+    * (`lshTablesFor` caps L at 64 with exactly this escape hatch in its
+    * scaladoc): instead of adding index copies, each query probes its
+    * exact bucket PLUS the `nPlanes` buckets at Hamming distance 1
+    * (one signature bit flipped), multiplying candidate coverage
+    * (p+1)× per table with ZERO extra index storage — the Lv et al.
+    * VLDB'07 trade every 100 TB deployment makes, because index bytes
+    * are the scarce resource and the flipped-bucket probes ride the
+    * same co-located join. Run here with HALF the tables of the
+    * single-probe key: the spec asserts the multiprobe candidate set
+    * at L/2 tables strictly contains the single-probe set at L/2 and
+    * holds the family's recall floor that single-probe at L/2 loses.
+    *
+    * Scale shape: the probe explode is query-side only ((p+1)×|Q|
+    * rows, |Q| = 20 here and always ≪ corpus); the candidate join
+    * stays keyed on (tbl, bucket) with the same stop-bucket cap, so
+    * the index side is untouched — bucket-bounded fan-out, identical
+    * shuffle key, smaller index than the single-probe config. */
+  def simAnnMultiprobe(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val planes = lshPlanesFor(collectionCount(e, sf))
+    val tables = math.max(1, lshTablesFor(planes) / 2)
+    graft.functions.LshBuckets.register(s)
+    multiprobeTopk(lshBucketRows(e, tables, planes), dot(s), planes,
+      maxBucket = 4096, k = 5)
+  }
+
+  /** Query phase of [[simAnnMultiprobe]]: like [[lshQueryTopk]] but the
+    * query side explodes each signature into itself plus its nPlanes
+    * Hamming-1 neighbors; the candidate side (cap included) is
+    * unchanged and the distinct on (qid, nid, cos) collapses hits found
+    * through several probes. */
+  private[graft] def multiprobeTopk(index: DataFrame,
+      dotF: (String, String) => org.apache.spark.sql.Column,
+      nPlanes: Int, maxBucket: Int, k: Int): DataFrame = {
+    val q = index.filter(col("vec_id") < 20)
+      .select(col("tbl"), col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(concat(array(col("bucket")),
+          expr(s"transform(sequence(0, ${nPlanes - 1})," +
+               " i -> bucket ^ shiftleft(1L, i))"))).as("bucket"))
+    val wBucket = Window.partitionBy(col("tbl"), col("bucket"))
+    val c = index
+      .withColumn("bn", count(lit(1)).over(wBucket))
+      .filter(col("bn") <= maxBucket)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("nid"),
+              col("embedding").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    q.join(c, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(dotF("qv", "nv"), 6).as("cos"))
+      .distinct()
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/serving stage
     * of an embedding pipeline (4× smaller vectors, SIMD-friendly int
     * dot products; what an ANN index actually holds at 100 TB). Per

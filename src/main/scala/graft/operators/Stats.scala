@@ -2598,4 +2598,60 @@ object Stats {
            round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
       .orderBy("event_type")
   }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    * pre-experiment covariate adjustment every large A/B platform runs:
+    * split the corpus span at its midpoint date, take each user's
+    * pre-period spend as the covariate and post-period spend as the
+    * metric, and report θ = cov(pre, post)/var(pre) plus the adjusted
+    * metric variance var(post) − cov²/var(pre) and the reduction
+    * percentage (= 100·corr²). A platform uses θ to shrink experiment
+    * runtimes; the reduction percentage is the headline number.
+    *
+    * Determinism (the statsOlsMulti discipline): per-user period sums
+    * round at 4 then cast DECIMAL(18,4), so every cross-user moment is
+    * an EXACT decimal sum — order-independent on both engines — and the
+    * closed forms run on doubles cast from agreed values, rounding at 6
+    * only at the output.
+    *
+    * Scale shape: one (user) hash aggregate over the events scan is the
+    * only data-sized work (the span midpoint is a broadcast one-row
+    * crossJoin, the q2 idiom); the moment pass is a single map-side-
+    * combinable aggregate over users.
+    */
+  def statsCuped(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+              col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+        .as("mid")))
+    val users = ev.crossJoin(span)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("d") < col("mid"), col("value"))
+          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("pre"),
+        round(sum(when(col("d") >= col("mid"), col("value"))
+          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("post"))
+    users.agg(
+        count(lit(1)).as("n"),
+        sum(col("pre")).as("sp"), sum(col("post")).as("ss"),
+        sum(col("pre") * col("pre")).as("spp"),
+        sum(col("pre") * col("post")).as("sps"),
+        sum(col("post") * col("post")).as("sss"))
+      .selectExpr("cast(n as bigint) as n_users",
+        "cast(n as double) as nd", "cast(sp as double) as sp",
+        "cast(ss as double) as ss", "cast(spp as double) as spp",
+        "cast(sps as double) as sps", "cast(sss as double) as sss")
+      .selectExpr("n_users",
+        "(spp - sp * sp / nd) / (nd - 1.0d) as var_pre",
+        "(sss - ss * ss / nd) / (nd - 1.0d) as var_post",
+        "(sps - sp * ss / nd) / (nd - 1.0d) as cov")
+      .selectExpr("n_users",
+        "round(cov / var_pre, 6) as theta",
+        "round(var_post, 6) as var_post",
+        "round(var_post - cov * cov / var_pre, 6) as var_adjusted",
+        "round(100.0d * cov * cov / (var_pre * var_post), 6) as reduction_pct")
+  }
 }

@@ -240,6 +240,45 @@ class DedupSimilaritySpec extends SparkSpecBase {
           "finer buckets invented candidates")
   }
 
+  test("multiprobe: at HALF the tables, recall beats single-probe at the same half and holds the family floor") {
+    graft.functions.DotProduct.register(spark)
+    val dotF = (a: String, b: String) => expr(s"graft_dot($a, $b)")
+    val e = Tables.embeddings(spark, sfOracle)
+    val planes = Similarity.lshPlanesFor(e.count())
+    val halfTables = math.max(1, Similarity.lshTablesFor(planes) / 2)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    val brute = q.join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+              expr("round(graft_dot(qv, nv), 6)").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.annLshTopk(e, dotF, nPlanes = planes,
+      nTables = halfTables))
+    val multi = pairs(Similarity.simAnnMultiprobe(spark, sfOracle))
+    val rSingle = (single & brute).size.toDouble / brute.size
+    val rMulti = (multi & brute).size.toDouble / brute.size
+    info(s"recall@5: single-probe@$halfTables tables = $rSingle, " +
+      s"multiprobe@$halfTables tables = $rMulti")
+    // candidate pool is a superset per construction, and top-k by cosine
+    // is monotone in the pool (anything displacing a true neighbor has
+    // higher cosine, hence is itself a true neighbor) — recall may not drop
+    assert(rMulti >= rSingle,
+      "multiprobe recall must not drop below single-probe at equal tables")
+    assert(rMulti >= 0.5,
+      s"multiprobe recall $rMulti below the family's 0.5 floor at half tables")
+    val again = pairs(Similarity.simAnnMultiprobe(spark, sfOracle))
+    assert(multi == again, "multiprobe must be deterministic")
+  }
+
   test("ann lsh: recall@5 >= 0.5 vs brute force at the default knobs") {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfOracle)

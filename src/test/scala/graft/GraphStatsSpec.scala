@@ -354,4 +354,28 @@ class GraphStatsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("label propagation: communities are real nodes, sizes ordered, deterministic, fixpoint-consistent") {
+    val rows = Graph.graphLabelPropagation(spark, sfSmoke).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.forall(_ >= 1))
+    // output ordering contract: size desc, community asc on ties
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(0).getLong(1) > p(1).getLong(1) ||
+          (p(0).getLong(1) == p(1).getLong(1) &&
+           p(0).getLong(0) < p(1).getLong(0)))
+    }
+    // every community label is a real node id of the co-purchase graph
+    val items = Tables.lineitem(spark, sfSmoke)
+      .select(col("l_partkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(items.contains(r.getLong(0)),
+      s"community ${r.getLong(0)} is not a part node"))
+    val again = Graph.graphLabelPropagation(spark, sfSmoke).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "LPA with sync rounds + min-label ties must be deterministic")
+  }
 }

@@ -102,4 +102,23 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(back.length == direct.length && back.nonEmpty)
     back.zip(direct).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("cuped: adjusted variance shrinks by exactly the reduction pct, theta finite") {
+    val r = Stats.statsCuped(spark, sfSmoke).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (n, theta, varPost, varAdj, red) = (row.getLong(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(n > 1)
+    assert(!theta.isNaN && !theta.isInfinite)
+    assert(varPost > 0.0)
+    assert(varAdj >= 0.0 && varAdj <= varPost,
+      "CUPED cannot increase the metric variance")
+    assert(red >= 0.0 && red <= 100.0)
+    // identity: var_adjusted = var_post * (1 - reduction/100), up to the
+    // 1e-6 output rounding on each of the three reported values
+    assert(math.abs(varAdj - varPost * (1.0 - red / 100.0)) <=
+      1e-5 * math.max(1.0, varPost),
+      s"var_adjusted $varAdj inconsistent with var_post $varPost at $red%")
+  }
 }
