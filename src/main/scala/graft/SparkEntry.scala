@@ -278,7 +278,9 @@ object SparkEntry {
     "stats_grubbs"       -> Stats.statsGrubbs _,
     "timeseries_ar_forecast" -> Stats.timeseriesArForecast _,
     "stats_cuped"        -> Stats.statsCuped _,
+    "stats_delta_method" -> Stats.statsDeltaMethod _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
+    "sim_hybrid_search"  -> Similarity.simHybridSearch _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
     "fn_higher_order"   -> Families.fnHigherOrder _,
@@ -1164,6 +1166,29 @@ object SparkEntry {
        "dd AS (SELECT CAST(n AS BIGINT) AS n_users, CAST(n AS DOUBLE) AS nd, CAST(sp AS DOUBLE) AS sp, CAST(ss AS DOUBLE) AS ss, CAST(spp AS DOUBLE) AS spp, CAST(sps AS DOUBLE) AS sps, CAST(sss AS DOUBLE) AS sss FROM mo), " +
        "vv AS (SELECT n_users, (spp - sp * sp / nd) / (nd - 1.0) AS var_pre, (sss - ss * ss / nd) / (nd - 1.0) AS var_post, (sps - sp * ss / nd) / (nd - 1.0) AS cov FROM dd) " +
        "SELECT n_users, round(cov / var_pre, 6) AS theta, round(var_post, 6) AS var_post, round(var_post - cov * cov / var_pre, 6) AS var_adjusted, round(100.0 * cov * cov / (var_pre * var_post), 6) AS reduction_pct FROM vv"),
+    // stats_delta_method: same decimal-moment discipline; y is an exact
+    // BIGINT count so sxy/syy are exact products; sqrt is IEEE-exact.
+    "stats_delta_method" ->
+      ("WITH u AS (SELECT user_id, CAST(round(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL THEN value ELSE 0 END), 4) AS DECIMAL(18,4)) AS x, CAST(count(*) AS BIGINT) AS y FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1), " +
+       "mo AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * CAST(y AS DECIMAL(12,0))) AS sxy, sum(y * y) AS syy FROM u), " +
+       "dd AS (SELECT CAST(n AS BIGINT) AS n_users, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy, CAST(syy AS DOUBLE) AS syy FROM mo), " +
+       "vv AS (SELECT n_users, nd, sx / sy AS r, sy / nd AS ybar, (sxx - sx * sx / nd) / (nd - 1.0) AS var_x, (syy - sy * sy / nd) / (nd - 1.0) AS var_y, (sxy - sx * sy / nd) / (nd - 1.0) AS cov FROM dd), " +
+       "ss AS (SELECT n_users, r, sqrt((var_x - 2.0 * r * cov + r * r * var_y) / nd) / ybar AS se FROM vv) " +
+       "SELECT n_users, round(r, 6) AS ratio, round(se, 6) AS se_delta, round(r - 1.96 * se, 6) AS ci_lo, round(r + 1.96 * se, 6) AS ci_hi FROM ss"),
+    // sim_hybrid_search: RANK-based RRF fusion — integer ranks from the
+    // same (score desc, id asc) order both engines agree on, so the
+    // fused score is a function of already-agreed values; each arm ends
+    // in a top-100 before any window runs.
+    "sim_hybrid_search" ->
+      ("WITH qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+       "qd AS (SELECT list_distinct(string_split(text, ' ')) AS qw FROM documents WHERE doc_id = 0), " +
+       "dense AS (SELECT e.vec_id AS id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * qv[i])), 6) AS cos FROM embeddings e, qv WHERE e.vec_id <> 0 ORDER BY cos DESC, id ASC LIMIT 100), " +
+       "dr AS (SELECT id, cos, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT) AS r_dense FROM dense), " +
+       "sparse AS (SELECT d.doc_id AS id, CAST(len(list_distinct(list_intersect(string_split(d.text, ' '), qw))) AS BIGINT) AS overlap FROM documents d, qd WHERE d.doc_id <> 0 AND d.text IS NOT NULL ORDER BY overlap DESC, id ASC LIMIT 100), " +
+       "sr AS (SELECT id, overlap, CAST(row_number() OVER (ORDER BY overlap DESC, id ASC) AS BIGINT) AS r_sparse FROM sparse) " +
+       "SELECT coalesce(dr.id, sr.id) AS id, cos, overlap, r_dense, r_sparse, " +
+       "round(coalesce(1.0 / (60 + r_dense), 0) + coalesce(1.0 / (60 + r_sparse), 0), 6) AS rrf " +
+       "FROM dr FULL OUTER JOIN sr ON dr.id = sr.id ORDER BY rrf DESC, id ASC LIMIT 10"),
     // graph_label_propagation: 3 synchronous frequency-argmax rounds over
     // the same co-purchase adj CTE as graph_modularity; ties by min label
     // (count DESC, lab ASC row_number) keep classic LPA replayable.

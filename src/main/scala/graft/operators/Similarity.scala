@@ -533,6 +533,57 @@ object Similarity {
     lshQueryTopk(persisted, dot(s), maxBucket = 4096, k = 5)
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion — the RAG-serving
+    * pattern every production retrieval stack runs (Elasticsearch /
+    * Vespa default): a dense arm (cosine to the query embedding,
+    * vec_id 0) and a sparse arm (distinct-keyword overlap with the
+    * query document, doc_id 0) each retrieve top-100, and the lists
+    * fuse by rrf = Σ 1/(60 + rank) — RANK-based fusion, chosen over
+    * score normalization precisely because ranks are integers and the
+    * fused score is a function of agreed values, keeping the key
+    * oracle-paired where min-max score blending would drift.
+    *
+    * Scale shape: each arm's data-sized work ends in a mergeable
+    * top-k (TakeOrdered, nothing globally sorted); the rank windows
+    * and the fusion join run on the two ≤100-row lists (global windows
+    * BOUNDED BY CONSTRUCTION, the limit-50 MMR-pool precedent). A doc
+    * absent from one list contributes 0 from it — standard RRF over
+    * retrieved lists, which is also what makes top-K-then-fuse exact
+    * for the fused top-10 served. At 100 TB the dense arm swaps the
+    * brute-force scan for the LSH/IVF index ([[simAnnLsh]]) and the
+    * sparse arm for an inverted-index candidate join; the fusion
+    * stage is unchanged — it never sees more than K rows per arm. */
+  def simHybridSearch(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf)
+    val docs = Tables.documents(s, sf)
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    val wDense = Window.orderBy(col("cos").desc, col("id").asc)
+    val dense = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+      .select(col("vec_id").as("id"),
+              round(dot(s)("embedding", "qv"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc).limit(100)
+      .withColumn("r_dense", row_number().over(wDense).cast("bigint"))
+    val qw = broadcast(docs.filter(col("doc_id") === 0)
+      .select(array_distinct(split(col("text"), " ")).as("qw")))
+    val wSparse = Window.orderBy(col("overlap").desc, col("id").asc)
+    val sparse = docs.filter(col("doc_id") =!= 0 && col("text").isNotNull)
+      .crossJoin(qw)
+      .select(col("doc_id").as("id"),
+        size(array_intersect(split(col("text"), " "), col("qw")))
+          .cast("bigint").as("overlap"))
+      .orderBy(col("overlap").desc, col("id").asc).limit(100)
+      .withColumn("r_sparse", row_number().over(wSparse).cast("bigint"))
+    dense.join(sparse, Seq("id"), "full_outer")
+      .select(col("id"), col("cos"), col("overlap"),
+        col("r_dense"), col("r_sparse"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_sparse")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc).limit(10)
+  }
+
   /** MULTIPROBE LSH — the recall/cost lever past the table cap
     * (`lshTablesFor` caps L at 64 with exactly this escape hatch in its
     * scaladoc): instead of adding index copies, each query probes its

@@ -2654,4 +2654,53 @@ object Stats {
         "round(var_post - cov * cov / var_pre, 6) as var_adjusted",
         "round(100.0d * cov * cov / (var_pre * var_post), 6) as reduction_pct")
   }
+
+  /** Delta-method standard error for a ratio metric (Deng et al.,
+    * KDD 2018) — the other half of the A/B toolkit [[statsCuped]]
+    * opened: per-user revenue-per-event R̂ = Σx/Σy is a ratio of sums,
+    * whose naive per-user-mean SE is WRONG (users are the i.i.d. unit,
+    * not events); the delta method gives
+    * se² = (var_x − 2R̂·cov + R̂²·var_y) / (n·ȳ²), the industry-
+    * standard correction. Emits R̂, the delta SE, and the 95% CI.
+    *
+    * Determinism: the statsOlsMulti/statsCuped decimal-moment
+    * discipline — per-user x rounds at 4 then DECIMAL(18,4), y is an
+    * exact BIGINT count, every cross-user moment an exact decimal/long
+    * sum; closed form on doubles cast from agreed values, round 6 at
+    * the output (sqrt is IEEE-exact).
+    *
+    * Scale shape: one user-grain hash aggregate over the events scan,
+    * then a single map-side-combinable moment aggregate — the same
+    * two-stage shape as every moments key.
+    */
+  def statsDeltaMethod(s: SparkSession, sf: String): DataFrame = {
+    val users = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("event_type") === "purchase" &&
+            col("value").isNotNull, col("value")).otherwise(lit(0.0))), 4)
+          .cast("decimal(18,4)").as("x"),
+        count(lit(1)).as("y"))
+    users.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y").cast("decimal(12,0)")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("cast(n as bigint) as n_users",
+        "cast(n as double) as nd", "cast(sx as double) as sx",
+        "cast(sy as double) as sy", "cast(sxx as double) as sxx",
+        "cast(sxy as double) as sxy", "cast(syy as double) as syy")
+      .selectExpr("n_users", "nd", "sx / sy as r", "sy / nd as ybar",
+        "(sxx - sx * sx / nd) / (nd - 1.0d) as var_x",
+        "(syy - sy * sy / nd) / (nd - 1.0d) as var_y",
+        "(sxy - sx * sy / nd) / (nd - 1.0d) as cov")
+      .selectExpr("n_users", "r",
+        "sqrt((var_x - 2.0d * r * cov + r * r * var_y) / nd) / ybar as se")
+      .selectExpr("n_users", "round(r, 6) as ratio",
+        "round(se, 6) as se_delta",
+        "round(r - 1.96d * se, 6) as ci_lo",
+        "round(r + 1.96d * se, 6) as ci_hi")
+  }
 }

@@ -716,4 +716,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"projection identity violated: pooled $pooled vs ${trace - lams.sum}")
     rows.foreach(r => assert(r.getDouble(2) >= -1e-9, "negative recon error"))
   }
+
+  test("hybrid search: fusion draws only from the arm lists, rrf consistent with ranks, deterministic") {
+    val rows = Similarity.simHybridSearch(spark, sfSmoke).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val rd = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val rs = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(rd.nonEmpty || rs.nonEmpty, "a fused row must come from an arm")
+      val expect = rd.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rs.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(5) - expect) <= 1e-6,
+        s"rrf ${r.getDouble(5)} != 1/(60+r) recompute $expect")
+      rd.foreach(x => assert(x >= 1 && x <= 100))
+      rs.foreach(x => assert(x >= 1 && x <= 100))
+    }
+    // fused scores are emitted in non-increasing order (id asc on ties)
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        assert(p(0).getDouble(5) > p(1).getDouble(5) ||
+          (p(0).getDouble(5) == p(1).getDouble(5) &&
+           p(0).getLong(0) < p(1).getLong(0)))
+      }
+    }
+    val again = Similarity.simHybridSearch(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq,
+      "hybrid fusion must be deterministic")
+  }
 }

@@ -121,4 +121,17 @@ class RobustStatsSpec extends SparkSpecBase {
       1e-5 * math.max(1.0, varPost),
       s"var_adjusted $varAdj inconsistent with var_post $varPost at $red%")
   }
+
+  test("delta method: se positive, CI brackets the ratio symmetrically") {
+    val r = Stats.statsDeltaMethod(spark, sfSmoke).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (ratio, se, lo, hi) = (row.getDouble(1), row.getDouble(2),
+      row.getDouble(3), row.getDouble(4))
+    assert(ratio > 0.0, "revenue per event must be positive on this corpus")
+    assert(se > 0.0 && !se.isNaN)
+    assert(lo < ratio && ratio < hi)
+    // 1.96-symmetric up to the 1e-6 output rounding of each bound
+    assert(math.abs((hi - ratio) - (ratio - lo)) <= 2.1e-6)
+  }
 }
