@@ -279,6 +279,7 @@ object SparkEntry {
     "timeseries_ar_forecast" -> Stats.timeseriesArForecast _,
     "stats_cuped"        -> Stats.statsCuped _,
     "stats_delta_method" -> Stats.statsDeltaMethod _,
+    "stats_tost_equivalence" -> Stats.statsTostEquivalence _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "sim_hybrid_search"  -> Similarity.simHybridSearch _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
@@ -1175,6 +1176,16 @@ object SparkEntry {
        "vv AS (SELECT n_users, nd, sx / sy AS r, sy / nd AS ybar, (sxx - sx * sx / nd) / (nd - 1.0) AS var_x, (syy - sy * sy / nd) / (nd - 1.0) AS var_y, (sxy - sx * sy / nd) / (nd - 1.0) AS cov FROM dd), " +
        "ss AS (SELECT n_users, r, sqrt((var_x - 2.0 * r * cov + r * r * var_y) / nd) / ybar AS se FROM vv) " +
        "SELECT n_users, round(r, 6) AS ratio, round(se, 6) AS se_delta, round(r - 1.96 * se, 6) AS ci_lo, round(r + 1.96 * se, 6) AS ci_hi FROM ss"),
+    // stats_tost_equivalence: z-vs-critical comparison instead of
+    // erf-based p (erf is libm-dependent); decimal per-arm moments.
+    "stats_tost_equivalence" ->
+      ("WITH u AS (SELECT user_id, CAST(round(sum(value), 4) AS DECIMAL(18,4)) AS x, CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS INT) AS a FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase' AND value IS NOT NULL GROUP BY 1), " +
+       "g AS (SELECT a, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM u GROUP BY 1), " +
+       "w AS (SELECT sum(CASE WHEN a = 1 THEN n END) AS na, sum(CASE WHEN a = 0 THEN n END) AS nb, sum(CASE WHEN a = 1 THEN sx END) AS sxa, sum(CASE WHEN a = 0 THEN sx END) AS sxb, sum(CASE WHEN a = 1 THEN sxx END) AS sxxa, sum(CASE WHEN a = 0 THEN sxx END) AS sxxb FROM g), " +
+       "dd AS (SELECT CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb, CAST(sxa AS DOUBLE) AS sxa, CAST(sxb AS DOUBLE) AS sxb, CAST(sxxa AS DOUBLE) AS sxxa, CAST(sxxb AS DOUBLE) AS sxxb FROM w), " +
+       "mm AS (SELECT na, nb, sxa / na AS ma, sxb / nb AS mb, (sxxa - sxa * sxa / na) / (na - 1.0) AS va, (sxxb - sxb * sxb / nb) / (nb - 1.0) AS vb, 0.05 * (sxa + sxb) / (na + nb) AS margin FROM dd), " +
+       "zz AS (SELECT na, nb, ma, mb, margin, ma - mb AS diff, sqrt(va / na + vb / nb) AS se FROM mm) " +
+       "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round(diff, 6) AS diff, round(margin, 6) AS margin, round((diff + margin) / se, 6) AS z_lower, round((margin - diff) / se, 6) AS z_upper, ((diff + margin) / se > 1.644854 AND (margin - diff) / se > 1.644854) AS equivalent FROM zz"),
     // sim_hybrid_search: RANK-based RRF fusion — integer ranks from the
     // same (score desc, id asc) order both engines agree on, so the
     // fused score is a function of already-agreed values; each arm ends

@@ -2703,4 +2703,57 @@ object Stats {
         "round(r - 1.96d * se, 6) as ci_lo",
         "round(r + 1.96d * se, 6) as ci_hi")
   }
+
+  /** TOST equivalence test (Schuirmann 1987) — the A/B question the
+    * t-test family can't answer: not "did the metric move?" but "can we
+    * CERTIFY it did not move by more than δ?" (the ship/no-ship gate
+    * for refactors and infra migrations). Arms are the md5 user split
+    * (the statsAbSrm idiom), metric is per-user purchase revenue, the
+    * margin is 5% of the pooled mean, and both one-sided z statistics
+    * must clear 1.645 — reported against the CRITICAL VALUE, not as
+    * erf-based p-values, because erf is libm-dependent where the
+    * z-to-critical comparison is a function of agreed values.
+    *
+    * Determinism: per-user sums round at 4 then DECIMAL(18,4); per-arm
+    * moments are exact decimal sums; closed forms on doubles, round 6.
+    *
+    * Scale shape: user-grain aggregate → one 2-group moment aggregate;
+    * map-side combinable throughout.
+    */
+  def statsTostEquivalence(s: SparkSession, sf: String): DataFrame = {
+    val arm = substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val users = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type") === "purchase" &&
+              col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("x"))
+      .withColumn("a", arm.cast("int"))
+    users.groupBy(col("a"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+           sum(col("x") * col("x")).as("sxx"))
+      .agg(
+        sum(when(col("a") === 1, col("n"))).as("na"),
+        sum(when(col("a") === 0, col("n"))).as("nb"),
+        sum(when(col("a") === 1, col("sx"))).as("sxa"),
+        sum(when(col("a") === 0, col("sx"))).as("sxb"),
+        sum(when(col("a") === 1, col("sxx"))).as("sxxa"),
+        sum(when(col("a") === 0, col("sxx"))).as("sxxb"))
+      .selectExpr("cast(na as double) as na", "cast(nb as double) as nb",
+        "cast(sxa as double) as sxa", "cast(sxb as double) as sxb",
+        "cast(sxxa as double) as sxxa", "cast(sxxb as double) as sxxb")
+      .selectExpr("na", "nb", "sxa / na as ma", "sxb / nb as mb",
+        "(sxxa - sxa * sxa / na) / (na - 1.0d) as va",
+        "(sxxb - sxb * sxb / nb) / (nb - 1.0d) as vb",
+        "0.05d * (sxa + sxb) / (na + nb) as margin")
+      .selectExpr("na", "nb", "ma", "mb", "margin", "ma - mb as diff",
+        "sqrt(va / na + vb / nb) as se")
+      .selectExpr("cast(na as bigint) as n_a", "cast(nb as bigint) as n_b",
+        "round(ma, 6) as mean_a", "round(mb, 6) as mean_b",
+        "round(diff, 6) as diff", "round(margin, 6) as margin",
+        "round((diff + margin) / se, 6) as z_lower",
+        "round((margin - diff) / se, 6) as z_upper",
+        "(diff + margin) / se > 1.644854d and " +
+          "(margin - diff) / se > 1.644854d as equivalent")
+  }
 }

@@ -134,4 +134,23 @@ class RobustStatsSpec extends SparkSpecBase {
     // 1.96-symmetric up to the 1e-6 output rounding of each bound
     assert(math.abs((hi - ratio) - (ratio - lo)) <= 2.1e-6)
   }
+
+  test("tost: z stats finite, verdict consistent with both one-sided bounds") {
+    val r = Stats.statsTostEquivalence(spark, sfSmoke).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    assert(na > 1 && nb > 1, "md5 split must populate both arms")
+    val (diff, margin, zLo, zHi, eq) = (row.getDouble(4), row.getDouble(5),
+      row.getDouble(6), row.getDouble(7), row.getBoolean(8))
+    assert(margin > 0.0)
+    assert(!zLo.isNaN && !zHi.isNaN)
+    // the two z statistics straddle the same diff: z_lower + z_upper =
+    // 2*margin/se > 0
+    assert(zLo + zHi > 0.0)
+    assert(eq == (zLo > 1.644854 && zHi > 1.644854),
+      "equivalence verdict must be exactly the two-sided clearance")
+    assert(math.abs(diff) < margin || !eq,
+      "cannot certify equivalence when the observed diff exceeds the margin")
+  }
 }
