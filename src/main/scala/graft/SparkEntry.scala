@@ -280,6 +280,7 @@ object SparkEntry {
     "stats_cuped"        -> Stats.statsCuped _,
     "stats_delta_method" -> Stats.statsDeltaMethod _,
     "stats_tost_equivalence" -> Stats.statsTostEquivalence _,
+    "timeseries_esd_anomaly" -> Stats.timeseriesEsdAnomaly _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "sim_hybrid_search"  -> Similarity.simHybridSearch _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
@@ -1176,6 +1177,19 @@ object SparkEntry {
        "vv AS (SELECT n_users, nd, sx / sy AS r, sy / nd AS ybar, (sxx - sx * sx / nd) / (nd - 1.0) AS var_x, (syy - sy * sy / nd) / (nd - 1.0) AS var_y, (sxy - sx * sy / nd) / (nd - 1.0) AS cov FROM dd), " +
        "ss AS (SELECT n_users, r, sqrt((var_x - 2.0 * r * cov + r * r * var_y) / nd) / ybar AS se FROM vv) " +
        "SELECT n_users, round(r, 6) AS ratio, round(se, 6) AS se_delta, round(r - 1.96 * se, 6) AS ci_lo, round(r + 1.96 * se, 6) AS ci_hi FROM ss"),
+    // timeseries_esd_anomaly: grubbs' exact-decimal round algebra
+    // unrolled 3x, each round's moments excluding the prior argmax days.
+    "timeseries_esd_anomaly" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(round(sum(value), 4) AS DECIMAL(18,4)) AS y FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1), " +
+       "m1 AS (SELECT count(*) AS n, CAST(sum(y) AS DOUBLE) / count(*) AS m, sqrt((CAST(sum(y * y) AS DOUBLE) - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) / count(*)) / (count(*) - 1.0)) AS sd FROM daily), " +
+       "o1 AS (SELECT 1 AS round, CAST(n AS BIGINT) AS n_remaining, d AS suspect_day, round(CAST(y AS DOUBLE), 4) AS suspect_revenue, round(abs(CAST(y AS DOUBLE) - m) / sd, 6) AS r_stat FROM daily CROSS JOIN m1 ORDER BY abs(CAST(y AS DOUBLE) - m) DESC, d ASC LIMIT 1), " +
+       "d2 AS (SELECT * FROM daily WHERE d NOT IN (SELECT suspect_day FROM o1)), " +
+       "m2 AS (SELECT count(*) AS n, CAST(sum(y) AS DOUBLE) / count(*) AS m, sqrt((CAST(sum(y * y) AS DOUBLE) - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) / count(*)) / (count(*) - 1.0)) AS sd FROM d2), " +
+       "o2 AS (SELECT 2 AS round, CAST(n AS BIGINT) AS n_remaining, d AS suspect_day, round(CAST(y AS DOUBLE), 4) AS suspect_revenue, round(abs(CAST(y AS DOUBLE) - m) / sd, 6) AS r_stat FROM d2 CROSS JOIN m2 ORDER BY abs(CAST(y AS DOUBLE) - m) DESC, d ASC LIMIT 1), " +
+       "d3 AS (SELECT * FROM d2 WHERE d NOT IN (SELECT suspect_day FROM o2)), " +
+       "m3 AS (SELECT count(*) AS n, CAST(sum(y) AS DOUBLE) / count(*) AS m, sqrt((CAST(sum(y * y) AS DOUBLE) - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) / count(*)) / (count(*) - 1.0)) AS sd FROM d3), " +
+       "o3 AS (SELECT 3 AS round, CAST(n AS BIGINT) AS n_remaining, d AS suspect_day, round(CAST(y AS DOUBLE), 4) AS suspect_revenue, round(abs(CAST(y AS DOUBLE) - m) / sd, 6) AS r_stat FROM d3 CROSS JOIN m3 ORDER BY abs(CAST(y AS DOUBLE) - m) DESC, d ASC LIMIT 1) " +
+       "SELECT * FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3) ORDER BY round"),
     // stats_tost_equivalence: z-vs-critical comparison instead of
     // erf-based p (erf is libm-dependent); decimal per-arm moments.
     "stats_tost_equivalence" ->

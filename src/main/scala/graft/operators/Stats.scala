@@ -2756,4 +2756,53 @@ object Stats {
         "(diff + margin) / se > 1.644854d and " +
           "(margin - diff) / se > 1.644854d as equivalent")
   }
+
+  /** Generalized ESD (Rosner 1983), k = 3 rounds — the multi-outlier
+    * upgrade of [[statsGrubbs]], which is formally valid for exactly ONE
+    * outlier and suffers masking when several are present (two extreme
+    * days inflate the sd enough to hide each other). Each round
+    * recomputes mean/sd from the REMAINING days, flags the max-|dev|
+    * day (ties to the earlier date), removes it, and reports that
+    * round's R statistic — so a masked second outlier surfaces once the
+    * first is out.
+    *
+    * All three rounds are IN-PLAN: removal is a broadcast left-anti
+    * join against the previous round's 1-row argmax (no driver
+    * collects); each round's moment aggregate is the same exact-decimal
+    * Grubbs algebra. The day-grain frame is calendar-bounded, so the
+    * 3× recomputation is bounded work stacked on one events scan.
+    */
+  def timeseriesEsdAnomaly(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("y"))
+    def argmaxRound(frame: DataFrame, i: Int): DataFrame = {
+      val mo = frame.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          (col("sy").cast("double") / col("n").cast("double")).as("m"),
+          sqrt((col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double") /
+                  col("n").cast("double")) /
+               (col("n").cast("double") - 1.0)).as("sd"))
+      frame.crossJoin(broadcast(mo))
+        .withColumn("dev", abs(col("y").cast("double") - col("m")))
+        .orderBy(col("dev").desc, col("d").asc)
+        .limit(1)
+        .select(lit(i).cast("int").as("round"),
+          col("n").cast("bigint").as("n_remaining"),
+          col("d").as("suspect_day"),
+          round(col("y").cast("double"), 4).as("suspect_revenue"),
+          round(col("dev") / col("sd"), 6).as("r_stat"))
+    }
+    val r1 = argmaxRound(daily, 1)
+    val d2 = daily.join(broadcast(r1.select(col("suspect_day").as("d"))),
+      Seq("d"), "left_anti")
+    val r2 = argmaxRound(d2, 2)
+    val d3 = d2.join(broadcast(r2.select(col("suspect_day").as("d"))),
+      Seq("d"), "left_anti")
+    val r3 = argmaxRound(d3, 3)
+    r1.unionAll(r2).unionAll(r3).orderBy("round")
+  }
 }

@@ -153,4 +153,20 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(diff) < margin || !eq,
       "cannot certify equivalence when the observed diff exceeds the margin")
   }
+
+  test("esd: three distinct suspect days, remaining count telescopes, round-1 equals grubbs") {
+    val rows = Stats.timeseriesEsdAnomaly(spark, sfSmoke).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).sameElements(Array(1, 2, 3)))
+    val days = rows.map(_.getDate(2).toString)
+    assert(days.distinct.length == 3, "each round must remove its suspect")
+    val ns = rows.map(_.getLong(1))
+    assert(ns(1) == ns(0) - 1 && ns(2) == ns(1) - 1,
+      "remaining-day count must telescope by exactly one per round")
+    rows.foreach(r => assert(r.getDouble(4) > 0.0))
+    // ESD round 1 is exactly the Grubbs test
+    val g = Stats.statsGrubbs(spark, sfSmoke).collect()(0)
+    assert(g.getDate(3).toString == days(0), "round 1 must agree with grubbs")
+    assert(math.abs(g.getDouble(5) - rows(0).getDouble(4)) <= 1e-9)
+  }
 }
