@@ -397,6 +397,36 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("round-10 keys: LPA/multiprobe block their pair spaces; hybrid arms end in TakeOrdered; ESD removals broadcast") {
+    // label propagation and multiprobe reach their pair spaces through
+    // equi-joins on (v=node) / (tbl, bucket) — never a cartesian
+    for ((name, df) <- Seq(
+        "graph_label_propagation" ->
+          graft.operators.Graph.graphLabelPropagation(spark, sfSmoke),
+        "sim_ann_multiprobe" ->
+          graft.operators.Similarity.simAnnMultiprobe(spark, sfSmoke))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must block its pair space, not cross-join it:\n" +
+          plan.linesIterator.take(25).mkString("\n"))
+    }
+    // hybrid search: both arms are mergeable top-k (TakeOrdered), so
+    // nothing data-sized is ever globally sorted; the only permitted
+    // nested-loop is the 1-row query-vector/query-words broadcast
+    val hPlan = graft.operators.Similarity.simHybridSearch(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(hPlan.contains("TakeOrderedAndProject"),
+      s"hybrid arms must plan mergeable top-k:\n$hPlan")
+    assert(!hPlan.contains("CartesianProduct"), hPlan)
+    // ESD: each round's removal is a broadcast LEFT ANTI equi-join on
+    // the 1-row argmax — the day frame is never shuffled for removal
+    val ePlan = graft.operators.Stats.timeseriesEsdAnomaly(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(ePlan).nonEmpty,
+      s"ESD removals must be broadcast anti-joins:\n$ePlan")
+  }
+
   test("null-aware anti join plans as broadcast NAAJ, never nested-loop") {
     // NOT IN compiles to LeftAnti + NAAJ only for single-column keys with
     // a broadcastable build; a BroadcastNestedLoopJoin here would be the
