@@ -2266,10 +2266,9 @@ object Stats {
     * moments stream through one combinable aggregate, no iteration.
     */
   def statsOlsMulti(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("y"))
+    val daily = DailyFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase" && col("cv") > 0)
+      .select(col("d"), col("x4").cast("decimal(18,4)").as("y"))
       .select(
         datediff(col("d"), lit("2024-01-01").cast("date")).cast("long").as("t"),
         when(dayofweek(col("d")).isin(1, 7), lit(1L)).otherwise(lit(0L))
@@ -2510,10 +2509,9 @@ object Stats {
     * nothing data-sized after the first shuffle.
     */
   def statsGrubbs(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("y"))
+    val daily = DailyFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase" && col("cv") > 0)
+      .select(col("d"), col("x4").cast("decimal(18,4)").as("y"))
     val mo = daily.agg(count(lit(1)).as("n"),
         sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
       .select(col("n"),
@@ -2773,10 +2771,9 @@ object Stats {
     * 3× recomputation is bounded work stacked on one events scan.
     */
   def timeseriesEsdAnomaly(s: SparkSession, sf: String): DataFrame = {
-    val daily = Tables.events(s, sf)
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("y"))
+    val daily = DailyFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase" && col("cv") > 0)
+      .select(col("d"), col("x4").cast("decimal(18,4)").as("y"))
     def argmaxRound(frame: DataFrame, i: Int): DataFrame = {
       val mo = frame.agg(count(lit(1)).as("n"),
           sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
