@@ -402,6 +402,8 @@ object SparkEntry {
     "stream_dedup"      -> Streaming.dedupBatch _,
     "stream_stateful"   -> Streaming.statefulBatch _,
     "stream_agg_sink"   -> Streaming.streamAggSink _,
+    "stream_restart_recovery" -> Streaming.streamRestartRecovery _,
+    "sink_dynamic_overwrite" -> Sources.sinkDynamicOverwrite _,
     "stream_tws_counter" -> Streaming.streamTwsCounter _,
     "stream_foreach_batch" -> Streaming.streamForeachBatch _,
     "stream_join"       -> Streaming.streamJoinBatch _,
@@ -1559,6 +1561,18 @@ object SparkEntry {
       "WITH a AS (SELECT event_id, user_id, event_type, ts, epoch_ns(ts) // 1000 AS ts_us, epoch_ns(ts) // 1000 + event_id * 7919 % 1200 * 1000000 AS arrival_us FROM events), o AS (SELECT *, max(ts_us) OVER (ORDER BY arrival_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us FROM a) SELECT event_id, user_id, event_type, ts, hwm_us - 600000000 - ts_us AS late_us FROM o WHERE ts_us < hwm_us - 600000000 ORDER BY event_id",
     "stream_agg_sink" ->
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
+    // stream_restart_recovery: exactly-once across a checkpoint restart —
+    // the final complete-mode totals must equal the one-shot batch
+    // aggregate over the FULL corpus (double-processing or lost state
+    // shifts the exact counts).
+    "stream_restart_recovery" ->
+      "SELECT event_type, count(*) AS n_events, min(event_id) AS min_id, max(event_id) AS max_id FROM events WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY event_type",
+    // sink_dynamic_overwrite: final table state = corrected purchase
+    // partition + untouched other partitions; a static-overwrite
+    // regression loses every non-purchase row and fails this.
+    "sink_dynamic_overwrite" ->
+      ("WITH fin AS (SELECT event_type, CASE WHEN event_type = 'purchase' THEN round(value * 2, 4) ELSE value END AS value FROM events WHERE event_type IS NOT NULL) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, round(sum(value), 4) AS total_value FROM fin GROUP BY 1 ORDER BY event_type"),
     // scan_json_malformed: every 20th staged record is broken; the
     // oracle re-derives the quarantine accounting arithmetically from
     // the base table (corrupt rows -> the bucket = -1 row).

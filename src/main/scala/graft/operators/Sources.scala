@@ -489,4 +489,42 @@ object Sources {
         round(col("value"), 4).as("value"))
       .orderBy("event_id")
   }
+
+  /** Dynamic partition overwrite — the partitioned-table maintenance
+    * semantics every warehouse reload depends on: an `overwrite` write
+    * in DYNAMIC mode replaces ONLY the partitions present in the
+    * incoming frame and leaves every other partition untouched (static
+    * mode — Spark's default — would truncate the whole table first).
+    * The key loads events partitioned by type, then re-loads JUST the
+    * purchase partition through a corrective transform (value × 2, the
+    * backfill-after-bugfix shape); the final read must show corrected
+    * purchases AND intact other types, so a regression to static
+    * overwrite semantics fails the oracle by losing every non-purchase
+    * partition — the key is self-verifying about the semantics it
+    * claims.
+    *
+    * Scale shape: both writes are partitionBy(event_type) parquet sinks
+    * (each task writes only its partition's files); the corrective
+    * write touches one partition's bytes, which at 100 TB is the whole
+    * point — a per-partition backfill never rewrites the table. The
+    * mode is set as a WRITE OPTION, not session conf, so concurrent
+    * writers keep their own semantics. */
+  def sinkDynamicOverwrite(s: SparkSession, sf: String): DataFrame = {
+    val src = Tables.events(s, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("event_type"))
+    val dir = graft.Scratch.dir("graft_dynover_")
+    src.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    src.filter(col("event_type") === "purchase")
+      .withColumn("value", round(col("value") * 2, 4))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+           round(sum(col("value")), 4).as("total_value"))
+      .orderBy("event_type")
+  }
 }

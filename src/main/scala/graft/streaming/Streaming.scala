@@ -432,4 +432,53 @@ object Streaming {
       s.read.schema(sink.schema).parquet(out).orderBy("w_start", "event_type")
     }
   }
+
+  /** REAL streaming run #3, graded: checkpoint RESTART with exactly-once
+    * accounting — the recovery semantics a 100 TB deployment actually
+    * lives on (every production stream restarts: deploys, spot
+    * preemptions, failures). Half the corpus (even event_ids) is staged
+    * and processed to completion; the second half is APPENDED to the
+    * source directory and the query restarts from the SAME checkpoint.
+    * The file-source log replays only the unseen files and the
+    * complete-mode aggregation state rehydrates from the checkpoint, so
+    * the final totals must equal the one-shot batch aggregate over the
+    * full corpus — a double-processed first half (broken source log) or
+    * lost state (broken state store) both shift the exact counts and
+    * fail the oracle. min/max event_id per type ride along as
+    * order-insensitive integrity witnesses.
+    *
+    * Scale shape: state is |types| rows; the restart cost is reading
+    * the checkpoint's offset log + state files, independent of corpus
+    * size — which is precisely the property being certified. */
+  def streamRestartRecovery(s: SparkSession, sf: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = s.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"))
+    val srcDir = graft.Scratch.dir("graft_restart_src_")
+    val ckpt = graft.Scratch.dir("graft_restart_ckpt_")
+    e.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(srcDir)
+    def runToCompletion(): Unit = withStatePartitions(s, 4) {
+      val q = s.readStream.schema(e.schema).parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("event_id")).as("min_id"),
+             max(col("event_id")).as("max_id"))
+        .writeStream.format("memory").queryName("graft_restart_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runToCompletion()
+    e.filter(pmod(col("event_id"), lit(2)) === 1)
+      .write.mode("append").parquet(srcDir)
+    runToCompletion()
+    val out = graft.Scratch.dir("graft_restart_out_")
+    val sink = s.table("graft_restart_sink")
+    sink.write.mode("overwrite").parquet(out)
+    s.read.schema(sink.schema).parquet(out).orderBy("event_type")
+  }
 }

@@ -187,4 +187,35 @@ class JoinsSourcesSpec extends SparkSpecBase {
     assert(composed.exceptAll(native).isEmpty,
       "native as-of missed rows the window formulation finds")
   }
+
+  test("dynamic overwrite leaves other partitions' files physically untouched") {
+    // run the key once, then capture the view partition's file listing,
+    // re-run ONLY the corrective purchase write, and assert the view
+    // files (names + mtimes) did not change — the semantics the totals
+    // check alone cannot distinguish from a rewrite-everything plan
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val src = Tables.events(spark, sfSmoke)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("event_type"))
+    val dir = graft.Scratch.dir("graft_dynover_spec_")
+    src.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    def listing(part: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$dir/event_type=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSeq.sorted
+    }
+    val viewBefore = listing("view")
+    assert(viewBefore.nonEmpty)
+    Thread.sleep(1100)  // mtime granularity guard
+    src.filter(col("event_type") === "purchase")
+      .withColumn("value", rnd(col("value") * 2, 4))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(dir)
+    assert(listing("view") == viewBefore,
+      "dynamic overwrite must not rewrite untouched partitions")
+    val total = spark.read.parquet(dir).count()
+    assert(total == src.count(), "row count must be conserved")
+  }
 }

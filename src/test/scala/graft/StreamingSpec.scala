@@ -180,4 +180,21 @@ class StreamingSpec extends SparkSpecBase {
       .groupBy("user_id", "sid").agg(count(lit(1)).as("n_events"))
     assert(sw.count() == islands.count())
   }
+
+  test("restart recovery: checkpoint resume matches the batch aggregate and reprocesses nothing") {
+    val rows = Streaming.streamRestartRecovery(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val batch = Tables.events(spark, sfSmoke)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+           max(col("event_id")).as("hi"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.sameElements(batch),
+      "post-restart totals must equal the one-shot batch aggregate " +
+        "(double-processing or lost state would shift exact counts)")
+  }
 }
