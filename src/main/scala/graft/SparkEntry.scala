@@ -281,6 +281,8 @@ object SparkEntry {
     "stats_delta_method" -> Stats.statsDeltaMethod _,
     "stats_tost_equivalence" -> Stats.statsTostEquivalence _,
     "timeseries_esd_anomaly" -> Stats.timeseriesEsdAnomaly _,
+    "event_conversion_window" -> Stats.eventConversionWindow _,
+    "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "sim_hybrid_search"  -> Similarity.simHybridSearch _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
@@ -1179,6 +1181,25 @@ object SparkEntry {
        "vv AS (SELECT n_users, nd, sx / sy AS r, sy / nd AS ybar, (sxx - sx * sx / nd) / (nd - 1.0) AS var_x, (syy - sy * sy / nd) / (nd - 1.0) AS var_y, (sxy - sx * sy / nd) / (nd - 1.0) AS cov FROM dd), " +
        "ss AS (SELECT n_users, r, sqrt((var_x - 2.0 * r * cov + r * r * var_y) / nd) / ybar AS se FROM vv) " +
        "SELECT n_users, round(r, 6) AS ratio, round(se, 6) AS se_delta, round(r - 1.96 * se, 6) AS ci_lo, round(r + 1.96 * se, 6) AS ci_hi FROM ss"),
+    // event_conversion_window: micro-second integer deltas (unix_micros
+    // vs epoch_ns // 1000 — the stream_late_audit convention).
+    "event_conversion_window" ->
+      ("WITH fv AS (SELECT user_id, min(ts) AS vt FROM events WHERE user_id IS NOT NULL AND event_type = 'view' GROUP BY 1), " +
+       "fp AS (SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN fv USING (user_id) WHERE e.event_type = 'purchase' AND e.ts >= fv.vt GROUP BY 1), " +
+       "d AS (SELECT epoch_ns(pt) // 1000 - epoch_ns(vt) // 1000 AS delta_us FROM fv LEFT JOIN fp USING (user_id)) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_viewers, CAST(count(delta_us) AS BIGINT) AS n_converted, " +
+       "CAST(sum(CASE WHEN delta_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_1h, " +
+       "CAST(sum(CASE WHEN delta_us <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_24h, " +
+       "CAST(sum(CASE WHEN delta_us <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_7d, " +
+       "round(CAST(sum(CASE WHEN delta_us <= 3600000000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rate_1h, " +
+       "round(CAST(sum(CASE WHEN delta_us <= 86400000000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rate_24h, " +
+       "round(CAST(sum(CASE WHEN delta_us <= 604800000000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rate_7d FROM d"),
+    // text_template_mining: DuckDB regexp_replace needs the 'g' flag for
+    // global replacement (Spark's replaces all matches by default).
+    "text_template_mining" ->
+      ("WITH m AS (SELECT doc_id, regexp_replace(lower(text), '[0-9]+', '#', 'g') AS masked FROM documents WHERE text IS NOT NULL), " +
+       "g AS (SELECT masked, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM m GROUP BY 1 HAVING count(*) >= 2) " +
+       "SELECT md5(masked) AS template_hash, CAST(length(masked) AS BIGINT) AS template_chars, n_docs, first_doc, last_doc FROM g ORDER BY n_docs DESC, template_hash ASC"),
     // timeseries_esd_anomaly: grubbs' exact-decimal round algebra
     // unrolled 3x, each round's moments excluding the prior argmax days.
     "timeseries_esd_anomaly" ->

@@ -2802,4 +2802,46 @@ object Stats {
     val r3 = argmaxRound(d3, 3)
     r1.unionAll(r2).unionAll(r3).orderBy("round")
   }
+
+  /** Time-boxed conversion rates — the funnel question
+    * [[eventFunnelTime]]'s untimed rate can't answer: of the users who
+    * saw a first view, how many purchased within 1 hour / 24 hours /
+    * 7 days of it? (The windowed attribution cut every growth dashboard
+    * is built on; the 1h-vs-7d spread separates impulse from considered
+    * conversion.) Deltas are exact MICROSECOND integers (unix_micros
+    * here, epoch_ns // 1000 in the oracle — the stream_late_audit
+    * convention), so every window flag is integer-exact.
+    *
+    * Scale shape: two user-grain min-aggregates (first view, first
+    * purchase-at-or-after-view) joined on user_id, then one global
+    * count/sum rollup — hash-aggregate + equi-join shapes throughout,
+    * map-side combinable, no windows.
+    */
+  def eventConversionWindow(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf).filter(col("user_id").isNotNull)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val firstPurchase = firstView
+      .join(ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts")), Seq("user_id"))
+      .filter(col("ts") >= col("vt"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    val deltas = firstView
+      .join(firstPurchase, Seq("user_id"), "left")
+      .select((unix_micros(col("pt")) - unix_micros(col("vt")))
+        .as("delta_us"))
+    def within(us: Long) =
+      sum(when(col("delta_us") <= us, 1L).otherwise(0L)).cast("bigint")
+    deltas.agg(
+        count(lit(1)).cast("bigint").as("n_viewers"),
+        count(col("delta_us")).cast("bigint").as("n_converted"),
+        within(3600L * 1000000).as("conv_1h"),
+        within(86400L * 1000000).as("conv_24h"),
+        within(7L * 86400 * 1000000).as("conv_7d"))
+      .select(col("n_viewers"), col("n_converted"),
+        col("conv_1h"), col("conv_24h"), col("conv_7d"),
+        round(col("conv_1h") / col("n_viewers"), 6).as("rate_1h"),
+        round(col("conv_24h") / col("n_viewers"), 6).as("rate_24h"),
+        round(col("conv_7d") / col("n_viewers"), 6).as("rate_7d"))
+  }
 }

@@ -962,4 +962,41 @@ object TextOps {
         (col("ratio") < 0.35).as("repetitive"))
       .orderBy("doc_id")
   }
+
+  /** Template mining (the Drain/log-template shape): mask every digit
+    * run to `#`, lowercase, and group — documents generated from the
+    * same template with different numbers (ids, prices, timestamps,
+    * versions) collapse to one masked form, surfacing machine-generated
+    * boilerplate that EXACT dedup misses (different numbers → different
+    * hashes) and near-dup shingling only catches probabilistically.
+    * In a training-data pipeline this is the "1M invoices from one
+    * generator" detector — templates with huge n_docs are candidates
+    * for capping, not for 1M epochs of the same syntax.
+    *
+    * Scale shape: pure projection (lower + one regexp) then a single
+    * hash aggregate; at 100 TB group on md5(masked) first and verify
+    * string equality within the group to shrink shuffle bytes (the
+    * dedup_exact two-level discipline — here the masked string is
+    * shipped directly because the output wants its length anyway). */
+  def textTemplateMining(s: SparkSession, sf: String): DataFrame =
+    templateGroups(Tables.documents(s, sf))
+  /** Core of [[textTemplateMining]] over any (doc_id, text) frame —
+    * split out so the spec can plant a digit-varying template family
+    * (this corpus contains none: its 0-row result is the correct
+    * answer, which the planted spec proves is a property of the data,
+    * not a dead code path). */
+  private[graft] def templateGroups(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[0-9]+", "#").as("masked"))
+      .groupBy(col("masked"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(md5(col("masked")).as("template_hash"),
+        length(col("masked")).cast("bigint").as("template_chars"),
+        col("n_docs"), col("first_doc"), col("last_doc"))
+      .orderBy(col("n_docs").desc, col("template_hash").asc)
 }

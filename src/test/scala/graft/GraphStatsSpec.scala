@@ -378,4 +378,15 @@ class GraphStatsSpec extends SparkSpecBase {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq,
       "LPA with sync rounds + min-label ties must be deterministic")
   }
+
+  test("conversion windows: monotone in the window, bounded by total conversions") {
+    val r = Stats.eventConversionWindow(spark, sfSmoke).collect()(0)
+    val (nv, nc, c1, c24, c7d) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(nv > 0 && nc <= nv)
+    assert(c1 <= c24 && c24 <= c7d && c7d <= nc,
+      "a wider window can only add conversions, all bounded by untimed total")
+    assert(math.abs(r.getDouble(5) - c1.toDouble / nv) <= 1e-6)
+    assert(math.abs(r.getDouble(7) - c7d.toDouble / nv) <= 1e-6)
+  }
 }

