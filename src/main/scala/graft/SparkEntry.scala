@@ -284,6 +284,7 @@ object SparkEntry {
     "event_conversion_window" -> Stats.eventConversionWindow _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
+    "graph_hits"         -> Graph.graphHits _,
     "sim_hybrid_search"  -> Similarity.simHybridSearch _,
     "agg_heavy_hitters_sketch" -> AdvancedAggs.aggHeavyHittersSketch _,
     "graph_random_walk" -> Graph.graphRandomWalk _,
@@ -1237,6 +1238,20 @@ object SparkEntry {
        "SELECT coalesce(dr.id, sr.id) AS id, cos, overlap, r_dense, r_sparse, " +
        "round(coalesce(1.0 / (60 + r_dense), 0) + coalesce(1.0 / (60 + r_sparse), 0), 6) AS rrf " +
        "FROM dr FULL OUTER JOIN sr ON dr.id = sr.id ORDER BY rrf DESC, id ASC LIMIT 10"),
+    // graph_hits: exact integer degrees seed round 0; every later pass
+    // sums DECIMAL(9,6) normalized scores — exact on both engines.
+    "graph_hits" ->
+      ("WITH li AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p, CAST(l_suppkey AS BIGINT) AS q FROM lineitem), " +
+       "a1 AS (SELECT q, count(*) AS a1 FROM li GROUP BY 1), " +
+       "a1n AS (SELECT q, CAST(round(CAST(a1 AS DOUBLE) / (SELECT CAST(max(a1) AS DOUBLE) FROM a1), 6) AS DECIMAL(9,6)) AS an FROM a1), " +
+       "h1 AS (SELECT p, sum(an) AS h1 FROM li JOIN a1n USING (q) GROUP BY 1), " +
+       "h1n AS (SELECT p, CAST(round(CAST(h1 AS DOUBLE) / (SELECT CAST(max(h1) AS DOUBLE) FROM h1), 6) AS DECIMAL(9,6)) AS hn FROM h1), " +
+       "a2 AS (SELECT q, sum(hn) AS a2 FROM li JOIN h1n USING (p) GROUP BY 1), " +
+       "a2n AS (SELECT q, CAST(round(CAST(a2 AS DOUBLE) / (SELECT CAST(max(a2) AS DOUBLE) FROM a2), 6) AS DECIMAL(9,6)) AS an FROM a2), " +
+       "hub AS (SELECT 'hub' AS side, p AS node, CAST(hn AS DOUBLE) AS score FROM h1n ORDER BY score DESC, node ASC LIMIT 10), " +
+       "auth AS (SELECT 'authority' AS side, q AS node, CAST(an AS DOUBLE) AS score FROM a2n ORDER BY score DESC, node ASC LIMIT 10), " +
+       "u AS (SELECT * FROM auth UNION ALL SELECT * FROM hub) " +
+       "SELECT side, node, score, CAST(row_number() OVER (PARTITION BY side ORDER BY score DESC, node ASC) AS BIGINT) AS rn FROM u ORDER BY side ASC, rn ASC"),
     // graph_label_propagation: 3 synchronous frequency-argmax rounds over
     // the same co-purchase adj CTE as graph_modularity; ties by min label
     // (count DESC, lab ASC row_number) keep classic LPA replayable.

@@ -682,6 +682,62 @@ object Graph {
       .orderBy("start_node")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on the part→supplier
+    * bipartite graph — the link-analysis complement of
+    * [[graphPageRank]]: parts are hubs (they "cite" the suppliers that
+    * stock them), suppliers are authorities, and the scores reinforce
+    * mutually — a(s) = Σ h(p), h(p) = Σ a(s) over the edges. Two
+    * authority rounds and one hub round, each MAX-normalized (max is
+    * order-free where the classic L2 norm would need a float sqrt of a
+    * float sum).
+    *
+    * Determinism: round 0 authority scores are exact integer degrees;
+    * every subsequent cross-node sum adds DECIMAL(9,6) values (scores
+    * round at 6 then cast before summation), so each reinforcement pass
+    * is an exact decimal aggregate on both engines — the bare-double
+    * Σ r·w the pagerank key tolerates (absorbed by its end-rounding) is
+    * avoided entirely here.
+    *
+    * Scale shape: each pass is one |E|-sized equi-join against a
+    * node-grain score frame plus a hash aggregate — the BFS/LPA
+    * per-round shape; normalizers are 1-row broadcast crossJoins (q2
+    * idiom); top-10s are TakeOrdered. */
+  def graphHits(s: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(s, sf)
+      .select(col("l_partkey").cast("long").as("p"),
+              col("l_suppkey").cast("long").as("q")).distinct()
+    def normalized(scores: DataFrame, key: String, raw: String,
+                   out: String): DataFrame = {
+      val mx = broadcast(scores.agg(max(col(raw)).as("mx")))
+      scores.crossJoin(mx)
+        .select(col(key),
+          round(col(raw).cast("double") / col("mx").cast("double"), 6)
+            .cast("decimal(9,6)").as(out))
+    }
+    val a1n = normalized(
+      li.groupBy(col("q")).agg(count(lit(1)).as("a1")), "q", "a1", "an")
+    val h1n = normalized(
+      li.join(a1n, Seq("q")).groupBy(col("p")).agg(sum(col("an")).as("h1")),
+      "p", "h1", "hn")
+    val a2n = normalized(
+      li.join(h1n, Seq("p")).groupBy(col("q")).agg(sum(col("hn")).as("a2")),
+      "q", "a2", "an")
+    val hubs = h1n
+      .select(lit("hub").as("side"), col("p").as("node"),
+              col("hn").cast("double").as("score"))
+      .orderBy(col("score").desc, col("node").asc).limit(10)
+    val auths = a2n
+      .select(lit("authority").as("side"), col("q").as("node"),
+              col("an").cast("double").as("score"))
+      .orderBy(col("score").desc, col("node").asc).limit(10)
+    // rank window runs on the ≤20-row union — bounded by construction
+    val w = Window.partitionBy(col("side"))
+      .orderBy(col("score").desc, col("node").asc)
+    auths.unionAll(hubs)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .orderBy(col("side").asc, col("rn").asc)
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * memoized co-purchase graph — the frequency-based community
     * detector that complements `graph_modularity`'s min-label

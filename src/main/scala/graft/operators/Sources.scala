@@ -521,7 +521,10 @@ object Sources {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_type").parquet(dir)
-    s.read.parquet(dir)
+    // writer-side schema on the read-back: an all-empty corpus writes a
+    // partitioned dir with ZERO partition dirs, which defeats schema
+    // inference (the streamAggSink/foreachBatch discipline)
+    s.read.schema(src.schema).parquet(dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("n_rows"),
            round(sum(col("value")), 4).as("total_value"))

@@ -389,4 +389,22 @@ class GraphStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(5) - c1.toDouble / nv) <= 1e-6)
     assert(math.abs(r.getDouble(7) - c7d.toDouble / nv) <= 1e-6)
   }
+
+  test("hits: max-normalized scores in (0,1], exactly one 1.0 per side, degree seeds authorities") {
+    val rows = Graph.graphHits(spark, sfSmoke).collect()
+    assert(rows.length == 20)
+    for (side <- Seq("authority", "hub")) {
+      val ss = rows.filter(_.getString(0) == side)
+      assert(ss.length == 10)
+      assert(ss.map(_.getLong(3)).sameElements(1L to 10L))
+      val scores = ss.map(_.getDouble(2))
+      assert(scores.forall(x => x > 0.0 && x <= 1.0))
+      assert(scores.max == 1.0, s"$side max must normalize to exactly 1.0")
+      assert(scores.sliding(2).forall(p => p(0) >= p(1)),
+        s"$side scores must be rank-ordered")
+    }
+    val again = Graph.graphHits(spark, sfSmoke).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
 }
