@@ -277,6 +277,7 @@ object SparkEntry {
     "stats_binomial_wilson" -> Stats.statsBinomialWilson _,
     "stats_grubbs"       -> Stats.statsGrubbs _,
     "timeseries_ar_forecast" -> Stats.timeseriesArForecast _,
+    "timeseries_holt_winters" -> Stats.timeseriesHoltWinters _,
     "stats_cuped"        -> Stats.statsCuped _,
     "stats_delta_method" -> Stats.statsDeltaMethod _,
     "stats_tost_equivalence" -> Stats.statsTostEquivalence _,
@@ -1444,6 +1445,26 @@ object SparkEntry {
     // engines evaluate the literal same expression tree.
     "timeseries_holt" ->
       "WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), idx AS (SELECT event_type, d, x, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily), rec(event_type, rn, d, x, l, b) AS (SELECT event_type, rn, d, x, x, CAST(0.0 AS DOUBLE) FROM idx WHERE rn = 1 UNION ALL SELECT i.event_type, i.rn, i.d, i.x, CAST(0.5 AS DOUBLE) * i.x + CAST(0.5 AS DOUBLE) * (r.l + r.b), CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.x + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l) + CAST(0.7 AS DOUBLE) * r.b FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.rn = r.rn + 1) SELECT event_type, d, x, round(l, 6) AS level, round(b, 6) AS trend, round(l + b, 6) AS forecast_next FROM rec ORDER BY event_type, d",
+    // timeseries_holt_winters: the Holt recursive-CTE pattern extended
+    // with a LIST column carrying the rolling 7 seasons; intermediates
+    // bound through layered subqueries so both engines replay the same
+    // IEEE op order; seed mean rounds at 6 before the recursion.
+    "timeseries_holt_winters" ->
+      ("WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+       "idx AS (SELECT event_type, d, x, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily), " +
+       "seed AS (SELECT event_type, round(sum(x) / 7.0, 6) AS m0 FROM idx WHERE rn <= 7 GROUP BY 1 HAVING count(*) = 7), " +
+       "s0 AS (SELECT i.event_type, max(sd.m0) AS m0, list(i.x - sd.m0 ORDER BY i.rn) AS sl FROM idx i JOIN seed sd USING (event_type) WHERE i.rn <= 7 GROUP BY 1), " +
+       "rec(event_type, rn, d, x, l, b, sn, fc, sl) AS (" +
+       "SELECT event_type, CAST(7 AS BIGINT), CAST(NULL AS DATE), CAST(NULL AS DOUBLE), m0, CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), sl FROM s0 " +
+       "UNION ALL " +
+       "SELECT event_type, rn, d, x, lp, bn, snv, lp + bn + slp[1], slp FROM (" +
+       "SELECT *, list_append(sl0[2:7], snv) AS slp FROM (" +
+       "SELECT *, 0.2 * (lp - lprev) + 0.8 * bprev AS bn, 0.1 * (x - lp) + 0.9 * sold AS snv FROM (" +
+       "SELECT r.event_type AS event_type, i.rn AS rn, i.d AS d, i.x AS x, r.sl[1] AS sold, r.l AS lprev, r.b AS bprev, r.sl AS sl0, " +
+       "0.3 * (i.x - r.sl[1]) + 0.7 * (r.l + r.b) AS lp " +
+       "FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.rn = r.rn + 1) a) b2) c) " +
+       "SELECT event_type, d, x, round(l, 6) AS level, round(b, 6) AS trend, round(sn, 6) AS seasonal, round(fc, 6) AS forecast_next " +
+       "FROM rec WHERE rn >= 8 ORDER BY event_type, d"),
     // anomaly_mad: median/MAD as exact interpolated percentiles rounded
     // before reuse; modified z gated on the rounded score; MAD 0 -> NULL
     // scores via nullif on both engines.

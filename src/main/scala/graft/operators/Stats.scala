@@ -2803,6 +2803,62 @@ object Stats {
     r1.unionAll(r2).unionAll(r3).orderBy("round")
   }
 
+  /** Holt–Winters additive triple exponential smoothing (weekly season,
+    * m = 7; α=0.3, β=0.2, γ=0.1) — the seasonal rung between
+    * [[timeseriesHolt]] (level+trend) and [[timeseriesArForecast]]:
+    * the level update reads the season from SEVEN steps back
+    * (l_t = α(x_t − s_{t−7}) + (1−α)(l_{t−1}+b_{t−1})), so the
+    * recursion state is (l, b, last-7-seasons) — carried here as a
+    * rolling 7-slot array in the per-type imperative scan (the
+    * timeseriesEwmVar O(days) discipline), and as a LIST column in the
+    * oracle's recursive CTE. Seeds: l₇ = round₆(mean of the first 7
+    * observed days), b₇ = 0, s₁..₇ = x_i − l₇; the seed mean rounds at
+    * 6 BEFORE entering the recursion so both engines replay the
+    * identical IEEE op sequence from agreed values. Emits every day
+    * past the seed week with level/trend/season and the one-step
+    * forecast l + b + s_{t−6}.
+    *
+    * Scale shape: one (type, day) frame off the daily memo; each
+    * calendar-bounded series scans once per type inside flatMapGroups.
+    */
+  def timeseriesHoltWinters(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val daily = DailyFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_type"), col("d"), col("x4").as("x"))
+      .as[(String, java.sql.Date, Double)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        if (rows.length <= 7) Iterator.empty
+        else {
+          var sum0 = 0.0
+          var i = 0
+          while (i < 7) { sum0 += rows(i)._3; i += 1 }
+          val m0 = BigDecimal(sum0 / 7.0d)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val sArr = Array.tabulate(7)(j => rows(j)._3 - m0)
+          var l = m0; var b = 0.0d
+          (8 to rows.length).iterator.map { tt =>
+            val (_, d, x) = rows(tt - 1)
+            val sOld = sArr((tt - 8) % 7)
+            val lPrev = l
+            l = 0.3d * (x - sOld) + 0.7d * (lPrev + b)
+            b = 0.2d * (l - lPrev) + 0.8d * b
+            val sNew = 0.1d * (x - l) + 0.9d * sOld
+            sArr((tt - 8) % 7) = sNew
+            (t, d, x, l, b, sNew, l + b + sArr((tt - 7) % 7))
+          }
+        }
+      }
+      .toDF("event_type", "d", "x", "l", "b", "sn", "fc")
+      .select(col("event_type"), col("d"), round(col("x"), 4).as("x"),
+        round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
+        round(col("sn"), 6).as("seasonal"),
+        round(col("fc"), 6).as("forecast_next"))
+      .orderBy("event_type", "d")
+  }
+
   /** Time-boxed conversion rates — the funnel question
     * [[eventFunnelTime]]'s untimed rate can't answer: of the users who
     * saw a first view, how many purchased within 1 hour / 24 hours /

@@ -407,4 +407,27 @@ class GraphStatsSpec extends SparkSpecBase {
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
       again.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
+
+  test("holt-winters: seed week consumed, forecast decomposes as level + trend + season(t-6)") {
+    val rows = Stats.timeseriesHoltWinters(spark, sfSmoke)
+      .filter(col("event_type") === "purchase").collect()
+    assert(rows.nonEmpty)
+    val nDays = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.length == nDays - 7, "every day past the seed week emits")
+    // rows are day-ordered; row i (0-based) is t = i + 8. For t >= 14 the
+    // season the forecast adds (s_{t-6}) is the seasonal emitted 6 rows
+    // earlier — the recursion's cross-row identity, exact up to the
+    // 1e-6 output rounding of the four reported values
+    rows.indices.drop(6).foreach { i =>
+      val r = rows(i)
+      val sLag = rows(i - 6).getDouble(5)
+      assert(math.abs(r.getDouble(6) - (r.getDouble(3) + r.getDouble(4) + sLag))
+        <= 4e-6, s"forecast must equal level+trend+season(t-6) at row $i")
+    }
+    val again = Stats.timeseriesHoltWinters(spark, sfSmoke)
+      .filter(col("event_type") === "purchase").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
