@@ -278,6 +278,7 @@ object SparkEntry {
     "stats_grubbs"       -> Stats.statsGrubbs _,
     "timeseries_ar_forecast" -> Stats.timeseriesArForecast _,
     "timeseries_holt_winters" -> Stats.timeseriesHoltWinters _,
+    "stats_quantile_pinball" -> Stats.statsQuantilePinball _,
     "stats_cuped"        -> Stats.statsCuped _,
     "stats_delta_method" -> Stats.statsDeltaMethod _,
     "stats_tost_equivalence" -> Stats.statsTostEquivalence _,
@@ -1445,6 +1446,14 @@ object SparkEntry {
     // engines evaluate the literal same expression tree.
     "timeseries_holt" ->
       "WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), idx AS (SELECT event_type, d, x, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily), rec(event_type, rn, d, x, l, b) AS (SELECT event_type, rn, d, x, x, CAST(0.0 AS DOUBLE) FROM idx WHERE rn = 1 UNION ALL SELECT i.event_type, i.rn, i.d, i.x, CAST(0.5 AS DOUBLE) * i.x + CAST(0.5 AS DOUBLE) * (r.l + r.b), CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.x + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l) + CAST(0.7 AS DOUBLE) * r.b FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.rn = r.rn + 1) SELECT event_type, d, x, round(l, 6) AS level, round(b, 6) AS trend, round(l + b, 6) AS forecast_next FROM rec ORDER BY event_type, d",
+    // stats_quantile_pinball: same 4-rounded daily values and calendar
+    // d-7 join as snaive; loss is exact arithmetic on agreed values.
+    "stats_quantile_pinball" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "j AS (SELECT a.event_type, a.x, b.x AS f FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d = b.d + 7), " +
+       "e AS (SELECT event_type, x, f, unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q FROM j), " +
+       "l AS (SELECT event_type, q, CASE WHEN x >= f THEN q * (x - f) ELSE (1.0 - q) * (f - x) END AS loss FROM e) " +
+       "SELECT event_type, q, CAST(count(*) AS BIGINT) AS n_scored, round(avg(loss), 6) AS pinball FROM l GROUP BY 1, 2 ORDER BY event_type, q"),
     // timeseries_holt_winters: the Holt recursive-CTE pattern extended
     // with a LIST column carrying the rolling 7 seasons; intermediates
     // bound through layered subqueries so both engines replay the same

@@ -2803,6 +2803,38 @@ object Stats {
     r1.unionAll(r2).unionAll(r3).orderBy("round")
   }
 
+  /** Pinball (quantile) loss of the seasonal-naive forecast at
+    * q ∈ {0.1, 0.5, 0.9} — the scoring rule probabilistic forecasts are
+    * actually graded on (M5, every demand-planning stack):
+    * L_q(y, ŷ) = q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺. The 0.5 row is half the MAE
+    * [[timeseriesSnaiveBacktest]] reports (a spec-pinned identity); the
+    * 0.1/0.9 asymmetry says whether the forecast under- or over-covers
+    * the tails — the signal a symmetric MAE cannot carry.
+    *
+    * Determinism: forecasts and actuals are the same 4-rounded daily
+    * values as snaive (calendar d−7 join); the loss is exact arithmetic
+    * on agreed values, averaged then rounded at 6.
+    *
+    * Scale shape: daily-memo frame, one self-join on (type, d), a 3×
+    * map-side explode of the quantile levels, one aggregate. */
+  def statsQuantilePinball(s: SparkSession, sf: String): DataFrame = {
+    val daily = DailyFrames.daily(s, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("d"), col("x4").as("x"))
+    val prior = daily.select(col("event_type"),
+      date_add(col("d"), 7).as("d"), col("x").as("f"))
+    daily.join(prior, Seq("event_type", "d"))
+      .select(col("event_type"), col("x"), col("f"),
+        explode(array(lit(0.1d), lit(0.5d), lit(0.9d))).as("q"))
+      .withColumn("loss",
+        when(col("x") >= col("f"), col("q") * (col("x") - col("f")))
+          .otherwise((lit(1.0d) - col("q")) * (col("f") - col("x"))))
+      .groupBy(col("event_type"), col("q"))
+      .agg(count(lit(1)).cast("bigint").as("n_scored"),
+           round(avg(col("loss")), 6).as("pinball"))
+      .orderBy("event_type", "q")
+  }
+
   /** Holt–Winters additive triple exponential smoothing (weekly season,
     * m = 7; α=0.3, β=0.2, γ=0.1) — the seasonal rung between
     * [[timeseriesHolt]] (level+trend) and [[timeseriesArForecast]]:

@@ -169,4 +169,27 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(g.getDate(3).toString == days(0), "round 1 must agree with grubbs")
     assert(math.abs(g.getDouble(5) - rows(0).getDouble(4)) <= 1e-9)
   }
+
+  test("pinball: q=0.5 is half the MAE over the same rows, tails ordered by forecast bias") {
+    val rows = Stats.statsQuantilePinball(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    assert(rows.nonEmpty && rows.keys.map(_._2).toSet == Set(0.1, 0.5, 0.9))
+    // recompute MAE over pinball's exact row set (snaive's key drops
+    // x = 0 rows for its MAPE divisor; pinball keeps them)
+    import org.apache.spark.sql.functions.{abs => fabs, avg, col, date_add, round => rnd, to_date, sum => fsum}
+    val daily = Tables.events(spark, sfSmoke)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(rnd(fsum(col("value")), 4).as("x"))
+    val prior = daily.select(col("event_type"),
+      date_add(col("d"), 7).as("d"), col("x").as("f"))
+    val mae = daily.join(prior, Seq("event_type", "d"))
+      .groupBy(col("event_type"))
+      .agg(rnd(avg(fabs(col("x") - col("f"))), 6).as("mae"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    mae.foreach { case (t, m) =>
+      assert(math.abs(rows((t, 0.5)) - m / 2.0) <= 2e-6,
+        s"pinball(0.5) must be MAE/2 for $t")
+    }
+  }
 }
