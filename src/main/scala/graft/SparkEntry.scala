@@ -279,6 +279,7 @@ object SparkEntry {
     "timeseries_ar_forecast" -> Stats.timeseriesArForecast _,
     "timeseries_holt_winters" -> Stats.timeseriesHoltWinters _,
     "stats_quantile_pinball" -> Stats.statsQuantilePinball _,
+    "event_peak_concurrency" -> Stats.eventPeakConcurrency _,
     "stats_cuped"        -> Stats.statsCuped _,
     "stats_delta_method" -> Stats.statsDeltaMethod _,
     "stats_tost_equivalence" -> Stats.statsTostEquivalence _,
@@ -1446,6 +1447,19 @@ object SparkEntry {
     // engines evaluate the literal same expression tree.
     "timeseries_holt" ->
       "WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), idx AS (SELECT event_type, d, x, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily), rec(event_type, rn, d, x, l, b) AS (SELECT event_type, rn, d, x, x, CAST(0.0 AS DOUBLE) FROM idx WHERE rn = 1 UNION ALL SELECT i.event_type, i.rn, i.d, i.x, CAST(0.5 AS DOUBLE) * i.x + CAST(0.5 AS DOUBLE) * (r.l + r.b), CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.x + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l) + CAST(0.7 AS DOUBLE) * r.b FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.rn = r.rn + 1) SELECT event_type, d, x, round(l, 6) AS level, round(b, 6) AS trend, round(l + b, 6) AS forecast_next FROM rec ORDER BY event_type, d",
+    // event_peak_concurrency: same 30-min sessionize as sessionize_gap;
+    // per-instant NET before the prefix makes ties well-defined; edge
+    // keys are exact microseconds (epoch_ns // 1000 vs unix_micros).
+    "event_peak_concurrency" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM events WHERE user_id IS NOT NULL WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)), " +
+       "si AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_idx FROM e), " +
+       "sess AS (SELECT user_id, session_idx, min(ts) AS st, max(ts) AS en FROM si GROUP BY 1, 2), " +
+       "ed AS (SELECT epoch_ns(st) // 1000 AS k, 1 AS delta FROM sess UNION ALL SELECT epoch_ns(en) // 1000 + 1, -1 FROM sess), " +
+       "g AS (SELECT k, sum(delta) AS net FROM ed GROUP BY 1), " +
+       "r AS (SELECT k, sum(net) OVER (ORDER BY k) AS run FROM g), " +
+       "p AS (SELECT CAST(make_timestamp(k) AS DATE) AS d, CAST(max(run) AS BIGINT) AS peak_concurrent FROM r GROUP BY 1), " +
+       "ns AS (SELECT CAST(st AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_started FROM sess GROUP BY 1) " +
+       "SELECT p.d, p.peak_concurrent, coalesce(ns.n_started, 0) AS n_started FROM p LEFT JOIN ns USING (d) ORDER BY d"),
     // stats_quantile_pinball: same 4-rounded daily values and calendar
     // d-7 join as snaive; loss is exact arithmetic on agreed values.
     "stats_quantile_pinball" ->

@@ -430,4 +430,43 @@ class GraphStatsSpec extends SparkSpecBase {
       .filter(col("event_type") === "purchase").collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("peak concurrency: matches a driver-side brute-force sweep, day totals consistent") {
+    val out = Stats.eventPeakConcurrency(spark, sfSmoke).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // brute-force replay: collect the session intervals (bounded at this
+    // SF) and sweep them in scala — per-day peaks must agree exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_sec",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .withColumn("new_s",
+        when(col("gap_sec").isNull || col("gap_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(unix_micros(min(col("ts"))).as("st"),
+           unix_micros(max(col("ts"))).as("en"))
+      .select("st", "en").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (sess.map(s => (s._1, 1L)) ++ sess.map(s => (s._2 + 1, -1L)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+    var run = 0L
+    val peaks = scala.collection.mutable.Map.empty[String, Long]
+    edges.foreach { case (k, net) =>
+      run += net
+      val d = java.time.Instant.ofEpochSecond(k / 1000000)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      peaks(d) = math.max(peaks.getOrElse(d, Long.MinValue), run)
+    }
+    out.foreach { case (d, peak, nStarted) =>
+      assert(peaks(d) == peak, s"day $d: engine peak $peak != swept ${peaks(d)}")
+      assert(peak >= 1 || nStarted == 0)
+    }
+    assert(out.map(_._3).sum == sess.length,
+      "per-day session starts must total the session count")
+  }
 }
