@@ -285,6 +285,10 @@ object SparkEntry {
     "stats_tost_equivalence" -> Stats.statsTostEquivalence _,
     "timeseries_esd_anomaly" -> Stats.timeseriesEsdAnomaly _,
     "event_conversion_window" -> Stats.eventConversionWindow _,
+    "timeseries_croston" -> Stats.timeseriesCroston _,
+    "timeseries_theta"   -> Stats.timeseriesTheta _,
+    "stats_friedman"     -> Stats.statsFriedman _,
+    "stats_capture_recapture" -> Stats.statsCaptureRecapture _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2173,5 +2177,70 @@ object SparkEntry {
        "j AS (SELECT source, CAST(c AS DOUBLE) / n_src AS p, CAST(cc AS DOUBLE) / n_all AS q FROM bs JOIN st USING (source) JOIN cp USING (w), ct), " +
        "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab, sum(p * log2(p / ((p + q) / 2)) / 2 + q * log2(q / ((p + q) / 2)) / 2) AS jsd_core, sum(q) AS q_covered FROM j GROUP BY 1) " +
        "SELECT source, n_vocab, round(jsd_core + (1.0 - q_covered) / 2, 4) AS jsd_bits FROM g ORDER BY source"),
+    // timeseries_croston: the per-part Croston recursion replayed as a
+    // recursive CTE over the demand-day subsequence; demand x is an
+    // exact decimal sum cast to double, the interval carries through
+    // the carried previous date (date_diff ≡ datediff).
+    "timeseries_croston" ->
+      ("WITH RECURSIVE demand AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d, CAST(sum(l_quantity) AS DOUBLE) AS x FROM lineitem GROUP BY 1, 2), " +
+       "idx AS (SELECT l_partkey, d, x, row_number() OVER (PARTITION BY l_partkey ORDER BY d) AS rn FROM demand), " +
+       "rec(l_partkey, rn, d, z, p) AS (" +
+       "SELECT l_partkey, rn, d, x, CAST(1.0 AS DOUBLE) FROM idx WHERE rn = 1 " +
+       "UNION ALL " +
+       "SELECT i.l_partkey, i.rn, i.d, CAST(0.3 AS DOUBLE) * i.x + CAST(0.7 AS DOUBLE) * r.z, " +
+       "CAST(0.3 AS DOUBLE) * CAST(date_diff('day', r.d, i.d) AS DOUBLE) + CAST(0.7 AS DOUBLE) * r.p " +
+       "FROM rec r JOIN idx i ON i.l_partkey = r.l_partkey AND i.rn = r.rn + 1), " +
+       "lastd AS (SELECT l_partkey, max(rn) AS mrn FROM idx GROUP BY 1) " +
+       "SELECT r.l_partkey, CAST(l.mrn AS BIGINT) AS n_demand_days, r.d AS last_demand_day, " +
+       "round(r.z, 6) AS size_est, round(r.p, 6) AS interval_est, " +
+       "round(r.z / r.p, 6) AS croston_forecast, round(0.85 * r.z / r.p, 6) AS sba_forecast " +
+       "FROM rec r JOIN lastd l ON r.l_partkey = l.l_partkey AND r.rn = l.mrn ORDER BY r.l_partkey"),
+    // timeseries_theta: OLS moments exact (integer t, decimal(18,4) x);
+    // a and b round at 6 BEFORE the theta-line build, each theta2
+    // rounds at 6 before the SES recursion — both engines then fold
+    // identical inputs; forecast reads the ROUNDED final SES level.
+    "timeseries_theta" ->
+      ("WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+       "idx AS (SELECT event_type, d, x, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily), " +
+       "fit AS (SELECT event_type, count(*) AS n, sum(rn) AS st, sum(rn * rn) AS st2, sum(CAST(x AS DECIMAL(18,4))) AS sx, sum(rn * CAST(x AS DECIMAL(18,4))) AS stx FROM idx GROUP BY 1), " +
+       "ab0 AS (SELECT event_type, n, round(CAST(n * stx - st * sx AS DOUBLE) / CAST(n * st2 - st * st AS DOUBLE), 6) AS b, sx, st FROM fit), " +
+       "ab AS (SELECT event_type, n, b, round((CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS a FROM ab0), " +
+       "th AS (SELECT i.event_type, i.rn, round(CAST(2.0 AS DOUBLE) * i.x - (ab.a + ab.b * CAST(i.rn AS DOUBLE)), 6) AS th2 FROM idx i JOIN ab USING (event_type)), " +
+       "rec(event_type, rn, l) AS (" +
+       "SELECT event_type, rn, th2 FROM th WHERE rn = 1 " +
+       "UNION ALL " +
+       "SELECT t.event_type, t.rn, CAST(0.5 AS DOUBLE) * t.th2 + CAST(0.5 AS DOUBLE) * r.l " +
+       "FROM rec r JOIN th t ON t.event_type = r.event_type AND t.rn = r.rn + 1) " +
+       "SELECT ab.event_type, CAST(ab.n AS BIGINT) AS n_days, ab.a AS intercept, ab.b AS slope, " +
+       "round(r.l, 6) AS ses_theta2, " +
+       "round(CAST(0.5 AS DOUBLE) * (round(r.l, 6) + (ab.a + ab.b * CAST(ab.n + 1 AS DOUBLE))), 6) AS forecast_next " +
+       "FROM ab JOIN rec r ON r.event_type = ab.event_type AND r.rn = ab.n ORDER BY ab.event_type"),
+    // stats_friedman: midranks are half-integers (squares quarter-
+    // integers) — every sum is exact in binary double; the one global
+    // window runs over k treatment rows. Complete blocks only.
+    "stats_friedman" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "kd AS (SELECT *, count(*) OVER (PARTITION BY d) AS k_day FROM daily), " +
+       "km AS (SELECT max(k_day) AS k FROM kd), " +
+       "rb AS (SELECT kd.event_type, kd.d, kd.c, km.k FROM kd, km WHERE kd.k_day = km.k), " +
+       "rkd AS (SELECT event_type, d, k, CAST(rank() OVER (PARTITION BY d ORDER BY c) AS DOUBLE) + (CAST(count(*) OVER (PARTITION BY d, c) AS DOUBLE) - 1.0) / 2.0 AS mr FROM rb), " +
+       "g AS (SELECT k, count(DISTINCT d) AS nb, sum(mr * mr) AS ssq FROM rkd GROUP BY 1), " +
+       "rs AS (SELECT event_type, k, sum(mr) AS rank_sum FROM rkd GROUP BY 1, 2), " +
+       "q AS (SELECT rs.event_type, rs.rank_sum, g.nb, rs.k, " +
+       "round(CAST(rs.k - 1 AS DOUBLE) * sum((rank_sum - CAST(g.nb AS DOUBLE) * CAST(rs.k + 1 AS DOUBLE) / 2.0) * (rank_sum - CAST(g.nb AS DOUBLE) * CAST(rs.k + 1 AS DOUBLE) / 2.0)) OVER () / (g.ssq - CAST(g.nb AS DOUBLE) * CAST(rs.k AS DOUBLE) * CAST(rs.k + 1 AS DOUBLE) * CAST(rs.k + 1 AS DOUBLE) / 4.0), 6) AS q_stat " +
+       "FROM rs JOIN g USING (k)) " +
+       "SELECT event_type, rank_sum, CAST(nb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments, q_stat, CAST(k - 1 AS BIGINT) AS df FROM q ORDER BY event_type"),
+    // stats_capture_recapture: the two marks are md5 first-hex-digit
+    // halves salted 'a'/'b' — the deterministic-sampling idiom; err_pct
+    // reads the ROUNDED Chapman estimate on both engines.
+    "stats_capture_recapture" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL), " +
+       "m AS (SELECT CAST(count(*) AS BIGINT) AS n_true, " +
+       "CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'a'), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS BIGINT) AS n_sample_a, " +
+       "CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'b'), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS BIGINT) AS n_sample_b, " +
+       "CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'a'), 1, 1) IN ('0','1','2','3','4','5','6','7') AND substr(md5(CAST(user_id AS VARCHAR) || 'b'), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS BIGINT) AS n_recaptured FROM u), " +
+       "c AS (SELECT *, round(CAST(n_sample_a + 1 AS DOUBLE) * CAST(n_sample_b + 1 AS DOUBLE) / CAST(n_recaptured + 1 AS DOUBLE) - 1.0, 4) AS chapman_estimate FROM m) " +
+       "SELECT n_true, n_sample_a, n_sample_b, n_recaptured, chapman_estimate, " +
+       "round((chapman_estimate - CAST(n_true AS DOUBLE)) * 100.0 / CAST(n_true AS DOUBLE), 4) AS err_pct FROM c"),
   )
 }

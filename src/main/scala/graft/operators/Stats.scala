@@ -190,6 +190,7 @@ object Stats {
       .orderBy(col("n_pair").desc, col("p1").asc, col("p2").asc)
   }
 
+
   /** RFM segmentation — the standard customer-value grid: each
     * purchaser scored 1–5 on Recency (days since last purchase, anchored
     * at the corpus's latest purchase day), Frequency, and Monetary,
@@ -2979,5 +2980,192 @@ object Stats {
         round(col("conv_1h") / col("n_viewers"), 6).as("rate_1h"),
         round(col("conv_24h") / col("n_viewers"), 6).as("rate_24h"),
         round(col("conv_7d") / col("n_viewers"), 6).as("rate_7d"))
+  }
+
+  /** Croston's method for INTERMITTENT demand — the forecast family's
+    * sparse-series member (naive/EWMA/Holt/HW/AR all assume a dense
+    * daily series; spare-parts-style demand with long zero gaps breaks
+    * them). Demand grain: (l_partkey, l_shipdate) quantity totals —
+    * each part ships on a handful of scattered days, the textbook
+    * intermittent shape. Croston runs two EWMA recursions (α = 0.3)
+    * over the DEMAND-DAY subsequence only (no calendar gap-fill —
+    * the inter-demand interval q_i carries the gap): size
+    * z_i = αx_i + (1−α)z_{i−1}, interval p_i = αq_i + (1−α)p_{i−1}
+    * with q_i = days since the previous demand; init z_1 = x_1,
+    * p_1 = 1 (documented convention). Per-period forecast = z/p, plus
+    * the Syntetos–Boylan approximation (1 − α/2)·z/p that corrects
+    * Croston's known positive bias.
+    *
+    * Scale shape: one (part, day) hash aggregate over the lineitem
+    * scan, then a per-part O(demand-days) running-state struct fold
+    * (NOT an array rebuild) — per-part arrays are bounded by that
+    * part's demand-day count, never the table size. The oracle replays
+    * the identical recursion as a per-part recursive CTE. */
+  def timeseriesCroston(s: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(col("l_quantity")).cast("double").as("x"))
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
+      .select(col("l_partkey"), size(col("s")).cast("bigint")
+          .as("n_demand_days"),
+        expr("""aggregate(s,
+             named_struct('d', cast(null as date), 'n', 0L,
+                          'z', cast(0.0 as double), 'p', cast(0.0 as double)),
+             (acc, r) -> named_struct(
+               'd', r.d, 'n', acc.n + 1L,
+               'z', if(acc.n = 0L, r.x, 0.3d * r.x + 0.7d * acc.z),
+               'p', if(acc.n = 0L, cast(1.0 as double),
+                       0.3d * cast(datediff(r.d, acc.d) as double)
+                         + 0.7d * acc.p)))""").as("st"))
+      .select(col("l_partkey"), col("n_demand_days"),
+        col("st.d").as("last_demand_day"),
+        round(col("st.z"), 6).as("size_est"),
+        round(col("st.p"), 6).as("interval_est"),
+        round(col("st.z") / col("st.p"), 6).as("croston_forecast"),
+        round(lit(0.85d) * col("st.z") / col("st.p"), 6).as("sba_forecast"))
+      .orderBy("l_partkey")
+  }
+
+  /** Theta-method forecast (Assimakopoulos & Nikolopoulos — the M3
+    * competition winner) of each event type's daily purchase revenue:
+    * decompose into the θ=0 line (the OLS trend a + b·t, all long-run
+    * signal) and the θ=2 line (2x_t − trend_t, double-amplitude local
+    * signal), SES-smooth the θ=2 line (α = 0.5), and forecast the
+    * average of the two lines at t = n+1. Captures trend + level in one
+    * shot where plain SES flatlines and plain OLS overshoots.
+    *
+    * Determinism: the OLS moments are exact (integer t, round-4 x;
+    * decimal Σtx), b and a round at 6 BEFORE the θ-line construction,
+    * each θ2 value rounds at 6 before the fold — both engines then run
+    * the identical recursion on identical inputs (the Holt discipline).
+    *
+    * Scale shape: data-sized work is the shared day-grain rollup
+    * (DailyFrames memo); the moments are one tiny aggregate and the SES
+    * fold is O(days) running-state per type. */
+  def timeseriesTheta(s: SparkSession, sf: String): DataFrame = {
+    val idx = DailyFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_type"), col("d"), col("x4").as("x"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("d"))).cast("long"))
+    val fit = idx.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+           sum(col("t") * col("t")).as("st2"),
+           sum(col("x").cast("decimal(18,4)")).as("sx"),
+           sum(col("t") * col("x").cast("decimal(18,4)")).as("stx"))
+      .withColumn("b", round(
+        (col("n") * col("stx") - col("st") * col("sx")).cast("double") /
+          (col("n") * col("st2") - col("st") * col("st")).cast("double"), 6))
+      .withColumn("a", round(
+        (col("sx").cast("double") - col("b") * col("st").cast("double")) /
+          col("n").cast("double"), 6))
+      .select(col("event_type"), col("n"), col("a"), col("b"))
+    idx.join(broadcast(fit), "event_type")
+      .withColumn("th2", round(lit(2.0d) * col("x") -
+        (col("a") + col("b") * col("t").cast("double")), 6))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("a")).as("a"),
+           max(col("b")).as("b"),
+           sort_array(collect_list(struct(col("t"), col("th2")))).as("s"))
+      .select(col("event_type"), col("n").cast("bigint").as("n_days"),
+        col("a").as("intercept"), col("b").as("slope"),
+        round(expr("""aggregate(s, cast(null as double),
+          (acc, r) -> if(acc is null, r.th2,
+                         0.5d * r.th2 + 0.5d * acc))"""), 6).as("ses_theta2"))
+      .withColumn("forecast_next", round(lit(0.5d) *
+        (col("ses_theta2") +
+         (col("intercept") + col("slope") * (col("n_days") + lit(1L))
+            .cast("double"))), 6))
+      .orderBy("event_type")
+  }
+
+  /** Friedman test — the k-treatment repeated-measures rank test
+    * (non-parametric two-way ANOVA): blocks = days, treatments = event
+    * types, response = the day's event count. Within each complete
+    * block the k counts get midranks (ties share the average
+    * position), rank sums accumulate per treatment, and the
+    * tie-corrected statistic is
+    * Q = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² / (Σ r²ᵢₜ − nk(k+1)²/4).
+    * Complements `stats_cochran_q` (binary response) and
+    * `stats_kruskal_wallis` (unblocked) in the robust-stats family.
+    *
+    * Determinism: counts are integers, midranks are half-integers and
+    * their squares quarter-integers — every sum is exact in binary
+    * double; only the final ratio rounds (6).
+    *
+    * Scale shape: ranking windows partition on DAY (k ≈ types rows per
+    * partition — parallel, bounded); everything after is day-grain. */
+  def statsFriedman(s: SparkSession, sf: String): DataFrame = {
+    val blocks = DailyFrames.daily(s, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("d"), col("c"))
+      .withColumn("k_day", count(lit(1)).over(Window.partitionBy(col("d"))))
+    // complete blocks only: a day missing a treatment can't be ranked
+    // against the others; k (and every global scalar below) stays
+    // in-plan via broadcast one-row frames — no driver collects
+    val kf = blocks.agg(max(col("k_day")).as("k"))
+    val ranked = blocks.crossJoin(broadcast(kf))
+      .filter(col("k_day") === col("k"))
+      .withColumn("mr",
+        rank().over(Window.partitionBy(col("d")).orderBy(col("c")))
+            .cast("double") +
+          (count(lit(1)).over(Window.partitionBy(col("d"), col("c")))
+            .cast("double") - 1.0d) / 2.0d)
+    val g = ranked.groupBy(col("k"))
+      .agg(countDistinct(col("d")).as("nb"),
+           sum(col("mr") * col("mr")).as("ssq"))
+    ranked.groupBy(col("event_type"), col("k"))
+      .agg(sum(col("mr")).as("rank_sum"))
+      .join(broadcast(g), Seq("k"))
+      .withColumn("q_stat", round(
+        (col("k") - 1L).cast("double") *
+          sum(pow(col("rank_sum") -
+              col("nb").cast("double") * (col("k") + 1L).cast("double") / 2d,
+            2)).over(Window.partitionBy()) /
+          (col("ssq") - col("nb").cast("double") * col("k").cast("double") *
+            (col("k") + 1L).cast("double") * (col("k") + 1L).cast("double")
+              / 4d), 6))
+      .select(col("event_type"), col("rank_sum"),
+        col("nb").cast("bigint").as("n_blocks"),
+        col("k").cast("bigint").as("k_treatments"),
+        col("q_stat"), (col("k") - 1L).cast("bigint").as("df"))
+      .orderBy("event_type")
+  }
+
+  /** Chapman capture–recapture estimate of the distinct-user
+    * population — the two-sample mark-recapture estimator
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 applied to two INDEPENDENT
+    * deterministic halves (md5 of user_id salted 'a' / 'b', first hex
+    * digit 0–7). In a training-data pipeline this is how you estimate
+    * true dedup coverage / population size from samples without a full
+    * distinct pass; here the true count sits alongside so the key also
+    * certifies the estimator's bias at this scale.
+    *
+    * Scale shape: one user-grain distinct aggregate carrying two
+    * boolean marks, then a single global rollup — no joins, no
+    * windows, map-side combinable. */
+  def statsCaptureRecapture(s: SparkSession, sf: String): DataFrame = {
+    def mark(salt: String) =
+      substring(md5(concat(col("user_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_true"),
+           sum(mark("a").cast("long")).as("n1"),
+           sum(mark("b").cast("long")).as("n2"),
+           sum((mark("a") && mark("b")).cast("long")).as("m"))
+      .select(col("n_true").cast("bigint").as("n_true"),
+        col("n1").cast("bigint").as("n_sample_a"),
+        col("n2").cast("bigint").as("n_sample_b"),
+        col("m").cast("bigint").as("n_recaptured"),
+        round((col("n1") + 1L).cast("double") *
+            (col("n2") + 1L).cast("double") /
+            (col("m") + 1L).cast("double") - 1.0d, 4).as("chapman_estimate"))
+      .withColumn("err_pct", round((col("chapman_estimate") -
+        col("n_true").cast("double")) * 100.0d /
+          col("n_true").cast("double"), 4))
   }
 }

@@ -192,4 +192,103 @@ class RobustStatsSpec extends SparkSpecBase {
         s"pinball(0.5) must be MAE/2 for $t")
     }
   }
+
+  test("croston: driver-side replay of one part's recursion matches; " +
+      "SBA is exactly 0.85x croston") {
+    val out = Stats.timeseriesCroston(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("interval_est") >= 0.3 - 1e-9,
+        "interval EWMA can never fall below alpha * 1 day")
+      assert(math.abs(r.getAs[Double]("sba_forecast") -
+        0.85 * r.getAs[Double]("croston_forecast")) <= 2e-6)
+    }
+    val pk = out.head.getAs[Long]("l_partkey")
+    val demand = Tables.lineitem(spark, sfSmoke)
+      .filter(col("l_partkey") === pk)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum(col("l_quantity")).cast("double").as("x"))
+      .orderBy("d").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    assert(demand.length.toLong == out.head.getAs[Long]("n_demand_days"))
+    var z = 0.0; var p = 0.0; var prev: java.time.LocalDate = null
+    demand.foreach { case (d, x) =>
+      if (prev == null) { z = x; p = 1.0 }
+      else {
+        z = 0.3 * x + 0.7 * z
+        p = 0.3 * java.time.temporal.ChronoUnit.DAYS.between(prev, d) +
+          0.7 * p
+      }
+      prev = d
+    }
+    assert(math.abs(out.head.getAs[Double]("size_est") - z) <= 1e-6)
+    assert(math.abs(out.head.getAs[Double]("interval_est") - p) <= 1e-6)
+    assert(math.abs(out.head.getAs[Double]("croston_forecast") - z / p)
+      <= 2e-6)
+  }
+
+  test("theta: SES recursion replayed driver-side from the same " +
+      "rounded theta2 line; forecast averages SES and trend lines") {
+    val rows = Stats.timeseriesTheta(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    val a = r.getAs[Double]("intercept"); val b = r.getAs[Double]("slope")
+    val n = r.getAs[Long]("n_days")
+    val daily = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .orderBy("d").collect().map(_.getDouble(1))
+    assert(daily.length.toLong == n)
+    var l = Double.NaN
+    daily.zipWithIndex.foreach { case (x, i) =>
+      val th2 = BigDecimal(2.0 * x - (a + b * (i + 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      l = if (i == 0) th2 else 0.5 * th2 + 0.5 * l
+    }
+    assert(math.abs(r.getAs[Double]("ses_theta2") - l) <= 2e-6)
+    val fc = 0.5 * (r.getAs[Double]("ses_theta2") + (a + b * (n + 1)))
+    assert(math.abs(r.getAs[Double]("forecast_next") - fc) <= 2e-6)
+  }
+
+  test("friedman: rank sums conserve n*k(k+1)/2 and Q is finite " +
+      "nonnegative with df = k-1") {
+    val rows = Stats.statsFriedman(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val k = rows.head.getAs[Long]("k_treatments")
+    val nb = rows.head.getAs[Long]("n_blocks")
+    assert(rows.length.toLong == k)
+    val total = rows.map(_.getAs[Double]("rank_sum")).sum
+    assert(math.abs(total - nb.toDouble * k * (k + 1) / 2) <= 1e-6,
+      "within-block midranks must relabel 1..k per block")
+    val q = rows.head.getAs[Double]("q_stat")
+    assert(!q.isNaN && q >= -1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q_stat") == q)
+      assert(r.getAs[Long]("df") == k - 1)
+    }
+  }
+
+  test("capture-recapture: marks replayed with driver-side md5; " +
+      "overlap bounded by both samples") {
+    val r = Stats.statsCaptureRecapture(spark, sfSmoke).collect()(0)
+    val users = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0))
+    def mark(u: Long, salt: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((u.toString + salt).getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) < 8
+    }
+    val n1 = users.count(mark(_, "a")); val n2 = users.count(mark(_, "b"))
+    val m = users.count(u => mark(u, "a") && mark(u, "b"))
+    assert(r.getAs[Long]("n_true") == users.length.toLong)
+    assert(r.getAs[Long]("n_sample_a") == n1.toLong)
+    assert(r.getAs[Long]("n_sample_b") == n2.toLong)
+    assert(r.getAs[Long]("n_recaptured") == m.toLong)
+    assert(m <= math.min(n1, n2))
+    val chap = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    assert(math.abs(r.getAs[Double]("chapman_estimate") - chap) <= 1e-4)
+  }
 }
