@@ -289,6 +289,11 @@ object SparkEntry {
     "timeseries_theta"   -> Stats.timeseriesTheta _,
     "stats_friedman"     -> Stats.statsFriedman _,
     "stats_capture_recapture" -> Stats.statsCaptureRecapture _,
+    "stats_negative_binomial" -> Stats.statsNegativeBinomial _,
+    "stats_diff_in_diff" -> Stats.statsDiffInDiff _,
+    "stats_entropy_rate" -> Stats.statsEntropyRate _,
+    "event_cohort_ltv"   -> Pipeline.eventCohortLtv _,
+    "join_runtime_bloom" -> ScalePatterns.joinRuntimeBloom _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2177,6 +2182,57 @@ object SparkEntry {
        "j AS (SELECT source, CAST(c AS DOUBLE) / n_src AS p, CAST(cc AS DOUBLE) / n_all AS q FROM bs JOIN st USING (source) JOIN cp USING (w), ct), " +
        "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab, sum(p * log2(p / ((p + q) / 2)) / 2 + q * log2(q / ((p + q) / 2)) / 2) AS jsd_core, sum(q) AS q_covered FROM j GROUP BY 1) " +
        "SELECT source, n_vocab, round(jsd_core + (1.0 - q_covered) / 2, 4) AS jsd_bits FROM g ORDER BY source"),
+    // stats_negative_binomial: all moments exact integers; derived
+    // stats read the ROUNDED mean/variance on both engines.
+    "stats_negative_binomial" ->
+      ("WITH u AS (SELECT user_id, count(*) AS x FROM events WHERE user_id IS NOT NULL GROUP BY 1), " +
+       "m AS (SELECT count(*) AS n, sum(x) AS s1, sum(x * x) AS s2 FROM u), " +
+       "b AS (SELECT CAST(n AS BIGINT) AS n_users, round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_count, round(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) AS var_count FROM m) " +
+       "SELECT n_users, mean_count, var_count, round(var_count / mean_count, 6) AS dispersion_index, var_count > mean_count AS overdispersed, " +
+       "CASE WHEN var_count > mean_count THEN round(mean_count * mean_count / (var_count - mean_count), 6) END AS nb_r, " +
+       "CASE WHEN var_count > mean_count THEN round(mean_count / var_count, 6) END AS nb_p FROM b"),
+    // stats_diff_in_diff: the cuped midpoint + decimal period sums;
+    // arm pivot via MAX(CASE) over the two-row arm rollup; the DiD
+    // arithmetic runs on the four ROUNDED means.
+    "stats_diff_in_diff" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type = 'purchase'), " +
+       "m AS (SELECT min(d) + CAST((max(d) - min(d)) // 2 AS INTEGER) AS mid FROM ev), " +
+       "u AS (SELECT user_id, CAST(round(sum(CASE WHEN d < mid THEN value ELSE 0 END), 4) AS DECIMAL(18,4)) AS pre, CAST(round(sum(CASE WHEN d >= mid THEN value ELSE 0 END), 4) AS DECIMAL(18,4)) AS post FROM ev CROSS JOIN m GROUP BY 1), " +
+       "a AS (SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS t, count(*) AS n, sum(pre) AS sp, sum(post) AS ss FROM u GROUP BY 1), " +
+       "w AS (SELECT sum(CASE WHEN t THEN n END) AS nt, sum(CASE WHEN NOT t THEN n END) AS nc, " +
+       "max(CASE WHEN t THEN round(CAST(sp AS DOUBLE) / n, 6) END) AS mtpre, max(CASE WHEN t THEN round(CAST(ss AS DOUBLE) / n, 6) END) AS mtpost, " +
+       "max(CASE WHEN NOT t THEN round(CAST(sp AS DOUBLE) / n, 6) END) AS mcpre, max(CASE WHEN NOT t THEN round(CAST(ss AS DOUBLE) / n, 6) END) AS mcpost FROM a) " +
+       "SELECT CAST(nt AS BIGINT) AS n_treated, CAST(nc AS BIGINT) AS n_control, mtpre AS mean_treated_pre, mtpost AS mean_treated_post, mcpre AS mean_control_pre, mcpost AS mean_control_post, " +
+       "round((mtpost - mtpre) - (mcpost - mcpre), 6) AS did_estimate FROM w"),
+    // stats_entropy_rate: the markov transition machinery; inner and
+    // outer reductions are seeded ordered list_reduce folds (to-type /
+    // from-type order) exactly as the Spark side's aggregate() folds.
+    "stats_entropy_rate" ->
+      ("WITH l AS (SELECT user_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_t, event_type AS to_t FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+       "c AS (SELECT from_t, to_t, count(*) AS c FROM l WHERE from_t IS NOT NULL GROUP BY 1, 2), " +
+       "rt AS (SELECT from_t, sum(c) AS tot FROM c GROUP BY 1), " +
+       "p AS (SELECT c.from_t, c.to_t, CAST(c.c AS DOUBLE) / CAST(rt.tot AS DOUBLE) AS p FROM c JOIN rt USING (from_t)), " +
+       "g AS (SELECT sum(tot) AS gt FROM rt), " +
+       "h AS (SELECT from_t, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(-p * log2(p) ORDER BY to_t)), (acc, v) -> acc + v) AS h_i FROM p GROUP BY 1), " +
+       "ps AS (SELECT rt.from_t, rt.tot, CAST(rt.tot AS DOUBLE) / CAST(g.gt AS DOUBLE) AS pi, h.h_i FROM rt JOIN h USING (from_t), g), " +
+       "r AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pi * h_i ORDER BY from_t)), (acc, v) -> acc + v) AS hr FROM ps) " +
+       "SELECT from_t AS event_type, CAST(tot AS BIGINT) AS n_transitions_out, round(pi, 6) AS p_state, round(h_i, 6) AS h_conditional_bits, round(hr, 6) AS entropy_rate_bits FROM ps, r ORDER BY event_type"),
+    // event_cohort_ltv: decimal day revenue keeps the cohort cumsum
+    // exact; only the per-user normalization divides in double.
+    "event_cohort_ltv" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type, value FROM events WHERE user_id IS NOT NULL), " +
+       "f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1), " +
+       "sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1), " +
+       "daily AS (SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, e.d) AS BIGINT) AS day_offset, CAST(round(sum(e.value), 4) AS DECIMAL(18,4)) AS day_revenue FROM ev e JOIN f USING (user_id) WHERE e.event_type = 'purchase' AND e.value IS NOT NULL GROUP BY 1, 2), " +
+       "cc AS (SELECT cohort_day, day_offset, day_revenue, sum(day_revenue) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS cum FROM daily) " +
+       "SELECT cc.cohort_day, cc.day_offset, sz.cohort_size, CAST(cc.day_revenue AS DOUBLE) AS day_revenue, CAST(cc.cum AS DOUBLE) AS cum_revenue, round(CAST(cc.cum AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE), 6) AS ltv_per_user " +
+       "FROM cc JOIN sz USING (cohort_day) ORDER BY cohort_day, day_offset"),
+    // join_runtime_bloom: the bloom filter is semantics-free — the
+    // oracle is the plain filtered join; the injected-bloom plan shape
+    // is asserted in ScalePatternsSpec.
+    "join_runtime_bloom" ->
+      ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 4) AS urgent_revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

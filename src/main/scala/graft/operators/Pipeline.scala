@@ -201,6 +201,45 @@ object Pipeline {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Cohort LTV curve — the revenue companion of [[retentionCohorts]]
+    * (which counts PRESENCE): users grouped by first-seen day, purchase
+    * revenue accumulated by day-offset since acquisition, normalized
+    * per cohort user — the (cohort, age) → cumulative-value matrix LTV
+    * payback analyses read. Day-grain revenue rounds at 4 →
+    * DECIMAL(18,4) so the running sum is exact; only the per-user
+    * division is double (round 6).
+    *
+    * Scale shape: user-grain first-seen aggregate joined back
+    * user-grain, one (cohort, offset) day-grain aggregate, then a
+    * cumulative window PARTITIONED BY cohort_day over its ≤ calendar-
+    * days offsets — parallel across cohorts, bounded per cohort. */
+  def eventCohortLtv(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull)
+      .join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("day_revenue"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(sizes, Seq("cohort_day"))
+      .withColumn("cum_revenue", sum(col("day_revenue")).over(wCum))
+      .select(col("cohort_day"), col("day_offset"),
+        col("cohort_size").cast("bigint").as("cohort_size"),
+        col("day_revenue").cast("double").as("day_revenue"),
+        col("cum_revenue").cast("double").as("cum_revenue"),
+        round(col("cum_revenue").cast("double") /
+          col("cohort_size").cast("double"), 6).as("ltv_per_user"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Gap-based batch sessionization — the batch twin of the streaming
     * `stream_session` key: a 30-minute inactivity gap closes a session,
     * and each session reports its event count, bounds, and duration.

@@ -183,4 +183,41 @@ object ScalePatterns {
            round(sum(col("o_totalprice")), 4).as("total_price"))
       .orderBy("c_mktsegment")
   }
+
+  /** Runtime bloom-filter join pruning — Catalyst's
+    * InjectRuntimeFilter: a selective filter on the build side (urgent
+    * orders) is turned into a bloom filter evaluated INSIDE the probe
+    * side's scan stage, so non-matching lineitem rows die before the
+    * shuffle instead of after it. At 100 TB this is the difference
+    * between shuffling the full fact table and shuffling the ~20% that
+    * can match — the scenario where the filtered dim is too big to
+    * broadcast but its KEY SET still fits a few-MB bloom.
+    *
+    * The key runs in a child session (`newSession` — same
+    * SparkContext, isolated conf) with broadcast disabled and the
+    * application-side size threshold dropped, because at test SFs the
+    * dim would broadcast and the probe side is far below the 10 GB
+    * default — the conf mimics the 100 TB regime without touching the
+    * shared session. Result ≡ the plain join (bloom filters are
+    * semantics-free); the plan shape (BloomFilterMightContain on the
+    * probe scan, SortMergeJoin above) is asserted in ScalePatternsSpec.
+    */
+  def joinRuntimeBloom(s: SparkSession, sf: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    graft.Tables.lineitem(s2, sf)
+      .join(graft.Tables.orders(s2, sf)
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+             .as("urgent_revenue"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -3168,4 +3168,147 @@ object Stats {
         col("n_true").cast("double")) * 100.0d /
           col("n_true").cast("double"), 4))
   }
+
+  /** Negative-binomial overdispersion fit of per-user event counts —
+    * the burstiness diagnostic a Poisson rate model misses (user
+    * activity is famously overdispersed: a few power users inflate the
+    * variance far past the mean). Method-of-moments: dispersion index
+    * D = s²/x̄, and when D > 1 the NB parameters r = x̄²/(s²−x̄),
+    * p = x̄/s². The moments are exact integers (counts, Σx, Σx²), so
+    * x̄ and s² = (nΣx² − (Σx)²)/(n(n−1)) are single exact-ratio
+    * divisions; derived stats read the ROUNDED x̄/s² on both engines.
+    *
+    * Scale shape: one user-grain count aggregate, one global moment
+    * rollup — map-side combinable, no windows, no joins. */
+  def statsNegativeBinomial(s: SparkSession, sf: String): DataFrame = {
+    Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+           sum(col("x") * col("x")).as("s2"))
+      .select(col("n").cast("bigint").as("n_users"),
+        round(col("s1").cast("double") / col("n").cast("double"), 6)
+          .as("mean_count"),
+        round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double"), 6).as("var_count"))
+      .withColumn("dispersion_index",
+        round(col("var_count") / col("mean_count"), 6))
+      .withColumn("overdispersed", col("var_count") > col("mean_count"))
+      .withColumn("nb_r", when(col("overdispersed"),
+        round(col("mean_count") * col("mean_count") /
+          (col("var_count") - col("mean_count")), 6)))
+      .withColumn("nb_p", when(col("overdispersed"),
+        round(col("mean_count") / col("var_count"), 6)))
+  }
+
+  /** Difference-in-differences — the canonical quasi-experimental
+    * estimator: md5 halves as treated/control arms, the corpus span's
+    * midpoint day as the intervention date (the `statsCuped` period
+    * convention), per-user pre/post purchase revenue (0 when absent —
+    * a balanced panel), and
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), which nets
+    * out both the arm-level baseline difference and the common time
+    * trend. Cell sums stay exact DECIMAL(18,4); the four means round
+    * at 6 before the DiD arithmetic on both engines.
+    *
+    * Scale shape: one user-grain aggregate carrying the arm flag and
+    * both period sums, then a single global rollup — no windows, no
+    * joins past the broadcast midpoint scalar. */
+  def statsDiffInDiff(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+        .as("mid")))
+    val treated = substring(md5(col("user_id").cast("string")
+      .cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    ev.crossJoin(span)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("d") < col("mid"), col("value"))
+          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("pre"),
+        round(sum(when(col("d") >= col("mid"), col("value"))
+          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("post"))
+      .withColumn("t", treated)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("pre")).as("sp"), sum(col("post")).as("ss"))
+      .groupBy()
+      .agg(
+        sum(when(col("t"), col("n"))).as("nt"),
+        sum(when(!col("t"), col("n"))).as("nc"),
+        max(when(col("t"),
+          round(col("sp").cast("double") / col("n"), 6))).as("mtpre"),
+        max(when(col("t"),
+          round(col("ss").cast("double") / col("n"), 6))).as("mtpost"),
+        max(when(!col("t"),
+          round(col("sp").cast("double") / col("n"), 6))).as("mcpre"),
+        max(when(!col("t"),
+          round(col("ss").cast("double") / col("n"), 6))).as("mcpost"))
+      .select(col("nt").cast("bigint").as("n_treated"),
+        col("nc").cast("bigint").as("n_control"),
+        col("mtpre").as("mean_treated_pre"),
+        col("mtpost").as("mean_treated_post"),
+        col("mcpre").as("mean_control_pre"),
+        col("mcpost").as("mean_control_post"),
+        round((col("mtpost") - col("mtpre")) -
+              (col("mcpost") - col("mcpre")), 6).as("did_estimate"))
+  }
+
+  /** Entropy rate of the event-type Markov chain — bits of surprise
+    * per step, H = −Σᵢ πᵢ Σⱼ Pᵢⱼ log₂Pᵢⱼ, with P the exact-ratio
+    * one-step transition matrix of `eventMarkovStationary` and π the
+    * EMPIRICAL from-state distribution (exact count ratios — no power
+    * iteration, so the whole statistic is replayable arithmetic). The
+    * per-state conditional entropy Hᵢ is reported per row; the inner
+    * and outer reductions are explicit seeded folds in to-type /
+    * from-type order (the markov discipline — a bare float SUM is
+    * order-dependent).
+    *
+    * Scale shape: the data-sized work is the per-user lag window +
+    * (from, to) count aggregate; every fold runs over ≤ k ≈ 5 rows. */
+  def statsEntropyRate(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("to_t"),
+        lag(col("event_type"), 1).over(w).as("from_t"))
+      .filter(col("from_t").isNotNull)
+      .groupBy(col("from_t"), col("to_t"))
+      .agg(count(lit(1)).as("c"))
+    val rowTot = pairs.groupBy(col("from_t"))
+      .agg(sum(col("c")).as("tot"))
+    val grand = broadcast(rowTot.agg(sum(col("tot")).as("gt")))
+    val hCond = pairs.join(rowTot, Seq("from_t"))
+      .select(col("from_t"), col("to_t"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"))
+      .groupBy(col("from_t"))
+      .agg(sort_array(collect_list(struct(col("to_t"), col("p")))).as("s"))
+      .select(col("from_t"),
+        expr("aggregate(s, cast(0.0 as double)," +
+          " (acc, r) -> acc - r.p * log2(r.p))").as("h_i"))
+    val perState = rowTot.join(hCond, Seq("from_t"))
+      .crossJoin(grand)
+      .select(col("from_t"), col("tot"),
+        (col("tot").cast("double") / col("gt").cast("double")).as("pi"),
+        col("h_i"))
+    val rate = perState
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("from_t"), col("pi"),
+        col("h_i")))).as("s"))
+      .select(expr("aggregate(s, cast(0.0 as double)," +
+        " (acc, r) -> acc + r.pi * r.h_i)").as("hr"))
+    perState.crossJoin(broadcast(rate))
+      .select(col("from_t").as("event_type"),
+        col("tot").cast("bigint").as("n_transitions_out"),
+        round(col("pi"), 6).as("p_state"),
+        round(col("h_i"), 6).as("h_conditional_bits"),
+        round(col("hr"), 6).as("entropy_rate_bits"))
+      .orderBy("event_type")
+  }
 }

@@ -251,6 +251,101 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("forecast_next") - fc) <= 2e-6)
   }
 
+  test("negative binomial: moments replay driver-side; NB params only " +
+      "under overdispersion and round-trip to the moments") {
+    val r = Stats.statsNegativeBinomial(spark, sfSmoke).collect()(0)
+    val counts = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .collect().map(_.getAs[Long]("x").toDouble)
+    val n = counts.length
+    assert(r.getAs[Long]("n_users") == n.toLong)
+    val mean = counts.sum / n
+    val varr = counts.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    assert(math.abs(r.getAs[Double]("mean_count") - mean) <= 1e-4)
+    assert(math.abs(r.getAs[Double]("var_count") - varr) <= 1e-3)
+    val over = r.getAs[Boolean]("overdispersed")
+    assert(over == (r.getAs[Double]("var_count") > r.getAs[Double]("mean_count")))
+    if (over) {
+      val (m, v) = (r.getAs[Double]("mean_count"), r.getAs[Double]("var_count"))
+      assert(math.abs(r.getAs[Double]("nb_r") - m * m / (v - m)) <= 1e-4)
+      assert(math.abs(r.getAs[Double]("nb_p") - m / v) <= 1e-6)
+      // NB mean identity: r(1-p)/p recovers the sample mean
+      val (nr, np) = (r.getAs[Double]("nb_r"), r.getAs[Double]("nb_p"))
+      assert(math.abs(nr * (1 - np) / np - m) <= 1e-2)
+    } else assert(r.isNullAt(r.fieldIndex("nb_r")) && r.isNullAt(r.fieldIndex("nb_p")))
+  }
+
+  test("diff-in-diff: arms partition the purchaser set and the estimate " +
+      "is exactly the four-mean algebra") {
+    val r = Stats.statsDiffInDiff(spark, sfSmoke).collect()(0)
+    val nPurchasers = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_treated") + r.getAs[Long]("n_control") ==
+      nPurchasers)
+    assert(r.getAs[Long]("n_treated") > 0 && r.getAs[Long]("n_control") > 0,
+      "md5 halves must populate both arms")
+    val did = (r.getAs[Double]("mean_treated_post") -
+        r.getAs[Double]("mean_treated_pre")) -
+      (r.getAs[Double]("mean_control_post") -
+        r.getAs[Double]("mean_control_pre"))
+    assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
+  }
+
+  test("entropy rate: bounded by log2(k), below the conditional-entropy " +
+      "envelope, state probabilities normalize") {
+    val rows = Stats.statsEntropyRate(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    val hr = rows.head.getAs[Double]("entropy_rate_bits")
+    val maxH = math.log(k.toDouble) / math.log(2.0)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("h_conditional_bits")
+      assert(h >= -1e-9 && h <= maxH + 1e-9,
+        "conditional entropy of a k-state next-step lies in [0, log2 k]")
+      assert(r.getAs[Double]("entropy_rate_bits") == hr)
+    }
+    assert(hr >= -1e-9 && hr <= maxH + 1e-9)
+    // H is a pi-weighted average of the per-state conditional entropies
+    val hs = rows.map(_.getAs[Double]("h_conditional_bits"))
+    assert(hr >= hs.min - 1e-6 && hr <= hs.max + 1e-6)
+    val piSum = rows.map(_.getAs[Double]("p_state")).sum
+    assert(math.abs(piSum - 1.0) <= 1e-4)
+  }
+
+  test("cohort ltv: cumulative revenue is monotone per cohort and " +
+      "totals the corpus purchase revenue") {
+    val rows = graft.operators.Pipeline.eventCohortLtv(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_day")).foreach {
+      case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("day_offset"))
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Double]("cum_revenue") <=
+              b.getAs[Double]("cum_revenue") + 1e-9)
+          case _ =>
+        }
+        val last = sorted.last
+        assert(math.abs(last.getAs[Double]("ltv_per_user") -
+          last.getAs[Double]("cum_revenue") /
+            last.getAs[Long]("cohort_size")) <= 2e-6)
+    }
+    // per-cohort finals sum to (approximately — each day rounds at 4)
+    // the corpus-wide purchase revenue
+    val totalLtv = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+      .values.map(_.maxBy(_.getAs[Long]("day_offset"))
+        .getAs[Double]("cum_revenue")).sum
+    val direct = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(totalLtv - direct) <= 0.01 * rows.length)
+  }
+
   test("friedman: rank sums conserve n*k(k+1)/2 and Q is finite " +
       "nonnegative with df = k-1") {
     val rows = Stats.statsFriedman(spark, sfSmoke).collect()

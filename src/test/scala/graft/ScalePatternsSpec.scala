@@ -162,4 +162,33 @@ class ScalePatternsSpec extends SparkSpecBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom join: might_contain guards the probe scan, " +
+      "SortMergeJoin above, result equals the plain join") {
+    val df = ScalePatterns.joinRuntimeBloom(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"runtime bloom filter must reach the probe side:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"build side must aggregate the key set into a bloom:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"the demo regime disables broadcast; expected SMJ:\n$plan")
+    // the filter must sit on the LINEITEM (probe) scan side, i.e. on
+    // l_orderkey — pruning before the shuffle, not after the join
+    assert(plan.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_orderkey")),
+      s"bloom must prune on the probe key:\n$plan")
+    val expected = Tables.lineitem(spark, sfSmoke)
+      .join(Tables.orders(spark, sfSmoke)
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+             .as("urgent_revenue"))
+      .orderBy("l_returnflag").collect()
+    val got = df.collect()
+    assert(got.length == expected.length && got.nonEmpty)
+    got.zip(expected).foreach { case (a, b) => assert(a == b) }
+  }
 }
