@@ -294,6 +294,8 @@ object SparkEntry {
     "stats_entropy_rate" -> Stats.statsEntropyRate _,
     "event_cohort_ltv"   -> Pipeline.eventCohortLtv _,
     "join_runtime_bloom" -> ScalePatterns.joinRuntimeBloom _,
+    "join_dpp_prune"     -> ScalePatterns.joinDppPrune _,
+    "stats_group_sequential" -> Stats.statsGroupSequential _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2233,6 +2235,25 @@ object SparkEntry {
     "join_runtime_bloom" ->
       ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 4) AS urgent_revenue " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
+    // join_dpp_prune: DPP is semantics-free — the oracle is the plain
+    // weekend rollup (duckdb dayofweek: Sun=0..Sat=6; spark: 1..7).
+    "join_dpp_prune" ->
+      ("SELECT CAST(ts AS DATE) AS d, count(*) AS n_events, round(sum(value), 4) AS revenue " +
+       "FROM events WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6) GROUP BY 1 ORDER BY 1"),
+    // stats_group_sequential: exact decimal/long cumulative sums; k and
+    // K computed before the nonempty-arm filter on both engines; means
+    // round at 6 before the z arithmetic; sqrt is IEEE-exact.
+    "stats_group_sequential" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(round(value, 4) AS DECIMAL(18,4)) AS v FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL), " +
+       "sdm AS (SELECT count(*) AS n, sum(v) AS s1, sum(v * v) AS s2 FROM ev), " +
+       "sd AS (SELECT round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 6) AS sigma FROM sdm), " +
+       "daily AS (SELECT d, sum(CASE WHEN t THEN v END) AS sa, count(CASE WHEN t THEN 1 END) AS na, sum(CASE WHEN NOT t THEN v END) AS sb, count(CASE WHEN NOT t THEN 1 END) AS nb " +
+       "FROM (SELECT ev.*, substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS t FROM ev) GROUP BY 1), " +
+       "c AS (SELECT d, row_number() OVER (ORDER BY d) AS k, sum(sa) OVER w AS csa, sum(na) OVER w AS cna, sum(sb) OVER w AS csb, sum(nb) OVER w AS cnb, count(*) OVER () AS bigk " +
+       "FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+       "z AS (SELECT c.*, sd.sigma, round(CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE), 6) AS ma, round(CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE), 6) AS mb FROM c, sd WHERE cna > 0 AND cnb > 0), " +
+       "f AS (SELECT *, round((ma - mb) / (sigma * sqrt(1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE))), 6) AS z_k, round(1.96 * sqrt(CAST(bigk AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS obf_bound FROM z) " +
+       "SELECT d, k, CAST(bigk AS BIGINT) AS n_looks, CAST(cna AS BIGINT) AS n_a, CAST(cnb AS BIGINT) AS n_b, ma AS mean_a, mb AS mean_b, z_k, obf_bound, abs(z_k) > obf_bound AS boundary_crossed FROM f ORDER BY d"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -220,4 +220,37 @@ object ScalePatterns {
              .as("urgent_revenue"))
       .orderBy("l_returnflag")
   }
+
+  /** Dynamic partition pruning — the OTHER Catalyst runtime filter
+    * (PartitionPruning): the fact table is laid out partitioned on the
+    * join key (here: event day, the star-schema date-key layout), the
+    * dimension side carries a selective filter (weekend days), and the
+    * optimizer turns the dim's surviving keys into a runtime
+    * PartitionFilter on the fact scan — whole partition DIRECTORIES
+    * are skipped at listing time, before a single fact byte is read.
+    * Complements [[joinRuntimeBloom]]: bloom prunes ROWS inside
+    * scanned files; DPP prunes FILES via the partition layout. At
+    * 100 TB with a date-partitioned fact table this is the difference
+    * between scanning the full history and touching only the matched
+    * days.
+    *
+    * The fact copy is staged under a scratch dir per run (the
+    * `sink_partitioned` convention); the dim is the distinct-day frame
+    * derived from the same corpus. Result ≡ the same rollup on the
+    * original table (the oracle); the `dynamicpruning` PartitionFilter
+    * is asserted in ScalePatternsSpec. */
+  def joinDppPrune(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_dpp_")
+    val ev = graft.Tables.events(s, sf)
+      .withColumn("d", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("d").parquet(dir)
+    val fact = s.read.schema(ev.schema).parquet(dir)
+    val dim = ev.select(col("d")).distinct()
+      .withColumn("dow", dayofweek(col("d")))
+    fact.join(dim.filter(col("dow").isin(1, 7)).select(col("d")), Seq("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("revenue"))
+      .orderBy("d")
+  }
 }

@@ -3259,6 +3259,74 @@ object Stats {
               (col("mcpost") - col("mcpre")), 6).as("did_estimate"))
   }
 
+  /** Group-sequential monitoring of the md5-arm revenue difference —
+    * the peeking-safe companion to the fixed-horizon tests
+    * (`experiment_ttest`/`stats_tost_equivalence`): the cumulative
+    * two-sample z is evaluated at every daily interim look k of K, and
+    * compared to the O'Brien–Fleming-style boundary
+    * b_k = 1.96·√(K/k) — near-unspendable early, ≈1.96 at the final
+    * look, so the familywise α stays ≈ 0.05 across all K peeks where
+    * naive daily z-testing would multiply it.
+    *
+    * Determinism: per-day per-arm sums are exact DECIMAL(18,4)/longs;
+    * cumulative sums stay exact (windows over the ≤ days-grain frame);
+    * σ̂ is the pooled per-event value sd from exact decimal moments,
+    * rounded at 6 before reuse; the two cumulative means round at 6
+    * before the z arithmetic.
+    *
+    * Scale shape: the data-sized work is one (arm, day) aggregate off
+    * the events scan; every window runs over the tiny day-grain frame
+    * (the win_running exemption), and σ̂ is one broadcast scalar. */
+  def statsGroupSequential(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value"), 4).cast("decimal(18,4)").as("v"))
+    val arm = substring(md5(col("user_id").cast("string").cast("binary")),
+      1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
+    // pooled per-event sd from exact decimal moments, round-6
+    val sd = broadcast(ev.agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(round(sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n").cast("double")) /
+        (col("n") - 1L).cast("double")), 6).as("sigma")))
+    val daily = ev.withColumn("t", arm)
+      .groupBy(col("d"))
+      .agg(sum(when(col("t"), col("v"))).as("sa"),
+           count(when(col("t"), lit(1))).as("na"),
+           sum(when(!col("t"), col("v"))).as("sb"),
+           count(when(!col("t"), lit(1))).as("nb"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("k", row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .withColumn("csa", sum(col("sa")).over(wCum))
+      .withColumn("cna", sum(col("na")).over(wCum))
+      .withColumn("csb", sum(col("sb")).over(wCum))
+      .withColumn("cnb", sum(col("nb")).over(wCum))
+      .withColumn("bigk", count(lit(1)).over(Window.partitionBy()))
+      .crossJoin(sd)
+      .filter(col("cna") > 0L && col("cnb") > 0L)
+      .withColumn("ma", round(col("csa").cast("double") /
+        col("cna").cast("double"), 6))
+      .withColumn("mb", round(col("csb").cast("double") /
+        col("cnb").cast("double"), 6))
+      .withColumn("z_k", round((col("ma") - col("mb")) /
+        (col("sigma") * sqrt(lit(1.0d) / col("cna").cast("double") +
+          lit(1.0d) / col("cnb").cast("double"))), 6))
+      .withColumn("obf_bound", round(lit(1.96d) *
+        sqrt(col("bigk").cast("double") / col("k").cast("double")), 6))
+      .select(col("d"), col("k"), col("bigk").cast("bigint").as("n_looks"),
+        col("cna").cast("bigint").as("n_a"),
+        col("cnb").cast("bigint").as("n_b"),
+        col("ma").as("mean_a"), col("mb").as("mean_b"),
+        col("z_k"), col("obf_bound"),
+        (abs(col("z_k")) > col("obf_bound")).as("boundary_crossed"))
+      .orderBy("d")
+  }
+
   /** Entropy rate of the event-type Markov chain — bits of surprise
     * per step, H = −Σᵢ πᵢ Σⱼ Pᵢⱼ log₂Pᵢⱼ, with P the exact-ratio
     * one-step transition matrix of `eventMarkovStationary` and π the

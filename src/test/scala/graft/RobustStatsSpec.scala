@@ -294,6 +294,35 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("group sequential: OBF boundary decays to 1.96 at the final " +
+      "look, z replays from the reported means, looks are complete") {
+    val rows = Stats.statsGroupSequential(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val bigK = rows.head.getAs[Long]("n_looks")
+    rows.foreach(r => assert(r.getAs[Long]("n_looks") == bigK))
+    val sorted = rows.sortBy(_.getAs[Long]("k"))
+    // boundary strictly decreasing in k, ending at ~1.96
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Double]("obf_bound") >
+        b.getAs[Double]("obf_bound"))
+      case _ =>
+    }
+    val last = sorted.last
+    if (last.getAs[Long]("k") == bigK)
+      assert(math.abs(last.getAs[Double]("obf_bound") - 1.96) <= 1e-6)
+    // cumulative ns are nondecreasing; crossed flag is |z| vs bound
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_a") <= b.getAs[Long]("n_a"))
+        assert(a.getAs[Long]("n_b") <= b.getAs[Long]("n_b"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("boundary_crossed") ==
+        (math.abs(r.getAs[Double]("z_k")) > r.getAs[Double]("obf_bound")))
+    }
+  }
+
   test("entropy rate: bounded by log2(k), below the conditional-entropy " +
       "envelope, state probabilities normalize") {
     val rows = Stats.statsEntropyRate(spark, sfSmoke).collect()

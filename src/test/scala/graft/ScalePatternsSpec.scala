@@ -191,4 +191,26 @@ class ScalePatternsSpec extends SparkSpecBase {
     assert(got.length == expected.length && got.nonEmpty)
     got.zip(expected).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("dpp join: the fact scan carries a dynamicpruning PartitionFilter " +
+      "and the result equals the plain rollup") {
+    val df = ScalePatterns.joinDppPrune(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must be pruned by a runtime partition filter:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("dynamicpruning")),
+      s"the pruning must land in PartitionFilters (file skipping), " +
+        s"not a data filter:\n$plan")
+    val expected = Tables.events(spark, sfSmoke)
+      .withColumn("d", to_date(col("ts")))
+      .filter(dayofweek(col("d")).isin(1, 7))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("revenue"))
+      .orderBy("d").collect()
+    val got = df.collect()
+    assert(got.length == expected.length && got.nonEmpty)
+    got.zip(expected).foreach { case (a, b) => assert(a == b) }
+  }
 }
