@@ -296,6 +296,7 @@ object SparkEntry {
     "join_runtime_bloom" -> ScalePatterns.joinRuntimeBloom _,
     "join_dpp_prune"     -> ScalePatterns.joinDppPrune _,
     "stats_group_sequential" -> Stats.statsGroupSequential _,
+    "stats_hurst"        -> Stats.statsHurst _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2254,6 +2255,23 @@ object SparkEntry {
        "z AS (SELECT c.*, sd.sigma, round(CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE), 6) AS ma, round(CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE), 6) AS mb FROM c, sd WHERE cna > 0 AND cnb > 0), " +
        "f AS (SELECT *, round((ma - mb) / (sigma * sqrt(1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE))), 6) AS z_k, round(1.96 * sqrt(CAST(bigk AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS obf_bound FROM z) " +
        "SELECT d, k, CAST(bigk AS BIGINT) AS n_looks, CAST(cna AS BIGINT) AS n_a, CAST(cnb AS BIGINT) AS n_b, ma AS mean_a, mb AS mean_b, z_k, obf_bound, abs(z_k) > obf_bound AS boundary_crossed FROM f ORDER BY d"),
+    // stats_hurst: the inner loop is all-integer (1e-4 units, deviations
+    // scaled by m), so window prefix sums are reassociation-proof; R/S
+    // rounds at 6 into DECIMAL for the cross-block mean; log2 runs on
+    // round-6 agreed inputs only.
+    "stats_hurst" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+       "idx AS (SELECT event_type, CAST(round(x * 10000, 0) AS BIGINT) AS xi, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily), " +
+       "b AS (SELECT i.*, mm.m, (rn - 1) // mm.m AS blk FROM idx i CROSS JOIN (SELECT unnest([CAST(7 AS BIGINT), CAST(14 AS BIGINT)]) AS m) mm), " +
+       "jj AS (SELECT *, row_number() OVER (PARTITION BY event_type, m, blk ORDER BY rn) AS j, count(*) OVER (PARTITION BY event_type, m, blk) AS bn FROM b), " +
+       "c AS (SELECT * FROM jj WHERE bn = m), " +
+       "p AS (SELECT *, sum(xi) OVER (PARTITION BY event_type, m, blk) AS sb, sum(CAST(xi AS HUGEINT) * xi) OVER (PARTITION BY event_type, m, blk) AS s2b, " +
+       "m * sum(xi) OVER (PARTITION BY event_type, m, blk ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - j * sum(xi) OVER (PARTITION BY event_type, m, blk) AS dj FROM c), " +
+       "pb AS (SELECT event_type, m, blk, (CAST(max(dj) - min(dj) AS DOUBLE) / CAST(m AS DOUBLE)) / sqrt(CAST(CAST(m AS HUGEINT) * max(s2b) - CAST(max(sb) AS HUGEINT) * max(sb) AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE)) AS rs FROM p GROUP BY 1, 2, 3), " +
+       "ps AS (SELECT event_type, m, count(*) AS nb, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(rs ORDER BY blk)), (acc, v) -> acc + v) / count(*), 6) AS mean_rs FROM pb GROUP BY 1, 2), " +
+       "f AS (SELECT event_type, CAST(max(CASE WHEN m = 7 THEN nb END) AS BIGINT) AS n_blocks_7, max(CASE WHEN m = 7 THEN mean_rs END) AS rs_7, " +
+       "CAST(max(CASE WHEN m = 14 THEN nb END) AS BIGINT) AS n_blocks_14, max(CASE WHEN m = 14 THEN mean_rs END) AS rs_14 FROM ps GROUP BY 1) " +
+       "SELECT event_type, n_blocks_7, rs_7, n_blocks_14, rs_14, round(log2(rs_14) - log2(rs_7), 6) AS hurst FROM f WHERE rs_7 IS NOT NULL AND rs_14 IS NOT NULL ORDER BY event_type"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -3327,6 +3327,90 @@ object Stats {
       .orderBy("d")
   }
 
+  /** Hurst exponent by rescaled-range (R/S) analysis of each event
+    * type's daily revenue — the long-memory diagnostic (H ≈ 0.5 random
+    * walk, > 0.5 persistent/trending, < 0.5 mean-reverting): complete
+    * blocks of m ∈ {7, 14} days each yield R (range of the cumulative
+    * deviations from the block mean) over S (block sd), and H is the
+    * two-point log₂ slope of the mean R/S across scales.
+    *
+    * Determinism: the whole inner loop is INTEGER arithmetic — revenue
+    * in 1e-4 units (X = round(x·10⁴) as bigint), cumulative deviations
+    * scaled through by m (D_j = m·ΣX_{≤j} − j·S_b — exact bigints, so
+    * the running-window sum is reassociation-proof where a float
+    * prefix would be engine-dependent), R and S recovered as single
+    * exact-ratio doubles, per-block R/S rounded at 6 → DECIMAL sums
+    * for the cross-block mean. Only log₂ touches libm, on round-6
+    * agreed inputs.
+    *
+    * Scale shape: data-sized work is the shared daily rollup; block
+    * windows partition on (type, scale, block) — ≤ 14-row frames. */
+  def statsHurst(s: SparkSession, sf: String): DataFrame = {
+    val idx = DailyFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_type"),
+        round(col("x4") * 10000d).cast("long").as("xi"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("d"))).cast("long").as("rn"))
+    val scales = { import s.implicits._; Seq(7L, 14L).toDF("m") }
+    val blocks = idx
+      .crossJoin(broadcast(scales))
+      .withColumn("blk", expr("(rn - 1) div m"))
+      .withColumn("j",
+        row_number().over(Window.partitionBy(col("event_type"), col("m"),
+          col("blk")).orderBy(col("rn"))).cast("long"))
+    val complete = blocks
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("m"), col("blk"))))
+      .filter(col("bn") === col("m"))
+    val wBlk = Window.partitionBy(col("event_type"), col("m"), col("blk"))
+    val wRun = wBlk.orderBy(col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBlock = complete
+      .withColumn("sb", sum(col("xi")).over(wBlk))
+      // xi ≈ revenue·10⁴ can reach ~1e10 at large SFs, so xi² and sb²
+      // overflow BIGINT — the squared moments ride DECIMAL(38,0)
+      // (HUGEINT on the oracle side), still exact integers
+      .withColumn("s2b", sum(col("xi").cast("decimal(19,0)") *
+        col("xi").cast("decimal(19,0)")).over(wBlk))
+      .withColumn("dj", col("m") * sum(col("xi")).over(wRun) -
+        col("j") * col("sb"))
+      .groupBy(col("event_type"), col("m"), col("blk"))
+      .agg(max(col("dj")).as("dmax"), min(col("dj")).as("dmin"),
+        max(col("sb")).as("sb"), max(col("s2b")).as("s2b"))
+      // R = (maxD − minD)/(m·10⁴); S = sqrt((mΣX² − S²)/(m(m−1)))/10⁴;
+      // the 10⁴ scale cancels in R/S except the residual m factors.
+      // rs stays UNROUNDED: its inputs are exact integers, so the
+      // double is bit-identical on both engines, while a per-block
+      // round(·, 6) would flake on ties (Spark rounds the decimal
+      // expansion, DuckDB rounds in floating point — they disagree at
+      // x.xxxxxx5 boundaries, observed at sf0.01). One final round
+      // happens after the cross-block mean.
+      .select(col("event_type"), col("m"), col("blk"),
+        (((col("dmax") - col("dmin")).cast("double") /
+            col("m").cast("double")) /
+          sqrt((col("m").cast("decimal(38,0)") * col("s2b") -
+              col("sb").cast("decimal(19,0)") * col("sb").cast("decimal(19,0)"))
+              .cast("double") /
+            (col("m") * (col("m") - 1L)).cast("double"))).as("rs"))
+    val perScale = perBlock.groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("nb"),
+        sort_array(collect_list(struct(col("blk"), col("rs")))).as("s"))
+      .select(col("event_type"), col("m"), col("nb"),
+        round(expr("aggregate(s, cast(0.0 as double)," +
+          " (acc, r) -> acc + r.rs)") / col("nb"), 6).as("mean_rs"))
+    perScale.groupBy(col("event_type"))
+      .agg(
+        max(when(col("m") === 7L, col("nb"))).cast("bigint").as("n_blocks_7"),
+        max(when(col("m") === 7L, col("mean_rs"))).as("rs_7"),
+        max(when(col("m") === 14L, col("nb"))).cast("bigint")
+          .as("n_blocks_14"),
+        max(when(col("m") === 14L, col("mean_rs"))).as("rs_14"))
+      .filter(col("rs_7").isNotNull && col("rs_14").isNotNull)
+      .withColumn("hurst", round(log2(col("rs_14")) - log2(col("rs_7")), 6))
+      .orderBy("event_type")
+  }
+
   /** Entropy rate of the event-type Markov chain — bits of surprise
     * per step, H = −Σᵢ πᵢ Σⱼ Pᵢⱼ log₂Pᵢⱼ, with P the exact-ratio
     * one-step transition matrix of `eventMarkovStationary` and π the

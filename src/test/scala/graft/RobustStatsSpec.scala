@@ -294,6 +294,36 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("hurst: R/S replayed driver-side for the m=7 blocks; exponent " +
+      "finite and within the R/S-feasible band") {
+    val rows = Stats.statsHurst(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.getAs[Double]("rs_7") > 0 && r.getAs[Double]("rs_14") > 0)
+    val h = r.getAs[Double]("hurst")
+    assert(!h.isNaN && !h.isInfinite && h > -0.5 && h < 1.5)
+    // replay: daily purchase revenue, 1e-4 integer units, m=7 blocks
+    val xs = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .orderBy("d").collect()
+      .map(row => math.round(row.getDouble(1) * 10000))
+    val m = 7
+    val rss = xs.grouped(m).filter(_.length == m).map { blk =>
+      val sb = blk.sum
+      val cum = blk.scanLeft(0L)(_ + _).tail
+      val dj = cum.zipWithIndex.map { case (c, i) => m * c - (i + 1) * sb }
+      val bigR = (dj.max - dj.min).toDouble / m
+      val s2 = blk.map(x => BigInt(x) * BigInt(x)).sum
+      val varr = (BigInt(m) * s2 - BigInt(sb) * BigInt(sb)).toDouble /
+        (m.toLong * (m - 1))
+      bigR / math.sqrt(varr)
+    }.toArray
+    assert(rss.length.toLong == r.getAs[Long]("n_blocks_7"))
+    assert(math.abs(r.getAs[Double]("rs_7") - rss.sum / rss.length) <= 2e-6)
+  }
+
   test("group sequential: OBF boundary decays to 1.96 at the final " +
       "look, z replays from the reported means, looks are complete") {
     val rows = Stats.statsGroupSequential(spark, sfSmoke).collect()
