@@ -297,6 +297,8 @@ object SparkEntry {
     "join_dpp_prune"     -> ScalePatterns.joinDppPrune _,
     "stats_group_sequential" -> Stats.statsGroupSequential _,
     "stats_hurst"        -> Stats.statsHurst _,
+    "stats_partial_autocorr" -> Stats.statsPartialAutocorr _,
+    "event_user_stickiness" -> Stats.eventUserStickiness _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2272,6 +2274,28 @@ object SparkEntry {
        "f AS (SELECT event_type, CAST(max(CASE WHEN m = 7 THEN nb END) AS BIGINT) AS n_blocks_7, max(CASE WHEN m = 7 THEN mean_rs END) AS rs_7, " +
        "CAST(max(CASE WHEN m = 14 THEN nb END) AS BIGINT) AS n_blocks_14, max(CASE WHEN m = 14 THEN mean_rs END) AS rs_14 FROM ps GROUP BY 1) " +
        "SELECT event_type, n_blocks_7, rs_7, n_blocks_14, rs_14, round(log2(rs_14) - log2(rs_7), 6) AS hurst FROM f WHERE rs_7 IS NOT NULL AND rs_14 IS NOT NULL ORDER BY event_type"),
+    // stats_partial_autocorr: the autocorr machinery + Durbin-Levinson
+    // closed forms on ROUND-6 ACFs, each level bound in a subquery so
+    // both engines consume the rounded value.
+    "stats_partial_autocorr" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+       "span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), " +
+       "grid AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span), " +
+       "f AS (SELECT g.event_type, g.d, CAST(coalesce(c, 0) AS DOUBLE) AS c FROM grid g LEFT JOIN daily USING (event_type, d)), " +
+       "l AS (SELECT event_type, c, lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3 FROM f WINDOW w AS (PARTITION BY event_type ORDER BY d)), " +
+       "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(corr(c, c1), 6) AS acf1, round(corr(c, c2), 6) AS acf2, round(corr(c, c3), 6) AS acf3 FROM l GROUP BY 1), " +
+       "p2 AS (SELECT *, round((acf2 - acf1 * acf1) / (1.0 - acf1 * acf1), 6) AS pacf2 FROM a), " +
+       "f21 AS (SELECT *, round(acf1 - pacf2 * acf1, 6) AS f21 FROM p2), " +
+       "p3 AS (SELECT *, round((acf3 - f21 * acf2 - pacf2 * acf1) / (1.0 - f21 * acf1 - pacf2 * acf2), 6) AS pacf3 FROM f21) " +
+       "SELECT event_type, n_days, acf1, acf2, acf3, acf1 AS pacf1, pacf2, pacf3 FROM p3 ORDER BY event_type"),
+    // event_user_stickiness: exact integer counts; the trailing-30-day
+    // distinct is the exact form (30x bounded fan-out).
+    "event_user_stickiness" ->
+      ("WITH pres AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL), " +
+       "days AS (SELECT DISTINCT d AS dd FROM pres), " +
+       "dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM pres GROUP BY 1), " +
+       "mau AS (SELECT dd, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM days JOIN pres ON d BETWEEN dd - 29 AND dd GROUP BY 1) " +
+       "SELECT d, dau, mau, round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness FROM dau JOIN mau ON d = dd ORDER BY d"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -484,6 +484,85 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Partial autocorrelation (lags 1–3) by Durbin–Levinson — the other
+    * half of Box–Jenkins identification ([[statsAutocorr]] reads the MA
+    * signature, PACF reads the AR signature: an AR(p) series cuts off
+    * after lag p in PACF). Same gap-filled per-type daily count series
+    * and corr moments as the ACF key; the recursion is unrolled closed
+    * forms on the ROUND-6 ACF values, each level rounding at 6 before
+    * the next consumes it — both engines replay the literal tree:
+    * φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₂₁ = r₁−φ₂₂r₁;
+    * φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂).
+    *
+    * Scale shape: identical to statsAutocorr — one day-grain aggregate,
+    * three lag windows over the tiny daily frame, map-side-combinable
+    * corr moments; the recursion is per-type scalar arithmetic. */
+  def statsPartialAutocorr(s: SparkSession, sf: String): DataFrame = {
+    val daily = DailyFrames.daily(s, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("d"), col("c"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val filled = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+              coalesce(col("c"), lit(0L)).cast("double").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+    filled
+      .select(col("event_type"), col("c"),
+              lag(col("c"), 1).over(w).as("c1"),
+              lag(col("c"), 2).over(w).as("c2"),
+              lag(col("c"), 3).over(w).as("c3"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+           round(corr(col("c"), col("c1")), 6).as("acf1"),
+           round(corr(col("c"), col("c2")), 6).as("acf2"),
+           round(corr(col("c"), col("c3")), 6).as("acf3"))
+      .withColumn("pacf2", round(
+        (col("acf2") - col("acf1") * col("acf1")) /
+          (lit(1.0d) - col("acf1") * col("acf1")), 6))
+      .withColumn("f21", round(col("acf1") - col("pacf2") * col("acf1"), 6))
+      .withColumn("pacf3", round(
+        (col("acf3") - col("f21") * col("acf2") -
+          col("pacf2") * col("acf1")) /
+        (lit(1.0d) - col("f21") * col("acf1") -
+          col("pacf2") * col("acf2")), 6))
+      .select(col("event_type"), col("n_days"), col("acf1"), col("acf2"),
+        col("acf3"), col("acf1").as("pacf1"), col("pacf2"), col("pacf3"))
+      .orderBy("event_type")
+  }
+
+  /** DAU/MAU stickiness — the engagement ratio product analytics runs
+    * daily: for every day, active users that day over distinct active
+    * users in the trailing 30 days. All counts are exact integers; only
+    * the final ratio divides (round 6).
+    *
+    * Scale shape: the data-sized step is the (user, day) distinct
+    * presence aggregate; the trailing-window distinct joins presence
+    * against the ≤ |days| broadcast day frame (30× bounded fan-out —
+    * the exact form; at extreme scale the approximate form swaps in
+    * per-day HLL sketches merged over the window, `agg_hll_partitioned`
+    * machinery) and re-distincts at (day, user) grain. */
+  def eventUserStickiness(s: SparkSession, sf: String): DataFrame = {
+    val pres = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val days = pres.select(col("d").as("dd")).distinct()
+    val dau = pres.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val mau = pres.join(broadcast(days),
+        col("d").between(date_sub(col("dd"), 29), col("dd")))
+      .select(col("dd"), col("user_id")).distinct()
+      .groupBy(col("dd")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, col("d") === col("dd"))
+      .select(col("d"), col("dau").cast("bigint").as("dau"),
+        col("mau").cast("bigint").as("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("d")
+  }
+
   /** Seasonal-naive backtest — the forecasting BASELINE every model
     * must beat before it ships: forecast(d) = value(d−7) (same weekday
     * last week), scored per type over the overlap with MAE, MAPE, and

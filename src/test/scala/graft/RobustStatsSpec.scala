@@ -294,6 +294,48 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("pacf: level-1 equals acf1, levels 2-3 replay the " +
+      "Durbin-Levinson closed forms from the reported ACFs") {
+    val rows = Stats.statsPartialAutocorr(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a1, a2, a3) = (r.getAs[Double]("acf1"), r.getAs[Double]("acf2"),
+        r.getAs[Double]("acf3"))
+      assert(r.getAs[Double]("pacf1") == a1)
+      val p2 = BigDecimal((a2 - a1 * a1) / (1.0 - a1 * a1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("pacf2") - p2) <= 1e-9)
+      val f21 = BigDecimal(a1 - p2 * a1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val p3 = (a3 - f21 * a2 - p2 * a1) / (1.0 - f21 * a1 - p2 * a2)
+      assert(math.abs(r.getAs[Double]("pacf3") - p3) <= 1e-5)
+      Seq(a1, a2, a3).foreach(a => assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9))
+    }
+  }
+
+  test("stickiness: dau <= mau always, ratio in (0,1], first day is " +
+      "exactly 1, mau replays driver-side for a spot day") {
+    val rows = Stats.eventUserStickiness(spark, sfSmoke).collect()
+      .sortBy(_.getAs[java.sql.Date]("d").toString)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("mau"))
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    assert(rows.head.getAs[Double]("stickiness") == 1.0,
+      "the first day's trailing window contains only itself")
+    // spot-replay the last day's MAU
+    val lastD = rows.last.getAs[java.sql.Date]("d").toLocalDate
+    val mau = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull)
+      .filter(to_date(col("ts")).between(
+        java.sql.Date.valueOf(lastD.minusDays(29)),
+        java.sql.Date.valueOf(lastD)))
+      .select(col("user_id")).distinct().count()
+    assert(rows.last.getAs[Long]("mau") == mau)
+  }
+
   test("hurst: R/S replayed driver-side for the m=7 blocks; exponent " +
       "finite and within the R/S-feasible band") {
     val rows = Stats.statsHurst(spark, sfSmoke).collect()
