@@ -299,6 +299,8 @@ object SparkEntry {
     "stats_hurst"        -> Stats.statsHurst _,
     "stats_partial_autocorr" -> Stats.statsPartialAutocorr _,
     "event_user_stickiness" -> Stats.eventUserStickiness _,
+    "text_heaps_law"     -> TextOps.textHeapsLaw _,
+    "stats_extreme_value" -> Stats.statsExtremeValue _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2296,6 +2298,39 @@ object SparkEntry {
        "dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM pres GROUP BY 1), " +
        "mau AS (SELECT dd, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM days JOIN pres ON d BETWEEN dd - 29 AND dd GROUP BY 1) " +
        "SELECT d, dau, mau, round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness FROM dau JOIN mau ON d = dd ORDER BY d"),
+    // text_heaps_law: integer cumulatives; the 4 OLS moments over the
+    // <=n/50 checkpoints are seeded ordered list_reduce folds; K goes
+    // through libm pow so it rounds at 4 (log2 K rides exact at 6).
+    "text_heaps_law" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL), " +
+       "tok AS (SELECT doc_id, count(*) AS toks FROM w GROUP BY 1), " +
+       "fd AS (SELECT w, min(doc_id) AS doc_id FROM w GROUP BY 1), " +
+       "nv AS (SELECT doc_id, count(*) AS newv FROM fd GROUP BY 1), " +
+       "base AS (SELECT t.doc_id, t.toks, coalesce(nv.newv, 0) AS newv FROM tok t LEFT JOIN nv USING (doc_id)), " +
+       "cum AS (SELECT doc_id, sum(toks) OVER (ORDER BY doc_id) AS ct, sum(newv) OVER (ORDER BY doc_id) AS cv FROM base), " +
+       "samp AS (SELECT doc_id, log2(CAST(ct AS DOUBLE)) AS lx, log2(CAST(cv AS DOUBLE)) AS ly FROM cum WHERE doc_id % 50 = 0 AND ct > 0 AND cv > 0), " +
+       "mom AS (SELECT count(*) AS n, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lx ORDER BY doc_id)), (acc, v) -> acc + v) AS sx, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ly ORDER BY doc_id)), (acc, v) -> acc + v) AS sy, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lx * lx ORDER BY doc_id)), (acc, v) -> acc + v) AS sxx, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lx * ly ORDER BY doc_id)), (acc, v) -> acc + v) AS sxy FROM samp), " +
+       "fit AS (SELECT n, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta, sx, sy FROM mom), " +
+       "fit2 AS (SELECT n, beta, round((sy - beta * sx) / CAST(n AS DOUBLE), 6) AS lk FROM fit), " +
+       "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens, CAST(sum(newv) AS BIGINT) AS total_vocab FROM base) " +
+       "SELECT tot.n_docs, tot.total_tokens, tot.total_vocab, CAST(fit2.n AS BIGINT) AS n_checkpoints, fit2.lk AS heaps_log2k, round(pow(2.0, fit2.lk), 4) AS heaps_k, fit2.beta AS heaps_beta FROM tot, fit2"),
+    // stats_extreme_value: exact decimal maxima moments; sqrt(6)/pi,
+    // Euler-Mascheroni, and the -ln(-ln(1-1/T)) factors are shared
+    // 16-digit literals — never computed in-engine.
+    "stats_extreme_value" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+       "wk AS (SELECT date_diff('day', DATE '1970-01-01', d) // 7 AS wk, CAST(max(x) AS DECIMAL(18,4)) AS m FROM daily GROUP BY 1), " +
+       "mo AS (SELECT count(*) AS n, sum(m) AS s1, sum(m * m) AS s2 FROM wk), " +
+       "b AS (SELECT CAST(n AS BIGINT) AS n_weeks, round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_max, round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)), 6) AS sd_max FROM mo), " +
+       "g AS (SELECT *, round(sd_max * 0.779696801233676, 6) AS gumbel_beta FROM b), " +
+       "g2 AS (SELECT *, round(mean_max - 0.5772156649015329 * gumbel_beta, 6) AS gumbel_mu FROM g) " +
+       "SELECT n_weeks, mean_max, sd_max, gumbel_beta, gumbel_mu, " +
+       "round(gumbel_mu + gumbel_beta * 1.2458993237072382, 6) AS return_level_4w, " +
+       "round(gumbel_mu + gumbel_beta * 2.441716398881459, 6) AS return_level_12w FROM g2"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -563,6 +563,44 @@ object Stats {
       .orderBy("d")
   }
 
+  /** Gumbel extreme-value fit of weekly revenue maxima — the
+    * block-maxima EVT that answers "how bad is a 1-in-T week": weekly
+    * (epoch-day div 7, the engine-agnostic week key) maxima of daily
+    * purchase revenue, method-of-moments Gumbel parameters
+    * β = σ·√6/π, μ = m̄ − γ·β, and return levels
+    * x_T = μ − β·ln(−ln(1−1/T)) at T = 4 and 12 weeks. Capacity
+    * planning reads x_T directly; the normal-tail keys (grubbs/ESD)
+    * under-call exactly these block extremes.
+    *
+    * Determinism: max is order-free; the maxima moments are exact
+    * DECIMAL sums; √6/π, the Euler–Mascheroni constant, and the two
+    * −ln(−ln(·)) factors are shared 16-digit literals on both engines
+    * (computing them in-engine would race two libm implementations),
+    * so every derived stat is arithmetic on round-6 agreed values. */
+  def statsExtremeValue(s: SparkSession, sf: String): DataFrame = {
+    val weekly = DailyFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(datediff(d, date '1970-01-01') as long) div 7")
+        .as("wk"))
+      .agg(max(col("x4")).cast("decimal(18,4)").as("m"))
+    weekly.agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+      .select(col("n").cast("bigint").as("n_weeks"),
+        round(col("s1").cast("double") / col("n").cast("double"), 6)
+          .as("mean_max"),
+        round(sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+            .cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double")), 6).as("sd_max"))
+      .withColumn("gumbel_beta",
+        round(col("sd_max") * lit(0.779696801233676d), 6))
+      .withColumn("gumbel_mu", round(col("mean_max") -
+        lit(0.5772156649015329d) * col("gumbel_beta"), 6))
+      .withColumn("return_level_4w", round(col("gumbel_mu") +
+        col("gumbel_beta") * lit(1.2458993237072382d), 6))
+      .withColumn("return_level_12w", round(col("gumbel_mu") +
+        col("gumbel_beta") * lit(2.441716398881459d), 6))
+  }
+
   /** Seasonal-naive backtest — the forecasting BASELINE every model
     * must beat before it ships: forecast(d) = value(d−7) (same weekday
     * last week), scored per type over the overlap with MAE, MAPE, and

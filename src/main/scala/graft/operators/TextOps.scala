@@ -999,4 +999,68 @@ object TextOps {
         length(col("masked")).cast("bigint").as("template_chars"),
         col("n_docs"), col("first_doc"), col("last_doc"))
       .orderBy(col("n_docs").desc, col("template_hash").asc)
+
+  /** Heaps'-law vocabulary growth — V(n) ≈ K·n^β, the sublinear
+    * vocab-vs-tokens curve every tokenizer-budget and dedup-planning
+    * decision reads: as the corpus streams in doc_id order, cumulative
+    * tokens and cumulative DISTINCT words are checkpointed every 50th
+    * doc and the (log₂n, log₂V) cloud is fit by OLS for (K, β).
+    * English corpora run β ≈ 0.4–0.6; a β near 1 screams synthetic or
+    * non-deduplicated text.
+    *
+    * Determinism: both cumulatives are INTEGER prefix sums (new-word
+    * counts via each word's min first-doc — distinct-so-far without
+    * set state, the win_distinct_running decomposition); the only
+    * float reduction is the 4-moment OLS over the ≤ n/50 checkpoint
+    * rows, run as seeded ordered folds (one per moment — a struct
+    * accumulator is unsafe on the oracle engine).
+    *
+    * Scale shape: word-grain first-doc aggregate + doc-grain rollup,
+    * both via [[Windows.distributedRunningSum]] (range-bucketed
+    * prefix, never a global-window sort over the doc frame). */
+  def textHeapsLaw(s: SparkSession, sf: String): DataFrame = {
+    val words = Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val toks = words.groupBy(col("doc_id")).agg(count(lit(1)).as("toks"))
+    val newv = words.groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("newv"))
+    val base = toks.join(newv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("newv"), lit(0L)).as("newv"))
+    val ct = Windows.distributedRunningSum(base, "doc_id", "toks", 8)
+      .select(col("doc_id"), col("running_sum").as("ct"))
+    val cv = Windows.distributedRunningSum(base, "doc_id", "newv", 8)
+      .select(col("doc_id"), col("running_sum").as("cv"))
+    val samples = ct.join(cv, Seq("doc_id"))
+      .filter(col("doc_id") % 50 === 0 && col("ct") > 0L && col("cv") > 0L)
+      .select(col("doc_id"), log2(col("ct").cast("double")).as("lx"),
+        log2(col("cv").cast("double")).as("ly"))
+    def fold(term: String) =
+      expr(s"aggregate(s, cast(0.0 as double), (acc, r) -> acc + $term)")
+    val fit = samples
+      .groupBy()
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(
+        struct(col("doc_id"), col("lx"), col("ly")))).as("s"))
+      .select(col("n"),
+        fold("r.lx").as("sx"), fold("r.ly").as("sy"),
+        fold("r.lx * r.lx").as("sxx"), fold("r.lx * r.ly").as("sxy"))
+      .withColumn("beta", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+      .withColumn("lk", round((col("sy") - col("beta") * col("sx")) /
+        col("n").cast("double"), 6))
+    val totals = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("total_tokens"), sum(col("newv")).as("total_vocab"))
+    totals.crossJoin(fit)
+      .select(col("n_docs").cast("bigint").as("n_docs"),
+        col("total_tokens").cast("bigint").as("total_tokens"),
+        col("total_vocab").cast("bigint").as("total_vocab"),
+        col("n").cast("bigint").as("n_checkpoints"),
+        // K itself goes through libm pow — round 4 (the js_divergence
+        // precedent); the exact log2 K rides alongside at 6
+        col("lk").as("heaps_log2k"),
+        round(pow(lit(2.0d), col("lk")), 4).as("heaps_k"),
+        col("beta").as("heaps_beta"))
+  }
 }

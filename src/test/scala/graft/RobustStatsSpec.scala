@@ -294,6 +294,48 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("extreme value: weekly maxima replay driver-side; return levels " +
+      "order correctly above the location parameter") {
+    val r = Stats.statsExtremeValue(spark, sfSmoke).collect()(0)
+    val maxima = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("x"))
+      .select((datediff(col("d"), lit("1970-01-01").cast("date")) / 7)
+        .cast("long").as("wk"), col("x"))
+      .groupBy("wk").agg(max(col("x")).as("m"))
+      .collect().map(_.getDouble(1))
+    assert(r.getAs[Long]("n_weeks") == maxima.length.toLong)
+    val mean = maxima.sum / maxima.length
+    assert(math.abs(r.getAs[Double]("mean_max") - mean) <= 1e-4)
+    // Gumbel: mu < mean (gamma shift), and return levels escalate
+    assert(r.getAs[Double]("gumbel_mu") < r.getAs[Double]("mean_max"))
+    assert(r.getAs[Double]("return_level_4w") >
+      r.getAs[Double]("gumbel_mu"))
+    assert(r.getAs[Double]("return_level_12w") >
+      r.getAs[Double]("return_level_4w"),
+      "a rarer event can never have a lower return level")
+  }
+
+  test("heaps law: totals conserve, checkpoints ride the 50-grid, and " +
+      "beta is sublinear for a natural-ish corpus") {
+    val r = graft.operators.TextOps.textHeapsLaw(spark, sfSmoke)
+      .collect()(0)
+    val words = Tables.documents(spark, sfSmoke)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+    assert(r.getAs[Long]("total_tokens") == words.count())
+    assert(r.getAs[Long]("total_vocab") ==
+      words.select("w").distinct().count())
+    assert(r.getAs[Long]("total_vocab") <= r.getAs[Long]("total_tokens"))
+    val beta = r.getAs[Double]("heaps_beta")
+    assert(beta > 0.0 && beta < 1.2,
+      s"vocabulary growth exponent out of the plausible band: $beta")
+    assert(r.getAs[Double]("heaps_k") > 0.0)
+    assert(math.abs(math.pow(2.0, r.getAs[Double]("heaps_log2k")) -
+      r.getAs[Double]("heaps_k")) <= 1e-3)
+  }
+
   test("pacf: level-1 equals acf1, levels 2-3 replay the " +
       "Durbin-Levinson closed forms from the reported ACFs") {
     val rows = Stats.statsPartialAutocorr(spark, sfSmoke).collect()
