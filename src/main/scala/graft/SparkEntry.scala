@@ -301,6 +301,8 @@ object SparkEntry {
     "event_user_stickiness" -> Stats.eventUserStickiness _,
     "text_heaps_law"     -> TextOps.textHeapsLaw _,
     "stats_extreme_value" -> Stats.statsExtremeValue _,
+    "stats_winsorized_mean" -> Stats.statsWinsorizedMean _,
+    "stats_propensity_strat" -> Stats.statsPropensityStrat _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2331,6 +2333,39 @@ object SparkEntry {
        "SELECT n_weeks, mean_max, sd_max, gumbel_beta, gumbel_mu, " +
        "round(gumbel_mu + gumbel_beta * 1.2458993237072382, 6) AS return_level_4w, " +
        "round(gumbel_mu + gumbel_beta * 2.441716398881459, 6) AS return_level_12w FROM g2"),
+    // stats_winsorized_mean: exact interpolated percentiles round-6
+    // (the anomaly_mad discipline); clamped/kept values are <=6-decimal
+    // doubles cast losslessly to DECIMAL so every mean is an exact sum.
+    "stats_winsorized_mean" ->
+      ("WITH v AS (SELECT round(value, 4) AS value FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+       "caps AS (SELECT round(quantile_cont(value, 0.05), 6) AS p05, round(quantile_cont(value, 0.95), 6) AS p95 FROM v), " +
+       "adj AS (SELECT value, p05, p95, CAST(least(greatest(value, p05), p95) AS DECIMAL(18,6)) AS wv, CASE WHEN value >= p05 AND value <= p95 THEN CAST(value AS DECIMAL(18,6)) END AS tv FROM v, caps) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_values, p05, p95, " +
+       "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_raw, " +
+       "round(CAST(sum(wv) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS winsorized_mean, " +
+       "CAST(count(tv) AS BIGINT) AS n_kept, " +
+       "round(CAST(sum(tv) AS DOUBLE) / CAST(count(tv) AS DOUBLE), 6) AS trimmed_mean FROM adj GROUP BY p05, p95"),
+    // stats_propensity_strat: the ols_multi Cramer solve on exact
+    // moments, round-6 score, exact quintile cutpoints, per-stratum
+    // decimal means, and a seeded fold in stratum order for the ATT.
+    "stats_propensity_strat" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events WHERE user_id IS NOT NULL), " +
+       "m AS (SELECT min(d) + CAST((max(d) - min(d)) // 2 AS INTEGER) AS mid FROM ev), " +
+       "u AS (SELECT user_id, sum(CASE WHEN d < mid THEN 1 ELSE 0 END) AS x1, CAST(round(sum(CASE WHEN d < mid THEN value ELSE 0 END), 4) AS DECIMAL(18,4)) AS x2, CAST(round(sum(CASE WHEN d >= mid THEN value ELSE 0 END), 4) AS DECIMAL(18,4)) AS y, substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS t FROM ev CROSS JOIN m GROUP BY user_id), " +
+       "mo AS (SELECT CAST(count(*) AS DOUBLE) AS a11, CAST(sum(x1) AS DOUBLE) AS a12, CAST(sum(x2) AS DOUBLE) AS a13, CAST(sum(x1 * x1) AS DOUBLE) AS a22, CAST(sum(x1 * x2) AS DOUBLE) AS a23, CAST(sum(x2 * x2) AS DOUBLE) AS a33, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE) AS r1, CAST(sum(CASE WHEN t THEN x1 ELSE 0 END) AS DOUBLE) AS r2, CAST(sum(CASE WHEN t THEN x2 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS r3 FROM u), " +
+       "cr AS (SELECT a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS det, " +
+       "r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - a23 * r3) + a13 * (r2 * a23 - a22 * r3) AS n0, " +
+       "a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) AS n1, " +
+       "a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) AS n2 FROM mo), " +
+       "bb AS (SELECT round(n0 / det, 6) AS b0, round(n1 / det, 6) AS b1, round(n2 / det, 6) AS b2 FROM cr), " +
+       "sc AS (SELECT u.*, round(bb.b0 + bb.b1 * CAST(u.x1 AS DOUBLE) + bb.b2 * CAST(u.x2 AS DOUBLE), 6) AS score FROM u, bb), " +
+       "cu AS (SELECT round(quantile_cont(score, 0.2), 6) AS q1, round(quantile_cont(score, 0.4), 6) AS q2, round(quantile_cont(score, 0.6), 6) AS q3, round(quantile_cont(score, 0.8), 6) AS q4 FROM sc), " +
+       "st AS (SELECT 1 + CAST(score > q1 AS BIGINT) + CAST(score > q2 AS BIGINT) + CAST(score > q3 AS BIGINT) + CAST(score > q4 AS BIGINT) AS stratum, t, y FROM sc, cu), " +
+       "ag AS (SELECT stratum, sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt, sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc, sum(CASE WHEN t THEN y ELSE CAST(0 AS DECIMAL(18,4)) END) AS syt, sum(CASE WHEN NOT t THEN y ELSE CAST(0 AS DECIMAL(18,4)) END) AS syc FROM st GROUP BY 1), " +
+       "ok AS (SELECT stratum, nt, nc, round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_y_treated, round(CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS mean_y_control FROM ag WHERE nt > 0 AND nc > 0), " +
+       "dd AS (SELECT *, round(mean_y_treated - mean_y_control, 6) AS diff FROM ok), " +
+       "aa AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(nt AS DOUBLE) / CAST((SELECT sum(nt) FROM dd) AS DOUBLE) * diff ORDER BY stratum)), (acc, v) -> acc + v), 6) AS att FROM dd) " +
+       "SELECT CAST(dd.stratum AS BIGINT) AS stratum, CAST(dd.nt AS BIGINT) AS n_treated, CAST(dd.nc AS BIGINT) AS n_control, dd.mean_y_treated, dd.mean_y_control, dd.diff, aa.att FROM dd, aa ORDER BY stratum"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

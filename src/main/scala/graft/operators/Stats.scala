@@ -563,6 +563,150 @@ object Stats {
       .orderBy("d")
   }
 
+  /** Winsorized and trimmed means of purchase value — the robust
+    * location estimates that survive the heavy tail `anomaly_mad`
+    * flags: values outside the exact [p05, p95] interpolated
+    * percentiles (round-6, the mad-key discipline) are clamped
+    * (winsorized) or dropped (trimmed), and each mean is an exact
+    * DECIMAL sum over the adjusted values — never a bare float SUM.
+    *
+    * Scale shape: one filtered scan → percentile aggregate (sort-based
+    * exact percentile; at extreme scale the t-digest key is the
+    * mergeable swap-in) broadcast back, then one decimal rollup. */
+  def statsWinsorizedMean(s: SparkSession, sf: String): DataFrame = {
+    val v = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(round(col("value"), 4).as("value"))
+    val caps = broadcast(v.agg(
+      round(expr("percentile(value, 0.05)"), 6).as("p05"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95")))
+    v.crossJoin(caps)
+      .select(col("value"), col("p05"), col("p95"),
+        least(greatest(col("value"), col("p05")), col("p95"))
+          .cast("decimal(18,6)").as("wv"),
+        when(col("value") >= col("p05") && col("value") <= col("p95"),
+          col("value").cast("decimal(18,6)")).as("tv"))
+      .groupBy(col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sraw"),
+        sum(col("wv")).as("sw"),
+        count(col("tv")).as("nt"), sum(col("tv")).as("st"))
+      .select(col("n").cast("bigint").as("n_values"),
+        col("p05"), col("p95"),
+        round(col("sraw").cast("double") / col("n").cast("double"), 6)
+          .as("mean_raw"),
+        round(col("sw").cast("double") / col("n").cast("double"), 6)
+          .as("winsorized_mean"),
+        col("nt").cast("bigint").as("n_kept"),
+        round(col("st").cast("double") / col("nt").cast("double"), 6)
+          .as("trimmed_mean"))
+  }
+
+  /** Propensity-score stratification (Rosenbaum–Rubin) of the md5-arm
+    * revenue effect — the causal-adjustment companion to
+    * [[statsDiffInDiff]]: a linear-probability propensity model
+    * P(T|x₁, x₂) on pre-period activity (event count, revenue at the
+    * cuped span midpoint) fit by exact-moment normal equations (the
+    * statsOlsMulti Cramer machinery), users cut into score quintiles
+    * (exact round-6 percentile boundaries), and
+    * ATT = Σₛ wₛ·(ȳT,s − ȳC,s) with wₛ the treated share of strata
+    * where BOTH arms appear. With md5 arms the truth is ATT ≈ naive
+    * diff (assignment ignores x) — the key certifies the estimator's
+    * machinery, reported next to the unadjusted difference.
+    *
+    * Determinism: all propensity moments are exact longs/decimals; the
+    * 3×3 Cramer solve and the score are round-6 arithmetic; per-stratum
+    * means are decimal-sum ratios; the ≤5-term ATT reduction is a
+    * seeded fold in stratum order.
+    *
+    * Scale shape: one user-grain aggregate, one broadcast moment/
+    * cutpoint pass, one stratum rollup — no joins beyond broadcast
+    * scalars, no windows. */
+  def statsPropensityStrat(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+        .as("mid")))
+    val treated = substring(md5(col("user_id").cast("string")
+      .cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val users = ev.crossJoin(span)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("x1"),
+        round(sum(when(col("d") < col("mid"), col("value"))
+          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("x2"),
+        round(sum(when(col("d") >= col("mid"), col("value"))
+          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("y"))
+      .withColumn("t", treated)
+    // 3x3 normal equations on exact moments; Cramer in doubles, round-6
+    val fit = broadcast(users.agg(
+        count(lit(1)).as("n"), sum(col("x1")).as("sx1"),
+        sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("sx11"),
+        sum(col("x1") * col("x2")).as("sx12"),
+        sum(col("x2") * col("x2")).as("sx22"),
+        sum(col("t").cast("long")).as("st"),
+        sum(col("t").cast("long") * col("x1")).as("stx1"),
+        sum(when(col("t"), col("x2")).otherwise(lit(0).cast("decimal(18,4)")))
+          .as("stx2"))
+      .selectExpr("cast(n as double) as a11", "cast(sx1 as double) as a12",
+        "cast(sx2 as double) as a13", "cast(sx11 as double) as a22",
+        "cast(sx12 as double) as a23", "cast(sx22 as double) as a33",
+        "cast(st as double) as r1", "cast(stx1 as double) as r2",
+        "cast(stx2 as double) as r3")
+      .selectExpr(
+        "a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) as det",
+        "r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - a23 * r3) + a13 * (r2 * a23 - a22 * r3) as n0",
+        "a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) as n1",
+        "a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) as n2")
+      .selectExpr("round(n0 / det, 6) as b0", "round(n1 / det, 6) as b1",
+        "round(n2 / det, 6) as b2"))
+    val scored = users.crossJoin(fit)
+      .withColumn("score", round(col("b0") +
+        col("b1") * col("x1").cast("double") +
+        col("b2") * col("x2").cast("double"), 6))
+    val cuts = broadcast(scored.agg(
+      round(expr("percentile(score, 0.2)"), 6).as("q1"),
+      round(expr("percentile(score, 0.4)"), 6).as("q2"),
+      round(expr("percentile(score, 0.6)"), 6).as("q3"),
+      round(expr("percentile(score, 0.8)"), 6).as("q4")))
+    val strata = scored.crossJoin(cuts)
+      .withColumn("stratum", lit(1L) +
+        (col("score") > col("q1")).cast("long") +
+        (col("score") > col("q2")).cast("long") +
+        (col("score") > col("q3")).cast("long") +
+        (col("score") > col("q4")).cast("long"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("t").cast("long")).as("nt"),
+        sum((!col("t")).cast("long")).as("nc"),
+        sum(when(col("t"), col("y")).otherwise(lit(0).cast("decimal(18,4)")))
+          .as("syt"),
+        sum(when(!col("t"), col("y")).otherwise(lit(0).cast("decimal(18,4)")))
+          .as("syc"))
+      .filter(col("nt") > 0L && col("nc") > 0L)
+      .withColumn("mean_y_treated",
+        round(col("syt").cast("double") / col("nt").cast("double"), 6))
+      .withColumn("mean_y_control",
+        round(col("syc").cast("double") / col("nc").cast("double"), 6))
+      .withColumn("diff", round(col("mean_y_treated") -
+        col("mean_y_control"), 6))
+    val att = broadcast(strata
+      .groupBy()
+      .agg(sum(col("nt")).as("tot_t"), sort_array(collect_list(
+        struct(col("stratum"), col("nt"), col("diff")))).as("s"))
+      .select(round(expr("aggregate(s, cast(0.0 as double)," +
+        " (acc, r) -> acc + cast(r.nt as double) / cast(tot_t as double)" +
+        " * r.diff)"), 6).as("att")))
+    strata.crossJoin(att)
+      .select(col("stratum"), col("nt").cast("bigint").as("n_treated"),
+        col("nc").cast("bigint").as("n_control"),
+        col("mean_y_treated"), col("mean_y_control"), col("diff"),
+        col("att"))
+      .orderBy("stratum")
+  }
+
   /** Gumbel extreme-value fit of weekly revenue maxima — the
     * block-maxima EVT that answers "how bad is a 1-in-T week": weekly
     * (epoch-day div 7, the engine-agnostic week key) maxima of daily

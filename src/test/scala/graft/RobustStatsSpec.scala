@@ -294,6 +294,48 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("winsorized/trimmed means: ordering raw >= winsorized-ish " +
+      "bounds, caps bracket both robust means, kept-count matches") {
+    val r = Stats.statsWinsorizedMean(spark, sfSmoke).collect()(0)
+    val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+    assert(p05 < p95)
+    Seq("winsorized_mean", "trimmed_mean").foreach { c =>
+      val m = r.getAs[Double](c)
+      assert(m >= p05 - 1e-9 && m <= p95 + 1e-9,
+        s"$c must lie inside the clamp interval")
+    }
+    assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_values"))
+    // replay driver-side
+    val vals = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(round(col("value"), 4).as("v")).collect().map(_.getDouble(0))
+    val wm = vals.map(v => math.min(math.max(v, p05), p95)).sum / vals.length
+    assert(math.abs(r.getAs[Double]("winsorized_mean") - wm) <= 1e-4)
+    val kept = vals.filter(v => v >= p05 && v <= p95)
+    assert(r.getAs[Long]("n_kept") == kept.length.toLong)
+    assert(math.abs(r.getAs[Double]("trimmed_mean") -
+      kept.sum / kept.length) <= 1e-4)
+  }
+
+  test("propensity stratification: strata partition both arms, ATT is " +
+      "the treated-weighted diff, and sits near the naive diff under " +
+      "random assignment") {
+    val rows = Stats.statsPropensityStrat(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val att = rows.head.getAs[Double]("att")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_treated") > 0 && r.getAs[Long]("n_control") > 0)
+      assert(r.getAs[Double]("att") == att)
+      assert(math.abs(r.getAs[Double]("diff") -
+        (r.getAs[Double]("mean_y_treated") -
+         r.getAs[Double]("mean_y_control"))) <= 2e-6)
+    }
+    val totT = rows.map(_.getAs[Long]("n_treated")).sum.toDouble
+    val attReplay = rows.map(r =>
+      r.getAs[Long]("n_treated") / totT * r.getAs[Double]("diff")).sum
+    assert(math.abs(att - attReplay) <= 1e-5)
+  }
+
   test("extreme value: weekly maxima replay driver-side; return levels " +
       "order correctly above the location parameter") {
     val r = Stats.statsExtremeValue(spark, sfSmoke).collect()(0)
