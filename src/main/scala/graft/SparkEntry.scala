@@ -303,6 +303,8 @@ object SparkEntry {
     "stats_extreme_value" -> Stats.statsExtremeValue _,
     "stats_winsorized_mean" -> Stats.statsWinsorizedMean _,
     "stats_propensity_strat" -> Stats.statsPropensityStrat _,
+    "event_absorbing_markov" -> Stats.eventAbsorbingMarkov _,
+    "stats_covariate_balance" -> Stats.statsCovariateBalance _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2366,6 +2368,30 @@ object SparkEntry {
        "dd AS (SELECT *, round(mean_y_treated - mean_y_control, 6) AS diff FROM ok), " +
        "aa AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(nt AS DOUBLE) / CAST((SELECT sum(nt) FROM dd) AS DOUBLE) * diff ORDER BY stratum)), (acc, v) -> acc + v), 6) AS att FROM dd) " +
        "SELECT CAST(dd.stratum AS BIGINT) AS stratum, CAST(dd.nt AS BIGINT) AS n_treated, CAST(dd.nc AS BIGINT) AS n_control, dd.mean_y_treated, dd.mean_y_control, dd.diff, aa.att FROM dd, aa ORDER BY stratum"),
+    // event_absorbing_markov: the markov machinery with 'purchase'
+    // absorbing via a PINNED a=1 each step; folds ordered by to-type.
+    "event_absorbing_markov" ->
+      ("WITH l AS (SELECT user_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_t, event_type AS to_t FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+       "c AS (SELECT from_t, to_t, count(*) AS c FROM l WHERE from_t IS NOT NULL GROUP BY 1, 2), " +
+       "rt AS (SELECT from_t, sum(c) AS tot FROM c GROUP BY 1), " +
+       "p AS (SELECT c.from_t, c.to_t, CAST(c.c AS DOUBLE) / CAST(rt.tot AS DOUBLE) AS p FROM c JOIN rt USING (from_t)), " +
+       "a0 AS (SELECT from_t AS t, CASE WHEN from_t = 'purchase' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS a FROM rt), " +
+       "a1 AS (SELECT p.from_t AS t, CASE WHEN p.from_t = 'purchase' THEN CAST(1.0 AS DOUBLE) ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.a * p.p ORDER BY p.to_t)), (acc, v) -> acc + v) END AS a FROM p JOIN a0 q ON p.to_t = q.t GROUP BY p.from_t), " +
+       "a2 AS (SELECT p.from_t AS t, CASE WHEN p.from_t = 'purchase' THEN CAST(1.0 AS DOUBLE) ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.a * p.p ORDER BY p.to_t)), (acc, v) -> acc + v) END AS a FROM p JOIN a1 q ON p.to_t = q.t GROUP BY p.from_t), " +
+       "a3 AS (SELECT p.from_t AS t, CASE WHEN p.from_t = 'purchase' THEN CAST(1.0 AS DOUBLE) ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.a * p.p ORDER BY p.to_t)), (acc, v) -> acc + v) END AS a FROM p JOIN a2 q ON p.to_t = q.t GROUP BY p.from_t), " +
+       "a4 AS (SELECT p.from_t AS t, CASE WHEN p.from_t = 'purchase' THEN CAST(1.0 AS DOUBLE) ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q.a * p.p ORDER BY p.to_t)), (acc, v) -> acc + v) END AS a FROM p JOIN a3 q ON p.to_t = q.t GROUP BY p.from_t) " +
+       "SELECT rt.from_t AS event_type, CAST(rt.tot AS BIGINT) AS n_transitions_out, round(a4.a, 6) AS p_absorb_4step FROM rt JOIN a4 ON rt.from_t = a4.t ORDER BY event_type"),
+    // stats_covariate_balance: per-arm exact moments, round-6 means and
+    // variances before the SMD arithmetic; two covariates UNION ALLed.
+    "stats_covariate_balance" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events WHERE user_id IS NOT NULL), " +
+       "m AS (SELECT min(d) + CAST((max(d) - min(d)) // 2 AS INTEGER) AS mid FROM ev), " +
+       "u AS (SELECT user_id, sum(CASE WHEN d < mid THEN 1 ELSE 0 END) AS x1, CAST(round(round(sum(CASE WHEN d < mid THEN value ELSE 0 END), 4) * 10000, 0) AS BIGINT) AS x2, substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS t FROM ev CROSS JOIN m GROUP BY user_id), " +
+       "m1 AS (SELECT t, CAST(count(*) AS BIGINT) AS n, round(CAST(sum(x1) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1.0, 6) AS mean, round(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(x1 AS HUGEINT) * x1) - CAST(sum(x1) AS HUGEINT) * sum(x1) AS DOUBLE) / CAST(count(*) * (count(*) - 1) AS DOUBLE) / 1.0, 6) AS variance FROM u GROUP BY 1), " +
+       "m2 AS (SELECT t, CAST(count(*) AS BIGINT) AS n, round(CAST(sum(x2) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000.0, 6) AS mean, round(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(x2 AS HUGEINT) * x2) - CAST(sum(x2) AS HUGEINT) * sum(x2) AS DOUBLE) / CAST(count(*) * (count(*) - 1) AS DOUBLE) / 100000000.0, 6) AS variance FROM u GROUP BY 1), " +
+       "b1 AS (SELECT 'pre_event_count' AS covariate, tt.n AS n_treated, cc.n AS n_control, tt.mean AS mean_treated, cc.mean AS mean_control, round((tt.mean - cc.mean) / sqrt((tt.variance + cc.variance) / 2.0), 6) AS smd FROM (SELECT * FROM m1 WHERE t) tt, (SELECT * FROM m1 WHERE NOT t) cc), " +
+       "b2 AS (SELECT 'pre_revenue' AS covariate, tt.n AS n_treated, cc.n AS n_control, tt.mean AS mean_treated, cc.mean AS mean_control, round((tt.mean - cc.mean) / sqrt((tt.variance + cc.variance) / 2.0), 6) AS smd FROM (SELECT * FROM m2 WHERE t) tt, (SELECT * FROM m2 WHERE NOT t) cc) " +
+       "SELECT covariate, n_treated, n_control, mean_treated, mean_control, smd, abs(smd) < 0.1 AS balanced FROM b1 UNION ALL SELECT covariate, n_treated, n_control, mean_treated, mean_control, smd, abs(smd) < 0.1 AS balanced FROM b2 ORDER BY covariate"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

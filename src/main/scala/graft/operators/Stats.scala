@@ -3672,6 +3672,120 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** k-step absorption probability into 'purchase' — first-passage
+    * analysis on the event-type Markov chain: 'purchase' is made
+    * absorbing (P(purchase→purchase) = 1), and 4 synchronous
+    * iterations of aᵢ ← Σⱼ Pᵢⱼ·aⱼ (a⁰ = 1 on purchase, 0 elsewhere)
+    * give P(reach purchase within 4 steps | start = i) — the
+    * conversion-modeling quantity [[eventMarkovStationary]]'s
+    * long-run π cannot answer. Exact-ratio transition rows; each
+    * iteration's reduction is the seeded to-type-ordered fold (the
+    * markov discipline).
+    *
+    * Scale shape: the data-sized work is the shared per-user lag
+    * window + (from, to) count aggregate; iterations run on the ≤ k²
+    * matrix frame. */
+  def eventAbsorbingMarkov(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("to_t"),
+        lag(col("event_type"), 1).over(w).as("from_t"))
+      .filter(col("from_t").isNotNull)
+      .groupBy(col("from_t"), col("to_t"))
+      .agg(count(lit(1)).as("c"))
+    val rowTot = pairs.groupBy(col("from_t")).agg(sum(col("c")).as("tot"))
+    val p = pairs.join(rowTot, Seq("from_t"))
+      .select(col("from_t"), col("to_t"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"))
+    var a = rowTot.select(col("from_t").as("t"),
+      when(col("from_t") === "purchase", lit(1.0d)).otherwise(lit(0.0d))
+        .as("a"))
+    for (_ <- 1 to 4) {
+      // absorption is enforced by PINNING a(purchase) = 1 after every
+      // step (not by rewriting purchase's transition row, which would
+      // silently break if the purchase→purchase pair never occurs)
+      a = p.join(a.withColumnRenamed("t", "to_t"), Seq("to_t"))
+        .select(col("from_t"), col("to_t"), (col("p") * col("a")).as("term"))
+        .groupBy(col("from_t"))
+        .agg(sort_array(collect_list(struct(col("to_t"), col("term"))))
+          .as("s"))
+        .select(col("from_t").as("t"),
+          when(col("from_t") === "purchase", lit(1.0d)).otherwise(
+            expr("aggregate(s, cast(0.0 as double)," +
+              " (acc, r) -> acc + r.term)")).as("a"))
+    }
+    rowTot.select(col("from_t").as("t"),
+        col("tot").cast("bigint").as("n_transitions_out"))
+      .join(a, Seq("t"))
+      .select(col("t").as("event_type"), col("n_transitions_out"),
+        round(col("a"), 6).as("p_absorb_4step"))
+      .orderBy("event_type")
+  }
+
+  /** Standardized mean differences — the covariate-balance diagnostic
+    * that accompanies [[statsPropensityStrat]]: for each pre-period
+    * covariate (event count, revenue — the propensity features),
+    * SMD = (x̄_T − x̄_C)/√((s²_T + s²_C)/2); |SMD| < 0.1 is the
+    * conventional "balanced" bar. With md5 arms the key certifies the
+    * diagnostic reads near-zero on genuinely random assignment.
+    *
+    * Determinism: per-arm moments are exact longs/decimals; means and
+    * variances are exact-ratio doubles rounded at 6 before the SMD
+    * arithmetic. One user-grain aggregate + one global rollup. */
+  def statsCovariateBalance(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+        .as("mid")))
+    val treated = substring(md5(col("user_id").cast("string")
+      .cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    // covariates ride INTEGER units (revenue in 1e-4, the hurst
+    // discipline): a decimal s1² would trip Spark's 38-digit
+    // precision-loss cap where the oracle's HUGEINT does not
+    val users = ev.crossJoin(span)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("x1"),
+        round(round(sum(when(col("d") < col("mid"), col("value"))
+          .otherwise(lit(0.0))), 4) * 10000d).cast("long").as("x2"))
+      .withColumn("t", treated)
+    def armStats(feature: String, name: String, scale: Double) = {
+      val moments = users.groupBy(col("t"))
+        .agg(count(lit(1)).as("n"), sum(col(feature)).as("s1"),
+          sum(col(feature).cast("decimal(19,0)") *
+            col(feature).cast("decimal(19,0)")).as("s2"))
+        .select(col("t"),
+          col("n").cast("bigint").as("n"),
+          round(col("s1").cast("double") / col("n").cast("double") /
+            lit(scale), 6).as("mean"),
+          round((col("n").cast("decimal(38,0)") * col("s2") -
+              col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+              .cast("double") /
+            (col("n") * (col("n") - 1L)).cast("double") /
+            lit(scale * scale), 6).as("variance"))
+      val tRow = moments.filter(col("t"))
+        .select(col("n").as("n_treated"), col("mean").as("mean_treated"),
+          col("variance").as("var_treated"))
+      val cRow = moments.filter(!col("t"))
+        .select(col("n").as("n_control"), col("mean").as("mean_control"),
+          col("variance").as("var_control"))
+      tRow.crossJoin(cRow)
+        .select(lit(name).as("covariate"), col("n_treated"), col("n_control"),
+          col("mean_treated"), col("mean_control"),
+          round((col("mean_treated") - col("mean_control")) /
+            sqrt((col("var_treated") + col("var_control")) / 2.0d), 6)
+            .as("smd"))
+        .withColumn("balanced", abs(col("smd")) < 0.1d)
+    }
+    armStats("x1", "pre_event_count", 1.0)
+      .unionAll(armStats("x2", "pre_revenue", 10000.0))
+      .orderBy("covariate")
+  }
+
   /** Entropy rate of the event-type Markov chain — bits of surprise
     * per step, H = −Σᵢ πᵢ Σⱼ Pᵢⱼ log₂Pᵢⱼ, with P the exact-ratio
     * one-step transition matrix of `eventMarkovStationary` and π the

@@ -294,6 +294,51 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("absorbing markov: purchase pinned at 1, probabilities in [0,1] " +
+      "and nondecreasing in the step count") {
+    val rows = Stats.eventAbsorbingMarkov(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.map(r => r.getString(0) -> r.getAs[Double](2)).toMap
+    assert(byType("purchase") == 1.0)
+    byType.values.foreach(p => assert(p >= 0.0 && p <= 1.0))
+    // monotonicity in k: absorption within 4 steps includes absorption
+    // within any shorter horizon — the same chain run via the
+    // stationary key's machinery can't check this; replay 1 step
+    // driver-side: a1(i) = P(i -> purchase)
+    val pairs = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("to_t"), col("ts"),
+        col("event_id"))
+      .withColumn("from_t", lag(col("to_t"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("from_t").isNotNull)
+      .groupBy("from_t", "to_t").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count"))
+      .toMap
+    val tot = pairs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    byType.keys.filter(_ != "purchase").foreach { t =>
+      val oneStep = pairs.getOrElse((t, "purchase"), 0L).toDouble / tot(t)
+      assert(byType(t) >= oneStep - 1e-9,
+        s"4-step absorption from $t cannot be below the 1-step jump")
+    }
+  }
+
+  test("covariate balance: md5 arms are balanced on pre-period " +
+      "covariates and the SMD replays from the reported moments") {
+    val rows = Stats.statsCovariateBalance(spark, sfSmoke).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_treated") > 1 && r.getAs[Long]("n_control") > 1)
+      val smd = r.getAs[Double]("smd")
+      assert(!smd.isNaN && !smd.isInfinite)
+      assert(r.getAs[Boolean]("balanced") == (math.abs(smd) < 0.1))
+      // random md5 assignment: imbalance beyond |SMD| = 1 would mean
+      // the arms systematically differ — impossible by construction
+      assert(math.abs(smd) < 1.0)
+    }
+  }
+
   test("winsorized/trimmed means: ordering raw >= winsorized-ish " +
       "bounds, caps bracket both robust means, kept-count matches") {
     val r = Stats.statsWinsorizedMean(spark, sfSmoke).collect()(0)
