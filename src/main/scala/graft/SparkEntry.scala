@@ -305,6 +305,7 @@ object SparkEntry {
     "stats_propensity_strat" -> Stats.statsPropensityStrat _,
     "event_absorbing_markov" -> Stats.eventAbsorbingMarkov _,
     "stats_covariate_balance" -> Stats.statsCovariateBalance _,
+    "stats_paired_ttest" -> Stats.statsPairedTtest _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2392,6 +2393,18 @@ object SparkEntry {
        "b1 AS (SELECT 'pre_event_count' AS covariate, tt.n AS n_treated, cc.n AS n_control, tt.mean AS mean_treated, cc.mean AS mean_control, round((tt.mean - cc.mean) / sqrt((tt.variance + cc.variance) / 2.0), 6) AS smd FROM (SELECT * FROM m1 WHERE t) tt, (SELECT * FROM m1 WHERE NOT t) cc), " +
        "b2 AS (SELECT 'pre_revenue' AS covariate, tt.n AS n_treated, cc.n AS n_control, tt.mean AS mean_treated, cc.mean AS mean_control, round((tt.mean - cc.mean) / sqrt((tt.variance + cc.variance) / 2.0), 6) AS smd FROM (SELECT * FROM m2 WHERE t) tt, (SELECT * FROM m2 WHERE NOT t) cc) " +
        "SELECT covariate, n_treated, n_control, mean_treated, mean_control, smd, abs(smd) < 0.1 AS balanced FROM b1 UNION ALL SELECT covariate, n_treated, n_control, mean_treated, mean_control, smd, abs(smd) < 0.1 AS balanced FROM b2 ORDER BY covariate"),
+    // stats_paired_ttest: per-user post-pre differences in integer 1e-4
+    // units; exact moments, round-6 mean/sd before the t arithmetic.
+    "stats_paired_ttest" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL), " +
+       "m AS (SELECT min(d) + CAST((max(d) - min(d)) // 2 AS INTEGER) AS mid FROM ev), " +
+       "u AS (SELECT user_id, CAST(round(round(sum(CASE WHEN d >= mid THEN value ELSE 0 END), 4) * 10000 - round(sum(CASE WHEN d < mid THEN value ELSE 0 END), 4) * 10000, 0) AS BIGINT) AS di FROM ev CROSS JOIN m GROUP BY 1), " +
+       "mo AS (SELECT count(*) AS n, sum(di) AS s1, sum(CAST(di AS HUGEINT) * di) AS s2 FROM u), " +
+       "b AS (SELECT CAST(n AS BIGINT) AS n_pairs, round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 6) AS mean_diff, " +
+       "round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 10000.0, 6) AS sd_diff, " +
+       "CAST(n - 1 AS BIGINT) AS df FROM mo) " +
+       "SELECT n_pairs, mean_diff, sd_diff, df, round(mean_diff / (sd_diff / sqrt(CAST(n_pairs AS DOUBLE))), 6) AS t_stat, " +
+       "abs(round(mean_diff / (sd_diff / sqrt(CAST(n_pairs AS DOUBLE))), 6)) > 1.959964 AS significant FROM b"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -707,6 +707,51 @@ object Stats {
       .orderBy("stratum")
   }
 
+  /** Paired t-test on per-user pre/post revenue around the span
+    * midpoint — the parametric member of the paired family
+    * (`stats_wilcoxon_signed_rank` ranks day pairs,
+    * `stats_mcnemar` flips binary pairs; this one t-tests the mean of
+    * per-user differences, the within-subject design that cancels
+    * user-level variance a two-sample test eats as noise).
+    *
+    * Determinism: differences ride integer 1e-4 units (exact from the
+    * round-4 decimal period sums), so Σd and Σd² stay exact
+    * long/DECIMAL(38)/HUGEINT; mean and variance are exact-ratio
+    * doubles rounded at 6 before the t arithmetic.
+    *
+    * Scale shape: one user-grain aggregate + one global moment
+    * rollup — map-side combinable, no windows, no joins. */
+  def statsPairedTtest(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+        .as("mid")))
+    ev.crossJoin(span)
+      .groupBy(col("user_id"))
+      .agg(round(round(sum(when(col("d") >= col("mid"), col("value"))
+            .otherwise(lit(0.0))), 4) * 10000d -
+          round(sum(when(col("d") < col("mid"), col("value"))
+            .otherwise(lit(0.0))), 4) * 10000d).cast("long").as("di"))
+      .agg(count(lit(1)).as("n"), sum(col("di")).as("s1"),
+        sum(col("di").cast("decimal(19,0)") * col("di").cast("decimal(19,0)"))
+          .as("s2"))
+      .select(col("n").cast("bigint").as("n_pairs"),
+        round(col("s1").cast("double") / col("n").cast("double") /
+          lit(10000.0d), 6).as("mean_diff"),
+        round(sqrt((col("n").cast("decimal(38,0)") * col("s2") -
+            col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+            .cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double")) / lit(10000.0d), 6)
+          .as("sd_diff"),
+        (col("n") - 1L).cast("bigint").as("df"))
+      .withColumn("t_stat", round(col("mean_diff") /
+        (col("sd_diff") / sqrt(col("n_pairs").cast("double"))), 6))
+      .withColumn("significant", abs(col("t_stat")) > 1.959964d)
+  }
+
   /** Gumbel extreme-value fit of weekly revenue maxima — the
     * block-maxima EVT that answers "how bad is a 1-in-T week": weekly
     * (epoch-day div 7, the engine-agnostic week key) maxima of daily

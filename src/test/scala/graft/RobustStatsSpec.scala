@@ -294,6 +294,33 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("paired t-test: moments replay driver-side and t recomputes " +
+      "from the reported mean/sd") {
+    val r = Stats.statsPairedTtest(spark, sfSmoke).collect()(0)
+    val all = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .collect()
+    val dsAll = all.map(_.getDate(1).toLocalDate)
+    val mid = dsAll.min.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(dsAll.min, dsAll.max) / 2)
+    val per = all.groupBy(_.getLong(0)).map { case (_, rows) =>
+      def s(f: java.time.LocalDate => Boolean) =
+        BigDecimal(rows.filter(r2 => f(r2.getDate(1).toLocalDate))
+          .map(_.getDouble(2)).sum).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP)
+      (s(_.compareTo(mid) >= 0) - s(_.compareTo(mid) < 0)).toDouble
+    }.toArray
+    assert(r.getAs[Long]("n_pairs") == per.length.toLong)
+    val mean = per.sum / per.length
+    assert(math.abs(r.getAs[Double]("mean_diff") - mean) <= 1e-3)
+    val t = r.getAs[Double]("mean_diff") /
+      (r.getAs[Double]("sd_diff") / math.sqrt(per.length.toDouble))
+    assert(math.abs(r.getAs[Double]("t_stat") - t) <= 1e-5)
+    assert(r.getAs[Long]("df") == per.length - 1L)
+  }
+
   test("absorbing markov: purchase pinned at 1, probabilities in [0,1] " +
       "and nondecreasing in the step count") {
     val rows = Stats.eventAbsorbingMarkov(spark, sfSmoke).collect()
