@@ -306,6 +306,7 @@ object SparkEntry {
     "event_absorbing_markov" -> Stats.eventAbsorbingMarkov _,
     "stats_covariate_balance" -> Stats.statsCovariateBalance _,
     "stats_paired_ttest" -> Stats.statsPairedTtest _,
+    "timeseries_granger" -> Stats.timeseriesGranger _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2405,6 +2406,23 @@ object SparkEntry {
        "CAST(n - 1 AS BIGINT) AS df FROM mo) " +
        "SELECT n_pairs, mean_diff, sd_diff, df, round(mean_diff / (sd_diff / sqrt(CAST(n_pairs AS DOUBLE))), 6) AS t_stat, " +
        "abs(round(mean_diff / (sd_diff / sqrt(CAST(n_pairs AS DOUBLE))), 6)) > 1.959964 AS significant FROM b"),
+    // timeseries_granger: integer daily counts, HUGEINT product sums,
+    // the ols_multi Cramer solve per direction, SSEs from the moment
+    // identity on the ROUNDED coefficients — no per-row residual sums.
+    "timeseries_granger" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p, sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1), " +
+       "lagd AS (SELECT d, p, v, lag(p) OVER (ORDER BY d) AS pl, lag(v) OVER (ORDER BY d) AS vl FROM daily), " +
+       "lg AS (SELECT * FROM lagd WHERE pl IS NOT NULL), " +
+       "m1 AS (SELECT CAST(count(*) AS BIGINT) AS n_obs, CAST(count(*) AS DOUBLE) AS a11, CAST(sum(pl) AS DOUBLE) AS a12, CAST(sum(vl) AS DOUBLE) AS a13, CAST(sum(CAST(pl AS HUGEINT) * pl) AS DOUBLE) AS a22, CAST(sum(CAST(pl AS HUGEINT) * vl) AS DOUBLE) AS a23, CAST(sum(CAST(vl AS HUGEINT) * vl) AS DOUBLE) AS a33, CAST(sum(p) AS DOUBLE) AS r1, CAST(sum(CAST(p AS HUGEINT) * pl) AS DOUBLE) AS r2, CAST(sum(CAST(p AS HUGEINT) * vl) AS DOUBLE) AS r3, CAST(sum(CAST(p AS HUGEINT) * p) AS DOUBLE) AS syy FROM lg), " +
+       "m2 AS (SELECT CAST(count(*) AS BIGINT) AS n_obs, CAST(count(*) AS DOUBLE) AS a11, CAST(sum(vl) AS DOUBLE) AS a12, CAST(sum(pl) AS DOUBLE) AS a13, CAST(sum(CAST(vl AS HUGEINT) * vl) AS DOUBLE) AS a22, CAST(sum(CAST(vl AS HUGEINT) * pl) AS DOUBLE) AS a23, CAST(sum(CAST(pl AS HUGEINT) * pl) AS DOUBLE) AS a33, CAST(sum(v) AS DOUBLE) AS r1, CAST(sum(CAST(v AS HUGEINT) * vl) AS DOUBLE) AS r2, CAST(sum(CAST(v AS HUGEINT) * pl) AS DOUBLE) AS r3, CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS syy FROM lg), " +
+       "cr1 AS (SELECT *, a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS det, r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - a23 * r3) + a13 * (r2 * a23 - a22 * r3) AS n0, a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) AS n1, a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) AS n2 FROM m1), " +
+       "cr2 AS (SELECT *, a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS det, r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - a23 * r3) + a13 * (r2 * a23 - a22 * r3) AS n0, a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) AS n1, a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) AS n2 FROM m2), " +
+       "b1c AS (SELECT *, round(n0 / det, 6) AS b0, round(n1 / det, 6) AS b1, round(n2 / det, 6) AS b2, round((a11 * r2 - a12 * r1) / (a11 * a22 - a12 * a12), 6) AS c1 FROM cr1), " +
+       "b2c AS (SELECT *, round(n0 / det, 6) AS b0, round(n1 / det, 6) AS b1, round(n2 / det, 6) AS b2, round((a11 * r2 - a12 * r1) / (a11 * a22 - a12 * a12), 6) AS c1 FROM cr2), " +
+       "s1 AS (SELECT n_obs, b1 AS coef_own_lag, b2 AS coef_cross_lag, round(syy - ((round((r1 - c1 * a12) / a11, 6)) * r1 + c1 * r2), 6) AS sse_r, round(syy - (b0 * r1 + b1 * r2 + b2 * r3), 6) AS sse_u FROM b1c), " +
+       "s2 AS (SELECT n_obs, b1 AS coef_own_lag, b2 AS coef_cross_lag, round(syy - ((round((r1 - c1 * a12) / a11, 6)) * r1 + c1 * r2), 6) AS sse_r, round(syy - (b0 * r1 + b1 * r2 + b2 * r3), 6) AS sse_u FROM b2c), " +
+       "f AS (SELECT 'view_to_purchase' AS direction, * FROM s1 UNION ALL SELECT 'purchase_to_view' AS direction, * FROM s2) " +
+       "SELECT direction, n_obs, coef_own_lag, coef_cross_lag, sse_r, sse_u, round((sse_r - sse_u) / (sse_u / CAST(n_obs - 3 AS DOUBLE)), 6) AS f_stat, round((sse_r - sse_u) / (sse_u / CAST(n_obs - 3 AS DOUBLE)), 6) > 3.841459 AS granger_causal FROM f ORDER BY direction"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -752,6 +752,85 @@ object Stats {
       .withColumn("significant", abs(col("t_stat")) > 1.959964d)
   }
 
+  /** Granger causality between the view and purchase daily-count
+    * series, both directions — does yesterday's X help predict today's
+    * Y beyond Y's own history? F-test of the lag-1 unrestricted model
+    * y_t ~ (1, y_{t−1}, x_{t−1}) against the restricted y_t ~ (1,
+    * y_{t−1}): F = (SSE_r − SSE_u)/(SSE_u/(n−3)), flagged at the 3.84
+    * large-n critical value. The demand-sensing question (do views
+    * LEAD purchases?) asked with the statsOlsMulti machinery.
+    *
+    * Determinism: counts are integers so every regression moment is an
+    * exact long/DECIMAL product-sum; both solves are closed-form
+    * Cramer on round-6 coefficients, and each SSE is the moment
+    * identity Syy − b᾿X᾿y on those rounded b's — no per-row residual
+    * float sums anywhere.
+    *
+    * Scale shape: the day-grain pivot off the shared daily memo, one
+    * lag window over the calendar-bounded frame, one moment rollup per
+    * direction. */
+  def timeseriesGranger(s: SparkSession, sf: String): DataFrame = {
+    val byDay = DailyFrames.daily(s, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("d"))
+      .agg(sum(when(col("event_type") === "purchase", col("c"))
+          .otherwise(0L)).as("p"),
+        sum(when(col("event_type") === "view", col("c"))
+          .otherwise(0L)).as("v"))
+    val w = Window.orderBy(col("d"))
+    val lagged = byDay
+      .select(col("d"), col("p"), col("v"),
+        lag(col("p"), 1).over(w).as("pl"),
+        lag(col("v"), 1).over(w).as("vl"))
+      .filter(col("pl").isNotNull)
+    def direction(name: String, y: String, yl: String, xl: String) = {
+      def dprod(a: String, b: String) =
+        sum(col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)"))
+      lagged.agg(
+          count(lit(1)).as("n"), sum(col(yl)).as("syl"),
+          sum(col(xl)).as("sxl"), dprod(yl, yl).as("sylyl"),
+          dprod(yl, xl).as("sylxl"), dprod(xl, xl).as("sxlxl"),
+          sum(col(y)).as("sy"), dprod(y, yl).as("syyl"),
+          dprod(y, xl).as("syxl"), dprod(y, y).as("syy"))
+        .selectExpr("cast(n as bigint) as n_obs",
+          "cast(n as double) as a11", "cast(syl as double) as a12",
+          "cast(sxl as double) as a13", "cast(sylyl as double) as a22",
+          "cast(sylxl as double) as a23", "cast(sxlxl as double) as a33",
+          "cast(sy as double) as r1", "cast(syyl as double) as r2",
+          "cast(syxl as double) as r3", "cast(syy as double) as syy")
+        .selectExpr("n_obs", "a11", "a12", "a22", "r1", "r2", "r3", "syy",
+          "a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) as det",
+          "r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - a23 * r3) + a13 * (r2 * a23 - a22 * r3) as n0",
+          "a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) as n1",
+          "a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) as n2")
+        .selectExpr("n_obs", "a11", "a12", "a22", "r1", "r2", "r3", "syy",
+          "round(n0 / det, 6) as b0", "round(n1 / det, 6) as b1",
+          "round(n2 / det, 6) as b2")
+        // restricted 2x2 solve, then both SSEs from the moment
+        // identity SSE = Syy - b'X'y on the ROUNDED coefficients
+        .selectExpr("n_obs", "r1", "r2", "r3", "syy", "b0", "b1", "b2",
+          "a11", "a12",
+          "round((a11 * r2 - a12 * r1) / (a11 * a22 - a12 * a12), 6) as c1")
+        .selectExpr("n_obs", "r1", "r2", "r3", "syy", "b0", "b1", "b2", "c1",
+          "round((r1 - c1 * a12) / a11, 6) as c0")
+        .selectExpr("n_obs", "b1", "b2",
+          "round(syy - (b0 * r1 + b1 * r2 + b2 * r3), 6) as sse_u",
+          "round(syy - (c0 * r1 + c1 * r2), 6) as sse_r")
+        .selectExpr("n_obs", "b1 as coef_own_lag", "b2 as coef_cross_lag",
+          "sse_r", "sse_u",
+          "round((sse_r - sse_u) / (sse_u / cast(n_obs - 3 as double)), 6)" +
+            " as f_stat")
+        .withColumn("direction", lit(name))
+        .withColumn("granger_causal", col("f_stat") > 3.841459d)
+        .select(col("direction"), col("n_obs"), col("coef_own_lag"),
+          col("coef_cross_lag"), col("sse_r"), col("sse_u"), col("f_stat"),
+          col("granger_causal"))
+    }
+    direction("view_to_purchase", "p", "pl", "vl")
+      .unionAll(direction("purchase_to_view", "v", "vl", "pl"))
+      .orderBy("direction")
+  }
+
   /** Gumbel extreme-value fit of weekly revenue maxima — the
     * block-maxima EVT that answers "how bad is a 1-in-T week": weekly
     * (epoch-day div 7, the engine-agnostic week key) maxima of daily

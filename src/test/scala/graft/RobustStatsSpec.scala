@@ -294,6 +294,24 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("granger: both directions present, SSE_r >= SSE_u (adding a " +
+      "regressor never hurts in-sample), F consistent with the SSEs") {
+    val rows = Stats.timeseriesGranger(spark, sfSmoke).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).sorted.sameElements(
+      Array("purchase_to_view", "view_to_purchase")))
+    rows.foreach { r =>
+      val (sseR, sseU) = (r.getAs[Double]("sse_r"), r.getAs[Double]("sse_u"))
+      assert(sseU > 0.0)
+      assert(sseR >= sseU - 1e-6,
+        "the restricted model cannot fit better than the unrestricted")
+      val f = (sseR - sseU) / (sseU / (r.getAs[Long]("n_obs") - 3).toDouble)
+      assert(math.abs(r.getAs[Double]("f_stat") - f) <= 1e-4)
+      assert(r.getAs[Boolean]("granger_causal") ==
+        (r.getAs[Double]("f_stat") > 3.841459))
+    }
+  }
+
   test("paired t-test: moments replay driver-side and t recomputes " +
       "from the reported mean/sd") {
     val r = Stats.statsPairedTtest(spark, sfSmoke).collect()(0)
