@@ -307,6 +307,7 @@ object SparkEntry {
     "stats_covariate_balance" -> Stats.statsCovariateBalance _,
     "stats_paired_ttest" -> Stats.statsPairedTtest _,
     "timeseries_granger" -> Stats.timeseriesGranger _,
+    "event_conversion_latency" -> Stats.eventConversionLatency _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2423,6 +2424,17 @@ object SparkEntry {
        "s2 AS (SELECT n_obs, b1 AS coef_own_lag, b2 AS coef_cross_lag, round(syy - ((round((r1 - c1 * a12) / a11, 6)) * r1 + c1 * r2), 6) AS sse_r, round(syy - (b0 * r1 + b1 * r2 + b2 * r3), 6) AS sse_u FROM b2c), " +
        "f AS (SELECT 'view_to_purchase' AS direction, * FROM s1 UNION ALL SELECT 'purchase_to_view' AS direction, * FROM s2) " +
        "SELECT direction, n_obs, coef_own_lag, coef_cross_lag, sse_r, sse_u, round((sse_r - sse_u) / (sse_u / CAST(n_obs - 3 AS DOUBLE)), 6) AS f_stat, round((sse_r - sse_u) / (sse_u / CAST(n_obs - 3 AS DOUBLE)), 6) > 3.841459 AS granger_causal FROM f ORDER BY direction"),
+    // event_conversion_latency: exact microsecond deltas; exact
+    // interpolated percentiles round-6 before the hours conversion.
+    "event_conversion_latency" ->
+      ("WITH fv AS (SELECT user_id, min(ts) AS vt FROM events WHERE user_id IS NOT NULL AND event_type = 'view' GROUP BY 1), " +
+       "fp AS (SELECT e.user_id, fv.vt, min(e.ts) AS pt FROM events e JOIN fv ON e.user_id = fv.user_id WHERE e.event_type = 'purchase' AND e.ts >= fv.vt GROUP BY 1, 2), " +
+       "d AS (SELECT epoch_ns(pt) // 1000 - epoch_ns(vt) // 1000 AS delta_us FROM fp) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_converters, " +
+       "round(round(quantile_cont(delta_us, 0.5), 6) / 3600000000.0, 6) AS p50_hours, " +
+       "round(round(quantile_cont(delta_us, 0.9), 6) / 3600000000.0, 6) AS p90_hours, " +
+       "round(round(quantile_cont(delta_us, 0.99), 6) / 3600000000.0, 6) AS p99_hours, " +
+       "round(CAST(max(delta_us) AS DOUBLE) / 3600000000.0, 6) AS max_hours FROM d"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -3367,6 +3367,39 @@ object Stats {
         round(col("conv_7d") / col("n_viewers"), 6).as("rate_7d"))
   }
 
+  /** Conversion-latency quantiles — how LONG the first-view → first-
+    * purchase journey takes ([[eventConversionWindow]] reports how
+    * many convert within fixed windows; this reports the p50/p90/p99
+    * of the latency itself among converters, the SLA-style number
+    * growth teams target). Deltas are exact microsecond integers;
+    * quantiles are exact interpolated percentiles rounded at 6 and
+    * re-expressed in hours.
+    *
+    * Scale shape: two user-grain min-aggregates joined user-grain
+    * (the conversion-window shape), then one percentile aggregate
+    * over the converter frame. */
+  def eventConversionLatency(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf).filter(col("user_id").isNotNull)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val deltas = firstView
+      .join(ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts")), Seq("user_id"))
+      .filter(col("ts") >= col("vt"))
+      .groupBy(col("user_id"), col("vt"))
+      .agg(min(col("ts")).as("pt"))
+      .select((unix_micros(col("pt")) - unix_micros(col("vt")))
+        .as("delta_us"))
+    def qh(q: Double) =
+      round(round(expr(s"percentile(delta_us, $q)"), 6) /
+        lit(3600000000.0d), 6)
+    deltas.agg(count(lit(1)).cast("bigint").as("n_converters"),
+      qh(0.5).as("p50_hours"), qh(0.9).as("p90_hours"),
+      qh(0.99).as("p99_hours"),
+      round(max(col("delta_us")).cast("double") / lit(3600000000.0d), 6)
+        .as("max_hours"))
+  }
+
   /** Croston's method for INTERMITTENT demand — the forecast family's
     * sparse-series member (naive/EWMA/Holt/HW/AR all assume a dense
     * daily series; spare-parts-style demand with long zero gaps breaks

@@ -294,6 +294,17 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("conversion latency: quantiles ordered, converter count matches " +
+      "the conversion-window key, max bounds the tail") {
+    val r = Stats.eventConversionLatency(spark, sfSmoke).collect()(0)
+    val cw = Stats.eventConversionWindow(spark, sfSmoke).collect()(0)
+    assert(r.getAs[Long]("n_converters") == cw.getAs[Long]("n_converted"))
+    val (p50, p90, p99, mx) = (r.getAs[Double]("p50_hours"),
+      r.getAs[Double]("p90_hours"), r.getAs[Double]("p99_hours"),
+      r.getAs[Double]("max_hours"))
+    assert(p50 >= 0 && p50 <= p90 && p90 <= p99 && p99 <= mx + 1e-9)
+  }
+
   test("granger: both directions present, SSE_r >= SSE_u (adding a " +
       "regressor never hurts in-sample), F consistent with the SSEs") {
     val rows = Stats.timeseriesGranger(spark, sfSmoke).collect()
