@@ -521,13 +521,13 @@ object Stats {
            round(corr(col("c"), col("c3")), 6).as("acf3"))
       .withColumn("pacf2", round(
         (col("acf2") - col("acf1") * col("acf1")) /
-          (lit(1.0d) - col("acf1") * col("acf1")), 6))
+          nullif(lit(1.0d) - col("acf1") * col("acf1"), lit(0.0d)), 6))
       .withColumn("f21", round(col("acf1") - col("pacf2") * col("acf1"), 6))
       .withColumn("pacf3", round(
         (col("acf3") - col("f21") * col("acf2") -
           col("pacf2") * col("acf1")) /
-        (lit(1.0d) - col("f21") * col("acf1") -
-          col("pacf2") * col("acf2")), 6))
+        nullif(lit(1.0d) - col("f21") * col("acf1") -
+          col("pacf2") * col("acf2"), lit(0.0d)), 6))
       .select(col("event_type"), col("n_days"), col("acf1"), col("acf2"),
         col("acf3"), col("acf1").as("pacf1"), col("pacf2"), col("pacf3"))
       .orderBy("event_type")
@@ -661,8 +661,9 @@ object Stats {
         "r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - a23 * r3) + a13 * (r2 * a23 - a22 * r3) as n0",
         "a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) as n1",
         "a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) as n2")
-      .selectExpr("round(n0 / det, 6) as b0", "round(n1 / det, 6) as b1",
-        "round(n2 / det, 6) as b2"))
+      .selectExpr("round(n0 / nullif(det, 0.0d) , 6) as b0",
+        "round(n1 / nullif(det, 0.0d), 6) as b1",
+        "round(n2 / nullif(det, 0.0d), 6) as b2"))
     val scored = users.crossJoin(fit)
       .withColumn("score", round(col("b0") +
         col("b1") * col("x1").cast("double") +
@@ -744,11 +745,12 @@ object Stats {
         round(sqrt((col("n").cast("decimal(38,0)") * col("s2") -
             col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
             .cast("double") /
-          (col("n") * (col("n") - 1L)).cast("double")) / lit(10000.0d), 6)
-          .as("sd_diff"),
+          nullif((col("n") * (col("n") - 1L)).cast("double"), lit(0.0d))) /
+          lit(10000.0d), 6).as("sd_diff"),
         (col("n") - 1L).cast("bigint").as("df"))
       .withColumn("t_stat", round(col("mean_diff") /
-        (col("sd_diff") / sqrt(col("n_pairs").cast("double"))), 6))
+        nullif(col("sd_diff") / sqrt(col("n_pairs").cast("double")),
+          lit(0.0d)), 6))
       .withColumn("significant", abs(col("t_stat")) > 1.959964d)
   }
 
@@ -804,13 +806,14 @@ object Stats {
           "a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2 * a13) as n1",
           "a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - r2 * a13) + r1 * (a12 * a23 - a22 * a13) as n2")
         .selectExpr("n_obs", "a11", "a12", "a22", "r1", "r2", "r3", "syy",
-          "round(n0 / det, 6) as b0", "round(n1 / det, 6) as b1",
-          "round(n2 / det, 6) as b2")
+          "round(n0 / nullif(det, 0.0d), 6) as b0",
+          "round(n1 / nullif(det, 0.0d), 6) as b1",
+          "round(n2 / nullif(det, 0.0d), 6) as b2")
         // restricted 2x2 solve, then both SSEs from the moment
         // identity SSE = Syy - b'X'y on the ROUNDED coefficients
         .selectExpr("n_obs", "r1", "r2", "r3", "syy", "b0", "b1", "b2",
           "a11", "a12",
-          "round((a11 * r2 - a12 * r1) / (a11 * a22 - a12 * a12), 6) as c1")
+          "round((a11 * r2 - a12 * r1) / nullif(a11 * a22 - a12 * a12, 0.0d), 6) as c1")
         .selectExpr("n_obs", "r1", "r2", "r3", "syy", "b0", "b1", "b2", "c1",
           "round((r1 - c1 * a12) / a11, 6) as c0")
         .selectExpr("n_obs", "b1", "b2",
@@ -818,7 +821,7 @@ object Stats {
           "round(syy - (c0 * r1 + c1 * r2), 6) as sse_r")
         .selectExpr("n_obs", "b1 as coef_own_lag", "b2 as coef_cross_lag",
           "sse_r", "sse_u",
-          "round((sse_r - sse_u) / (sse_u / cast(n_obs - 3 as double)), 6)" +
+          "round((sse_r - sse_u) / nullif(sse_u / nullif(cast(n_obs - 3 as double), 0.0d), 0.0d), 6)" +
             " as f_stat")
         .withColumn("direction", lit(name))
         .withColumn("granger_causal", col("f_stat") > 3.841459d)
@@ -858,7 +861,8 @@ object Stats {
           .as("mean_max"),
         round(sqrt((col("n") * col("s2") - col("s1") * col("s1"))
             .cast("double") /
-          (col("n") * (col("n") - 1L)).cast("double")), 6).as("sd_max"))
+          nullif((col("n") * (col("n") - 1L)).cast("double"), lit(0.0d))), 6)
+          .as("sd_max"))
       .withColumn("gumbel_beta",
         round(col("sd_max") * lit(0.779696801233676d), 6))
       .withColumn("gumbel_mu", round(col("mean_max") -
@@ -3474,7 +3478,8 @@ object Stats {
            sum(col("t") * col("x").cast("decimal(18,4)")).as("stx"))
       .withColumn("b", round(
         (col("n") * col("stx") - col("st") * col("sx")).cast("double") /
-          (col("n") * col("st2") - col("st") * col("st")).cast("double"), 6))
+          nullif((col("n") * col("st2") - col("st") * col("st"))
+            .cast("double"), lit(0.0d)), 6))
       .withColumn("a", round(
         (col("sx").cast("double") - col("b") * col("st").cast("double")) /
           col("n").cast("double"), 6))
@@ -3541,9 +3546,10 @@ object Stats {
           sum(pow(col("rank_sum") -
               col("nb").cast("double") * (col("k") + 1L).cast("double") / 2d,
             2)).over(Window.partitionBy()) /
-          (col("ssq") - col("nb").cast("double") * col("k").cast("double") *
+          nullif(col("ssq") -
+            col("nb").cast("double") * col("k").cast("double") *
             (col("k") + 1L).cast("double") * (col("k") + 1L).cast("double")
-              / 4d), 6))
+              / 4d, lit(0.0d)), 6))
       .select(col("event_type"), col("rank_sum"),
         col("nb").cast("bigint").as("n_blocks"),
         col("k").cast("bigint").as("k_treatments"),
@@ -3609,7 +3615,8 @@ object Stats {
         round(col("s1").cast("double") / col("n").cast("double"), 6)
           .as("mean_count"),
         round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
-          (col("n") * (col("n") - 1L)).cast("double"), 6).as("var_count"))
+          nullif((col("n") * (col("n") - 1L)).cast("double"), lit(0.0d)), 6)
+          .as("var_count"))
       .withColumn("dispersion_index",
         round(col("var_count") / col("mean_count"), 6))
       .withColumn("overdispersed", col("var_count") > col("mean_count"))
@@ -3708,8 +3715,8 @@ object Stats {
         sum(col("v") * col("v")).as("s2"))
       .select(round(sqrt((col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") /
-            col("n").cast("double")) /
-        (col("n") - 1L).cast("double")), 6).as("sigma")))
+            nullif(col("n").cast("double"), lit(0.0d))) /
+        nullif((col("n") - 1L).cast("double"), lit(0.0d))), 6).as("sigma")))
     val daily = ev.withColumn("t", arm)
       .groupBy(col("d"))
       .agg(sum(when(col("t"), col("v"))).as("sa"),
@@ -3732,8 +3739,8 @@ object Stats {
       .withColumn("mb", round(col("csb").cast("double") /
         col("cnb").cast("double"), 6))
       .withColumn("z_k", round((col("ma") - col("mb")) /
-        (col("sigma") * sqrt(lit(1.0d) / col("cna").cast("double") +
-          lit(1.0d) / col("cnb").cast("double"))), 6))
+        nullif(col("sigma") * sqrt(lit(1.0d) / col("cna").cast("double") +
+          lit(1.0d) / col("cnb").cast("double")), lit(0.0d)), 6))
       .withColumn("obf_bound", round(lit(1.96d) *
         sqrt(col("bigk").cast("double") / col("k").cast("double")), 6))
       .select(col("d"), col("k"), col("bigk").cast("bigint").as("n_looks"),
@@ -3807,10 +3814,12 @@ object Stats {
       .select(col("event_type"), col("m"), col("blk"),
         (((col("dmax") - col("dmin")).cast("double") /
             col("m").cast("double")) /
-          sqrt((col("m").cast("decimal(38,0)") * col("s2b") -
+          nullif(sqrt((col("m").cast("decimal(38,0)") * col("s2b") -
               col("sb").cast("decimal(19,0)") * col("sb").cast("decimal(19,0)"))
               .cast("double") /
-            (col("m") * (col("m") - 1L)).cast("double"))).as("rs"))
+            (col("m") * (col("m") - 1L)).cast("double")), lit(0.0d)))
+          .as("rs"))
+      .filter(col("rs").isNotNull)
     val perScale = perBlock.groupBy(col("event_type"), col("m"))
       .agg(count(lit(1)).as("nb"),
         sort_array(collect_list(struct(col("blk"), col("rs")))).as("s"))
@@ -3922,7 +3931,7 @@ object Stats {
           round((col("n").cast("decimal(38,0)") * col("s2") -
               col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
               .cast("double") /
-            (col("n") * (col("n") - 1L)).cast("double") /
+            nullif((col("n") * (col("n") - 1L)).cast("double"), lit(0.0d)) /
             lit(scale * scale), 6).as("variance"))
       val tRow = moments.filter(col("t"))
         .select(col("n").as("n_treated"), col("mean").as("mean_treated"),
@@ -3934,8 +3943,8 @@ object Stats {
         .select(lit(name).as("covariate"), col("n_treated"), col("n_control"),
           col("mean_treated"), col("mean_control"),
           round((col("mean_treated") - col("mean_control")) /
-            sqrt((col("var_treated") + col("var_control")) / 2.0d), 6)
-            .as("smd"))
+            nullif(sqrt((col("var_treated") + col("var_control")) / 2.0d),
+              lit(0.0d)), 6).as("smd"))
         .withColumn("balanced", abs(col("smd")) < 0.1d)
     }
     armStats("x1", "pre_event_count", 1.0)

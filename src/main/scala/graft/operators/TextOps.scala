@@ -1047,9 +1047,10 @@ object TextOps {
         fold("r.lx * r.lx").as("sxx"), fold("r.lx * r.ly").as("sxy"))
       .withColumn("beta", round(
         (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+          nullif(col("n") * col("sxx") - col("sx") * col("sx"),
+            lit(0.0d)), 6))
       .withColumn("lk", round((col("sy") - col("beta") * col("sx")) /
-        col("n").cast("double"), 6))
+        nullif(col("n").cast("double"), lit(0.0d)), 6))
     val totals = base.agg(count(lit(1)).as("n_docs"),
       sum(col("toks")).as("total_tokens"), sum(col("newv")).as("total_vocab"))
     totals.crossJoin(fit)
