@@ -308,6 +308,7 @@ object SparkEntry {
     "stats_paired_ttest" -> Stats.statsPairedTtest _,
     "timeseries_granger" -> Stats.timeseriesGranger _,
     "event_conversion_latency" -> Stats.eventConversionLatency _,
+    "stats_auc_delong"   -> Stats.statsAucDelong _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2435,6 +2436,20 @@ object SparkEntry {
        "round(round(quantile_cont(delta_us, 0.9), 6) / 3600000000.0, 6) AS p90_hours, " +
        "round(round(quantile_cont(delta_us, 0.99), 6) / 3600000000.0, 6) AS p99_hours, " +
        "round(CAST(max(delta_us) AS DOUBLE) / 3600000000.0, 6) AS max_hours FROM d"),
+    // stats_auc_delong: integer placements at distinct-score grain
+    // (w = 2*below + tied), HUGEINT moments, exact-ratio variances;
+    // the oracle's global cumsum is the engine's bucketed prefix.
+    "stats_auc_delong" ->
+      ("WITH bs AS (SELECT round(value, 4) AS sc, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS npos, sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS nneg FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1), " +
+       "runs AS (SELECT sc, npos, nneg, sum(nneg) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg, sum(npos) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos FROM bs), " +
+       "w AS (SELECT sc, npos, nneg, 2 * (cneg - nneg) + nneg AS wp, 2 * (cpos - npos) + npos AS wn FROM runs), " +
+       "mo AS (SELECT CAST(sum(npos) AS BIGINT) AS n1, CAST(sum(nneg) AS BIGINT) AS n0, sum(CAST(wp AS HUGEINT) * npos) AS swp, sum(CAST(wp AS HUGEINT) * wp * npos) AS swp2, sum(CAST(wn AS HUGEINT) * nneg) AS swn, sum(CAST(wn AS HUGEINT) * wn * nneg) AS swn2 FROM w), " +
+       "b AS (SELECT n1 AS n_pos, n0 AS n_neg, round(CAST(swp AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc, " +
+       "round(CAST(CAST(n1 AS HUGEINT) * swp2 - swp * swp AS DOUBLE) / nullif(CAST(n1 * (n1 - 1) AS DOUBLE), 0.0) / (4.0 * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)), 10) AS s10, " +
+       "round(CAST(CAST(n0 AS HUGEINT) * swn2 - swn * swn AS DOUBLE) / nullif(CAST(n0 * (n0 - 1) AS DOUBLE), 0.0) / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)), 10) AS s01 FROM mo), " +
+       "f AS (SELECT *, round(sqrt(s10 / CAST(n_pos AS DOUBLE) + s01 / CAST(n_neg AS DOUBLE)), 6) AS se_auc FROM b) " +
+       "SELECT n_pos, n_neg, auc, s10, s01, se_auc, round((auc - 0.5) / nullif(se_auc, 0.0), 6) AS z_vs_half, " +
+       "round(auc - 1.959964 * se_auc, 6) AS ci_lo, round(auc + 1.959964 * se_auc, 6) AS ci_hi FROM f"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -2076,6 +2076,71 @@ object Stats {
           (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
   }
 
+  /** DeLong standard error of the ROC AUC — the inference layer over
+    * [[statsRocAuc]]: the AUC is a two-sample U-statistic, and DeLong's
+    * structural components give its variance without bootstrap:
+    * each positive's PLACEMENT among negatives (and vice versa),
+    * Var(AUC) = S₁₀/n₁ + S₀₁/n₀ with S the placement sample variances.
+    * Reported with the z against AUC = 0.5 and the 95% CI — the
+    * difference between "AUC 0.52" and "AUC 0.52 ± 0.04" is whether
+    * the scorer ships.
+    *
+    * Determinism: placements ride as INTEGERS w = 2·(#opposite below) +
+    * (#opposite tied) at distinct-score grain, so every moment is an
+    * exact long/DECIMAL(38)/HUGEINT sum; AUC re-derives from the same
+    * integers (≡ the Mann–Whitney identity) and only the final
+    * variance/SE/z divide in round-6 doubles.
+    *
+    * Scale shape: one (score, class) count aggregate, TWO
+    * [[Windows.distributedRunningSum]] prefixes over the distinct-score
+    * frame (bucketed — never a global window), one moment rollup. */
+  def statsAucDelong(s: SparkSession, sf: String): DataFrame = {
+    val byScore = Tables.events(s, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(round(col("value"), 4).as("sc"))
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("npos"),
+           sum((col("event_type") =!= "purchase").cast("long")).as("nneg"))
+    val negRun = Windows.distributedRunningSum(byScore, "sc", "nneg", 8)
+      .withColumnRenamed("running_sum", "cneg")
+    val bothRun = Windows.distributedRunningSum(negRun, "sc", "npos", 8)
+      .withColumnRenamed("running_sum", "cpos")
+      // w = 2*(#opposite strictly below) + (#opposite tied) — integers
+      .select(col("sc"), col("npos"), col("nneg"),
+        (lit(2L) * (col("cneg") - col("nneg")) + col("nneg")).as("wp"),
+        (lit(2L) * (col("cpos") - col("npos")) + col("npos")).as("wn"))
+    def dsq(c: String) =
+      sum(col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)") *
+        col(if (c == "wp") "npos" else "nneg").cast("decimal(19,0)"))
+    bothRun.agg(
+        sum(col("npos")).as("n1"), sum(col("nneg")).as("n0"),
+        sum(col("wp").cast("decimal(19,0)") * col("npos")).as("swp"),
+        dsq("wp").as("swp2"),
+        sum(col("wn").cast("decimal(19,0)") * col("nneg")).as("swn"),
+        dsq("wn").as("swn2"))
+      .select(col("n1").cast("bigint").as("n_pos"),
+        col("n0").cast("bigint").as("n_neg"),
+        round(col("swp").cast("double") /
+          (lit(2.0d) * col("n1").cast("double") * col("n0").cast("double")),
+          6).as("auc"),
+        round((col("n1").cast("decimal(38,0)") * col("swp2") -
+            col("swp") * col("swp")).cast("double") /
+          nullif((col("n1") * (col("n1") - 1L)).cast("double"), lit(0.0d)) /
+          (lit(4.0d) * col("n0").cast("double") * col("n0").cast("double")),
+          10).as("s10"),
+        round((col("n0").cast("decimal(38,0)") * col("swn2") -
+            col("swn") * col("swn")).cast("double") /
+          nullif((col("n0") * (col("n0") - 1L)).cast("double"), lit(0.0d)) /
+          (lit(4.0d) * col("n1").cast("double") * col("n1").cast("double")),
+          10).as("s01"))
+      .withColumn("se_auc", round(sqrt(
+        col("s10") / col("n_pos").cast("double") +
+        col("s01") / col("n_neg").cast("double")), 6))
+      .withColumn("z_vs_half",
+        round((col("auc") - lit(0.5d)) / nullif(col("se_auc"), lit(0.0d)), 6))
+      .withColumn("ci_lo", round(col("auc") - lit(1.959964d) * col("se_auc"), 6))
+      .withColumn("ci_hi", round(col("auc") + lit(1.959964d) * col("se_auc"), 6))
+  }
+
   /** Confusion-matrix metrics for a fixed-threshold classifier — the
     * precision/recall/F1 readout every gate in a filtering pipeline is
     * tuned by: predict "purchase" when the event value clears 100, and

@@ -162,7 +162,9 @@ object Windows {
       .withColumn("local_run", sum(col(valueCol)).over(localW))
       .join(broadcast(offsets), "pid")
       .withColumn("running_sum", col("local_run") + col("offset"))
-      .drop("pid", "local_run")
+      // drop the internals INCLUDING offset: two chained prefix passes
+      // otherwise collide on an ambiguous `offset` reference
+      .drop("pid", "local_run", "offset")
   }
 
   /** Running DISTINCT count over a growing global frame. Spark disallows

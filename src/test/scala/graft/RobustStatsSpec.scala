@@ -294,6 +294,23 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("delong: auc equals the mann-whitney roc key exactly, variance " +
+      "components positive, CI brackets the point estimate") {
+    val r = Stats.statsAucDelong(spark, sfSmoke).collect()(0)
+    val roc = Stats.statsRocAuc(spark, sfSmoke).collect()(0)
+    assert(r.getAs[Long]("n_pos") == roc.getAs[Long]("n_pos"))
+    assert(r.getAs[Long]("n_neg") == roc.getAs[Long]("n_neg"))
+    assert(r.getAs[Double]("auc") == roc.getAs[Double]("auc"),
+      "the placement identity must reproduce the rank-sum AUC bit-for-bit")
+    assert(r.getAs[Double]("s10") >= 0 && r.getAs[Double]("s01") >= 0)
+    val se = r.getAs[Double]("se_auc")
+    assert(se > 0 && se < 0.5)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("auc"))
+    assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("auc"))
+    assert(math.abs(r.getAs[Double]("z_vs_half") -
+      (r.getAs[Double]("auc") - 0.5) / se) <= 1e-4)
+  }
+
   test("conversion latency: quantiles ordered, converter count matches " +
       "the conversion-window key, max bounds the tail") {
     val r = Stats.eventConversionLatency(spark, sfSmoke).collect()(0)
