@@ -309,6 +309,9 @@ object SparkEntry {
     "timeseries_granger" -> Stats.timeseriesGranger _,
     "event_conversion_latency" -> Stats.eventConversionLatency _,
     "stats_auc_delong"   -> Stats.statsAucDelong _,
+    "stats_tukey_hsd"    -> Stats.statsTukeyHsd _,
+    "text_burstiness"    -> TextOps.textBurstiness _,
+    "sink_manifest_snapshot" -> Sources.sinkManifestSnapshot _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2450,6 +2453,30 @@ object SparkEntry {
        "f AS (SELECT *, round(sqrt(s10 / CAST(n_pos AS DOUBLE) + s01 / CAST(n_neg AS DOUBLE)), 6) AS se_auc FROM b) " +
        "SELECT n_pos, n_neg, auc, s10, s01, se_auc, round((auc - 0.5) / nullif(se_auc, 0.0), 6) AS z_vs_half, " +
        "round(auc - 1.959964 * se_auc, 6) AS ci_lo, round(auc + 1.959964 * se_auc, 6) AS ci_hi FROM f"),
+    // stats_tukey_hsd: integer 1e-4 units keep group moments exact;
+    // the pooled SSW is a seeded fold in type order; q vs 3.858.
+    "stats_tukey_hsd" ->
+      ("WITH v AS (SELECT event_type, CAST(round(round(value, 4) * 10000, 0) AS BIGINT) AS xi FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+       "g AS (SELECT event_type, count(*) AS n, sum(xi) AS s1, sum(CAST(xi AS HUGEINT) * xi) AS s2 FROM v GROUP BY 1), " +
+       "gm AS (SELECT *, round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 6) AS mean, CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / CAST(n AS DOUBLE) AS ssw FROM g), " +
+       "mse AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ssw ORDER BY event_type)), (acc, x) -> acc + x) / nullif(CAST(sum(n) - count(*) AS DOUBLE), 0.0) / 100000000.0, 6) AS mse FROM gm), " +
+       "p AS (SELECT a.event_type AS t1, b.event_type AS t2, CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2, a.mean AS mean_1, b.mean AS mean_2 FROM gm a JOIN gm b ON a.event_type < b.event_type) " +
+       "SELECT t1, t2, n1, n2, mean_1, mean_2, round(mean_1 - mean_2, 6) AS diff, " +
+       "round(abs(mean_1 - mean_2) / nullif(sqrt(mse.mse / 2.0 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 0.0), 6) AS q_stat, " +
+       "round(abs(mean_1 - mean_2) / nullif(sqrt(mse.mse / 2.0 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 0.0), 6) > 3.858 AS significant " +
+       "FROM p, mse ORDER BY t1, t2"),
+    // text_burstiness: exact integer counts; top-20 by total then word.
+    "text_burstiness" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL), " +
+       "g AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS total_count, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count FROM w GROUP BY 1) " +
+       "SELECT word, total_count, doc_count, round(CAST(total_count AS DOUBLE) / CAST(doc_count AS DOUBLE), 6) AS burstiness " +
+       "FROM g ORDER BY total_count DESC, word ASC LIMIT 20"),
+    // sink_manifest_snapshot: the oracle totals the table of record —
+    // they match ONLY because the read path honors the manifest and
+    // never sees the planted orphan file.
+    "sink_manifest_snapshot" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_value, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+       "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

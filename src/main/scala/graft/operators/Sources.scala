@@ -530,4 +530,51 @@ object Sources {
            round(sum(col("value")), 4).as("total_value"))
       .orderBy("event_type")
   }
+
+  /** Manifest-snapshot sink — atomic publish without a table format:
+    * the committed write's file listing is frozen into a MANIFEST, and
+    * readers resolve the snapshot through the manifest instead of
+    * listing the directory — so a torn write, a concurrent writer's
+    * half-landed files, or a failed compaction's leftovers are
+    * invisible (the poor-man's Iceberg/Delta snapshot; at 100 TB
+    * directory-listing reads are how partial data leaks into a job).
+    * The key PLANTS an orphan parquet file with inflated values into
+    * the data directory after the manifest freezes — the oracle totals
+    * match only because the read path honors the manifest.
+    *
+    * The manifest write and the listing are driver metadata ops (the
+    * ScalePatterns fingerprint precedent); data moves only through the
+    * executor write. */
+  def sinkManifestSnapshot(s: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft_manifest_")
+    val data = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"))
+    data.write.mode("overwrite").parquet(s"$dir/data")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dataPath.getFileSystem(hconf)
+    val committed = fs.listStatus(dataPath).toSeq
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/MANIFEST"),
+      committed.mkString("\n").getBytes("UTF-8"))
+    // a torn/concurrent write lands AFTER the snapshot froze: same
+    // schema, corrupt content — invisible through the manifest
+    data.limit(10).withColumn("value", col("value") * 1000)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orphan")
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/orphan")).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .foreach(p => fs.rename(p,
+        new org.apache.hadoop.fs.Path(s"$dir/data/orphan-${p.getName}")))
+    val snapshot = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/MANIFEST")), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    s.read.schema(data.schema).parquet(snapshot: _*)
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+           sum(col("value").cast("decimal(18,4)")).cast("double")
+             .as("total_value"),
+           countDistinct(col("user_id")).cast("bigint").as("n_users"))
+  }
 }

@@ -2076,6 +2076,62 @@ object Stats {
           (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Tukey–Kramer HSD — the post-hoc that answers what
+    * `stats_anova`'s F cannot: WHICH event-type pairs differ in mean
+    * value. All 10 pairwise mean differences against the studentized-
+    * range yardstick q = |m̄ᵢ − m̄ⱼ| / √((MSE/2)(1/nᵢ + 1/nⱼ)), flagged
+    * at q₀.₀₅,₅,∞ = 3.858 (shared literal) — the familywise-safe
+    * pairwise readout, where 10 naive t-tests would inflate α.
+    *
+    * Determinism: values ride integer 1e-4 units so every group moment
+    * is exact; per-group SSW is an exact-ratio double and the k-term
+    * pooled sum is a seeded fold in type order; means round at 6
+    * before the pairwise arithmetic.
+    *
+    * Scale shape: one (type) moment aggregate off the scan, a ≤ k-row
+    * fold, and a k²-row broadcast self-join — nothing else. */
+  def statsTukeyHsd(s: SparkSession, sf: String): DataFrame = {
+    val g = Tables.events(s, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        round(round(col("value"), 4) * 10000d).cast("long").as("xi"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1"),
+        sum(col("xi").cast("decimal(19,0)") * col("xi").cast("decimal(19,0)"))
+          .as("s2"))
+      .withColumn("mean", round(col("s1").cast("double") /
+        col("n").cast("double") / lit(10000.0d), 6))
+      // within-group sum of squares, exact inputs -> identical double
+      .withColumn("ssw", (col("n").cast("decimal(38,0)") * col("s2") -
+          col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+          .cast("double") / col("n").cast("double"))
+    val mse = broadcast(g
+      .groupBy()
+      .agg(sum(col("n")).as("bign"), count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("event_type"), col("ssw"))))
+          .as("s"))
+      .select(round(expr("aggregate(s, cast(0.0 as double)," +
+          " (acc, r) -> acc + r.ssw)") /
+        nullif((col("bign") - col("k")).cast("double"), lit(0.0d)) /
+        lit(100000000.0d), 6).as("mse")))
+    val a = g.select(col("event_type").as("t1"), col("n").as("n1"),
+      col("mean").as("m1"))
+    val b = g.select(col("event_type").as("t2"), col("n").as("n2"),
+      col("mean").as("m2"))
+    a.join(b, col("t1") < col("t2")).crossJoin(mse)
+      .select(col("t1"), col("t2"),
+        col("n1").cast("bigint").as("n1"), col("n2").cast("bigint").as("n2"),
+        col("m1").as("mean_1"), col("m2").as("mean_2"),
+        round(col("m1") - col("m2"), 6).as("diff"),
+        round(abs(col("m1") - col("m2")) /
+          nullif(sqrt(col("mse") / 2.0d *
+            (lit(1.0d) / col("n1").cast("double") +
+             lit(1.0d) / col("n2").cast("double"))), lit(0.0d)), 6)
+          .as("q_stat"))
+      .withColumn("significant", col("q_stat") > 3.858d)
+      .orderBy("t1", "t2")
+  }
+
   /** DeLong standard error of the ROC AUC — the inference layer over
     * [[statsRocAuc]]: the AUC is a two-sample U-statistic, and DeLong's
     * structural components give its variance without bootstrap:

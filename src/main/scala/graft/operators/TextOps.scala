@@ -1000,6 +1000,31 @@ object TextOps {
         col("n_docs"), col("first_doc"), col("last_doc"))
       .orderBy(col("n_docs").desc, col("template_hash").asc)
 
+  /** Word burstiness (Church–Gale) — occurrences per CONTAINING
+    * document for the corpus's top-20 words: a word with burstiness
+    * near 1 sprinkles uniformly (function-word behavior); high
+    * burstiness means a word clumps into few documents (topical /
+    * boilerplate behavior — the signal `text_boilerplate_ngrams` acts
+    * on, here at word grain). Exact integer counts; only the final
+    * ratio divides, round-6.
+    *
+    * Scale shape: one (word) aggregate with a distinct-doc count,
+    * top-20 via TakeOrderedAndProject — never a global sort. */
+  def textBurstiness(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("total_count"),
+           countDistinct(col("doc_id")).as("doc_count"))
+      .select(col("w").as("word"),
+        col("total_count").cast("bigint").as("total_count"),
+        col("doc_count").cast("bigint").as("doc_count"),
+        round(col("total_count").cast("double") /
+          col("doc_count").cast("double"), 6).as("burstiness"))
+      .orderBy(col("total_count").desc, col("word").asc)
+      .limit(20)
+
   /** Heaps'-law vocabulary growth — V(n) ≈ K·n^β, the sublinear
     * vocab-vs-tokens curve every tokenizer-budget and dedup-planning
     * decision reads: as the corpus streams in doc_id order, cumulative

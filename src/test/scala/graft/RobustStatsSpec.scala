@@ -294,6 +294,70 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("manifest snapshot: totals equal the table of record, and a " +
+      "directory-listing read WOULD see the planted orphan") {
+    val r = Sources.sinkManifestSnapshot(spark, sfSmoke).collect()(0)
+    val direct = Tables.events(spark, sfSmoke)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .agg(count(lit(1)).cast("bigint"),
+        sum(round(col("value"), 4).cast("decimal(18,4)")).cast("double"),
+        countDistinct(col("user_id")).cast("bigint"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") == direct.getLong(0))
+    assert(math.abs(r.getAs[Double]("total_value") - direct.getDouble(1))
+      <= 1e-6)
+    assert(r.getAs[Long]("n_users") == direct.getLong(2))
+    // the isolation is real only if the orphan is LIVE in the dir: a
+    // listing-based read must see more rows than the manifest read
+    val dirs = new java.io.File("/tmp").listFiles()
+      .filter(_.getName.startsWith("graft_manifest_"))
+      .sortBy(-_.lastModified())
+    assert(dirs.nonEmpty)
+    val unsafe = spark.read.parquet(dirs.head.getAbsolutePath + "/data")
+    assert(unsafe.count() > r.getAs[Long]("n_rows"),
+      "the orphan file must be visible to a naive directory read")
+  }
+
+  test("tukey hsd: all k(k-1)/2 pairs emitted, q nonnegative and " +
+      "symmetric in the pair, anova-consistent grand structure") {
+    val rows = Stats.statsTukeyHsd(spark, sfSmoke).collect()
+    val types = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+    val k = types.length
+    assert(rows.length == k * (k - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs are oriented t1 < t2")
+      assert(r.getAs[Double]("q_stat") >= 0.0)
+      assert(math.abs(r.getAs[Double]("diff") -
+        (r.getAs[Double]("mean_1") - r.getAs[Double]("mean_2"))) <= 2e-6)
+      assert(r.getAs[Boolean]("significant") ==
+        (r.getAs[Double]("q_stat") > 3.858))
+    }
+  }
+
+  test("burstiness: top-20 by count, ratio >= 1 and bounded by " +
+      "total/doc identity replayed for the top word") {
+    val rows = graft.operators.TextOps.textBurstiness(spark, sfSmoke)
+      .collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("total_count") >= b.getAs[Long]("total_count"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_count") <= r.getAs[Long]("total_count"))
+      assert(r.getAs[Double]("burstiness") >= 1.0 - 1e-9)
+    }
+    val top = rows.head
+    val replay = Tables.documents(spark, sfSmoke)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === top.getAs[String]("word"))
+    assert(replay.count() == top.getAs[Long]("total_count"))
+    assert(replay.select("doc_id").distinct().count() ==
+      top.getAs[Long]("doc_count"))
+  }
+
   test("delong: auc equals the mann-whitney roc key exactly, variance " +
       "components positive, CI brackets the point estimate") {
     val r = Stats.statsAucDelong(spark, sfSmoke).collect()(0)
