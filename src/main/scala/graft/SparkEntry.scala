@@ -312,6 +312,7 @@ object SparkEntry {
     "stats_tukey_hsd"    -> Stats.statsTukeyHsd _,
     "text_burstiness"    -> TextOps.textBurstiness _,
     "sink_manifest_snapshot" -> Sources.sinkManifestSnapshot _,
+    "model_lift_deciles" -> ModelEval.modelLiftDeciles _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2477,6 +2478,19 @@ object SparkEntry {
     "sink_manifest_snapshot" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_value, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL"),
+    // model_lift_deciles: round-6 percentile cutpoints, integer decile
+    // counts, windows over the 10-row decile frame.
+    "model_lift_deciles" ->
+      ("WITH v AS (SELECT round(value, 4) AS sc, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+       "cu AS (SELECT " + (1 to 9).map(i => s"round(quantile_cont(sc, 0.$i), 6) AS q$i").mkString(", ") + " FROM v), " +
+       "d AS (SELECT 10 - (" + (1 to 9).map(i => s"CAST(sc > q$i AS BIGINT)").mkString(" + ") + ") AS decile, y FROM v, cu), " +
+       "g AS (SELECT decile, count(*) AS n, sum(y) AS pos FROM d GROUP BY 1), " +
+       "c AS (SELECT decile, n, pos, sum(n) OVER w AS cum_n, sum(pos) OVER w AS cum_pos, sum(n) OVER () AS tot_n, sum(pos) OVER () AS tot_pos FROM g WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+       "SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n_rows, CAST(pos AS BIGINT) AS n_positives, " +
+       "round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS decile_rate, " +
+       "round(CAST(cum_pos AS DOUBLE) / nullif(CAST(tot_pos AS DOUBLE), 0.0), 6) AS cum_capture, " +
+       "round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / nullif(CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE), 0.0), 6) AS cum_lift " +
+       "FROM c ORDER BY decile"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

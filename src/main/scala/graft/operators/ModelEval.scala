@@ -160,4 +160,58 @@ object ModelEval {
           ((col("p1") - col("p2")) * (col("p1") - col("p2"))))
           .cast("bigint").as("n_required_per_arm"))
   }
+
+  /** Decile lift / cumulative-gains table — the campaign-targeting
+    * readout over the value-scores-purchases classifier the ROC/PR
+    * keys evaluate: rows ranked into score deciles by exact round-6
+    * percentile cutpoints (decile 1 = highest scores), each reporting
+    * its positive rate, the CUMULATIVE capture of all positives down
+    * to that depth, and lift = cumulative rate over the base rate.
+    * "Mailing the top 2 deciles captures X% of buyers at Y× random"
+    * is this table.
+    *
+    * Determinism: cutpoints are round-6 interpolated percentiles of
+    * round-4 scores (ties land the same side on both engines); counts
+    * are exact integers; the 10-row cumulative is a window over the
+    * bounded decile frame.
+    *
+    * Scale shape: one scan → percentile aggregate broadcast back, one
+    * (decile) count aggregate, windows over ≤10 rows. */
+  def modelLiftDeciles(s: SparkSession, sf: String): DataFrame = {
+    val v = Tables.events(s, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(round(col("value"), 4).as("sc"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+    val qs = (1 to 9).map(_ / 10.0)
+    val cutCols = qs.zipWithIndex.map { case (q, i) =>
+      round(expr(s"percentile(sc, $q)"), 6).as(s"q${i + 1}")
+    }
+    val cuts = broadcast(v.agg(cutCols.head, cutCols.tail: _*))
+    val byDecile = v.crossJoin(cuts)
+      .withColumn("decile", lit(10L) - qs.indices
+        .map(i => (col("sc") > col(s"q${i + 1}")).cast("long"))
+        .reduce(_ + _))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    byDecile
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("tot_n", sum(col("n")).over(wAll))
+      .withColumn("tot_pos", sum(col("pos")).over(wAll))
+      .select(col("decile").cast("bigint").as("decile"),
+        col("n").cast("bigint").as("n_rows"),
+        col("pos").cast("bigint").as("n_positives"),
+        round(col("pos").cast("double") / col("n").cast("double"), 6)
+          .as("decile_rate"),
+        round(col("cum_pos").cast("double") /
+          nullif(col("tot_pos").cast("double"), lit(0.0d)), 6)
+          .as("cum_capture"),
+        round((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+          nullif(col("tot_pos").cast("double") / col("tot_n").cast("double"),
+            lit(0.0d)), 6).as("cum_lift"))
+      .orderBy("decile")
+  }
 }

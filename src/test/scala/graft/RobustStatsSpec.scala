@@ -294,6 +294,27 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("did_estimate") - did) <= 2e-6)
   }
 
+  test("lift deciles: capture monotone to 1.0, final lift exactly 1, " +
+      "counts conserve the corpus") {
+    val rows = graft.operators.ModelEval.modelLiftDeciles(spark, sfSmoke)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Double]("cum_capture") <=
+        b.getAs[Double]("cum_capture") + 1e-9)
+      case _ =>
+    }
+    val last = rows.last
+    assert(math.abs(last.getAs[Double]("cum_capture") - 1.0) <= 1e-6,
+      "full depth must capture every positive")
+    assert(math.abs(last.getAs[Double]("cum_lift") - 1.0) <= 1e-6,
+      "full depth is the base rate by definition")
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val direct = Tables.events(spark, sfSmoke)
+      .filter(col("value").isNotNull && col("event_type").isNotNull).count()
+    assert(total == direct)
+  }
+
   test("manifest snapshot: totals equal the table of record, and a " +
       "directory-listing read WOULD see the planted orphan") {
     val r = Sources.sinkManifestSnapshot(spark, sfSmoke).collect()(0)
