@@ -313,6 +313,7 @@ object SparkEntry {
     "text_burstiness"    -> TextOps.textBurstiness _,
     "sink_manifest_snapshot" -> Sources.sinkManifestSnapshot _,
     "model_lift_deciles" -> ModelEval.modelLiftDeciles _,
+    "graph_rich_club"    -> Graph.graphRichClub _,
     "text_template_mining" -> TextOps.textTemplateMining _,
     "graph_label_propagation" -> Graph.graphLabelPropagation _,
     "graph_hits"         -> Graph.graphHits _,
@@ -2491,6 +2492,22 @@ object SparkEntry {
        "round(CAST(cum_pos AS DOUBLE) / nullif(CAST(tot_pos AS DOUBLE), 0.0), 6) AS cum_capture, " +
        "round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / nullif(CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE), 0.0), 6) AS cum_lift " +
        "FROM c ORDER BY decile"),
+    // graph_rich_club: the triangles-key edge CTE symmetrized; strict
+    // > on the round-6 p90 threshold; ratio from the ROUNDED densities.
+    "graph_rich_club" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
+       "deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1), " +
+       "th AS (SELECT round(quantile_cont(d, 0.9), 6) AS p90 FROM deg), " +
+       "rich AS (SELECT u FROM deg, th WHERE CAST(d AS DOUBLE) > p90), " +
+       "er AS (SELECT count(*) AS e_rich FROM sym JOIN rich r1 ON sym.u = r1.u JOIN rich r2 ON sym.v = r2.u), " +
+       "tot AS (SELECT (SELECT count(*) FROM deg) AS n_nodes, (SELECT count(*) FROM sym) AS e_all, (SELECT count(*) FROM rich) AS n_rich), " +
+       "dd AS (SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(e_all AS BIGINT) AS n_edges_sym, th.p90 AS deg_p90, CAST(n_rich AS BIGINT) AS n_rich, CAST(er.e_rich AS BIGINT) AS n_edges_rich, " +
+       "round(CAST(er.e_rich AS DOUBLE) / nullif(CAST(n_rich * (n_rich - 1) AS DOUBLE), 0.0), 6) AS density_rich, " +
+       "round(CAST(e_all AS DOUBLE) / nullif(CAST(n_nodes * (n_nodes - 1) AS DOUBLE), 0.0), 6) AS density_all " +
+       "FROM tot, th, er) " +
+       "SELECT *, round(density_rich / nullif(density_all, 0.0), 6) AS rich_club_ratio FROM dd"),
     // timeseries_croston: the per-part Croston recursion replayed as a
     // recursive CTE over the demand-day subsequence; demand x is an
     // exact decimal sum cast to double, the interval carries through

@@ -255,6 +255,53 @@ object Graph {
   private def coPurchaseSym(s: SparkSession, sf: String): DataFrame =
     coPurchaseFrames(s, sf)._2
 
+  /** Rich-club coefficient of the co-purchase graph — do the hub parts
+    * preferentially co-occur with EACH OTHER? Nodes above the degree
+    * p90 form the club; φ = density among club members over the whole
+    * graph's density. φ ≫ 1 is the "core of bestsellers bought
+    * together" structure assortativity's single correlation cannot
+    * localize.
+    *
+    * Determinism: degrees are exact integers; the threshold is the
+    * round-6 exact interpolated percentile (strictly-above membership
+    * ties the same way on both engines); densities are exact-ratio
+    * doubles with nullif-guarded denominators.
+    *
+    * Scale shape: rides the session-memoized symmetric adjacency; one
+    * node-grain degree aggregate, a broadcast threshold, two semi-join
+    * passes for the club edge count — no new pair spaces. */
+  def graphRichClub(s: SparkSession, sf: String): DataFrame = {
+    val sym = coPurchaseSym(s, sf)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val th = broadcast(deg.agg(
+      round(expr("percentile(d, 0.9)"), 6).as("p90")))
+    val rich = deg.crossJoin(th)
+      .filter(col("d").cast("double") > col("p90"))
+      .select(col("u").as("rn"))
+    val eRich = sym
+      .join(rich.withColumnRenamed("rn", "u"), Seq("u"))
+      .join(rich.withColumnRenamed("rn", "v"), Seq("v"))
+      .agg(count(lit(1)).as("e_rich"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(sym.agg(count(lit(1)).as("e_all")))
+      .crossJoin(rich.agg(count(lit(1)).as("n_rich")))
+      .crossJoin(eRich)
+      .crossJoin(th)
+      .select(col("n_nodes").cast("bigint").as("n_nodes"),
+        col("e_all").cast("bigint").as("n_edges_sym"),
+        col("p90").as("deg_p90"),
+        col("n_rich").cast("bigint").as("n_rich"),
+        col("e_rich").cast("bigint").as("n_edges_rich"),
+        round(col("e_rich").cast("double") /
+          nullif((col("n_rich") * (col("n_rich") - 1L)).cast("double"),
+            lit(0.0d)), 6).as("density_rich"),
+        round(col("e_all").cast("double") /
+          nullif((col("n_nodes") * (col("n_nodes") - 1L)).cast("double"),
+            lit(0.0d)), 6).as("density_all"))
+      .withColumn("rich_club_ratio",
+        round(col("density_rich") / nullif(col("density_all"), lit(0.0d)), 6))
+  }
+
   /** Breadth-first search over the co-purchase graph: hop distance from
     * the minimum part id in the edge set, four synchronous frontier
     * expansions, emitted as the reachability profile (one row per hop

@@ -469,4 +469,17 @@ class GraphStatsSpec extends SparkSpecBase {
     assert(out.map(_._3).sum == sess.length,
       "per-day session starts must total the session count")
   }
+
+  test("rich club: club is nonempty and strictly high-degree, density " +
+      "ratio consistent with the reported densities") {
+    val r = graft.operators.Graph.graphRichClub(spark, sfSmoke).collect()(0)
+    assert(r.getAs[Long]("n_rich") > 0)
+    assert(r.getAs[Long]("n_rich") < r.getAs[Long]("n_nodes"),
+      "a p90 threshold cannot admit every node")
+    assert(r.getAs[Long]("n_edges_rich") <= r.getAs[Long]("n_edges_sym"))
+    val ratio = r.getAs[Double]("rich_club_ratio")
+    assert(!ratio.isNaN && ratio >= 0.0)
+    assert(math.abs(ratio - r.getAs[Double]("density_rich") /
+      r.getAs[Double]("density_all")) <= 1e-4)
+  }
 }
