@@ -64,28 +64,55 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.map { case (name, fn) =>
       (name, fn, once(fn))
     }
-    val results = firstPass.map { case (name, fn, a) =>
+    // Second pass runs MOST-EXPENSIVE-FIRST: the re-run budget gates
+    // second runs, and min-of-two matters most on the keys where a
+    // contention spike costs whole seconds — a noisy 3 s graph kernel
+    // re-measured beats a noisy 0.2 s scalar key re-measured. Every key
+    // already holds a full-work first-pass timing, so budget exhaustion
+    // degrades the CHEAP tail to single-shot, where noise is bounded by
+    // the key's own size.
+    val results = firstPass.sortBy(-_._3).map { case (name, fn, a) =>
       val b = if (a < 0 || wallSec > rerunBudgetSec) a else once(fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // A failed query reports -1.0 per-query (visible in the detail line)
-    // but must not SUBTRACT from the total — sum only real timings and
-    // surface the failure count alongside.
-    val ok = results.map(_._2).filter(_ >= 0)
-    val total = if (ok.nonEmpty) ok.sum else 0.0
-    val nErrors = results.map(_._2).count(_ < 0)
     // stop() BEFORE printing: Spark's shutdown logging must not land after
     // the metric lines — the driver parses the LAST stdout line as JSON.
     // stop() itself must never kill the metric (a lingering streaming or
     // bucketed-table resource throwing here would lose the whole bench).
     try spark.stop() catch { case _: Throwable => () }
-    // Per-query detail goes on its OWN line, first: the full map is ~6 KB
+    // Per-query detail goes on its OWN line, first: the full map is ~8 KB
     // and the driver captures only a ~2 KB stdout tail, so the LAST line
     // must be short (<200 B) to always be captured whole and parse clean.
-    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErrors,"sf":"$sfDir"}""")
+    println(detailLine(results, sfDir))
+    println(totalLine(results, sfDir))
     System.out.flush()
+  }
+
+  /** Per-key detail JSON line, entries sorted by cost DESCENDING: the
+    * driver keeps only a ~2 KB stdout tail, so whatever suffix of this
+    * line survives is the CHEAP tail — the expensive keys the driver
+    * would misread from a truncated slice are the first to fall off,
+    * and the authoritative total line (printed after, <200 B) is always
+    * captured whole. Failed keys (-1.0) sort to the very end. */
+  private[graft] def detailLine(results: Seq[(String, Double)],
+                                sfDir: String): String = {
+    val qs = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else -v }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  /** The LAST stdout line — the one the driver's tail-parse reads as
+    * the bench result. Must stay short (<200 B) and valid JSON under
+    * any key count; BenchOutputSpec pins that contract.
+    * A failed query reports -1.0 per-query (visible in the detail line)
+    * but must not SUBTRACT from the total — sum only real timings and
+    * surface the failure count alongside. */
+  private[graft] def totalLine(results: Seq[(String, Double)],
+                               sfDir: String): String = {
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val nErrors = results.map(_._2).count(_ < 0)
+    s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErrors,"sf":"$sfDir"}"""
   }
 }

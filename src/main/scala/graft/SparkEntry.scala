@@ -229,6 +229,7 @@ object SparkEntry {
     "retention_cohorts"  -> Pipeline.retentionCohorts _,
     "sessionize_gap"     -> Pipeline.sessionizeGap _,
     "pipeline_filter_funnel" -> Pipeline.filterFunnel _,
+    "pipeline_corpus_build" -> Pipeline.pipelineCorpusBuild _,
     "text_word_zipf"     -> TextOps.textWordZipf _,
     "text_keywords_tfidf" -> TextOps.textKeywordsTfidf _,
     // behavioral statistics (user-study platform analysis set)
@@ -411,7 +412,6 @@ object SparkEntry {
     // oracle-N by design: the top-4 basis comes from an iterative
     // eigensolve (spec asserts the projection identity instead)
     "embed_pca_project" -> Similarity.embedPcaProject _,
-    "stats_proportion_ztest" -> Stats.statsProportionZtest _,
     "graph_modularity"   -> Graph.graphModularity _,
     "stats_effect_size"  -> Stats.statsEffectSize _,
     "stats_roc_auc"      -> Stats.statsRocAuc _,
@@ -427,9 +427,6 @@ object SparkEntry {
     "multimodal_framesample_png" -> Multimodal.multimodalFramesamplePng _,
     "multimodal_phash"  -> Multimodal.multimodalPhash _,
     "multimodal_wav_resample" -> Multimodal.multimodalWavResample _,
-    "multimodal_decode"  -> Multimodal.multimodalDecode _,
-    "multimodal_resize"  -> Multimodal.multimodalResize _,
-    "multimodal_framesample" -> Multimodal.multimodalFramesample _,
     // §2.9 streaming batch twins + a real streaming run
     "stream_tumbling"   -> Streaming.tumblingBatch _,
     "stream_sliding"    -> Streaming.slidingBatch _,
@@ -815,6 +812,34 @@ object SparkEntry {
     // pipeline_filter_funnel: the same gate expressions as
     // text_quality_score (alpha ratio) and dedup_exact (bag md5), so
     // the funnel's counts reconcile with the per-doc graded keys.
+    // pipeline_corpus_build: the oracle replays the whole one-plan
+    // funnel — gates (rounded ratios at 6, keep-first windows on
+    // md5/bag hashes), the 5-gram eval decontamination as an explicit
+    // anti-join, the per-source 2048-token offset pack, and the
+    // min-lang quota mix, with every HUGEINT sum cast back to BIGINT.
+    "pipeline_corpus_build" ->
+      ("WITH d AS (SELECT doc_id, lang, source, text, n_chars, doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0 AS g1, string_split(text, ' ') AS ws FROM documents), " +
+       "f AS (SELECT *, g1 AND coalesce(n_chars, 0) >= 100 AND lang IS NOT NULL AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) >= 0.5 AND round(CAST(len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1), 6) >= 0.3 AS g2, md5(text) AS h_exact, md5(array_to_string(list_sort(ws), ' ')) AS h_bag, doc_id % 50 = 0 AS is_eval, len(ws) AS ntok FROM d), " +
+       "k AS (SELECT *, g2 AND doc_id = min(CASE WHEN g2 THEN doc_id END) OVER (PARTITION BY h_exact) AS g3 FROM f), " +
+       "k2 AS (SELECT *, g3 AND doc_id = min(CASE WHEN g3 THEN doc_id END) OVER (PARTITION BY h_bag) AS g4 FROM k), " +
+       "sh AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(range(1, len(ws) - 3), i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS shingle FROM k2 WHERE len(ws) >= 5 AND (g4 OR is_eval)), " +
+       "ev AS (SELECT DISTINCT shingle FROM sh WHERE is_eval), " +
+       "cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle) WHERE NOT s.is_eval), " +
+       "k3 AS (SELECT k2.*, g4 AND NOT is_eval AND cont.doc_id IS NULL AS g5 FROM k2 LEFT JOIN cont ON k2.doc_id = cont.doc_id), " +
+       "p AS (SELECT *, coalesce(sum(CASE WHEN g5 THEN ntok ELSE 0 END) OVER (PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM k3), " +
+       "p2 AS (SELECT *, CASE WHEN g5 THEN CAST(floor(off / 2048.0) AS BIGINT) END AS bin FROM p), " +
+       "ls AS (SELECT lang, source, count(*) AS n0, count(*) FILTER (g1) AS n1, count(*) FILTER (g2) AS n2, count(*) FILTER (g3) AS n3, count(*) FILTER (g4) AS n4, count(*) FILTER (g5) AS n5, max(bin) AS max_bin FROM p2 GROUP BY 1, 2), " +
+       "t AS (SELECT CAST(coalesce(sum(n0), 0) AS BIGINT) AS n0, CAST(coalesce(sum(n1), 0) AS BIGINT) AS n1, CAST(coalesce(sum(n2), 0) AS BIGINT) AS n2, CAST(coalesce(sum(n3), 0) AS BIGINT) AS n3, CAST(coalesce(sum(n4), 0) AS BIGINT) AS n4, CAST(coalesce(sum(n5), 0) AS BIGINT) AS n5 FROM ls), " +
+       "sq AS (SELECT CAST(coalesce(sum(CASE WHEN s5 > 0 THEN mb + 1 ELSE 0 END), 0) AS BIGINT) AS n_seq FROM (SELECT source, max(max_bin) AS mb, sum(n5) AS s5 FROM ls GROUP BY 1) z), " +
+       "mx AS (SELECT CAST(min(l5) AS BIGINT) AS quota, CAST(count(*) AS BIGINT) AS n_langs FROM (SELECT lang, sum(n5) AS l5 FROM ls GROUP BY 1) z WHERE l5 > 0), " +
+       "a AS (SELECT * FROM t, sq, mx) " +
+       "SELECT CAST(1 AS BIGINT) AS stage_idx, 'nonempty' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM a " +
+       "UNION ALL SELECT 2, 'quality', n1, n1 - n2, n2 FROM a " +
+       "UNION ALL SELECT 3, 'exact_dedup', n2, n2 - n3, n3 FROM a " +
+       "UNION ALL SELECT 4, 'neardup_rep', n3, n3 - n4, n4 FROM a " +
+       "UNION ALL SELECT 5, 'decontaminate', n4, n4 - n5, n5 FROM a " +
+       "UNION ALL SELECT 6, 'pack', n5, 0, n_seq FROM a " +
+       "UNION ALL SELECT 7, 'domain_mix', n5, n5 - quota * n_langs, quota * n_langs FROM a ORDER BY stage_idx"),
     "pipeline_filter_funnel" ->
       "WITH d AS (SELECT doc_id, text, text IS NOT NULL AND length(text) > 0 AS g1, len(string_split(text, ' ')) AS n_words, CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS non_alpha, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h FROM documents), f AS (SELECT *, g1 AND length(text) >= 100 AS g2 FROM d), f2 AS (SELECT *, g2 AND n_words BETWEEN 10 AND 10000 AS g3 FROM f), f3 AS (SELECT *, g3 AND non_alpha <= 0.3 AS g4 FROM f2), k AS (SELECT *, g4 AND doc_id = min(CASE WHEN g4 THEN doc_id END) OVER (PARTITION BY h) AS g5 FROM f3), c AS (SELECT count(*) AS n0, count(*) FILTER (WHERE g1) AS n1, count(*) FILTER (WHERE g2) AS n2, count(*) FILTER (WHERE g3) AS n3, count(*) FILTER (WHERE g4) AS n4, count(*) FILTER (WHERE g5) AS n5 FROM k) SELECT CAST(1 AS BIGINT) AS stage_idx, 'nonempty' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM c UNION ALL SELECT 2, 'min_length', n1, n1 - n2, n2 FROM c UNION ALL SELECT 3, 'word_count', n2, n2 - n3, n3 FROM c UNION ALL SELECT 4, 'alpha_quality', n3, n3 - n4, n4 FROM c UNION ALL SELECT 5, 'exact_dedup', n4, n4 - n5, n5 FROM c ORDER BY stage_idx",
     // text_word_zipf: total (freq DESC, word ASC) order makes the
@@ -1449,11 +1474,17 @@ object SparkEntry {
     // cardinalities); both directions gated on the rounded value.
     "dedup_containment" ->
       "WITH w AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents) SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws), 6) AS cont1_in_2, round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(b.ws), 6) AS cont2_in_1 FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id WHERE greatest(round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws), 6), round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(b.ws), 6)) >= 0.9 ORDER BY source, id1, id2",
-    // stats_proportions_ztest: pooled two-proportion z on per-user
-    // conversion flags (any purchase > 200); same md5 arm split as the
-    // t test; nullif-guarded divisors on both engines.
+    // stats_proportions_ztest: pooled two-proportion z at BOTH grains
+    // (event: is-a-purchase rate; user: any-purchase>200 conversion —
+    // the r10 consolidation of the former stats_proportion_ztest);
+    // same md5 arm split as the t test, identical closed form per
+    // grain, nullif-guarded divisors on both engines.
     "stats_proportions_ztest" ->
-      "WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS conv FROM events WHERE user_id IS NOT NULL GROUP BY 1), t AS (SELECT CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a, conv FROM u), g AS (SELECT sum(a) AS na, sum(1 - a) AS nb, sum(a * conv) AS xa, sum((1 - a) * conv) AS xb FROM t) SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, CAST(xa AS BIGINT) AS conv_a, CAST(xb AS BIGINT) AS conv_b, round(CAST(xa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0), 6) AS p_a, round(CAST(xb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0), 6) AS p_b, round((CAST(xa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0) - CAST(xb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) / nullif(sqrt((CAST(xa + xb AS DOUBLE) / nullif(CAST(na + nb AS DOUBLE), 0)) * (1.0 - CAST(xa + xb AS DOUBLE) / nullif(CAST(na + nb AS DOUBLE), 0)) * (CAST(1.0 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0) + CAST(1.0 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0))), 0), 6) AS z_score FROM g",
+      ("WITH ef AS (SELECT CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a, CAST(event_type = 'purchase' AS BIGINT) AS conv FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+       "u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS conv FROM events WHERE user_id IS NOT NULL GROUP BY 1), " +
+       "uf AS (SELECT CAST(substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS BIGINT) AS a, conv FROM u), " +
+       "g AS (SELECT 'event' AS grain, sum(a) AS na, sum(1 - a) AS nb, sum(a * conv) AS xa, sum((1 - a) * conv) AS xb FROM ef UNION ALL SELECT 'user' AS grain, sum(a) AS na, sum(1 - a) AS nb, sum(a * conv) AS xa, sum((1 - a) * conv) AS xb FROM uf) " +
+       "SELECT grain, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, CAST(xa AS BIGINT) AS conv_a, CAST(xb AS BIGINT) AS conv_b, round(CAST(xa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0), 6) AS p_a, round(CAST(xb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0), 6) AS p_b, round((CAST(xa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0) - CAST(xb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) / nullif(sqrt((CAST(xa + xb AS DOUBLE) / nullif(CAST(na + nb AS DOUBLE), 0)) * (1.0 - CAST(xa + xb AS DOUBLE) / nullif(CAST(na + nb AS DOUBLE), 0)) * (CAST(1.0 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0) + CAST(1.0 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0))), 0), 6) AS z_score FROM g ORDER BY grain"),
     // agg_weighted_median: the oracle uses the naive global running-sum
     // window; the engine's bucketed prefix must pick the identical
     // value (integer threshold 2*cum >= W on both engines).
@@ -1637,12 +1668,6 @@ object SparkEntry {
       "SELECT d.doc_id AS doc_id, CAST(to_json(struct_pack(lang := lang, source := source, n_chars := n_chars)) AS VARCHAR) AS meta_json, CAST(len(embedding) AS BIGINT) AS emb_dim, round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY doc_id",
     "multimodal_binary" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, md5(text) AS content_md5, substring(text, 1, 4) AS head4 FROM documents ORDER BY doc_id",
-    "multimodal_decode" ->
-      "SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + octet_length(CAST(text AS BLOB)) % 512) * (64 + ascii(substring(text, 1, 1)) % 512) * 3 AS BIGINT) AS n_pixels FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY doc_id",
-    "multimodal_resize" ->
-      "WITH d AS (SELECT doc_id, CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width, CAST(64 + ascii(substring(text, 1, 1)) % 512 AS INTEGER) AS height FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) SELECT doc_id, width, height, CAST(floor(width * 224.0 / greatest(width, height)) AS BIGINT) AS out_w, CAST(floor(height * 224.0 / greatest(width, height)) AS BIGINT) AS out_h FROM d ORDER BY doc_id",
-    "multimodal_framesample" ->
-      "WITH d AS (SELECT doc_id, 1 + octet_length(CAST(text AS BLOB)) % 1024 AS n_frames FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), p AS (SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, CAST((n_frames + 15) // 16 AS BIGINT) AS step FROM d) SELECT doc_id, n_frames, step, (n_frames - 1) // step + 1 AS n_sampled, step * ((n_frames - 1) // step) AS last_index FROM p ORDER BY doc_id",
     "stream_tumbling" ->
       "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
     "stream_join" ->
@@ -2128,13 +2153,6 @@ object SparkEntry {
        "tt AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos_trunc DESC, nid ASC) AS rn FROM p) t WHERE rn <= 5), " +
        "o AS (SELECT tf.qid, count(*) AS n_overlap FROM tf JOIN tt ON tf.qid = tt.qid AND tf.nid = tt.nid GROUP BY 1) " +
        "SELECT q.qid AS qid, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap, round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / 5, 6) AS recall_at_5 FROM q LEFT JOIN o ON q.qid = o.qid ORDER BY qid"),
-    // stats_proportion_ztest: the same md5 arm split as the t/KS tests;
-    // four FILTERed integer counts into the pooled closed form.
-    "stats_proportion_ztest" ->
-      ("WITH b AS (SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS a, event_type = 'purchase' AS conv FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
-       "c AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a, CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b, CAST(count(*) FILTER (a AND conv) AS BIGINT) AS x_a, CAST(count(*) FILTER (NOT a AND conv) AS BIGINT) AS x_b FROM b) " +
-       "SELECT n_a, n_b, x_a, x_b, round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b, " +
-       "round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat FROM c"),
     // graph_modularity: eight unrolled min-label rounds (the defined
     // semantics — min node id within 8 hops), then the same Q algebra
     // over 6-rounded per-community contributions.

@@ -6,14 +6,14 @@ import graft.Tables
 
 /** Multimodal-column pattern: opaque binary payloads + typed metadata.
   *
-  * The container has no external image/audio codecs (task brief: STUB
-  * the decode), so the generic decode path uses text-as-binary with a
-  * deterministic fake — but the Spark-side plumbing (binary columns,
-  * metadata structs, partition-parallel decode via mapPartitions,
-  * schema of the decoded output) is real and tested. EXCEPTION:
-  * PNG needs no external codec (`javax.imageio` is part of the JDK),
-  * so multimodalDecodePng below is a REAL encode→decode round trip,
-  * oracle-verified pixel-exactly.
+  * The container has no EXTERNAL image/audio codecs, but the JDK's own
+  * suffice: PNG via `javax.imageio` and WAV via `javax.sound.sampled`
+  * need nothing outside the JVM, so every decode/resize/framesample
+  * key here is a REAL encode→decode round trip over genuine binary
+  * columns (partition-parallel mapPartitions decode, one codec init
+  * per partition), oracle-verified pixel-/sample-exactly. The r7-era
+  * text-as-binary stub trio these superseded was removed in r11 (r10
+  * verdict ask #4).
   */
 object Multimodal {
 
@@ -55,100 +55,6 @@ object Multimodal {
     * on a real cluster, so the driver setting wouldn't reach them). */
   private def imageIoNoDiskCache(): Unit =
     javax.imageio.ImageIO.setUseCache(false)
-
-  /** Decoded "image" record produced by the stub decoder. */
-  case class DecodedAsset(doc_id: Long, width: Int, height: Int,
-                          channels: Int, n_pixels: Long)
-
-  /** STUB: deterministic fake image decode — real codecs are absent in
-    * this container. Derives dimensions from the payload bytes; the
-    * partition-parallel shape (iterator-in/iterator-out, no
-    * driver-side materialization) is exactly how a real decoder plugs
-    * in (a Pandas-UDF/mapInArrow equivalent in the Scala API). */
-  private def stubDecode(id: Long, payload: Array[Byte]): DecodedAsset = {
-    val w = 64 + (payload.length % 512)
-    val h = 64 + ((if (payload.nonEmpty) payload(0) & 0xff else 0) % 512)
-    DecodedAsset(id, w, h, 3, w.toLong * h * 3)
-  }
-
-  /** mapPartitions decode pipeline over (doc_id, payload) — one decoder
-    * instantiation per partition (where a real pipeline would init the
-    * codec once), streaming rows through without collecting. */
-  def multimodalDecode(s: SparkSession, sf: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, sf)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .na.drop()  // decoder skip-contract (stated in the oracle too):
-                  // a null id cannot enter the primitive-field encoder
-                  // and a null payload has nothing to decode — a real
-                  // pipeline quarantines these rows
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition decoder setup would go here (codec init, buffers)
-        it.map { case (id, bytes) => stubDecode(id, bytes) }
-      }
-      .toDF()
-      .orderBy("doc_id")
-  }
-
-  /** Resize plan for the decoded asset: fit into 224×224 preserving
-    * aspect ratio. The geometry (floor(dim × 224 / longest-side)) is
-    * pure integer-exact double arithmetic, so unlike the codec it needs
-    * no stubbing — the oracle recomputes it bit-identically. Shape is
-    * the decode pipeline's: typed mapPartitions, one resizer per
-    * partition. */
-  case class ResizePlan(doc_id: Long, width: Int, height: Int,
-                        out_w: Long, out_h: Long)
-
-  def multimodalResize(s: SparkSession, sf: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, sf)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .na.drop()  // decoder skip-contract (stated in the oracle too):
-                  // a null id cannot enter the primitive-field encoder
-                  // and a null payload has nothing to decode — a real
-                  // pipeline quarantines these rows
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val d = stubDecode(id, bytes)
-          val longest = math.max(d.width, d.height).toDouble
-          ResizePlan(id, d.width, d.height,
-            math.floor(d.width * 224.0 / longest).toLong,
-            math.floor(d.height * 224.0 / longest).toLong)
-        }
-      }
-      .toDF()
-      .orderBy("doc_id")
-  }
-
-  /** Frame-sampling plan for a fake video: n_frames derived from the
-    * payload length, sample every ⌈n/16⌉-th frame (≤ 16 frames out).
-    * Integer arithmetic only → oracle-exact; scalar columns only (the
-    * sampled index list stays implicit as first/step/count). */
-  case class FramePlan(doc_id: Long, n_frames: Long, step: Long,
-                       n_sampled: Long, last_index: Long)
-
-  def multimodalFramesample(s: SparkSession, sf: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, sf)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .na.drop()  // decoder skip-contract (stated in the oracle too):
-                  // a null id cannot enter the primitive-field encoder
-                  // and a null payload has nothing to decode — a real
-                  // pipeline quarantines these rows
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val n = 1L + (bytes.length % 1024)
-          val step = (n + 15L) / 16L          // ceil(n/16)
-          val sampled = (n - 1L) / step + 1L  // frames 0, step, 2·step, …
-          FramePlan(id, n, step, sampled, step * (sampled - 1L))
-        }
-      }
-      .toDF()
-      .orderBy("doc_id")
-  }
 
   /** REAL image decode — PNG needs no external codec (`javax.imageio`
     * ships with the JDK), so this key upgrades the stubbed decode path

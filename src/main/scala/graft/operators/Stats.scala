@@ -976,21 +976,33 @@ object Stats {
     * and its state (one running array per type) is explicitly bounded.
     */
   def timeseriesEwma(s: SparkSession, sf: String): DataFrame = {
-    DailyFrames.daily(s, sf)
+    import s.implicits._
+    // Per-type imperative scan instead of the SQL `aggregate` fold whose
+    // `acc || array(…)` accumulator copies the whole array per step
+    // (O(days²)) — the timeseriesEwmVar shape (r10 verdict ask #5).
+    // Same IEEE op order as the fold (0.3·x + 0.7·prev), and the same
+    // null propagation: an all-null purchase day poisons the series from
+    // that point on, exactly as 0.3·NULL does in both engines' folds —
+    // hence the boxed Double (a primitive would silently zero it).
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type") === "purchase")
       .select(col("event_type"), col("d"), col("x4").as("x"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
-      .select(col("event_type"), explode(expr(
-        """aggregate(s,
-             cast(array() as array<struct<d: date, x: double, e: double>>),
-             (acc, r) -> acc || array(named_struct(
-               'd', r.d, 'x', r.x,
-               'e', if(size(acc) = 0, r.x,
-                       0.3d * r.x + 0.7d * element_at(acc, -1).e))))"""))
-        .as("r"))
-      .select(col("event_type"), col("r.d").as("d"),
-              round(col("r.x"), 4).as("x"), round(col("r.e"), 6).as("ewma"))
+      .as[(String, java.sql.Date, java.lang.Double)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, java.lang.Double)]) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var e: java.lang.Double = null
+        var first = true
+        rows.iterator.map { case (_, d, x) =>
+          e = if (first) { first = false; x }
+              else if (x == null || e == null) null
+              else java.lang.Double.valueOf(0.3d * x + 0.7d * e)
+          (t, d, x, e)
+        }
+      }
+      .toDF("event_type", "d", "x", "e")
+      .select(col("event_type"), col("d"),
+              round(col("x"), 4).as("x"), round(col("e"), 6).as("ewma"))
       .orderBy("event_type", "d")
   }
 
@@ -1083,36 +1095,37 @@ object Stats {
       .orderBy("event_id")
   }
 
-  /** Two-proportion z-test on CONVERSION (did a user purchase at all?)
-    * between the deterministic md5 arms — the binary-outcome companion
-    * to the t/KS/Mann–Whitney family: experiments whose metric is a
-    * rate, not a value. p̂ pools both arms; z = (p_a − p_b) /
-    * √(p̂(1−p̂)(1/n_a + 1/n_b)).
+  /** Two-proportion z-test on conversion between the deterministic md5
+    * arms, at BOTH grains a rate experiment is read (r10 verdict ask
+    * #4 — this key absorbs the former `stats_proportion_ztest`, which
+    * was the same pooled closed form at event grain):
     *
-    * Scale shape: one user-grain aggregate (map-side combinable
-    * max-flag), then ONE conditional scalar aggregate over the user
-    * frame — no window, no join, same cost as a count. Conversion is
-    * "any purchase over 200" (plain "any purchase" is degenerate on
-    * this corpus: every user converts, p̂ = 1 and the z denominator
-    * vanishes); every divisor rides a nullif so a one-armed or
-    * conversion-free corpus yields NULL statistics, never an ANSI
-    * divide-by-zero. */
+    *   - `user` grain: did a user convert at all? (any purchase over
+    *     200 — plain "any purchase" is degenerate on this corpus:
+    *     every user converts, p̂ = 1 and the z denominator vanishes);
+    *   - `event` grain: is an event a purchase? (the per-impression
+    *     rate a dashboard quotes).
+    *
+    * p̂ pools both arms; z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+    *
+    * Scale shape: each grain is one map-side-combinable aggregate over
+    * the scan (the user grain collapses to user-grain max-flags first)
+    * into ONE scalar row — no window, no join, same cost as a count.
+    * Every divisor rides a nullif so a one-armed or conversion-free
+    * corpus yields NULL statistics, never an ANSI divide-by-zero. */
   def statsProportionsZtest(s: SparkSession, sf: String): DataFrame = {
     val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
       .isin("0", "1", "2", "3", "4", "5", "6", "7").cast("long")
     def nz(c: org.apache.spark.sql.Column) = nullif(c, lit(0))
     val pHat = (col("xa") + col("xb")).cast("double") /
       nz((col("na") + col("nb")).cast("double"))
-    Tables.events(s, sf)
-      .filter(col("user_id").isNotNull)
-      .groupBy(col("user_id"))
-      .agg(max((col("event_type") === "purchase" && col("value") > 200)
-        .cast("long")).as("conv"))
-      .select(arm.as("a"), col("conv"))
+    // flags: (a, conv) as 0/1 longs → one pooled-z scalar row per grain
+    def zRow(grain: String, flags: DataFrame): DataFrame = flags
       .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"),
            sum(col("a") * col("conv")).as("xa"),
            sum((lit(1L) - col("a")) * col("conv")).as("xb"))
-      .select(col("na").cast("bigint").as("n_a"),
+      .select(lit(grain).as("grain"),
+        col("na").cast("bigint").as("n_a"),
         col("nb").cast("bigint").as("n_b"),
         col("xa").cast("bigint").as("conv_a"),
         col("xb").cast("bigint").as("conv_b"),
@@ -1125,6 +1138,18 @@ object Stats {
           nz(sqrt(pHat * (lit(1.0) - pHat) *
             (lit(1.0) / nz(col("na").cast("double")) +
              lit(1.0) / nz(col("nb").cast("double"))))), 6).as("z_score"))
+    val userFlags = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase" && col("value") > 200)
+        .cast("long")).as("conv"))
+      .select(arm.as("a"), col("conv"))
+    val eventFlags = Tables.events(s, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(arm.as("a"),
+        (col("event_type") === "purchase").cast("long").as("conv"))
+    zRow("event", eventFlags).unionByName(zRow("user", userFlags))
+      .orderBy("grain")
   }
 
   /** Kaplan–Meier survival curve of user lifetime (days between first
@@ -1184,30 +1209,44 @@ object Stats {
     * (type, day) aggregate; the recursion folds per type over
     * calendar-bounded arrays. */
   def timeseriesHolt(s: SparkSession, sf: String): DataFrame = {
-    DailyFrames.daily(s, sf)
+    import s.implicits._
+    // Imperative O(days) scan replacing the O(days²) `acc || array(…)`
+    // fold (r10 verdict ask #5; the timeseriesEwmVar shape). newL is
+    // computed ONCE and reused in the b-step — the same double the
+    // fold's inline re-statement of the identical expression tree
+    // yields, so the series is bit-identical. Boxed Doubles preserve
+    // the fold's null propagation (an all-null day poisons l and b
+    // from that point on in both engines).
+    val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type") === "purchase")
       .select(col("event_type"), col("d"), col("x4").as("x"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
-      .select(col("event_type"), explode(expr(
-        """aggregate(s,
-             cast(array() as array<struct<d: date, x: double, l: double, b: double>>),
-             (acc, r) -> acc || array(named_struct(
-               'd', r.d, 'x', r.x,
-               'l', if(size(acc) = 0, r.x,
-                       0.5d * r.x + 0.5d * (element_at(acc, -1).l +
-                                            element_at(acc, -1).b)),
-               'b', if(size(acc) = 0, 0.0d,
-                       0.3d * ((0.5d * r.x + 0.5d * (element_at(acc, -1).l +
-                                                     element_at(acc, -1).b)) -
-                               element_at(acc, -1).l) +
-                         0.7d * element_at(acc, -1).b))))"""))
-        .as("r"))
-      .select(col("event_type"), col("r.d").as("d"),
-              round(col("r.x"), 4).as("x"),
-              round(col("r.l"), 6).as("level"),
-              round(col("r.b"), 6).as("trend"),
-              round(col("r.l") + col("r.b"), 6).as("forecast_next"))
+      .as[(String, java.sql.Date, java.lang.Double)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, java.lang.Double)]) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var l: java.lang.Double = null
+        var b: java.lang.Double = null
+        var first = true
+        rows.iterator.map { case (_, d, x) =>
+          if (first) { l = x; b = java.lang.Double.valueOf(0.0d); first = false }
+          else {
+            val newL: java.lang.Double =
+              if (x == null || l == null || b == null) null
+              else java.lang.Double.valueOf(0.5d * x + 0.5d * (l + b))
+            val newB: java.lang.Double =
+              if (newL == null || l == null || b == null) null
+              else java.lang.Double.valueOf(0.3d * (newL - l) + 0.7d * b)
+            l = newL; b = newB
+          }
+          (t, d, x, l, b)
+        }
+      }
+      .toDF("event_type", "d", "x", "l", "b")
+      .select(col("event_type"), col("d"),
+              round(col("x"), 4).as("x"),
+              round(col("l"), 6).as("level"),
+              round(col("b"), 6).as("trend"),
+              round(col("l") + col("b"), 6).as("forecast_next"))
       .orderBy("event_type", "d")
   }
 
@@ -1225,28 +1264,33 @@ object Stats {
     * replaying the identical prefix folds.
     */
   def statsCusum(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    // Imperative O(days) scan replacing the O(days²) `acc || array(…)`
+    // fold (r10 verdict ask #5). μ/σ stay WINDOW-computed (not re-summed
+    // in the scan) so their doubles remain the exact values the oracle's
+    // avg/stddev_samp agree with; the scan replays only the max-fold,
+    // left-associated exactly like the SQL step ((prev + x) − μ) − σ/2.
+    // x is a count cast to double — never null, so primitives are safe,
+    // and math.max(0.0, −0.0) = +0.0 keeps the −0.0 lint clean.
+    val wT = Window.partitionBy(col("event_type"))
     val daily = DailyFrames.daily(s, sf)
       .select(col("event_type"), col("d"), col("c").cast("double").as("x"))
-    val wT = Window.partitionBy(col("event_type"))
-    daily
       .withColumn("mu", avg(col("x")).over(wT))
       .withColumn("sigma", coalesce(stddev_samp(col("x")).over(wT), lit(0.0)))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"),
-           max(col("mu")).as("mu"), max(col("sigma")).as("sigma"))
-      .select(col("event_type"), col("mu"), col("sigma"), explode(expr(
-        """aggregate(s,
-             cast(array() as array<struct<d: date, x: double, c: double>>),
-             (acc, r) -> acc || array(named_struct(
-               'd', r.d, 'x', r.x,
-               'c', greatest(cast(0.0 as double),
-                 if(size(acc) = 0, cast(0.0 as double),
-                    element_at(acc, -1).c)
-                   + r.x - mu - sigma / 2))))"""))
-        .as("r"))
-      .select(col("event_type"), col("r.d").as("d"), col("r.x").as("x"),
-        round(col("r.c"), 6).as("cusum"),
-        (col("r.c") > lit(4.0) * col("sigma")).as("alarm"))
+      .as[(String, java.sql.Date, Double, Double, Double)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double, Double, Double)]) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var c = 0.0
+        rows.iterator.map { case (_, d, x, mu, sigma) =>
+          c = math.max(0.0, c + x - mu - sigma / 2)
+          (t, d, x, sigma, c)
+        }
+      }
+      .toDF("event_type", "d", "x", "sigma", "c")
+      .select(col("event_type"), col("d"), col("x"),
+        round(col("c"), 6).as("cusum"),
+        (col("c") > lit(4.0) * col("sigma")).as("alarm"))
       .orderBy("event_type", "d")
   }
 
@@ -1972,41 +2016,6 @@ object Stats {
                 (col("n_pos") + col("n_neg") - 1))), 6).as("z_stat"))
   }
 
-  /** Two-proportion z-test on conversion — the categorical companion to
-    * `experimentTtest` (means) and `statsKsTest` (distributions) over
-    * the same deterministic md5 arms: does the purchase RATE differ
-    * between arms? Pooled-proportion z with integer success/trial
-    * counts; every input to the closed form is exact, so only the
-    * final rates and z round.
-    *
-    * Scale shape: ONE map-side-combinable aggregate of four counts over
-    * the scan — the cheapest possible test, which is the point
-    * (proportion tests run on every experiment dashboard refresh).
-    */
-  def statsProportionZtest(s: SparkSession, sf: String): DataFrame = {
-    val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
-      .isin("0", "1", "2", "3", "4", "5", "6", "7")
-    Tables.events(s, sf)
-      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
-      .select(arm.as("a"), (col("event_type") === "purchase").as("conv"))
-      .agg(
-        sum(col("a").cast("long")).cast("bigint").as("n_a"),
-        sum((!col("a")).cast("long")).cast("bigint").as("n_b"),
-        sum((col("a") && col("conv")).cast("long")).cast("bigint").as("x_a"),
-        sum((!col("a") && col("conv")).cast("long")).cast("bigint").as("x_b"))
-      .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
-        round(col("x_a").cast("double") / col("n_a"), 6).as("rate_a"),
-        round(col("x_b").cast("double") / col("n_b"), 6).as("rate_b"),
-        round(
-          (col("x_a").cast("double") / col("n_a") -
-           col("x_b").cast("double") / col("n_b")) /
-          sqrt(((col("x_a") + col("x_b")).cast("double") /
-                (col("n_a") + col("n_b"))) *
-               (lit(1.0) - (col("x_a") + col("x_b")).cast("double") /
-                (col("n_a") + col("n_b"))) *
-               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
-          .as("z_stat"))
-  }
 
   /** Effect size for the md5-arm experiment — the number every test
     * statistic in this family (t, KS, Mann–Whitney, proportion z) needs
@@ -2972,7 +2981,7 @@ object Stats {
 
   /** Wilson score interval for per-stage reach — the binomial CI that
     * stays inside [0,1] and behaves at small x (the normal-approx CI of
-    * `statsProportionZtest` does neither): for each event type,
+    * `statsProportionsZtest` does neither): for each event type,
     * x = users who did it out of n = all users, and the 95% bounds are
     * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) with
     * z = 1.959964. Integer x/n and a √ (IEEE-correctly-rounded on both

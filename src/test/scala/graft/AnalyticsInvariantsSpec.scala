@@ -283,12 +283,13 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
   }
 
   test("two-proportion z-test: rates bounded, counts partition users, sign follows the rate gap") {
-    val r = Stats.statsProportionsZtest(spark, sfOracle).head()
-    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val r = Stats.statsProportionsZtest(spark, sfOracle)
+      .filter(col("grain") === "user").head()
+    val (na, nb) = (r.getLong(1), r.getLong(2))
     val users = Tables.events(spark, sfOracle)
       .filter(col("user_id").isNotNull).select("user_id").distinct().count()
     assert(na + nb == users, "arms must partition the user universe")
-    val (pa, pb, z) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    val (pa, pb, z) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
     assert(pa >= 0 && pa <= 1 && pb >= 0 && pb <= 1)
     assert(math.signum(z) == math.signum(pa - pb) || pa == pb)
   }
@@ -735,20 +736,22 @@ class AnalyticsInvariantsSpec extends SparkSpecBase {
     }
   }
 
-  test("proportion z-test: counts partition, rates bounded, z recomputes") {
-    val r = Stats.statsProportionZtest(spark, sfOracle).head()
-    val (na, nb, xa, xb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  test("proportion z-test (event grain): counts partition, rates bounded, z recomputes") {
+    val r = Stats.statsProportionsZtest(spark, sfOracle)
+      .filter(col("grain") === "event").head()
+    val (na, nb, xa, xb) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     assert(na > 0 && nb > 0 && xa <= na && xb <= nb)
     val total = Tables.events(spark, sfOracle)
       .filter(col("user_id").isNotNull && col("event_type").isNotNull).count()
     assert(na + nb == total, "arms must partition the filtered events")
     val (ra, rb) = (xa.toDouble / na, xb.toDouble / nb)
-    assert(math.abs(r.getDouble(4) - ra) < 1e-6 &&
-           math.abs(r.getDouble(5) - rb) < 1e-6)
+    assert(math.abs(r.getDouble(5) - ra) < 1e-6 &&
+           math.abs(r.getDouble(6) - rb) < 1e-6)
     val p = (xa + xb).toDouble / (na + nb)
     val z = (ra - rb) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
-    assert(math.abs(r.getDouble(6) - z) < 1e-5, "pooled z closed form")
+    assert(math.abs(r.getDouble(7) - z) < 1e-5, "pooled z closed form")
   }
+
 
   test("effect size: pooled sd between arm sds, |g| < |d|, formulas recompute") {
     val r = Stats.statsEffectSize(spark, sfOracle).head()

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Pins the bench stdout contract the driver's tail-parse depends on
+  * (round-10 verdict asks #1a/#7). The driver captures only a ~2 KB
+  * stdout tail and parses the LAST line as JSON, so:
+  *
+  *   1. the total line must stay <200 B and valid JSON under the FULL
+  *      current key map (if the board ever grows a key whose name or
+  *      count breaks this, the bench metric is silently lost — this
+  *      spec fails first);
+  *   2. the detail line must be valid JSON with exactly one entry per
+  *      key, sorted by cost DESCENDING (failed -1.0 keys last), so the
+  *      truncated suffix the driver sees is always the cheap tail.
+  *
+  * Pure-function test — no Spark session, no query runs: Bench exposes
+  * detailLine/totalLine exactly so this contract is testable without a
+  * 3-minute bench pass.
+  */
+class BenchOutputSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  /** Synthetic timings over the REAL key set: varied magnitudes, one
+    * failure, extremes first/last alphabetically — the shapes that
+    * stress ordering and formatting. */
+  private def syntheticResults: Seq[(String, Double)] = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.zipWithIndex.map { case (n, i) =>
+      val v = if (i == 7) -1.0 else 0.05 + (i % 97) * 0.137
+      n -> v
+    }
+  }
+
+  test("total line is <200 bytes and valid JSON under the full key map") {
+    val line = Bench.totalLine(syntheticResults, "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length < 200,
+      s"total line is ${line.length} B — driver tail-parse may truncate it")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("unit").asText() === "sec")
+    assert(node.get("value").isNumber)
+    assert(node.get("errors").asInt() === 1)
+  }
+
+  test("total line sums only non-negative timings") {
+    val rs = Seq("a" -> 1.5, "b" -> -1.0, "c" -> 2.5)
+    val node = mapper.readTree(Bench.totalLine(rs, "sf"))
+    assert(math.abs(node.get("value").asDouble() - 4.0) < 1e-12)
+    assert(node.get("errors").asInt() === 1)
+  }
+
+  test("detail line is valid JSON, one entry per key, sorted cost-descending") {
+    val line = Bench.detailLine(syntheticResults, "/root/testdata/sf0.1")
+    val node = mapper.readTree(line)
+    val qs = node.get("queries")
+    assert(qs.size() === SparkEntry.queries.size)
+    // verify descending order with failures (-1.0) at the very end
+    val it = qs.fields()
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (it.hasNext) vals += it.next().getValue.asDouble()
+    val (good, bad) = vals.toSeq.span(_ >= 0)
+    assert(bad.forall(_ < 0), "a non-failed key sorted after a failed one")
+    assert(good === good.sortBy(-_), "detail entries not cost-descending")
+  }
+}

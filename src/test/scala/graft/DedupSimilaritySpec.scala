@@ -489,16 +489,6 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
-  test("multimodal decode: schema and determinism of the stub pipeline") {
-    val df = Multimodal.multimodalDecode(spark, sfSmoke)
-    assert(df.columns.toSeq ==
-      Seq("doc_id", "width", "height", "channels", "n_pixels"))
-    val r = df.head()
-    assert(r.getInt(1) >= 64 && r.getInt(2) >= 64 && r.getInt(3) == 3)
-    assert(r.getLong(4) == r.getInt(1).toLong * r.getInt(2) * 3)
-    assert(df.count() == Tables.documents(spark, sfSmoke).count())
-  }
-
   test("dedup_cluster labels are a fixpoint and leave no stray caches") {
     val nBefore = spark.sparkContext.getPersistentRDDs.size
     val labels = Dedup.dedupCluster(spark, sfOracle)

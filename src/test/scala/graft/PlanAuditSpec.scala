@@ -440,4 +440,35 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"NOT IN must not fall back to nested-loop:\n$plan")
   }
+
+  test("corpus build: one documents scan feeds every gate; no unpartitioned window") {
+    // the end-to-end composite's whole claim is single-scan linearity:
+    // gates, decontamination, pack and the three stat rollups must all
+    // hang off ONE read of documents (the (lang, source) exchange is
+    // planned once and reused). A second Location: line here means a
+    // branch defeated ReuseExchange and the full gate pipeline runs
+    // twice; an unpartitioned window means some stage funnels the doc
+    // frame through one task.
+    val df = operators.Pipeline.pipelineCorpusBuild(spark, sfSmoke)
+    val fmt = formatted(df)
+    val scans = fmt.linesIterator
+      .count(l => l.contains("Location:") && l.contains("documents"))
+    assert(scans == 1, s"corpus build must read documents exactly once:\n$fmt")
+    // WindowExec prints `Window [exprs], [partition]` (no order) or
+    // `Window [exprs], [partition], [order]`; an UNPARTITIONED window
+    // puts the order spec (or nothing) in the second group — detect by
+    // the second group being empty or holding sort directions
+    val plan = df.queryExecution.executedPlan.toString
+    val unpartitioned = plan.linesIterator
+      .filter(_.contains("Window ["))
+      .filter { l =>
+        val groups = l.substring(l.indexOf("Window [")).split("\\], \\[")
+        groups.length < 2 || {
+          val second = groups(1).takeWhile(_ != ']').trim
+          second.isEmpty || second.contains(" ASC") || second.contains(" DESC")
+        }
+      }.toSeq
+    assert(unpartitioned.isEmpty,
+      s"every corpus-build window must be partitioned:\n${unpartitioned.mkString("\n")}")
+  }
 }
