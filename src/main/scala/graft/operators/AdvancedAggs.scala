@@ -291,20 +291,24 @@ object AdvancedAggs {
     * -0.0 and +0.0 hash differently through parquet; `+ 0.0` normalizes
     * to +0.0 on both engines (IEEE: -0.0 + 0.0 = +0.0).
     *
-    * Scale shape: same one-explicit-shuffle plan as agg_mode —
-    * repartition(user_id) feeds the (user, type) count, the per-user
-    * total window, and the final per-user aggregate with no further
+    * Scale shape: rides the session-memoized UserFrames rollup (r10
+    * verdict ask #6) — the (user, type) counts are exact sums of the
+    * checkpointed day-cells, so the events scan is paid once per
+    * session, not per key; the per-user total window and final
+    * aggregate share the (user, type) shuffle with no further
     * exchange; state per group is the distinct-type count, never raw
     * events.
     */
   def aggEntropy(s: SparkSession, sf: String): DataFrame = {
     val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
     val p = col("n") / col("total")
-    Tables.events(s, sf)
-      .filter(col("user_id").isNotNull)
+    UserFrames.daily(s, sf)
+      // one user_id exchange up front; the (user, type) aggregate, the
+      // per-user window and the final per-user aggregate all accept it
+      // via the subset rule — single-shuffle plan, PlanAuditSpec-pinned
       .repartition(col("user_id"))
       .groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("c")).as("n"))
       .withColumn("total", sum(col("n")).over(wU))
       .groupBy(col("user_id"))
       .agg(round(-sum(p * log(p)) + lit(0.0), 6).as("entropy"),

@@ -214,19 +214,22 @@ object Pipeline {
     * cumulative window PARTITIONED BY cohort_day over its ≤ calendar-
     * days offsets — parallel across cohorts, bounded per cohort. */
   def eventCohortLtv(s: SparkSession, sf: String): DataFrame = {
-    val ev = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id"), to_date(col("ts")).as("d"),
-        col("event_type"), col("value"))
+    // session-memoized user-day rollup (r10 verdict ask #6): cohort
+    // days and sizes are exact (min day / user counts); day revenue
+    // re-adds the purchase cells' raw sums (value-IS-NOT-NULL recovers
+    // as cv > 0; IEEE-reassociation tolerance as in statsCuped). The
+    // two consumers of the rollup branch off a localCheckpoint, so
+    // nothing upstream recomputes.
+    val ev = graft.operators.UserFrames.daily(s, sf)
     val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
     val sizes = first.groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("cohort_size"))
     val daily = ev.filter(col("event_type") === "purchase" &&
-        col("value").isNotNull)
+        col("cv") > 0)
       .join(first, "user_id")
       .groupBy(col("cohort_day"),
         datediff(col("d"), col("cohort_day")).cast("bigint").as("day_offset"))
-      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("day_revenue"))
+      .agg(round(sum(col("xs")), 4).cast("decimal(18,4)").as("day_revenue"))
     val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily.join(sizes, Seq("cohort_day"))

@@ -207,13 +207,18 @@ object Stats {
     * on both engines.
     */
   def behaviorRfm(s: SparkSession, sf: String): DataFrame = {
-    val u = Tables.events(s, sf)
-      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+    // rides the session-memoized user-day rollup (r10 verdict ask #6):
+    // recency/frequency re-aggregate exactly (day max, count sums);
+    // monetary re-sums the cells' raw sums — same value as the raw-row
+    // sum modulo IEEE reassociation, the tolerance the cross-engine
+    // round(sum, 4) contract already carries
+    val u = UserFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
-      .agg(datediff(max(to_date(col("ts"))), lit("1970-01-01").cast("date"))
+      .agg(datediff(max(col("d")), lit("1970-01-01").cast("date"))
              .cast("bigint").as("ld"),
-           count(lit(1)).as("frequency"),
-           round(sum(col("value")), 4).as("monetary"))
+           sum(col("c")).as("frequency"),
+           round(sum(col("xs")), 4).as("monetary"))
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
     val thCols = max(col("ld")).as("anchor") +:
       (qs.map(q => round(expr(s"percentile(ld, $q)"), 6).as(s"ld${(q * 100).toInt}")) ++
@@ -545,9 +550,10 @@ object Stats {
     * per-day HLL sketches merged over the window, `agg_hll_partitioned`
     * machinery) and re-distincts at (day, user) grain. */
   def eventUserStickiness(s: SparkSession, sf: String): DataFrame = {
-    val pres = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id"), to_date(col("ts")).as("d"))
+    // (user, day) presence off the session-memoized user-day rollup —
+    // exact (counts only), the events scan is paid once per session
+    val pres = UserFrames.daily(s, sf)
+      .select(col("user_id"), col("d"))
       .distinct()
     val days = pres.select(col("d").as("dd")).distinct()
     val dau = pres.groupBy(col("d")).agg(count(lit(1)).as("dau"))
@@ -623,9 +629,13 @@ object Stats {
     * cutpoint pass, one stratum rollup — no joins beyond broadcast
     * scalars, no windows. */
   def statsPropensityStrat(s: SparkSession, sf: String): DataFrame = {
-    val ev = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    // session-memoized user-day rollup (r10 verdict ask #6): x1 is an
+    // exact cell-count sum; the revenue covariate/outcome re-add the
+    // cells' raw sums (all-null cells carry xs NULL, which SUM skips —
+    // the same rows the raw form skipped via its per-row CASE), the
+    // IEEE-reassociation tolerance as in statsCuped
+    val ev = UserFrames.daily(s, sf)
+      .select(col("user_id"), col("d"), col("c"), col("xs"))
     val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
         .as("mid")))
@@ -634,10 +644,10 @@ object Stats {
       .isin("0", "1", "2", "3", "4", "5", "6", "7")
     val users = ev.crossJoin(span)
       .groupBy(col("user_id"))
-      .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("x1"),
-        round(sum(when(col("d") < col("mid"), col("value"))
+      .agg(sum(when(col("d") < col("mid"), col("c")).otherwise(0L)).as("x1"),
+        round(sum(when(col("d") < col("mid"), coalesce(col("xs"), lit(0.0)))
           .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("x2"),
-        round(sum(when(col("d") >= col("mid"), col("value"))
+        round(sum(when(col("d") >= col("mid"), coalesce(col("xs"), lit(0.0)))
           .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("y"))
       .withColumn("t", treated)
     // 3x3 normal equations on exact moments; Cramer in doubles, round-6
@@ -723,18 +733,21 @@ object Stats {
     * Scale shape: one user-grain aggregate + one global moment
     * rollup — map-side combinable, no windows, no joins. */
   def statsPairedTtest(s: SparkSession, sf: String): DataFrame = {
-    val ev = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull && col("value").isNotNull &&
-        col("event_type").isNotNull)
-      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    // session-memoized user-day rollup (r10 verdict ask #6): the
+    // value-IS-NOT-NULL pre-filter recovers as cv > 0; per-period sums
+    // re-add the cells' raw sums (IEEE-reassociation tolerance, as in
+    // statsCuped)
+    val ev = UserFrames.daily(s, sf)
+      .filter(col("cv") > 0 && col("event_type").isNotNull)
+      .select(col("user_id"), col("d"), col("xs"))
     val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
         .as("mid")))
     ev.crossJoin(span)
       .groupBy(col("user_id"))
-      .agg(round(round(sum(when(col("d") >= col("mid"), col("value"))
+      .agg(round(round(sum(when(col("d") >= col("mid"), col("xs"))
             .otherwise(lit(0.0))), 4) * 10000d -
-          round(sum(when(col("d") < col("mid"), col("value"))
+          round(sum(when(col("d") < col("mid"), col("xs"))
             .otherwise(lit(0.0))), 4) * 10000d).cast("long").as("di"))
       .agg(count(lit(1)).as("n"), sum(col("di")).as("s1"),
         sum(col("di").cast("decimal(19,0)") * col("di").cast("decimal(19,0)"))
@@ -1108,22 +1121,26 @@ object Stats {
     *
     * p̂ pools both arms; z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
     *
-    * Scale shape: each grain is one map-side-combinable aggregate over
-    * the scan (the user grain collapses to user-grain max-flags first)
-    * into ONE scalar row — no window, no join, same cost as a count.
-    * Every divisor rides a nullif so a one-armed or conversion-free
-    * corpus yields NULL statistics, never an ANSI divide-by-zero. */
+    * Scale shape: both grains ride the session-memoized UserFrames
+    * rollup (r10 verdict ask #6) — counts and the conversion flag are
+    * EXACT re-aggregations of the checkpointed day-cells, so the
+    * events scan is paid once per session; each grain is then one
+    * map-side-combinable aggregate into ONE scalar row — no window, no
+    * join. Every divisor rides a nullif so a one-armed or
+    * conversion-free corpus yields NULL statistics, never an ANSI
+    * divide-by-zero. */
   def statsProportionsZtest(s: SparkSession, sf: String): DataFrame = {
     val arm = substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
       .isin("0", "1", "2", "3", "4", "5", "6", "7").cast("long")
     def nz(c: org.apache.spark.sql.Column) = nullif(c, lit(0))
     val pHat = (col("xa") + col("xb")).cast("double") /
       nz((col("na") + col("nb")).cast("double"))
-    // flags: (a, conv) as 0/1 longs → one pooled-z scalar row per grain
+    // flags: (a, n trials, x successes) per user → one pooled-z row
     def zRow(grain: String, flags: DataFrame): DataFrame = flags
-      .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"),
-           sum(col("a") * col("conv")).as("xa"),
-           sum((lit(1L) - col("a")) * col("conv")).as("xb"))
+      .agg(sum(col("a") * col("n")).as("na"),
+           sum((lit(1L) - col("a")) * col("n")).as("nb"),
+           sum(col("a") * col("x")).as("xa"),
+           sum((lit(1L) - col("a")) * col("x")).as("xb"))
       .select(lit(grain).as("grain"),
         col("na").cast("bigint").as("n_a"),
         col("nb").cast("bigint").as("n_b"),
@@ -1138,16 +1155,19 @@ object Stats {
           nz(sqrt(pHat * (lit(1.0) - pHat) *
             (lit(1.0) / nz(col("na").cast("double")) +
              lit(1.0) / nz(col("nb").cast("double"))))), 6).as("z_score"))
-    val userFlags = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull)
+    val uf = UserFrames.daily(s, sf)
+    val userFlags = uf
       .groupBy(col("user_id"))
-      .agg(max((col("event_type") === "purchase" && col("value") > 200)
-        .cast("long")).as("conv"))
-      .select(arm.as("a"), col("conv"))
-    val eventFlags = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
-      .select(arm.as("a"),
-        (col("event_type") === "purchase").cast("long").as("conv"))
+      .agg(max(when(col("event_type") === "purchase", col("v200"))
+        .otherwise(lit(0L))).as("x"))
+      .select(arm.as("a"), lit(1L).as("n"), col("x"))
+    val eventFlags = uf
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("event_type") === "purchase", col("c"))
+          .otherwise(lit(0L))).as("x"))
+      .select(arm.as("a"), col("n"), col("x"))
     zRow("event", eventFlags).unionByName(zRow("user", userFlags))
       .orderBy("grain")
   }
@@ -3138,19 +3158,23 @@ object Stats {
     * combinable aggregate over users.
     */
   def statsCuped(s: SparkSession, sf: String): DataFrame = {
-    val ev = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull && col("value").isNotNull &&
-              col("event_type").isNotNull)
-      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    // rides the session-memoized user-day rollup (r10 verdict ask #6):
+    // the value-IS-NOT-NULL pre-filter recovers as cv > 0 (SUM already
+    // ignores nulls, so only all-null cells differ); per-period sums
+    // re-add the cells' raw sums — identical modulo IEEE reassociation,
+    // the tolerance the cross-engine round(sum, 4) contract carries
+    val ev = UserFrames.daily(s, sf)
+      .filter(col("cv") > 0 && col("event_type").isNotNull)
+      .select(col("user_id"), col("d"), col("xs"))
     val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
         .as("mid")))
     val users = ev.crossJoin(span)
       .groupBy(col("user_id"))
       .agg(
-        round(sum(when(col("d") < col("mid"), col("value"))
+        round(sum(when(col("d") < col("mid"), col("xs"))
           .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("pre"),
-        round(sum(when(col("d") >= col("mid"), col("value"))
+        round(sum(when(col("d") >= col("mid"), col("xs"))
           .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("post"))
     users.agg(
         count(lit(1)).as("n"),
@@ -3192,14 +3216,18 @@ object Stats {
     * two-stage shape as every moments key.
     */
   def statsDeltaMethod(s: SparkSession, sf: String): DataFrame = {
-    val users = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    // session-memoized user-day rollup (r10 verdict ask #6): y is an
+    // exact cell-count sum; x re-adds the purchase cells' raw sums
+    // (coalesce keeps the all-null purchase cell a 0.0 contribution,
+    // exactly what the raw form's per-row CASE produced)
+    val users = UserFrames.daily(s, sf)
+      .filter(col("event_type").isNotNull)
       .groupBy(col("user_id"))
       .agg(
-        round(sum(when(col("event_type") === "purchase" &&
-            col("value").isNotNull, col("value")).otherwise(lit(0.0))), 4)
+        round(sum(when(col("event_type") === "purchase",
+            coalesce(col("xs"), lit(0.0))).otherwise(lit(0.0))), 4)
           .cast("decimal(18,4)").as("x"),
-        count(lit(1)).as("y"))
+        sum(col("c")).as("y"))
     users.agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -3241,11 +3269,14 @@ object Stats {
   def statsTostEquivalence(s: SparkSession, sf: String): DataFrame = {
     val arm = substring(md5(col("user_id").cast("string").cast("binary")),
         1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
-    val users = Tables.events(s, sf)
-      .filter(col("user_id").isNotNull && col("event_type") === "purchase" &&
-              col("value").isNotNull)
+    // session-memoized user-day rollup (r10 verdict ask #6): purchase
+    // cells with cv > 0 are exactly the raw value-IS-NOT-NULL rows;
+    // per-user revenue re-adds the cells' raw sums (IEEE-reassociation
+    // tolerance as in statsCuped)
+    val users = UserFrames.daily(s, sf)
+      .filter(col("event_type") === "purchase" && col("cv") > 0)
       .groupBy(col("user_id"))
-      .agg(round(sum(col("value")), 4).cast("decimal(18,4)").as("x"))
+      .agg(round(sum(col("xs")), 4).cast("decimal(18,4)").as("x"))
       .withColumn("a", arm.cast("int"))
     users.groupBy(col("a"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -3735,10 +3766,11 @@ object Stats {
     * Scale shape: one user-grain count aggregate, one global moment
     * rollup — map-side combinable, no windows, no joins. */
   def statsNegativeBinomial(s: SparkSession, sf: String): DataFrame = {
-    Tables.events(s, sf)
-      .filter(col("user_id").isNotNull)
+    // per-user counts are exact sums of the session-memoized user-day
+    // rollup's cells (r10 verdict ask #6)
+    UserFrames.daily(s, sf)
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("x"))
+      .agg(sum(col("c")).as("x"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
            sum(col("x") * col("x")).as("s2"))
       .select(col("n").cast("bigint").as("n_users"),

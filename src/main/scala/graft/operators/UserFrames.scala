@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session-memoized (user_id, event_type, day) rollup shared by the
+  * ~11 experiment/behavior keys that each previously rebuilt a
+  * user-grain aggregate from the full events scan (r10 verdict ask #6
+  * — the DailyFrames amortization at user grain): the harness runs the
+  * whole key board on ONE SparkSession, so the events scan (+ the
+  * nanos-normalization read path) and the user-key shuffle are paid
+  * once per (session, sf) and every consumer re-aggregates a
+  * localCheckpoint of ≤ |user × type × day| cells.
+  *
+  * The frame is the SUPERSET grain every consumer derives from:
+  * user_id IS NOT NULL (every consumer filters it), UNFILTERED on
+  * event_type (several sites aggregate the null-type group), with the
+  * measures the sites use —
+  *   `c`    = count(*)            (event counts: x1/propensity, NB x,
+  *                                 entropy n, proportions event grain),
+  *   `cv`   = count(value)        (so value-IS-NOT-NULL pre-filters
+  *                                 recover as cv > 0 — SUM already
+  *                                 ignores nulls),
+  *   `xs`   = sum(value)          (UNROUNDED cell revenue: consumers
+  *                                 keep their own round(sum(…), 4) on
+  *                                 top, so their emitted values match
+  *                                 the raw-row sums modulo IEEE
+  *                                 reassociation — the same order-free
+  *                                 double-sum tolerance every oracle
+  *                                 pair already relies on between
+  *                                 Spark's and DuckDB's row orders),
+  *   `v200` = max(value > 200)    (the proportions user-grain
+  *                                 conversion flag, exact).
+  * Counts, min/max days, and boolean conversions re-derive EXACTLY;
+  * no oracle changed for this memo.
+  *
+  * Scale shape: at 100 TB this is the user-day activity rollup every
+  * warehouse materializes once per day — the memo is that materialized
+  * view, session-scoped. Keyed by the SparkSession OBJECT through a
+  * WeakHashMap (reference equality — an identity HASH may collide
+  * across live sessions) so a restarted session's checkpoint blocks
+  * are GC-collectable with it; a stopped-context guard drops entries
+  * eagerly on next access.
+  */
+private[graft] object UserFrames {
+  private val memo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  def daily(s: SparkSession, sf: String): DataFrame = memo.synchronized {
+    if (s.sparkContext.isStopped) memo.remove(s)
+    val perSf = {
+      val existing = memo.get(s)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+        memo.put(s, m); m
+      }
+    }
+    perSf.getOrElseUpdate(sf, {
+      graft.Tables.events(s, sf)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"),
+             count(col("value")).as("cv"),
+             sum(col("value")).as("xs"),
+             max(when(col("value") > 200, 1L).otherwise(0L)).as("v200"))
+        .localCheckpoint(true)
+    })
+  }
+}
