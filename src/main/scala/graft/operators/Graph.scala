@@ -796,6 +796,17 @@ object Graph {
     // each join against li, and before the memo each re-derived the
     // scan+distinct (r10 verdict ask #2)
     val li = bipartiteEdges(s, sf)
+    // Each round's RAW score frame is localCheckpointed (node-grain —
+    // suppliers/parts-sized, never edge-sized): `normalized` reads its
+    // input TWICE (the broadcast max + the rows), and without the
+    // checkpoint that double-eval compounds through the rounds — a2n
+    // re-ran a1n's edge aggregate ~4× (the r7 pagerank uncached-chain
+    // class; this was the residual 2.7 s after the bipartite memo).
+    // With the checkpoint every edge pass runs exactly once; the
+    // normalize itself is a map over the tiny frame, recomputed freely.
+    // Score frames broadcast into the edge joins explicitly — node
+    // grain is orders of magnitude under any broadcast bound.
+    val tracker = new CpTracker(s)
     def normalized(scores: DataFrame, key: String, raw: String,
                    out: String): DataFrame = {
       val mx = broadcast(scores.agg(max(col(raw)).as("mx")))
@@ -804,14 +815,14 @@ object Graph {
           round(col(raw).cast("double") / col("mx").cast("double"), 6)
             .cast("decimal(9,6)").as(out))
     }
-    val a1n = normalized(
-      li.groupBy(col("q")).agg(count(lit(1)).as("a1")), "q", "a1", "an")
-    val h1n = normalized(
-      li.join(a1n, Seq("q")).groupBy(col("p")).agg(sum(col("an")).as("h1")),
-      "p", "h1", "hn")
-    val a2n = normalized(
-      li.join(h1n, Seq("p")).groupBy(col("q")).agg(sum(col("hn")).as("a2")),
-      "q", "a2", "an")
+    val a1 = tracker(li.groupBy(col("q")).agg(count(lit(1)).as("a1")))
+    val a1n = normalized(a1, "q", "a1", "an")
+    val h1 = tracker(li.join(broadcast(a1n), Seq("q"))
+      .groupBy(col("p")).agg(sum(col("an")).as("h1")))
+    val h1n = normalized(h1, "p", "h1", "hn")
+    val a2 = tracker(li.join(broadcast(h1n), Seq("p"))
+      .groupBy(col("q")).agg(sum(col("hn")).as("a2")))
+    val a2n = normalized(a2, "q", "a2", "an")
     val hubs = h1n
       .select(lit("hub").as("side"), col("p").as("node"),
               col("hn").cast("double").as("score"))
@@ -823,9 +834,14 @@ object Graph {
     // rank window runs on the ≤20-row union — bounded by construction
     val w = Window.partitionBy(col("side"))
       .orderBy(col("score").desc, col("node").asc)
-    auths.unionAll(hubs)
+    // materialize the ≤20-row result, then release every round
+    // checkpoint (the graphBfsDistance discipline — nothing edge- or
+    // node-sized may outlive the call in the long-lived session)
+    val out = tracker(auths.unionAll(hubs)
       .withColumn("rn", row_number().over(w).cast("bigint"))
-      .orderBy(col("side").asc, col("rn").asc)
+      .orderBy(col("side").asc, col("rn").asc))
+    tracker.releaseAllExcept(out)
+    out
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) over the
