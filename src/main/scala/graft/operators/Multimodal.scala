@@ -57,8 +57,8 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
 
   /** REAL image decode — PNG needs no external codec (`javax.imageio`
-    * ships with the JDK), so this key upgrades the stubbed decode path
-    * to a genuine encode→decode round trip: an 8×8 grayscale PNG is
+    * ships with the JDK), so the decode path is a genuine
+    * encode→decode round trip: an 8×8 grayscale PNG is
     * synthesized per document (pixel(x,y) = (id·31 + 7x + 13y) mod 256,
     * so the oracle can re-derive every statistic exactly), the bytes
     * travel as a real `binary` column, and ImageIO decodes them back
