@@ -1328,17 +1328,27 @@ object SparkEntry {
        "f AS (SELECT item, CAST(count(*) AS BIGINT) AS est_count FROM w WHERE length(item) > 0 GROUP BY 1), " +
        "t AS (SELECT CAST(sum(est_count) // 256 AS BIGINT) AS max_overcount FROM f) " +
        "SELECT item, est_count, max_overcount FROM f, t ORDER BY est_count DESC, item LIMIT 10"),
-    // timeseries_stl_decompose: identical centered-mean trend, dow-mean
-    // seasonal (dow encodings differ but partition identically; the key
-    // is never output), re-centered and rounded the same way.
+    // timeseries_stl_decompose: every mean replayed as the SAME ordered
+    // sequential fold the engine uses (r11 stability find: the bare
+    // partition avg summed in physical row order and the sf0.001
+    // (view, Friday) seasonal sits exactly on a round-6 half-boundary —
+    // DuckDB's parallel scan flipped it run to run). Trend folds the
+    // 7-day frame in frame order (list() keeps nulls, hence the
+    // list_filter twin of collect_list's null-skip); the dow seasonal
+    // folds by day; the centering mean folds dow-grain (sraw·n_days)
+    // products Sunday-first (both engines' dow orders are Sunday-first
+    // ascending, so the differing encodings fold identically). Float
+    // outputs carry `+ 0.0` so a tiny-negative round never emits -0.0.
     "timeseries_stl_decompose" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS x FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
-       "t AS (SELECT event_type, d, x, CASE WHEN count(*) OVER w7 = 7 THEN round(avg(x) OVER w7, 6) END AS trend FROM daily " +
+       "t AS (SELECT event_type, d, x, count(*) OVER w7 AS nrows, list_filter(list(x) OVER w7, v -> v IS NOT NULL) AS farr FROM daily " +
        "WINDOW w7 AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
-       "u AS (SELECT event_type, d, x, trend, x - trend AS detr, dayofweek(d) AS dow FROM t), " +
-       "v AS (SELECT event_type, d, x, trend, detr, avg(detr) OVER (PARTITION BY event_type, dow) AS sraw FROM u), " +
-       "w AS (SELECT event_type, d, x, trend, detr, round(sraw - avg(sraw) OVER (PARTITION BY event_type), 6) AS seasonal FROM v) " +
-       "SELECT event_type, d, x, trend, seasonal, round(detr - seasonal, 6) AS residual FROM w ORDER BY event_type, d"),
+       "t2 AS (SELECT event_type, d, x, CASE WHEN nrows = 7 AND len(farr) > 0 THEN round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), farr), (a, v) -> a + v) / len(farr), 6) END AS trend FROM t), " +
+       "u AS (SELECT event_type, d, x, trend, x - trend AS detr, dayofweek(d) AS dow FROM t2), " +
+       "g AS (SELECT event_type, dow, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(detr ORDER BY d) FILTER (detr IS NOT NULL)), (a, v) -> a + v) AS ssum, count(detr) AS m, count(*) AS nd FROM u GROUP BY 1, 2), " +
+       "g2 AS (SELECT event_type, dow, nd, CASE WHEN m > 0 THEN ssum / m END AS sraw FROM g), " +
+       "gm AS (SELECT event_type, CASE WHEN coalesce(sum(nd) FILTER (sraw IS NOT NULL), 0) > 0 THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sraw * nd ORDER BY dow) FILTER (sraw IS NOT NULL)), (a, v) -> a + v) / sum(nd) FILTER (sraw IS NOT NULL) END AS mean_all FROM g2 GROUP BY 1) " +
+       "SELECT u.event_type AS event_type, u.d AS d, u.x + 0.0 AS x, u.trend + 0.0 AS trend, round(g2.sraw - gm.mean_all, 6) + 0.0 AS seasonal, round(u.detr - round(g2.sraw - gm.mean_all, 6), 6) + 0.0 AS residual FROM u JOIN g2 USING (event_type, dow) JOIN gm USING (event_type) ORDER BY event_type, d"),
     // stats_kendall_tau: identical day-pair sign algebra per type;
     // integer-exact counts into one final sqrt/division.
     "stats_kendall_tau" ->

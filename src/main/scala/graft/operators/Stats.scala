@@ -2396,21 +2396,53 @@ object Stats {
     * series — the EWMA/CUSUM bound again, no global window anywhere.
     */
   def timeseriesStlDecompose(s: SparkSession, sf: String): DataFrame = {
+    // Every mean here is an ORDERED SEQUENTIAL FOLD, not a bare window
+    // avg (r11 stability find): the unordered partition avg behind the
+    // seasonal term summed in physical row order, and the (view,
+    // Friday) cell at sf0.001 sits EXACTLY on a round-6 half-boundary
+    // — DuckDB's parallel scan flipped it between …285 and …286 run to
+    // run (caught by tools/oracle_stability.py, which re-runs every
+    // oracle at 3 thread counts). Folding in (d) / (dow) order — the
+    // eventMarkovStationary discipline — pins the IEEE op sequence on
+    // both engines: trend folds the 7-day frame in frame order,
+    // the per-dow seasonal sum folds by day, and the centering mean
+    // folds the dow-grain (sraw·n_days) products in Sunday-first dow
+    // order (both engines number days Sunday-first ascending).
     val daily = DailyFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
       .select(col("event_type"), col("d"), col("x4").as("x"))
     val w7 = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
       .rowsBetween(-3, 3)
-    val wDow = Window.partitionBy(col("event_type"), col("dow"))
-    val wAll = Window.partitionBy(col("event_type"))
-    daily
-      .withColumn("trend",
-        when(count(lit(1)).over(w7) === 7, round(avg(col("x")).over(w7), 6)))
+    val base = daily
+      .withColumn("nrows", count(lit(1)).over(w7))
+      .withColumn("farr", collect_list(col("x")).over(w7))
+      .withColumn("trend", when(col("nrows") === 7 && size(col("farr")) > 0,
+        round(expr("aggregate(farr, 0.0d, (a, v) -> a + v)") /
+          size(col("farr")), 6)))
       .withColumn("detr", col("x") - col("trend"))
       .withColumn("dow", dayofweek(col("d")))
-      .withColumn("sraw", avg(col("detr")).over(wDow))
-      .withColumn("seasonal",
-        round(col("sraw") - avg(col("sraw")).over(wAll), 6))
+      .drop("nrows", "farr")
+    val sdow = base.groupBy(col("event_type"), col("dow"))
+      .agg(
+        expr("aggregate(sort_array(collect_list(if(isnotnull(detr), " +
+          "struct(d, detr), null))), 0.0d, (a, r) -> a + r.detr)").as("ssum"),
+        count(col("detr")).as("m"),
+        count(lit(1)).as("nd"))
+      .withColumn("sraw", when(col("m") > 0, col("ssum") / col("m")))
+    val smean = sdow.groupBy(col("event_type"))
+      .agg(
+        expr("aggregate(sort_array(collect_list(if(isnotnull(sraw), " +
+          "struct(dow, sraw, nd), null))), 0.0d, (a, r) -> a + r.sraw * r.nd)")
+          .as("wsum"),
+        sum(when(col("sraw").isNotNull, col("nd")).otherwise(lit(0L)))
+          .as("wn"))
+      .withColumn("mean_all", when(col("wn") > 0, col("wsum") / col("wn")))
+    base
+      .join(broadcast(sdow.select(col("event_type"), col("dow"), col("sraw"))),
+        Seq("event_type", "dow"))
+      .join(broadcast(smean.select(col("event_type"), col("mean_all"))),
+        Seq("event_type"))
+      .withColumn("seasonal", round(col("sraw") - col("mean_all"), 6))
       .select(col("event_type"), col("d"), col("x"), col("trend"),
         col("seasonal"),
         round(col("detr") - col("seasonal"), 6).as("residual"))
