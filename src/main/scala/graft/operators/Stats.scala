@@ -1768,10 +1768,12 @@ object Stats {
     * Scale shape: ranks come from the distributed `midranks` helper —
     * distinct-value grain, bucketed prefix, NO global window (the exact
     * shape the round-7 verdict required of ks/mann-whitney). Rank
-    * frames join back to rows by (flag, value) — shuffle hash joins ∝
-    * data, the scalable grain — and `corr` is sum-of-moments, map-side
-    * combinable. Midranks are exact half-integers, so only the final ρ
-    * rounds.
+    * frames join back to rows by (flag, value): the quantity frame is
+    * distinct-value grain (~50 values × 3 flags) and BROADCASTS, so the
+    * row-grain side shuffles exactly once — on (flag, price) for the
+    * price-rank join, the scalable grain — and `corr` is
+    * sum-of-moments, map-side combinable. Midranks are exact
+    * half-integers, so only the final ρ rounds.
     */
   def statsSpearman(s: SparkSession, sf: String): DataFrame = {
     val base = Tables.lineitem(s, sf)
@@ -1782,7 +1784,10 @@ object Stats {
       .select(col("f"), col("value").as("q"), col("midrank").as("rq"))
     val rp = midranks(base.select(col("f"), col("p")), "f", "p")
       .select(col("f"), col("value").as("p"), col("midrank").as("rp"))
-    base.join(rq, Seq("f", "q")).join(rp, Seq("f", "p"))
+    // rq is distinct-quantity grain (~50 values × 3 flags) — broadcast
+    // it so the row-grain base never shuffles for this join; rp is
+    // distinct-price grain (≈ row count) and stays a shuffle join.
+    base.join(broadcast(rq), Seq("f", "q")).join(rp, Seq("f", "p"))
       .groupBy(col("f"))
       .agg(count(lit(1)).cast("bigint").as("n"),
            round(corr(col("rq"), col("rp")), 6).as("spearman_rho"))
