@@ -1960,11 +1960,24 @@ object SparkEntry {
     // stats_spearman: midrank = rank() + (ties-1)/2 — algebraically the
     // Spark side's cum_before + (ties+1)/2; ranks are exact half-
     // integers, so only corr's final double rounds.
+    // stats_spearman: DOUBLED midranks (2·midrank = 2·rank + ties − 1)
+    // are exact integers, so the six moment sums are exact in HUGEINT
+    // (Spark keeps them in DECIMAL(38,0)) and order-free; ρ then comes
+    // from the IDENTICAL double-precision closed form on both engines —
+    // corr()'s streaming FP co-moments would be accumulation-order-
+    // dependent. Scaling both rank vectors by 2 leaves ρ unchanged.
     "stats_spearman" ->
       ("WITH base AS (SELECT l_returnflag AS f, round(CAST(l_quantity AS DOUBLE), 4) AS q, round(CAST(l_extendedprice AS DOUBLE), 4) AS p FROM lineitem), " +
-       "r AS (SELECT f, rank() OVER (PARTITION BY f ORDER BY q) + (count(*) OVER (PARTITION BY f, q) - 1) / 2.0 AS rq, " +
-       "rank() OVER (PARTITION BY f ORDER BY p) + (count(*) OVER (PARTITION BY f, p) - 1) / 2.0 AS rp FROM base) " +
-       "SELECT f AS l_returnflag, CAST(count(*) AS BIGINT) AS n, round(corr(rq, rp), 6) AS spearman_rho FROM r GROUP BY 1 ORDER BY 1"),
+       "r AS (SELECT f, 2*rank() OVER (PARTITION BY f ORDER BY q) + count(*) OVER (PARTITION BY f, q) - 1 AS rq2, " +
+       "2*rank() OVER (PARTITION BY f ORDER BY p) + count(*) OVER (PARTITION BY f, p) - 1 AS rp2 FROM base) " +
+       "SELECT f AS l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+       "round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(rq2 AS HUGEINT) * rp2) AS DOUBLE) " +
+       "- CAST(sum(CAST(rq2 AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(rp2 AS HUGEINT)) AS DOUBLE)) " +
+       "/ nullif(sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(rq2 AS HUGEINT) * rq2) AS DOUBLE) " +
+       "- CAST(sum(CAST(rq2 AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(rq2 AS HUGEINT)) AS DOUBLE)) " +
+       "* (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(rp2 AS HUGEINT) * rp2) AS DOUBLE) " +
+       "- CAST(sum(CAST(rp2 AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(rp2 AS HUGEINT)) AS DOUBLE))), 0.0), 6) AS spearman_rho " +
+       "FROM r GROUP BY 1 ORDER BY 1"),
     // timeseries_rolling_median: the RANGE frame is calendar-based on
     // the same epoch day index; quantile_cont interpolates identically
     // to Spark's exact percentile over the same 4-rounded day sums.

@@ -1765,33 +1765,73 @@ object Stats {
     * tie handling matters here because quantity has only ~50 distinct
     * values (massive tie groups whose naive rank would bias ρ).
     *
-    * Scale shape: ranks come from the distributed `midranks` helper —
-    * distinct-value grain, bucketed prefix, NO global window (the exact
-    * shape the round-7 verdict required of ks/mann-whitney). Rank
-    * frames join back to rows by (flag, value): the quantity frame is
-    * distinct-value grain (~50 values × 3 flags) and BROADCASTS, so the
-    * row-grain side shuffles exactly once — on (flag, price) for the
-    * price-rank join, the scalable grain — and `corr` is
-    * sum-of-moments, map-side combinable. Midranks are exact
-    * half-integers, so only the final ρ rounds.
+    * Scale shape: ranks come from the bucketed-prefix midrank
+    * decomposition — distinct-value grain, NO global window (the exact
+    * shape the round-7 verdict required of ks/mann-whitney) — but
+    * unlike the classic rank-then-join-back plan, rows are NEVER
+    * rejoined to a row-sized rank frame. The quantity midranks are
+    * distinct-value grain (~50 values × 3 flags), double to exact
+    * integers (2·midrank), and BROADCAST onto the scan; the ONE
+    * data-sized shuffle is the groupBy to (flag, price) grain, which
+    * carries each price's row count and its exact Σ2rq / Σ(2rq)²
+    * partial moments. Price midranks are then computed ON that
+    * distinct-price frame in place (intra-bucket running count +
+    * broadcast bucket offsets, 2·midrank = 2·cum_before + ties + 1 —
+    * all integer), and ρ comes from six moment sums kept EXACT in
+    * DECIMAL(38,0) (the stats_hurst ladder; doubled midranks are
+    * integers, so every addend is an integer and the sums are
+    * order-free on both engines — corr()'s FP co-moments would not
+    * be). The closed form runs the identical IEEE double expression
+    * tree on Spark and DuckDB over identical exact integers, so only
+    * the final ρ rounds. Scaling both rank vectors by 2 leaves the
+    * correlation unchanged.
     */
   def statsSpearman(s: SparkSession, sf: String): DataFrame = {
+    val d19 = "decimal(19,0)"
     val base = Tables.lineitem(s, sf)
       .select(col("l_returnflag").as("f"),
         round(col("l_quantity").cast("double"), 4).as("q"),
         round(col("l_extendedprice").cast("double"), 4).as("p"))
-    val rq = midranks(base.select(col("f"), col("q")), "f", "q")
-      .select(col("f"), col("value").as("q"), col("midrank").as("rq"))
-    val rp = midranks(base.select(col("f"), col("p")), "f", "p")
-      .select(col("f"), col("value").as("p"), col("midrank").as("rp"))
-    // rq is distinct-quantity grain (~50 values × 3 flags) — broadcast
-    // it so the row-grain base never shuffles for this join; rp is
-    // distinct-price grain (≈ row count) and stays a shuffle join.
-    base.join(broadcast(rq), Seq("f", "q")).join(rp, Seq("f", "p"))
-      .groupBy(col("f"))
-      .agg(count(lit(1)).cast("bigint").as("n"),
-           round(corr(col("rq"), col("rp")), 6).as("spearman_rho"))
-      .select(col("f").as("l_returnflag"), col("n"), col("spearman_rho"))
+    val rq2 = midranks(base.select(col("f"), col("q")), "f", "q")
+      .select(col("f"), col("value").as("q"),
+        (col("midrank") * 2).cast("long").as("rq2"))
+    val byP = base.join(broadcast(rq2), Seq("f", "q"))
+      .groupBy(col("f"), col("p"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("rq2").cast(d19)).as("sq"),
+           sum(col("rq2").cast(d19) * col("rq2").cast(d19)).as("sqq"))
+      .withColumn("bkt", valueBucket(col("p")))
+    val wIntra = Window.partitionBy(col("f"), col("bkt"))
+      .orderBy(col("p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrevBkt = Window.partitionBy(col("f")).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byP.groupBy(col("f"), col("bkt"))
+      .agg(sum(col("cnt")).as("sc"))
+      .select(col("f"), col("bkt"),
+        coalesce(sum(col("sc")).over(wPrevBkt), lit(0L)).as("off"))
+    val withRp = byP
+      .withColumn("lc", sum(col("cnt")).over(wIntra) - col("cnt"))
+      .join(broadcast(offsets), Seq("f", "bkt"))
+      .withColumn("rp2",
+        lit(2L) * (col("off") + col("lc")) + col("cnt") + lit(1L))
+    val nD = col("n").cast("double")
+    def mD(c: String) = col(c).cast("double")
+    withRp.groupBy(col("f"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"),
+           sum(col("sq")).as("sx"),
+           sum(col("sqq")).as("sxx"),
+           sum(col("cnt").cast(d19) * col("rp2").cast(d19)).as("sy"),
+           sum(col("cnt").cast(d19) *
+               (col("rp2").cast(d19) * col("rp2").cast(d19))).as("syy"),
+           sum(col("sq") * col("rp2").cast(d19)).as("sxy"))
+      .select(col("f").as("l_returnflag"), col("n"),
+        round(
+          (nD * mD("sxy") - mD("sx") * mD("sy")) /
+            nullif(sqrt(
+              (nD * mD("sxx") - mD("sx") * mD("sx")) *
+              (nD * mD("syy") - mD("sy") * mD("sy"))), lit(0.0d)),
+          6).as("spearman_rho"))
       .orderBy("l_returnflag")
   }
 
