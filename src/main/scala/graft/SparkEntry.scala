@@ -453,6 +453,37 @@ object SparkEntry {
     "join_null_safe"    -> Relational.joinNullSafe _,
   )
 
+  /** profile_corr_matrix oracle, generated so the 16 cells are the
+    * IDENTICAL closed-form double expression the Spark side evaluates
+    * (Profiling.profileCorrMatrix scaladoc): exact cents-scaled integer
+    * moments in HUGEINT (Spark: DECIMAL(38,0)), canonical pair order so
+    * both triangle halves read the same sums, listwise null deletion. */
+  private def corrMatrixOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val ints = cols
+      .map(c => s"CAST(round($c * 100, 0) AS BIGINT) AS x_$c")
+      .mkString(", ")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val mSel = (Seq("CAST(count(*) AS BIGINT) AS n") ++
+      cols.map(x => s"sum(CAST(x_$x AS HUGEINT)) AS s_$x") ++
+      (for (x <- cols; y <- cols if cols.indexOf(x) <= cols.indexOf(y))
+        yield s"sum(CAST(x_$x AS HUGEINT) * x_$y) AS s_${x}__$y"))
+      .mkString(", ")
+    def cellSql(x: String, y: String): String = {
+      val (a, b) = if (cols.indexOf(x) <= cols.indexOf(y)) (x, y) else (y, x)
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      s"round((${d("n")} * ${d(s"s_${a}__$b")} - ${d(s"s_$a")} * ${d(s"s_$b")}) / " +
+        s"nullif(sqrt((${d("n")} * ${d(s"s_${a}__$a")} - ${d(s"s_$a")} * ${d(s"s_$a")}) * " +
+        s"(${d("n")} * ${d(s"s_${b}__$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})), 0.0), 6)"
+    }
+    val rows = (for (x <- cols; y <- cols) yield
+      s"SELECT '$x' AS col_x, '$y' AS col_y, ${cellSql(x, y)} AS corr_xy FROM m")
+      .mkString(" UNION ALL ")
+    s"WITH i AS (SELECT $ints FROM lineitem WHERE $notNull), " +
+      s"m AS (SELECT $mSel FROM i) " +
+      s"SELECT * FROM ($rows) ORDER BY col_x, col_y"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -850,9 +881,9 @@ object SparkEntry {
     // agg_histogram, second axis hour-of-day.
     "agg_histogram_2d" ->
       "WITH b AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n_total FROM events WHERE value IS NOT NULL), x AS (SELECT CAST(hour(ts) AS BIGINT) AS hh, CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((value - lo) / (hi - lo) * 10.0), 9.0) AS BIGINT) END AS bin, lo, hi, n_total FROM events, b WHERE value IS NOT NULL) SELECT hh, bin, round(lo + bin * (hi - lo) / 10.0, 4) AS bin_lo, round(lo + (bin + 1) * (hi - lo) / 10.0, 4) AS bin_hi, CAST(count(*) AS BIGINT) AS n, round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share FROM x GROUP BY hh, bin, lo, hi, n_total ORDER BY hh, bin",
-    // profile_corr_matrix: 16 corr aggregates in one pass, long-format.
-    "profile_corr_matrix" ->
-      "WITH c AS (SELECT round(corr(l_quantity, l_quantity), 6) AS c0_0, round(corr(l_quantity, l_extendedprice), 6) AS c0_1, round(corr(l_quantity, l_discount), 6) AS c0_2, round(corr(l_quantity, l_tax), 6) AS c0_3, round(corr(l_extendedprice, l_quantity), 6) AS c1_0, round(corr(l_extendedprice, l_extendedprice), 6) AS c1_1, round(corr(l_extendedprice, l_discount), 6) AS c1_2, round(corr(l_extendedprice, l_tax), 6) AS c1_3, round(corr(l_discount, l_quantity), 6) AS c2_0, round(corr(l_discount, l_extendedprice), 6) AS c2_1, round(corr(l_discount, l_discount), 6) AS c2_2, round(corr(l_discount, l_tax), 6) AS c2_3, round(corr(l_tax, l_quantity), 6) AS c3_0, round(corr(l_tax, l_extendedprice), 6) AS c3_1, round(corr(l_tax, l_discount), 6) AS c3_2, round(corr(l_tax, l_tax), 6) AS c3_3 FROM lineitem) SELECT * FROM (SELECT 'l_quantity' AS col_x, 'l_quantity' AS col_y, c0_0 AS corr_xy FROM c UNION ALL SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, c0_1 AS corr_xy FROM c UNION ALL SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, c0_2 AS corr_xy FROM c UNION ALL SELECT 'l_quantity' AS col_x, 'l_tax' AS col_y, c0_3 AS corr_xy FROM c UNION ALL SELECT 'l_extendedprice' AS col_x, 'l_quantity' AS col_y, c1_0 AS corr_xy FROM c UNION ALL SELECT 'l_extendedprice' AS col_x, 'l_extendedprice' AS col_y, c1_1 AS corr_xy FROM c UNION ALL SELECT 'l_extendedprice' AS col_x, 'l_discount' AS col_y, c1_2 AS corr_xy FROM c UNION ALL SELECT 'l_extendedprice' AS col_x, 'l_tax' AS col_y, c1_3 AS corr_xy FROM c UNION ALL SELECT 'l_discount' AS col_x, 'l_quantity' AS col_y, c2_0 AS corr_xy FROM c UNION ALL SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y, c2_1 AS corr_xy FROM c UNION ALL SELECT 'l_discount' AS col_x, 'l_discount' AS col_y, c2_2 AS corr_xy FROM c UNION ALL SELECT 'l_discount' AS col_x, 'l_tax' AS col_y, c2_3 AS corr_xy FROM c UNION ALL SELECT 'l_tax' AS col_x, 'l_quantity' AS col_y, c3_0 AS corr_xy FROM c UNION ALL SELECT 'l_tax' AS col_x, 'l_extendedprice' AS col_y, c3_1 AS corr_xy FROM c UNION ALL SELECT 'l_tax' AS col_x, 'l_discount' AS col_y, c3_2 AS corr_xy FROM c UNION ALL SELECT 'l_tax' AS col_x, 'l_tax' AS col_y, c3_3 AS corr_xy FROM c) ORDER BY col_x, col_y",
+    // profile_corr_matrix: exact cents-scaled integer moments, closed
+    // form mirrored from the Spark side (generated above the map).
+    "profile_corr_matrix" -> corrMatrixOracle,
     // join_temporal: facts joined to the SCD2 interval valid at event
     // time; hash join on user_id, range filter post-join.
     "join_temporal" ->

@@ -272,19 +272,51 @@ object Profiling {
   /** Pairwise correlation matrix of the lineitem numeric columns in
     * long format — the multivariate step after profile_table's
     * univariate stats (which joins drive each other, which columns are
-    * redundant). All 16 `corr` aggregates compute in ONE partial+final
-    * pass over the scan (each is constant-state sum-of-moments), and
-    * `stack` pivots the 1-row result — output is O(k²), never a second
-    * scan per pair.
+    * redundant). All four columns are fixed-point (quantity integral;
+    * price/discount/tax two-decimal), so rows scale to exact cents
+    * integers and every moment — n, Σx, Σxy per canonical pair — is an
+    * EXACT DECIMAL(38,0) sum (HUGEINT on the oracle side): the matrix
+    * is accumulation-order-free by construction, where `corr()`'s
+    * streaming FP co-moments depend on partition merge order (the same
+    * hardening as stats_spearman; positive scaling leaves every
+    * correlation unchanged). The 15 moment sums compute in ONE
+    * partial+final pass over the scan; the 16 cells are the identical
+    * closed-form double expression tree on both engines ((x,y) and
+    * (y,x) read the SAME canonical moments, so the matrix is symmetric
+    * bit-for-bit), and `stack` pivots the 1-row result — output is
+    * O(k²), never a second scan per pair. Rows with ANY null among the
+    * four columns are dropped (listwise-complete matrix — identical to
+    * pairwise deletion on this corpus, which has no nulls; documented
+    * because `corr` would delete pairwise).
     */
   def profileCorrMatrix(s: SparkSession, sf: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = for (x <- cols; y <- cols)
-      yield round(corr(col(x), col(y)), 6).as(s"${x}__${y}")
-    val stackArgs = cols.flatMap(x => cols.map(y => s"'$x', '$y', ${x}__${y}"))
+    val d19 = "decimal(19,0)"
+    val ints = Tables.lineitem(s, sf)
+      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(c => round(col(c) * 100, 0).cast("long").as(c)): _*)
+    val momentAggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(x => sum(col(x).cast(d19)).as(s"s_$x")) ++
+      (for (x <- cols; y <- cols if cols.indexOf(x) <= cols.indexOf(y))
+        yield sum(col(x).cast(d19) * col(y).cast(d19)).as(s"s_${x}__$y"))
+    def cell(x: String, y: String) = {
+      // canonical pair order: both triangle halves read the same moments
+      val (a, b) =
+        if (cols.indexOf(x) <= cols.indexOf(y)) (x, y) else (y, x)
+      val nD = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      round(
+        (nD * d(s"s_${a}__$b") - d(s"s_$a") * d(s"s_$b")) /
+          nullif(sqrt(
+            (nD * d(s"s_${a}__$a") - d(s"s_$a") * d(s"s_$a")) *
+            (nD * d(s"s_${b}__$b") - d(s"s_$b") * d(s"s_$b"))), lit(0.0d)),
+        6).as(s"${x}__$y")
+    }
+    val stackArgs = cols.flatMap(x => cols.map(y => s"'$x', '$y', ${x}__$y"))
       .mkString(", ")
-    Tables.lineitem(s, sf)
-      .agg(aggs.head, aggs.tail: _*)
+    ints.agg(momentAggs.head, momentAggs.tail: _*)
+      .select(cols.flatMap(x => cols.map(y => cell(x, y))): _*)
       .select(expr(s"stack(16, $stackArgs) AS (col_x, col_y, corr_xy)"))
       .orderBy("col_x", "col_y")
   }
