@@ -291,15 +291,21 @@ object Profiling {
     */
   def profileCorrMatrix(s: SparkSession, sf: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
     val ints = Tables.lineitem(s, sf)
       .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(cols.map(c => round(col(c) * 100, 0).cast("long").as(c)): _*)
+    // per-row products multiply as LONGS — the factors are bounded by
+    // the VALUE DOMAIN (cents of a bounded price), not by corpus size,
+    // so x·y ≤ ~1.2e14 can never overflow at any row count; only the
+    // SUM grows with the corpus and that is where the DECIMAL(38,0)
+    // width sits. (Decimal×Decimal per row would detour through
+    // BigDecimal and triple this key's cost.)
     val momentAggs =
       Seq(count(lit(1)).as("n")) ++
-      cols.map(x => sum(col(x).cast(d19)).as(s"s_$x")) ++
+      cols.map(x => sum(col(x).cast(d38)).as(s"s_$x")) ++
       (for (x <- cols; y <- cols if cols.indexOf(x) <= cols.indexOf(y))
-        yield sum(col(x).cast(d19) * col(y).cast(d19)).as(s"s_${x}__$y"))
+        yield sum((col(x) * col(y)).cast(d38)).as(s"s_${x}__$y"))
     def cell(x: String, y: String) = {
       // canonical pair order: both triangle halves read the same moments
       val (a, b) =
