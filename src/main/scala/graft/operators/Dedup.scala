@@ -421,10 +421,16 @@ object Dedup {
           .stripMargin)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
               col("bb.bh").as("bh"))
-    val dir = graft.Scratch.dir("graft_minhash_index_")
-    bandRows(docs.crossJoin(cut).filter(col("doc_id") <= col("cut"))
-        .drop("cut"))
-      .write.mode("overwrite").parquet(dir)
+    // Standing half staged once per session (Scratch.stagedDir
+    // scaladoc): "built once and persisted" is the incremental key's
+    // own premise — the signature family is deterministic and the
+    // corpus immutable, so only the delta hash is per-ingest work.
+    val dir = graft.Scratch.stagedDir(s, s"minhash_standing:$sf",
+        "graft_minhash_index_") { d =>
+      bandRows(docs.crossJoin(cut).filter(col("doc_id") <= col("cut"))
+          .drop("cut"))
+        .write.mode("overwrite").parquet(d)
+    }
     val standing = s.read.parquet(dir).withColumn("fresh", lit(false))
     val delta = bandRows(docs.crossJoin(cut)
         .filter(col("doc_id") > col("cut")).drop("cut"))

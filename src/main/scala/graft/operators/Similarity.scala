@@ -759,6 +759,46 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** (vec_id, sub, sv): the 8-dim subvector rows — the only explode. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), s -> slice(embedding, s * 8 + 1, 8))"))
+        .as(Seq("sub", "sv")))
+
+  /** PQ codebook training: deterministic seeds (the first 16 even-id
+    * vectors' subvectors per subspace), 2 Lloyd rounds, each round
+    * materialized (the trainCodebook lesson — without it, round i's
+    * broadcast re-executes rounds 1..i−1). Returns the 128-row
+    * (sub, code, cv) frame. */
+  private def pqTrainCodebook(s: SparkSession, sub: DataFrame): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    // min_by, not first(): several vectors share a seed code and
+    // first() is partition-order-dependent — seeds must be stable
+    var cb = materialize(sub.filter(col("vec_id") % 2 === 0)
+      .withColumn("code", expr("CAST((vec_id div 2) % 16 AS INT)"))
+      .filter(col("vec_id") < 64)
+      .groupBy(col("sub"), col("code"))
+      .agg(expr("min_by(sv, vec_id)").as("cv")))
+    val dims = 0 until 8
+    for (_ <- 1 to 2) {
+      val assigned = sub
+        .join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+          // L2 argmin via the expansion |a|^2 - 2a.c + |c|^2; |a|^2 is
+          // constant per row so argmin needs only c.c - 2 a.c
+          (dot(s)("cv", "cv") - lit(2.0) * dot(s)("sv", "cv")).as("d"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(expr("max_by(code, struct(-d, -code))").as("code"),
+             first(col("sv")).as("sv"))
+      cb = materialize(assigned
+        .groupBy(col("sub"), col("code"))
+        .agg(array(dims.map(i =>
+          avg(element_at(col("sv"), i + 1)).cast("float")): _*).as("cv")))
+    }
+    cb
+  }
+
   /** Product-quantization ANN — the third index family next to IVF and
     * LSH, and the one production vector stores actually compress with:
     * the 64-dim space splits into 8 orthogonal 8-dim subspaces, each
@@ -781,37 +821,18 @@ object Similarity {
     */
   def simAnnPq(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf)
-    // (vec_id, sub, sv): the 8-dim subvector rows — the only explode
-    val sub = e.select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 7), s -> slice(embedding, s * 8 + 1, 8))"))
-        .as(Seq("sub", "sv")))
-    def materialize(df: DataFrame): DataFrame =
-      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-    // seeds: the first 16 even-id vectors' subvectors per subspace
-    var cb = materialize(sub.filter(col("vec_id") % 2 === 0)
-      .withColumn("code", expr("CAST((vec_id div 2) % 16 AS INT)"))
-      .filter(col("vec_id") < 64)
-      .groupBy(col("sub"), col("code"))
-      // min_by, not first(): several vectors share a seed code and
-      // first() is partition-order-dependent — seeds must be stable
-      .agg(expr("min_by(sv, vec_id)").as("cv")))
-    val dims = 0 until 8
-    for (_ <- 1 to 2) {
-      val assigned = sub
-        .join(broadcast(cb), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("sv"), col("code"),
-          // L2 argmin via the expansion |a|^2 - 2a.c + |c|^2; |a|^2 is
-          // constant per row so argmin needs only c.c - 2 a.c
-          (dot(s)("cv", "cv") - lit(2.0) * dot(s)("sv", "cv")).as("d"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(expr("max_by(code, struct(-d, -code))").as("code"),
-             first(col("sv")).as("sv"))
-      cb = materialize(assigned
-        .groupBy(col("sub"), col("code"))
-        .agg(array(dims.map(i =>
-          avg(element_at(col("sv"), i + 1)).cast("float")): _*).as("cv")))
-    }
-    val cbB = broadcast(cb)
+    val sub = pqSubvectors(e)
+    // trained codebook is session-memoized like the IVF quantizer: a
+    // deterministic 128-row artifact over an immutable table — a
+    // per-session index investment, not a per-query cost
+    val cbB = broadcast(codebookMemo.synchronized {
+      val perKey = Option(codebookMemo.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map[(String, Int), DataFrame]()
+        codebookMemo.put(s, m); m
+      }
+      // iters key -1 namespaces the PQ codebook apart from the IVF one
+      perKey.getOrElseUpdate((s"pq:$sf", -1), pqTrainCodebook(s, sub))
+    })
     val encoded = sub
       .join(cbB, Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"),
