@@ -437,10 +437,13 @@ object TextOps {
     * papers plot per source.
     *
     * Scale shape: explode to (doc, trigram) distinct pairs, ONE
-    * gram-grain HashAggregate for the min-doc owner, one shuffle join
-    * back on the gram, and a doc-grain re-aggregate — the same
-    * two-aggregate profile as text_bigram_logprob, all partial-
-    * aggregatable. The gram table is data-sized and never broadcast.
+    * gram-grain HashAggregate for the min-doc owner, then BOTH outputs
+    * reduce to doc grain independently — n_novel is the owner frame
+    * re-grouped by its winning doc, n_grams the pair frame grouped by
+    * doc — and meet in a doc-grain join (|docs| rows, catalog-sized at
+    * any corpus). The naive shape joins the data-sized gram table back
+    * to the data-sized owner table on the gram; this never joins
+    * anything data-sized. All aggregates partial-combine.
     */
   def textNgramNovelty(s: SparkSession, sf: String): DataFrame = {
     val grams = Tables.documents(s, sf)
@@ -452,13 +455,17 @@ object TextOps {
           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
           |                 element_at(w, i + 2))))""".stripMargin))
         .as("g"))
-    val firstOwner = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstOwner, Seq("g"))
+    // a gram's first occurrence credits exactly one doc, so novel counts
+    // are the owner frame re-grouped — no join back to the pair table
+    val novel = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("bigint").as("n_grams"),
-           sum((col("first_doc") === col("doc_id")).cast("long"))
-             .cast("bigint").as("n_novel"))
+      .agg(count(lit(1)).as("n_novel"))
+    grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).cast("bigint").as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 6))
       .orderBy("doc_id")
