@@ -193,7 +193,13 @@ object AdvancedAggs {
 
   /** Statistical aggregates: correlation, covariance, stddev/variance
     * (sample + population). Skewness/kurtosis are deliberately absent —
-    * Spark uses population formulas, DuckDB bias-corrected sample ones. */
+    * Spark uses population formulas, DuckDB bias-corrected sample ones.
+    * This key's PURPOSE is the native builtin surface, so corr/covar
+    * stay Spark's streaming FP co-moments (order-sensitive in the last
+    * ulps, tolerated by the round-4/6 contract and watched by the
+    * stability sweeps); the order-free exact-moment formulation lives
+    * in profile_corr_matrix / stats_spearman, where the VALUE is the
+    * product rather than the builtin. */
   def aggStats(s: SparkSession, sf: String): DataFrame =
     Tables.lineitem(s, sf)
       .groupBy(col("l_returnflag"))
