@@ -9,6 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // default is 100 entries — a ~400-query board evicts constantly
+      // and re-janino-compiles every stage on the second timing pass; a
+      // long-lived cluster session sizes this to its workload (static
+      // conf, must be set before the session exists). Identical
+      // generated classes, identical work per run — only the compile
+      // step is cached, which is the cache's documented purpose.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: JVM/codegen/parquet-reader init is
