@@ -19,5 +19,8 @@ object SparkSpecBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // sized for the ~400-query board (Bench.scala has the rationale);
+    // the suite drives the same queries and pays the same eviction tax
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
     .getOrCreate()
 }
