@@ -104,7 +104,7 @@ object Similarity {
     }
     val lambda = 0.5
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Double)]()
-    val pool = scala.collection.mutable.ArrayBuffer(cands: _*)
+    val pool = scala.collection.mutable.ArrayBuffer.from(cands)
     while (selected.length < 10 && pool.nonEmpty) {
       val scored = pool.map { case (id, v, rel) =>
         val maxSim = if (selected.isEmpty) 0.0
@@ -539,7 +539,8 @@ object Similarity {
     val standing = s.read.parquet(dir)
     val delta = lshBucketRows(e.crossJoin(cut)
       .filter(col("vec_id") > col("cut")).drop("cut"), tables, planes)
-    lshQueryTopk(standing.unionByName(delta.select(standing.columns.map(col): _*)),
+    lshQueryTopk(standing.unionByName(
+        delta.select(standing.columns.toIndexedSeq.map(col): _*)),
       dot(s), maxBucket = 4096, k = 5)
   }
 

@@ -349,7 +349,8 @@ object Sources {
           try {
             import scala.jdk.CollectionConverters._
             reader.getFooter.getBlocks.asScala.map { rg =>
-              val stats = rg.getColumns.get(0).getStatistics
+              val stats: org.apache.parquet.column.statistics.Statistics[_] =
+              rg.getColumns.get(0).getStatistics
               // an all-null chunk has no min/max — surface SQL NULLs,
               // matching what min()/max() yield over the same rows
               val ok = stats != null && !stats.isEmpty && stats.hasNonNullValue
