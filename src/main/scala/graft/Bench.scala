@@ -70,8 +70,12 @@ object Bench {
     }
     // Local-iteration filter (unset in the driver's run), the Verify
     // convention: comma-separated key list restricts the timed set.
-    // Banners loudly on stderr and fails fast on typo'd keys so a
-    // leaked env var can never silently shrink the graded board.
+    // Banners loudly on stderr and fails fast on typo'd keys; and since
+    // the stderr banner is NOT captured by the driver's stdout
+    // tail-parse, the total line itself carries the timed-key count and
+    // an explicit "partial" flag (totalLine below) so a leaked env var
+    // naming VALID keys still cannot pass a shrunken board off as a
+    // full-board result.
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { keys =>
@@ -105,7 +109,7 @@ object Bench {
     // and the driver captures only a ~2 KB stdout tail, so the LAST line
     // must be short (<200 B) to always be captured whole and parse clean.
     println(detailLine(results, sfDir))
-    println(totalLine(results, sfDir))
+    println(totalLine(results, sfDir, SparkEntry.queries.size))
     System.out.flush()
   }
 
@@ -128,12 +132,19 @@ object Bench {
     * any key count; BenchOutputSpec pins that contract.
     * A failed query reports -1.0 per-query (visible in the detail line)
     * but must not SUBTRACT from the total — sum only real timings and
-    * surface the failure count alongside. */
+    * surface the failure count alongside.
+    * `n` is the TIMED key count and `boardSize` the full graded board:
+    * a GRAFT_BENCH_ONLY-filtered run (or any future subsetting bug)
+    * shows n < boardSize plus "partial":true right in the line the
+    * driver parses — a partial total can never masquerade as a
+    * full-board result even though the stderr banner is not captured. */
   private[graft] def totalLine(results: Seq[(String, Double)],
-                               sfDir: String): String = {
+                               sfDir: String, boardSize: Int): String = {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErrors = results.map(_._2).count(_ < 0)
-    s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErrors,"sf":"$sfDir"}"""
+    val partial = if (results.size < boardSize) ""","partial":true""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErrors,""" +
+      s""""n":${results.size},"boardSize":$boardSize$partial,"sf":"$sfDir"}"""
   }
 }

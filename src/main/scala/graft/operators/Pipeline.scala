@@ -216,8 +216,8 @@ object Pipeline {
   def eventCohortLtv(s: SparkSession, sf: String): DataFrame = {
     // session-memoized user-day rollup (r10 verdict ask #6): cohort
     // days and sizes are exact (min day / user counts); day revenue
-    // re-adds the purchase cells' raw sums (value-IS-NOT-NULL recovers
-    // as cv > 0; IEEE-reassociation tolerance as in statsCuped). The
+    // sums the purchase cells' exact long cents (value-IS-NOT-NULL
+    // recovers as cv > 0; r11 ask #4 — order-free by construction). The
     // two consumers of the rollup branch off a localCheckpoint, so
     // nothing upstream recomputes.
     val ev = graft.operators.UserFrames.daily(s, sf)
@@ -229,7 +229,8 @@ object Pipeline {
       .join(first, "user_id")
       .groupBy(col("cohort_day"),
         datediff(col("d"), col("cohort_day")).cast("bigint").as("day_offset"))
-      .agg(round(sum(col("xs")), 4).cast("decimal(18,4)").as("day_revenue"))
+      .agg((sum(col("xsc")).cast("double") / 100d)
+        .cast("decimal(18,4)").as("day_revenue"))
     val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily.join(sizes, Seq("cohort_day"))

@@ -308,23 +308,41 @@ object Similarity {
     * is a per-session INVESTMENT like the DPP staging layout and the
     * persisted LSH index, not a per-query cost. Keyed by the
     * SparkSession object (WeakHashMap) + sf dir + round count; the
-    * value is the already-materialized C×64-float local frame, so
-    * holding it pins kilobytes. Spec paths that train on CUSTOM frames
-    * bypass this (they pass their own `e`). */
+    * value is SESSION-INDEPENDENT data — the collected C×64-float rows
+    * plus their schema, kilobytes — with the local DataFrame rebuilt
+    * per call. Storing the DataFrame itself would defeat the weak key:
+    * Dataset.sparkSession strongly references the session the map is
+    * keyed by, pinning a stopped session for JVM lifetime (ADVICE r11).
+    * Spec paths that train on CUSTOM frames bypass this (they pass
+    * their own `e`). */
   private val codebookMemo =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, Int), DataFrame]]()
+      scala.collection.mutable.Map[(String, Int),
+        (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.Row])]]()
+
+  /** Memo accessor shared by the IVF and PQ codebooks: train on first
+    * call per (session, tag), then rebuild a local frame from the
+    * collected rows on every call (createDataFrame over local rows is
+    * plan-free and the consumer broadcasts it anyway). */
+  private def memoizedCodebook(s: SparkSession, tag: (String, Int))
+                              (train: => DataFrame): DataFrame = {
+    val (schema, rows) = codebookMemo.synchronized {
+      val perKey = Option(codebookMemo.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map[(String, Int),
+          (org.apache.spark.sql.types.StructType,
+           Array[org.apache.spark.sql.Row])]()
+        codebookMemo.put(s, m); m
+      }
+      perKey.getOrElseUpdate(tag, { val df = train; (df.schema, df.collect()) })
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   private def codebookFor(s: SparkSession, sf: String,
                           lloydIters: Int = KMeansIters): DataFrame =
-    codebookMemo.synchronized {
-      val perKey = Option(codebookMemo.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map[(String, Int), DataFrame]()
-        codebookMemo.put(s, m); m
-      }
-      perKey.getOrElseUpdate((sf, lloydIters),
-        trainCodebook(s, Tables.embeddings(s, sf), lloydIters))
-    }
+    memoizedCodebook(s, (sf, lloydIters))(
+      trainCodebook(s, Tables.embeddings(s, sf), lloydIters))
 
   /** Parameterized IVF core — `nprobe` and `lloydIters` are knobs a
     * deployment tunes against its own recall/latency curve (defaults =
@@ -826,14 +844,9 @@ object Similarity {
     // trained codebook is session-memoized like the IVF quantizer: a
     // deterministic 128-row artifact over an immutable table — a
     // per-session index investment, not a per-query cost
-    val cbB = broadcast(codebookMemo.synchronized {
-      val perKey = Option(codebookMemo.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map[(String, Int), DataFrame]()
-        codebookMemo.put(s, m); m
-      }
-      // iters key -1 namespaces the PQ codebook apart from the IVF one
-      perKey.getOrElseUpdate((s"pq:$sf", -1), pqTrainCodebook(s, sub))
-    })
+    // iters key -1 namespaces the PQ codebook apart from the IVF one
+    val cbB = broadcast(
+      memoizedCodebook(s, (s"pq:$sf", -1))(pqTrainCodebook(s, sub)))
     val encoded = sub
       .join(cbB, Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"),

@@ -209,16 +209,15 @@ object Stats {
   def behaviorRfm(s: SparkSession, sf: String): DataFrame = {
     // rides the session-memoized user-day rollup (r10 verdict ask #6):
     // recency/frequency re-aggregate exactly (day max, count sums);
-    // monetary re-sums the cells' raw sums — same value as the raw-row
-    // sum modulo IEEE reassociation, the tolerance the cross-engine
-    // round(sum, 4) contract already carries
+    // monetary is an exact long cents sum divided once — order-free by
+    // construction (r11 ask #4), same round-4 value as the raw-row sum
     val u = UserFrames.daily(s, sf)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(datediff(max(col("d")), lit("1970-01-01").cast("date"))
              .cast("bigint").as("ld"),
            sum(col("c")).as("frequency"),
-           round(sum(col("xs")), 4).as("monetary"))
+           round(sum(col("xsc")).cast("double") / 100d, 4).as("monetary"))
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
     val thCols = max(col("ld")).as("anchor") +:
       (qs.map(q => round(expr(s"percentile(ld, $q)"), 6).as(s"ld${(q * 100).toInt}")) ++
@@ -630,12 +629,12 @@ object Stats {
     * scalars, no windows. */
   def statsPropensityStrat(s: SparkSession, sf: String): DataFrame = {
     // session-memoized user-day rollup (r10 verdict ask #6): x1 is an
-    // exact cell-count sum; the revenue covariate/outcome re-add the
-    // cells' raw sums (all-null cells carry xs NULL, which SUM skips —
-    // the same rows the raw form skipped via its per-row CASE), the
-    // IEEE-reassociation tolerance as in statsCuped
+    // exact cell-count sum; the revenue covariate/outcome sum the
+    // cells' exact long cents (all-null cells carry xsc NULL, coalesced
+    // to 0 — the same rows the raw form skipped via its per-row CASE)
+    // and divide once — order-free by construction (r11 ask #4)
     val ev = UserFrames.daily(s, sf)
-      .select(col("user_id"), col("d"), col("c"), col("xs"))
+      .select(col("user_id"), col("d"), col("c"), col("xsc"))
     val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
         .as("mid")))
@@ -645,10 +644,12 @@ object Stats {
     val users = ev.crossJoin(span)
       .groupBy(col("user_id"))
       .agg(sum(when(col("d") < col("mid"), col("c")).otherwise(0L)).as("x1"),
-        round(sum(when(col("d") < col("mid"), coalesce(col("xs"), lit(0.0)))
-          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("x2"),
-        round(sum(when(col("d") >= col("mid"), coalesce(col("xs"), lit(0.0)))
-          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("y"))
+        (sum(when(col("d") < col("mid"), coalesce(col("xsc"), lit(0L)))
+          .otherwise(lit(0L))).cast("double") / 100d)
+          .cast("decimal(18,4)").as("x2"),
+        (sum(when(col("d") >= col("mid"), coalesce(col("xsc"), lit(0L)))
+          .otherwise(lit(0L))).cast("double") / 100d)
+          .cast("decimal(18,4)").as("y"))
       .withColumn("t", treated)
     // 3x3 normal equations on exact moments; Cramer in doubles, round-6
     val fit = broadcast(users.agg(
@@ -726,7 +727,7 @@ object Stats {
     * user-level variance a two-sample test eats as noise).
     *
     * Determinism: differences ride integer 1e-4 units (exact from the
-    * round-4 decimal period sums), so Σd and Σd² stay exact
+    * rollup's long cents sums ×100), so Σd and Σd² stay exact
     * long/DECIMAL(38)/HUGEINT; mean and variance are exact-ratio
     * doubles rounded at 6 before the t arithmetic.
     *
@@ -735,20 +736,19 @@ object Stats {
   def statsPairedTtest(s: SparkSession, sf: String): DataFrame = {
     // session-memoized user-day rollup (r10 verdict ask #6): the
     // value-IS-NOT-NULL pre-filter recovers as cv > 0; per-period sums
-    // re-add the cells' raw sums (IEEE-reassociation tolerance, as in
-    // statsCuped)
+    // ride the memo's exact long cents end-to-end (r11 ask #4) — di is
+    // a pure integer subtraction in 1e-4 units, no double ever touched
     val ev = UserFrames.daily(s, sf)
       .filter(col("cv") > 0 && col("event_type").isNotNull)
-      .select(col("user_id"), col("d"), col("xs"))
+      .select(col("user_id"), col("d"), col("xsc"))
     val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
         .as("mid")))
     ev.crossJoin(span)
       .groupBy(col("user_id"))
-      .agg(round(round(sum(when(col("d") >= col("mid"), col("xs"))
-            .otherwise(lit(0.0))), 4) * 10000d -
-          round(sum(when(col("d") < col("mid"), col("xs"))
-            .otherwise(lit(0.0))), 4) * 10000d).cast("long").as("di"))
+      .agg(((sum(when(col("d") >= col("mid"), col("xsc")).otherwise(lit(0L))) -
+             sum(when(col("d") < col("mid"), col("xsc")).otherwise(lit(0L))))
+          * lit(100L)).as("di"))
       .agg(count(lit(1)).as("n"), sum(col("di")).as("s1"),
         sum(col("di").cast("decimal(19,0)") * col("di").cast("decimal(19,0)"))
           .as("s2"))
@@ -3238,21 +3238,23 @@ object Stats {
     // rides the session-memoized user-day rollup (r10 verdict ask #6):
     // the value-IS-NOT-NULL pre-filter recovers as cv > 0 (SUM already
     // ignores nulls, so only all-null cells differ); per-period sums
-    // re-add the cells' raw sums — identical modulo IEEE reassociation,
-    // the tolerance the cross-engine round(sum, 4) contract carries
+    // ride the memo's exact long cents (r11 ask #4) — order-free by
+    // construction, one correctly-rounded /100 at the user grain
     val ev = UserFrames.daily(s, sf)
       .filter(col("cv") > 0 && col("event_type").isNotNull)
-      .select(col("user_id"), col("d"), col("xs"))
+      .select(col("user_id"), col("d"), col("xsc"))
     val span = broadcast(ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
         .as("mid")))
     val users = ev.crossJoin(span)
       .groupBy(col("user_id"))
       .agg(
-        round(sum(when(col("d") < col("mid"), col("xs"))
-          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("pre"),
-        round(sum(when(col("d") >= col("mid"), col("xs"))
-          .otherwise(lit(0.0))), 4).cast("decimal(18,4)").as("post"))
+        (sum(when(col("d") < col("mid"), col("xsc"))
+          .otherwise(lit(0L))).cast("double") / 100d)
+          .cast("decimal(18,4)").as("pre"),
+        (sum(when(col("d") >= col("mid"), col("xsc"))
+          .otherwise(lit(0L))).cast("double") / 100d)
+          .cast("decimal(18,4)").as("post"))
     users.agg(
         count(lit(1)).as("n"),
         sum(col("pre")).as("sp"), sum(col("post")).as("ss"),
@@ -3294,15 +3296,16 @@ object Stats {
     */
   def statsDeltaMethod(s: SparkSession, sf: String): DataFrame = {
     // session-memoized user-day rollup (r10 verdict ask #6): y is an
-    // exact cell-count sum; x re-adds the purchase cells' raw sums
-    // (coalesce keeps the all-null purchase cell a 0.0 contribution,
-    // exactly what the raw form's per-row CASE produced)
+    // exact cell-count sum; x sums the purchase cells' exact long cents
+    // (r11 ask #4; coalesce keeps the all-null purchase cell a 0
+    // contribution, exactly what the raw form's per-row CASE produced)
     val users = UserFrames.daily(s, sf)
       .filter(col("event_type").isNotNull)
       .groupBy(col("user_id"))
       .agg(
-        round(sum(when(col("event_type") === "purchase",
-            coalesce(col("xs"), lit(0.0))).otherwise(lit(0.0))), 4)
+        (sum(when(col("event_type") === "purchase",
+            coalesce(col("xsc"), lit(0L))).otherwise(lit(0L)))
+          .cast("double") / 100d)
           .cast("decimal(18,4)").as("x"),
         sum(col("c")).as("y"))
     users.agg(
@@ -3348,12 +3351,12 @@ object Stats {
         1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
     // session-memoized user-day rollup (r10 verdict ask #6): purchase
     // cells with cv > 0 are exactly the raw value-IS-NOT-NULL rows;
-    // per-user revenue re-adds the cells' raw sums (IEEE-reassociation
-    // tolerance as in statsCuped)
+    // per-user revenue sums the cells' exact long cents (r11 ask #4)
     val users = UserFrames.daily(s, sf)
       .filter(col("event_type") === "purchase" && col("cv") > 0)
       .groupBy(col("user_id"))
-      .agg(round(sum(col("xs")), 4).cast("decimal(18,4)").as("x"))
+      .agg((sum(col("xsc")).cast("double") / 100d)
+        .cast("decimal(18,4)").as("x"))
       .withColumn("a", arm.cast("int"))
     users.groupBy(col("a"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),

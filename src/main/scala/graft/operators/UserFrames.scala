@@ -21,14 +21,21 @@ import org.apache.spark.sql.functions._
   *   `cv`   = count(value)        (so value-IS-NOT-NULL pre-filters
   *                                 recover as cv > 0 — SUM already
   *                                 ignores nulls),
-  *   `xs`   = sum(value)          (UNROUNDED cell revenue: consumers
-  *                                 keep their own round(sum(…), 4) on
-  *                                 top, so their emitted values match
-  *                                 the raw-row sums modulo IEEE
-  *                                 reassociation — the same order-free
-  *                                 double-sum tolerance every oracle
-  *                                 pair already relies on between
-  *                                 Spark's and DuckDB's row orders),
+  *   `xsc`  = sum(round(value·100)) (EXACT cell revenue in integer
+  *                                 cents — the corpus values are
+  *                                 2-decimal, so the per-row scaling is
+  *                                 lossless and the long sum is
+  *                                 order-free by construction, the
+  *                                 cents-scaled pattern the r11
+  *                                 corr-matrix rewrite proved out.
+  *                                 Consumers divide by 100 once at
+  *                                 their own grain, so every revenue
+  *                                 path through the memo is exact and
+  *                                 the parallelism sweep's bit-identity
+  *                                 holds structurally, not just
+  *                                 observationally — r11 verdict ask
+  *                                 #4; NULL iff every value in the
+  *                                 cell is NULL, same as SUM),
   *   `v200` = max(value > 200)    (the proportions user-grain
   *                                 conversion flag, exact).
   * Counts, min/max days, and boolean conversions re-derive EXACTLY;
@@ -63,7 +70,7 @@ private[graft] object UserFrames {
         .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("c"),
              count(col("value")).as("cv"),
-             sum(col("value")).as("xs"),
+             sum(round(col("value") * 100d, 0).cast("long")).as("xsc"),
              max(when(col("value") > 200, 1L).otherwise(0L)).as("v200"))
         .localCheckpoint(true)
     })

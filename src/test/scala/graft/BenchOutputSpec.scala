@@ -35,7 +35,8 @@ class BenchOutputSpec extends AnyFunSuite {
   }
 
   test("total line is <200 bytes and valid JSON under the full key map") {
-    val line = Bench.totalLine(syntheticResults, "/root/testdata/sf0.1")
+    val line = Bench.totalLine(syntheticResults, "/root/testdata/sf0.1",
+      SparkEntry.queries.size)
     assert(line.getBytes("UTF-8").length < 200,
       s"total line is ${line.length} B — driver tail-parse may truncate it")
     val node = mapper.readTree(line)
@@ -43,13 +44,29 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(node.get("unit").asText() === "sec")
     assert(node.get("value").isNumber)
     assert(node.get("errors").asInt() === 1)
+    // a full-board run reports n == boardSize and NO partial flag
+    assert(node.get("n").asInt() === SparkEntry.queries.size)
+    assert(node.get("boardSize").asInt() === SparkEntry.queries.size)
+    assert(!node.has("partial"))
   }
 
   test("total line sums only non-negative timings") {
     val rs = Seq("a" -> 1.5, "b" -> -1.0, "c" -> 2.5)
-    val node = mapper.readTree(Bench.totalLine(rs, "sf"))
+    val node = mapper.readTree(Bench.totalLine(rs, "sf", 3))
     assert(math.abs(node.get("value").asDouble() - 4.0) < 1e-12)
     assert(node.get("errors").asInt() === 1)
+  }
+
+  test("a filtered (subset) run is flagged partial in the parsed line itself") {
+    // GRAFT_BENCH_ONLY (or any future subsetting bug) must be visible to
+    // the driver's tail-parse, which sees ONLY stdout's last line — the
+    // stderr banner does not reach it.
+    val subset = syntheticResults.take(5)
+    val node = mapper.readTree(
+      Bench.totalLine(subset, "sf", SparkEntry.queries.size))
+    assert(node.get("n").asInt() === 5)
+    assert(node.get("boardSize").asInt() === SparkEntry.queries.size)
+    assert(node.get("partial").asBoolean(), "subset run must carry partial:true")
   }
 
   test("detail line is valid JSON, one entry per key, sorted cost-descending") {

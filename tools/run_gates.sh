@@ -21,11 +21,28 @@ OUT_A="/tmp/graft_gates_${TAG}_${CPUS_A}"
 echo "== build =="
 sbt -batch compile | tail -1
 
+# Run a Verify dump; fail on a per-query failure line OR a non-zero
+# sbt/Verify exit (a crash that prints no '[verify]...failed' line must
+# not slip through as a partial dump — ADVICE r11: the old
+# `| grep ... && exit 1 || true` masked PIPESTATUS under pipefail).
+run_verify() {
+  local cpus="$1" out="$2" rc=0
+  rm -rf "$out"
+  SPARK_GRAFT_CPUS="$cpus" sbt -batch "runMain graft.Verify $SF $out" \
+    >/tmp/graft_gates_verify.log 2>&1 || rc=$?
+  grep -E '\[verify\]' /tmp/graft_gates_verify.log || true
+  if [[ "$rc" != 0 ]]; then
+    echo "Verify exited rc=$rc (see /tmp/graft_gates_verify.log)" >&2
+    exit "$rc"
+  fi
+  if grep -qE '\[verify\].*failed' /tmp/graft_gates_verify.log; then
+    echo "Verify reported per-query failures" >&2
+    exit 1
+  fi
+}
+
 echo "== verify dump ($TAG, local[$CPUS_A]) =="
-rm -rf "$OUT_A"
-SPARK_GRAFT_CPUS="$CPUS_A" sbt -batch \
-  "runMain graft.Verify $SF $OUT_A" 2>&1 \
-  | grep -E '\[verify\].*failed' && exit 1 || true
+run_verify "$CPUS_A" "$OUT_A"
 
 echo "== oracle diff =="
 python3 tools/oracle_check.py "$SF" "$OUT_A" | tail -1
@@ -39,10 +56,7 @@ python3 tools/oracle_stability.py "$SF" "$OUT_A" | tail -1
 if [[ -n "$CPUS_B" ]]; then
   OUT_B="/tmp/graft_gates_${TAG}_${CPUS_B}"
   echo "== verify dump ($TAG, local[$CPUS_B]) =="
-  rm -rf "$OUT_B"
-  SPARK_GRAFT_CPUS="$CPUS_B" sbt -batch \
-    "runMain graft.Verify $SF $OUT_B" 2>&1 \
-    | grep -E '\[verify\].*failed' && exit 1 || true
+  run_verify "$CPUS_B" "$OUT_B"
   echo "== Spark parallelism sweep ($CPUS_A vs $CPUS_B) =="
   python3 tools/spark_stability.py "$OUT_A" "$OUT_B" | tail -1
 fi
