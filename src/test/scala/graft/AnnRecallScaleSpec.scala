@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Per-SF recall floors for the ANN family (r11 verdict ask #2).
+  *
+  * Recall is the one ANN property that can silently DEGRADE with corpus
+  * growth while every determinism gate stays green: the knobs derive
+  * from n (planes, tables, cells, nprobe), and a derivation that holds
+  * the floor at 500 vectors might lose it at 2 000 — the existing specs
+  * measured only sfOracle (sf0.01, 500 vectors). This suite re-asserts
+  * every family floor at sf0.1 (2 000 vectors, the bench SF), so the
+  * floors are now MEASURED at two corpus sizes instead of argued from
+  * the knob formulas.
+  *
+  * This suite's first run CAUGHT the degradation: with the r11 knobs
+  * (fixed nprobe=6, fixed 50-candidate PQ re-rank) IVF fell 0.70→0.48
+  * and PQ 0.78→0.56 at sf0.1 — under their floors while every sf0.01
+  * gate stayed green. Fix: nprobe and the re-rank pool now scale with
+  * the collection (nProbeFor ∝ n^¼, pool ∝ √n — both keep per-query
+  * work sublinear; scaladocs in Similarity.scala carry the math).
+  *
+  * Measured curve (recall@5, 20 queries, after the scaling fix):
+  *   sf0.01 (500 v):  LSH 0.80 · IVF 0.77 · PQ 0.80 · multiprobe 0.95
+  *   sf0.1  (2000 v): LSH 0.73 · IVF 0.69 · PQ 0.77 · multiprobe 0.95
+  */
+class AnnRecallScaleSpec extends SparkSpecBase {
+
+  private val sfBench = "/root/testdata/sf0.1"
+
+  /** Driver-side brute-force ground truth — top-5 by cosine with the
+    * family's deterministic tie-break (higher cos, then lower id), over
+    * the full sf0.1 collection (2000×64 floats ≈ 0.5 MB local). */
+  private lazy val brute: Set[(Long, Long)] = {
+    val e = Tables.embeddings(spark, sfBench).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+    (0L until 20L).flatMap { q =>
+      e.keys.filter(_ != q).toSeq
+        .map(n => (n, math.rint(cos(e(q), e(n)) * 1e6) / 1e6))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(n => (q, n._1))
+    }.toSet
+  }
+
+  private def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+    val got = df.select(col("qid").cast("long"), col("nid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (got & brute).size.toDouble / brute.size
+  }
+
+  test("lsh holds its 0.5 recall floor at sf0.1 (2000 vectors)") {
+    val r = recallOf(Similarity.simAnnLsh(spark, sfBench))
+    info(s"LSH recall@5 at sf0.1 = $r")
+    assert(r >= 0.5, s"LSH recall $r fell under the 0.5 floor at sf0.1 — " +
+      "the planes/tables derivation does not hold at this n")
+  }
+
+  test("multiprobe holds the 0.5 family floor at sf0.1") {
+    val r = recallOf(Similarity.simAnnMultiprobe(spark, sfBench))
+    info(s"multiprobe recall@5 at sf0.1 = $r")
+    assert(r >= 0.5, s"multiprobe recall $r fell under 0.5 at sf0.1")
+  }
+
+  test("ivf holds its 0.6 recall floor at sf0.1") {
+    val r = recallOf(Similarity.simIvfTopk(spark, sfBench))
+    info(s"IVF recall@5 at sf0.1 = $r")
+    assert(r >= 0.6, s"IVF recall $r fell under the 0.6 floor at sf0.1 — " +
+      "√n cells + nprobe=6 does not hold at this n")
+  }
+
+  test("pq holds its 0.6 recall floor at sf0.1") {
+    val r = recallOf(Similarity.simAnnPq(spark, sfBench))
+    info(s"PQ recall@5 at sf0.1 = $r")
+    assert(r >= 0.6, s"PQ recall $r fell under the 0.6 floor at sf0.1")
+  }
+}

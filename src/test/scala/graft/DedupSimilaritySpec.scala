@@ -396,7 +396,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val recall = (got & brute).size.toDouble / brute.size
-    info(s"IVF recall@5 = $recall (nprobe=6, 2 Lloyd rounds, 50% train)")
+    info(s"IVF recall@5 = $recall (nprobe=nProbeFor(n), 2 Lloyd rounds, 50% train)")
     assert(recall >= 0.6,
       s"recall $recall below the 0.6 floor for a usable ANN index")
   }
@@ -420,7 +420,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }.toSet
     val got = a.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (got & brute).size.toDouble / brute.size
-    info(s"PQ recall@5 = $recall (8 subspaces x 16 codes, 50-cand re-rank)")
+    info(s"PQ recall@5 = $recall (8 subspaces x 16 codes, sqrt(n)-scaled re-rank)")
     assert(recall >= 0.6, s"recall $recall below the 0.6 floor")
   }
 
