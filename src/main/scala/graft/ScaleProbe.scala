@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-exponent probe (r11 verdict ask #1): times a curated key set
+  * at two corpus sizes on the SAME session config and reports each
+  * key's growth exponent alpha = ln(tB/tA) / ln(ratio) — t ∝ n^alpha.
+  *
+  * Protocol per (dir, key): one untimed WARM run first (pays the JIT /
+  * codegen / session-memo investment — codebooks, staged layouts,
+  * UserFrames — so the timed runs measure the steady-state query, the
+  * thing that must scale), then min-of-2 timed runs. The warm (first)
+  * run's time is also reported: for memoized keys it shows how the
+  * INVESTMENT grows, which matters independently (an n^1.5 codebook
+  * training is fine; an n^2 one is not).
+  *
+  * Reading the exponents: keys have a fixed ~0.1-0.2 s scheduling floor
+  * that data growth does not touch, so CHEAP keys (tA under ~0.3 s)
+  * read LOW — the floor dominates both sides. The flag threshold 1.3
+  * therefore under-counts on cheap keys rather than false-alarming.
+  * An alpha near 1 is linear scaling; graph kernels with a fixed round
+  * count read ~1; banded/bucketed pair spaces read ~1 when bucket depth
+  * is held; a missed bound (all-pairs, data-sized window, unbounded
+  * fan-out) reads ~2 and is exactly what this probe exists to catch.
+  *
+  * Usage: runMain graft.ScaleProbe <dirA> <dirB> <ratio> [keysCsv]
+  * Output: one JSON line per key + a summary line (stdout).
+  */
+object ScaleProbe {
+
+  /** ~40 keys: the bench-expensive tail plus one representative per
+    * shuffle-heavy family (dedup banding, ANN, graph iteration, text
+    * n-grams, rank stats, skew/bucket joins, corpus pipeline). */
+  val DefaultKeys: Seq[String] = Seq(
+    // graph (iterative kernels over the co-purchase graph)
+    "graph_pagerank", "graph_hits", "graph_modularity", "graph_kcore",
+    "graph_random_walk", "graph_connected_components", "graph_triangles",
+    "graph_label_propagation",
+    // dedup families (exact, banded near-dup, substring, embedding)
+    "dedup_exact", "dedup_near_minhash", "dedup_minhash_cluster",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_substring_shingle",
+    "dedup_cluster", "dedup_embed_cosine", "dedup_semantic",
+    "dedup_incremental_bloom",
+    // ANN / similarity
+    "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_cosine_topk",
+    "sim_knn_join",
+    // text (explode-heavy, TF-IDF, contamination, BPE)
+    "text_ngram_novelty", "text_boilerplate_ngrams", "text_keywords_tfidf",
+    "text_contamination", "tokenizer_merge_candidates", "text_word_zipf",
+    "pipeline_pack_bpe",
+    // rank / moment statistics at data grain
+    "stats_spearman", "stats_kendall_tau", "stats_mann_whitney",
+    "basket_affinity", "profile_corr_matrix",
+    // joins & scale patterns
+    "join_skew_salted", "join_bucketed", "join_asof_native",
+    "q9_product_profit", "q21_waiting_supplier", "join_runtime_bloom",
+    // windows / prefix machinery and the end-to-end composite
+    "win_distinct_running", "event_peak_concurrency",
+    "agg_heavy_hitters_sketch", "pipeline_corpus_build")
+
+  def main(args: Array[String]): Unit = {
+    val (dirA, dirB, ratio) = (args(0), args(1), args(2).toDouble)
+    val keys: Seq[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else DefaultKeys
+    val unknown = keys.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // session bring-up is not a scaling signal: JIT the common operator
+    // shapes and touch both corpora's footers before any timing (same
+    // rationale as Bench's warmup)
+    def warmup(f: => Unit): Unit = try f catch { case _: Throwable => () }
+    warmup(spark.range(1000000L).selectExpr("sum(id)").collect())
+    for (d <- Seq(dirA, dirB); t <- Tables.names)
+      warmup(spark.read.parquet(s"$d/$t.parquet").count())
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // dir-major order: all keys at A, then all at B — session memos are
+    // keyed by sf dir, so each dir pays its own investments exactly once
+    val results = for (key <- keys) yield {
+      val fn = SparkEntry.queries(key)
+      def probe(dir: String): (Double, Double) = {
+        val warm = time(fn, dir)
+        val t = math.min(time(fn, dir), time(fn, dir))
+        (warm, t)
+      }
+      val (warmA, tA) = probe(dirA)
+      val (warmB, tB) = probe(dirB)
+      val alpha = math.log(tB / tA) / math.log(ratio)
+      val warmAlpha = math.log(warmB / warmA) / math.log(ratio)
+      println(f"""{"key":"$key","tA":$tA%.3f,"tB":$tB%.3f,"alpha":$alpha%.2f,"warmA":$warmA%.3f,"warmB":$warmB%.3f,"warmAlpha":$warmAlpha%.2f}""")
+      System.out.flush()
+      (key, tA, tB, alpha)
+    }
+    try spark.stop() catch { case _: Throwable => () }
+    val flagged = results.filter { case (_, tA, _, a) => a >= 1.3 && tA >= 0.2 }
+    println(s"""{"metric":"scale_probe","keys":${results.size},""" +
+      s""""ratio":$ratio,"flagged":[${flagged.map(f => "\"" + f._1 + "\"")
+        .mkString(",")}]}""")
+  }
+}
