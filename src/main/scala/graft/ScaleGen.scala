@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   *    25 nations, so broadcast sides stay broadcast-sized;
   *  - calendar span is unchanged (ts/o_orderdate kept) — day-grain
   *    frames stay calendar-bounded while per-day density grows 10×;
-  *  - document text is word-PERMUTED per copy (deterministic xxhash
-  *    sort key): vocabulary, token counts, lengths, language and
-  *    quality profiles are preserved (so gates fire at the same rates)
-  *    while shingles differ across copies — without this, every copy is
-  *    a near-duplicate of its original and the LSH/minhash bucket depth
-  *    grows mult× (pair space mult²×), which would measure an artifact,
-  *    not scaling;
+  *  - document text is word-TAGGED then word-PERMUTED per copy, both
+  *    deterministic: ~15% of words get a copy-specific suffix (decided
+  *    by xxhash64(word, copy) — doc-INDEPENDENT, so two docs that were
+  *    near-dups of each other stay near-dups inside every copy: shared
+  *    words transform identically), then words are permuted by an
+  *    xxhash sort key. Tagging bounds the cross-copy word-set Jaccard
+  *    at (1−p)/(1+p) ≈ 0.74 < the 0.9 thresholds, and permutation
+  *    breaks shingles — without BOTH, a copy is a perfect near-dup of
+  *    its original (permutation alone leaves word SETS identical — the
+  *    first 10× run measured it: 48k near-dup edges at sf0.1 became
+  *    5.04M instead of ~480k, a 100× pair-space artifact, not scaling);
+  *    token counts and within-copy dup structure are preserved, so
+  *    gates and dedup rates fire at the base corpus's rates;
   *  - embeddings get small deterministic per-copy noise and are
   *    re-normalized to unit — identical vectors across copies would
   *    make cosine ties and duplicate collapse the dominant effect.
@@ -95,14 +101,18 @@ object ScaleGen {
         .withColumn("user_id", shift("user_id", i))
     }, "events")
 
-    // documents: per-copy deterministic word permutation (sort words by
-    // xxhash64(word, copy)) — same bag of words, different shingles
+    // documents: per-copy deterministic word tagging (~15%, breaks word
+    // sets across copies, doc-independent so within-copy dup structure
+    // is exact) + word permutation (breaks shingles) — see scaladoc
     write(copies(s.read.parquet(s"$base/documents.parquet")) { (df, i) =>
       val permuted =
         if (i == 0) col("text")
         else concat_ws(" ",
           transform(
-            array_sort(transform(split(col("text"), " "),
+            array_sort(transform(
+              transform(split(col("text"), " "),
+                w => when(pmod(xxhash64(w, lit(i)), lit(100)) < 15,
+                          concat(w, lit(s"q$i"))).otherwise(w)),
               w => struct(xxhash64(w, lit(i)).as("k"), w.as("w")))),
             p => p.getField("w")))
       df.withColumn("doc_id", shift("doc_id", i))

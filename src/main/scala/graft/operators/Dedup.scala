@@ -196,7 +196,8 @@ object Dedup {
     if (localMaxEdges > 0) {
       // Bounded probe: one pass over the edge plan, capped at the
       // threshold + 1 rows — never an unbounded collect. Only if the cap
-      // is exceeded does the iterative path re-execute the edge subtree.
+      // is exceeded does the iterative path re-execute the edge subtree
+      // (once, into a checkpoint — see below).
       val probe = edges.select(col("a").cast("long").as("a"),
                                col("b").cast("long").as("b"))
         .limit(localMaxEdges + 1).collect()
@@ -235,10 +236,19 @@ object Dedup {
       if (maxIters > 0) maxIters
       else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
         math.max(1L, nodes.count() - 1))).toInt + 1
-    // The symmetric edge frame is re-read every round; checkpointing it
-    // is only worth a job when there IS more than one round.
-    val symRaw = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // The symmetric edge frame is re-read every round. The edge SUBTREE
+    // is often the expensive part (a PPJoin prefix filter, an LSH
+    // banding...), and the naive union re-executes it once per branch —
+    // the r12 scale probe measured exactly that on an over-cap corpus
+    // (graph_connected_components at ~3× its edge-plan cost). Checkpoint
+    // the edge frame ONCE here (this path only runs past the local cap,
+    // where the probe already paid one execution; total stays 2, never
+    // 3+), let both union branches read the materialized frame, then
+    // checkpoint the symmetrized swap for the rounds and drop the raw
+    // edge blocks.
+    val cpEdges = cp(edges.select(col("a"), col("b")))
+    val symRaw = cpEdges.select(col("a"), col("b"))
+      .union(cpEdges.select(col("b").as("a"), col("a").as("b")))
     val sym = if (iters > 1) cp(symRaw) else symRaw
     // Zero-edge graph: identity labeling, zero rounds. Common when a
     // contraction stage upstream already absorbed every edge; the probe
