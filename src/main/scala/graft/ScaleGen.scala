@@ -120,14 +120,19 @@ object ScaleGen {
           when(col("text").isNull, lit(null: String)).otherwise(permuted))
     }, "documents")
 
-    // embeddings: deterministic per-copy jitter, re-normalized to unit
+    // embeddings: deterministic per-copy jitter, re-normalized to unit.
+    // Amplitude 0.5/dim (||eps|| ≈ 1.15 on a unit vector, cosine(orig,
+    // copy) ≈ 0.66): strong enough that a vector's copies do NOT crowd
+    // out its true neighbors — at 0.1 the copies sat at cosine ≈ 0.97,
+    // every query's brute-force top-5 was its own twins, and ANN recall
+    // read a degenerate 1.0 at any knob setting (measured, r12).
     write(copies(s.read.parquet(s"$base/embeddings.parquet")) { (df, i) =>
       if (i == 0) df.withColumn("vec_id", shift("vec_id", i))
       else {
         val jittered = expr(
           s"""transform(embedding, (x, j) ->
              |  x + (pmod(xxhash64(vec_id, j, $i), 1000) / 1000.0 - 0.5)
-             |      * 0.1)""".stripMargin)
+             |      * 0.5)""".stripMargin)
         df.withColumn("vec_id", shift("vec_id", i))
           .withColumn("j", jittered)
           .withColumn("nrm", expr(

@@ -27,7 +27,19 @@ import org.apache.spark.sql.functions._
   */
 class AnnRecallScaleSpec extends SparkSpecBase {
 
-  private val sfBench = "/root/testdata/sf0.1"
+  /** Default: the bench SF. Overridable so the same floors can be
+    * asserted against the synthetic 10× corpus (tools/scale_probe.sh
+    * leaves it in scratch):
+    *   GRAFT_ANN_SF_DIR=/tmp/graft_scale_sf0.1_x10 sbt \
+    *     "testOnly graft.AnnRecallScaleSpec"
+    * Measured there (20 000 vectors, r12): LSH 0.97 · IVF 0.81 ·
+    * PQ 1.0 · multiprobe 0.98 — floors hold at a THIRD corpus size
+    * with the collection-scaled knobs. (Generator caveat, documented
+    * in ScaleGen: at jitter 0.1 every query's true top-5 was its own
+    * copies and recall read a degenerate 1.0; amplitude 0.5 pushes
+    * copies to cosine ≈ 0.66 and makes the measurement informative.) */
+  private val sfBench =
+    sys.env.getOrElse("GRAFT_ANN_SF_DIR", "/root/testdata/sf0.1")
 
   /** Driver-side brute-force ground truth — top-5 by cosine with the
     * family's deterministic tie-break (higher cos, then lower id), over
