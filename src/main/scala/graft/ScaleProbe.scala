@@ -61,7 +61,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val (dirA, dirB, ratio) = (args(0), args(1), args(2).toDouble)
     val keys: Seq[String] =
-      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (args.length > 3 && args(3) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       else DefaultKeys
     val unknown = keys.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(", ")}")
@@ -91,25 +92,40 @@ object ScaleProbe {
     }
 
     // dir-major order: all keys at A, then all at B — session memos are
-    // keyed by sf dir, so each dir pays its own investments exactly once
-    val results = for (key <- keys) yield {
+    // keyed by sf dir, so each dir pays its own investments exactly once.
+    // A key that throws at either size reports an err line and drops out
+    // of the exponent summary instead of killing the whole probe (full-
+    // board runs hit a handful of keys whose staging assumes the
+    // driver's exact corpus layout).
+    val results = (for (key <- keys) yield {
       val fn = SparkEntry.queries(key)
       def probe(dir: String): (Double, Double) = {
         val warm = time(fn, dir)
         val t = math.min(time(fn, dir), time(fn, dir))
         (warm, t)
       }
-      val (warmA, tA) = probe(dirA)
-      val (warmB, tB) = probe(dirB)
-      val alpha = math.log(tB / tA) / math.log(ratio)
-      val warmAlpha = math.log(warmB / warmA) / math.log(ratio)
-      println(f"""{"key":"$key","tA":$tA%.3f,"tB":$tB%.3f,"alpha":$alpha%.2f,"warmA":$warmA%.3f,"warmB":$warmB%.3f,"warmAlpha":$warmAlpha%.2f}""")
-      System.out.flush()
-      (key, tA, tB, alpha)
-    }
+      try {
+        val (warmA, tA) = probe(dirA)
+        val (warmB, tB) = probe(dirB)
+        val alpha = math.log(tB / tA) / math.log(ratio)
+        val warmAlpha = math.log(warmB / warmA) / math.log(ratio)
+        println(f"""{"key":"$key","tA":$tA%.3f,"tB":$tB%.3f,"alpha":$alpha%.2f,"warmA":$warmA%.3f,"warmB":$warmB%.3f,"warmAlpha":$warmAlpha%.2f}""")
+        System.out.flush()
+        Some((key, tA, tB, alpha))
+      } catch {
+        case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1)
+              .mkString).replace("\"", "'").take(160)
+          println(s"""{"key":"$key","err":"$msg"}""")
+          System.out.flush()
+          None
+      }
+    }).flatten
     try spark.stop() catch { case _: Throwable => () }
     val flagged = results.filter { case (_, tA, _, a) => a >= 1.3 && tA >= 0.2 }
     println(s"""{"metric":"scale_probe","keys":${results.size},""" +
+      s""""errors":${keys.size - results.size},""" +
       s""""ratio":$ratio,"flagged":[${flagged.map(f => "\"" + f._1 + "\"")
         .mkString(",")}]}""")
   }

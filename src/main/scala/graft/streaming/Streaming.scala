@@ -289,15 +289,30 @@ object Streaming {
     * semantics — not a re-copy. streamRestartRecovery does NOT use
     * this: its run appends to its own source dir mid-flight, so it
     * stages per-run from its own memoized half-dumps below. */
+  /** Stage a parquet table into `into`, whether the source is a single
+    * file (the driver's corpus shape) or a directory of part files (any
+    * real warehouse table, and the ScaleGen synthetic corpora) — the
+    * file names are prefixed uniquely so repeated staging of different
+    * sources into one dir can never collide. */
+  private def stageParquet(src: String, into: String): Unit = {
+    val s0 = java.nio.file.Paths.get(src)
+    val dst = java.nio.file.Paths.get(into)
+    if (Files.isDirectory(s0)) {
+      val listing = Files.list(s0)
+      try listing.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet"))
+          { Files.copy(p, dst.resolve(n)); () }
+      } finally listing.close()
+    } else { Files.copy(s0, dst.resolve("events.parquet")); () }
+  }
+
   private def stagedEventStream(s: SparkSession, sf: String,
                                 prefix: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$sf/events.parquet").schema
     val srcDir = graft.Scratch.stagedDir(s, s"event_stream_src:$sf", prefix) {
-      d =>
-        Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
-                   java.nio.file.Paths.get(d).resolve("events.parquet"))
-        ()
+      d => stageParquet(s"$sf/events.parquet", d)
     }
     val stream = s.readStream.schema(schema).parquet(srcDir)
     // same corpus-generation normalization as Tables.events: nanos arrive
