@@ -646,20 +646,48 @@ object Dedup {
     * directions' containment for every within-source pair where either
     * reaches 0.9 (rounded before the gate, §0.3 convention).
     *
-    * Scale shape: same hashed-sorted word sets and linear-merge
-    * intersect as dedup_ngram_jaccard (jaccardDocs), but gridded like
-    * dedupEmbedCosine: the Jaccard SIZE prefilter is unsound here (a
-    * tiny doc CAN be contained in a huge one), so instead of a size
-    * gate the per-source pair space is fragment-replicated over
-    * (source, chunk) — chunk count ⌈maxBlock/4096⌉ derived IN-PLAN from
-    * a broadcast one-row stats aggregate, so no single task ever owns a
-    * whole source block. Total work stays Σ block² (the exact-pair
-    * price); the candidate-sparse scale escape is a prefix filter keyed
-    * on the smaller set's first ⌈(1−t)·|A|⌉+1 tokens joined against the
-    * full posting list — the PPJoin-for-containment analog of
-    * ngramJaccardPrefixJoin. */
+    * Scale shape: COST-DISPATCHED between two exact plans, both
+    * measured on the r12 scale probe (the same dispatch discipline as
+    * dedupNgramJaccard):
+    *  - below the threshold, the fragment-replicated chunk GRID — the
+    *    Jaccard SIZE prefilter is unsound here (a tiny doc CAN be
+    *    contained in a huge one), so the per-source pair space is
+    *    gridded over (source, chunk), no task owning a whole block.
+    *    Work is Σ block², but the linear-merge intersect on packed
+    *    longs is so cheap that the grid WINS at every measured size
+    *    (1.2 s at sf0.1, 19.7 s at the 10× corpus — the probe's
+    *    α = 1.22 near-flag that prompted this dispatch);
+    *  - above it, the PREFIX-FILTERED containment join (the
+    *    PPJoin-for-containment analog): the prefix lemma holds with
+    *    the threshold on the CONTAINED side — if |A∩B| ≥ 0.9·|A|, then
+    *    among ANY k = |A| − ⌈0.9·|A|⌉ + 1 distinct tokens of A at
+    *    least one is in B (pigeonhole, order-independent) — so each
+    *    doc probes the posting list with only its k RAREST tokens
+    *    (df from one token aggregate), candidates are distinct-ed and
+    *    verified exactly. Candidate work Σ prefix(t)·df(t) instead of
+    *    Σ block²: α = 0.98 vs the grid's 1.22, but a ~2.4× constant
+    *    (index build + posting shuffle), measured crossover ≈ 40×
+    *    sf0.1 — hence the 512 MB estimated-size threshold, ~7× the
+    *    probe corpus, safely past where the grid's quadratic term
+    *    overtakes. DedupSimilaritySpec pins both paths equal on the
+    *    graded corpus. */
   def dedupContainment(s: SparkSession, sf: String): DataFrame = {
     val docs = jaccardDocs(s, sf)
+    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      ContainmentGridMaxBytes
+    if (small) containmentGridJoin(docs) else containmentPrefixJoin(docs)
+  }
+
+  /** Grid/prefix crossover, from the r12 probe measurements (grid wins
+    * at 75 MB-estimated 10× corpus by ~1.4×; its α = 1.22 vs 0.98
+    * extrapolates the crossover to ~5-7× that size). */
+  private val ContainmentGridMaxBytes = BigInt(512L << 20)
+
+  /** Exact all-pairs over the (source, chunk) fragment-replicate grid —
+    * chunk count ⌈maxBlock/4096⌉ derived IN-PLAN from a broadcast
+    * one-row stats aggregate, so no single task ever owns a source
+    * block. */
+  private[graft] def containmentGridJoin(docs: DataFrame): DataFrame = {
     val stats = broadcast(docs.groupBy(col("source"))
       .agg(count(lit(1)).as("bn"))
       .agg(coalesce(max(col("bn")), lit(0L)).as("max_block")))
@@ -671,8 +699,45 @@ object Dedup {
     val r = docs.crossJoin(stats)
       .select(col("source"), col("doc_id").as("id2"), col("ws").as("w2"),
               pmod(col("doc_id"), chunks).cast("int").as("chunk"))
-    l.join(r, Seq("source", "chunk"))
-      .filter(col("id1") < col("id2"))
+    containmentVerify(
+      l.join(r, Seq("source", "chunk")).filter(col("id1") < col("id2"))
+        .select(col("source"), col("id1"), col("id2"), col("w1"), col("w2")))
+  }
+
+  /** Prefix-filtered containment join — see the dispatch scaladoc. */
+  private[graft] def containmentPrefixJoin(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), col("doc_id"),
+                          explode(col("ws")).as("tok"))
+    // global document frequency — rarest-first prefixes minimize
+    // posting-list hits; (df, tok) sort is fully deterministic
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pref = tok.join(dfreq, "tok")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(expr("sort_array(collect_list(struct(df, tok)))").as("r"))
+      .select(col("source"), col("doc_id"),
+        explode(expr(
+          "slice(r, 1, size(r) - CAST(ceil(0.9D * size(r)) AS INT) + 1)"))
+          .as("p"))
+      .select(col("source"), col("doc_id"), col("p.tok").as("tok"))
+    val cands = pref
+      .join(tok.select(col("source"), col("tok"), col("doc_id").as("other")),
+            Seq("source", "tok"))
+      .filter(col("doc_id") =!= col("other"))
+      .select(col("source"),
+              least(col("doc_id"), col("other")).as("id1"),
+              greatest(col("doc_id"), col("other")).as("id2"))
+      .distinct()
+    containmentVerify(cands
+      .join(docs.select(col("source"), col("doc_id").as("id1"),
+                        col("ws").as("w1")), Seq("source", "id1"))
+      .join(docs.select(col("source"), col("doc_id").as("id2"),
+                        col("ws").as("w2")), Seq("source", "id2")))
+  }
+
+  /** Exact containment verification + output shape shared by both
+    * containment paths. */
+  private def containmentVerify(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("n_inter", expr("graft_sorted_intersect_size(w1, w2)"))
       .withColumn("cont1_in_2",
         round(col("n_inter").cast("double") / expr("size(w1)"), 6))
@@ -681,7 +746,6 @@ object Dedup {
       .filter(greatest(col("cont1_in_2"), col("cont2_in_1")) >= 0.9)
       .select("source", "id1", "id2", "cont1_in_2", "cont2_in_1")
       .orderBy("source", "id1", "id2")
-  }
 
   /** Small-input path: per-source all-pairs with the J ≥ 0.9 size
     * prefilter (max(n1,n2) ≤ 1.11·min — a pure subset optimization). */

@@ -160,6 +160,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(bad == 0, "containment is a ratio in [0,1]")
   }
 
+  test("containment: prefix-filtered scale path equals the grid exactly") {
+    // dedupContainment cost-dispatches (grid under the size threshold,
+    // prefix-filtered posting join above — the 100 TB shape, r12). The
+    // graded corpus takes the grid; this differential proves the prefix
+    // path's candidate set loses no qualifying pair (the pigeonhole
+    // prefix lemma) and its verification agrees value-for-value.
+    val docs = Dedup.jaccardDocs(spark, sfOracle)
+    val grid = Dedup.containmentGridJoin(docs).collect().map(_.toSeq)
+    val pref = Dedup.containmentPrefixJoin(docs).collect().map(_.toSeq)
+    assert(grid.length == pref.length &&
+           grid.zip(pref).forall { case (a, b) => a == b },
+      s"grid (${grid.length} pairs) and prefix (${pref.length}) paths diverge")
+  }
+
   test("ann lsh: bucketing deterministic; same-bucket cosine beats global mean") {
     val res = Similarity.simAnnLsh(spark, sfSmoke)
     val sameBucketAvg = res.agg(avg("cos")).head().getDouble(0)
