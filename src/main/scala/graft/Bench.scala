@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-process warehouse: concurrent graft JVMs must not race on
+      // ./spark-warehouse table dirs (Scratch.warehouseDir scaladoc)
+      .config("spark.sql.warehouse.dir", Scratch.warehouseDir)
       // default is 100 entries — a ~400-query board evicts constantly
       // and re-janino-compiles every stage on the second timing pass; a
       // long-lived cluster session sizes this to its workload (static

@@ -17,6 +17,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Scratch.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     keys.foreach { k =>

@@ -50,6 +50,7 @@ object ScaleGen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Scratch.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, base, out, mult)

@@ -82,4 +82,19 @@ object Scratch {
     } else System.err.println(s"[scratch] warm staging memo hit: $key")
     fut.join()
   }
+
+  /** Per-PROCESS warehouse directory for every harness SparkSession
+    * (`spark.sql.warehouse.dir`). Spark's default is `./spark-warehouse`
+    * relative to the launch cwd — SHARED by every JVM launched from the
+    * repo root, and `persistBucketed`'s drop-and-rebuild races against
+    * any concurrent graft process reading the same table name (a Verify
+    * dump running beside the test suite made RelationalSpec fail
+    * exactly this way). Cross-JVM reuse never existed to lose: the
+    * in-memory catalog starts empty, so `tableExists` is false in a
+    * fresh process and the table is rebuilt regardless — the shared
+    * default directory carried only the race and stale leftovers.
+    * Deleted at JVM exit like every other scratch dir. On a real
+    * cluster with a SHARED metastore the same isolation is a
+    * per-pipeline database/namespace, not a private warehouse. */
+  lazy val warehouseDir: String = dir("graft_warehouse_")
 }

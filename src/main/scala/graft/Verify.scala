@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-process warehouse: concurrent graft JVMs must not race on
+      // ./spark-warehouse table dirs (Scratch.warehouseDir scaladoc)
+      .config("spark.sql.warehouse.dir", Scratch.warehouseDir)
       // sized for the ~400-query board (Bench.scala has the rationale)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()

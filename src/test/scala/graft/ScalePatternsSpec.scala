@@ -213,4 +213,20 @@ class ScalePatternsSpec extends SparkSpecBase {
     assert(got.length == expected.length && got.nonEmpty)
     got.zip(expected).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("session warehouse is process-private, never the shared cwd default") {
+    // persistBucketed drop-and-rebuilds tables by NAME in the session
+    // warehouse; Spark's default ./spark-warehouse is shared by every
+    // JVM launched from the repo root, and two concurrent graft
+    // processes (e.g. the suite beside a Verify dump) race on the same
+    // table directories — observed as RelationalSpec failing only under
+    // a concurrent gate run. Every harness builder must therefore point
+    // spark.sql.warehouse.dir at Scratch.warehouseDir (per-process,
+    // deleted at exit); this pins the suite's own session to it.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(!wh.stripSuffix("/").endsWith("/spark-warehouse"),
+      s"suite session uses the shared cwd-default warehouse: $wh")
+    assert(wh.contains("graft_warehouse_"),
+      s"suite session warehouse is not Scratch.warehouseDir: $wh")
+  }
 }

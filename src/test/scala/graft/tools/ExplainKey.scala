@@ -5,7 +5,8 @@ object ExplainKey {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Scratch.warehouseDir).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(args(0))(spark,
       sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01"))

@@ -4,7 +4,8 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Scratch.warehouseDir).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SF", "/root/testdata/sf0.1")
     for (name <- args) {
