@@ -156,12 +156,19 @@ object Dedup {
 
   /** Connected components over an undirected edge list, two-phase:
     *
+    * The edge subtree executes exactly once per PARTITION regardless of
+    * phase: a lazy partition-grain cache is installed before the
+    * dispatch probe (limit+collect, never unbounded), so the probe's own
+    * execution populates it and the over-cap iterative phase reads
+    * cached partitions instead of re-running the subtree — see the
+    * comment at the cache for the measured costs of the alternatives.
+    *
     * Phase dispatch (the CC-MR / production-dedup pattern — distributed
     * contraction bounds the graph, a local finisher ends it): if the edge
-    * list fits on the driver (≤ localMaxEdges, probed with a limit+collect,
-    * never an unbounded collect), components are solved exactly by
-    * union-find in microseconds and labels return as one broadcast join —
-    * zero iterative rounds, zero checkpoints. The callers' edge lists are
+    * list fits on the driver (≤ localMaxEdges), components are solved
+    * exactly by union-find in microseconds and labels return as one
+    * broadcast join — zero iterative rounds, and the edge checkpoint is
+    * released before returning. The callers' edge lists are
     * already contractions (exact-dup chains, LSH pairs contracted to
     * identical-signature reps), so at 100 TB this path still covers every
     * non-pathological corpus; only a graph whose CONTRACTED near-dup
@@ -193,28 +200,6 @@ object Dedup {
                                          jump: Boolean = true,
                                          localMaxEdges: Int = CcLocalMaxEdges): DataFrame = {
     val s = nodes.sparkSession
-    if (localMaxEdges > 0) {
-      // Bounded probe: one pass over the edge plan, capped at the
-      // threshold + 1 rows — never an unbounded collect. Only if the cap
-      // is exceeded does the iterative path re-execute the edge subtree
-      // (once, into a checkpoint — see below).
-      val probe = edges.select(col("a").cast("long").as("a"),
-                               col("b").cast("long").as("b"))
-        .limit(localMaxEdges + 1).collect()
-      if (probe.length <= localMaxEdges) {
-        if (probe.isEmpty)
-          return nodes.select(col("id"), col("id").as("label"))
-        val labelOf = unionFindMinLabels(probe.map(r => (r.getLong(0), r.getLong(1))))
-        import s.implicits._
-        val mapDf = labelOf.toSeq.toDF("id", "uf_label")
-        // Broadcast the (non-singleton nodes only) label map back; nodes
-        // are never collected — a mostly-unique corpus has billions of
-        // nodes and a tiny edge list, and this stays one broadcast join.
-        return nodes.join(broadcast(mapDf), Seq("id"), "left")
-          .select(col("id"),
-                  coalesce(col("uf_label"), col("id")).as("label"))
-      }
-    }
     // Track the EXACT persisted RDD behind each localCheckpoint (the
     // LogicalRDD the checkpointed frame plans to) — never a diff of the
     // session-global registry, which would also sweep caches a concurrent
@@ -229,6 +214,58 @@ object Dedup {
       }
       c
     }
+    def releaseIterCaches(): Unit =
+      s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => iterCacheIds.contains(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(false) }
+    // The edge SUBTREE is often the expensive part (a PPJoin prefix
+    // filter, an LSH banding...) and must execute exactly ONCE on every
+    // path. The old bounded limit+collect probe paid a (partial)
+    // execution of the subtree that the over-cap path then repeated in
+    // full into its checkpoint — the r12 30× probe measured that double
+    // execution as roughly HALF of graph_connected_components' cost past
+    // the cap. A lazy partition-grain cache fixes it: the probe's own
+    // collect populates the cache for every partition it scans, and past
+    // the cap the iterative phase's checkpoint reads cached partitions
+    // instead of re-running the subtree. Measured on the PPJoin-fed
+    // graph_connected_components driver path at sf0.1: raw probe 1.41 s,
+    // persist-first +0.30 s (cache build), eager checkpoint-first
+    // +0.37 s (barrier job) — so the under-cap path pays ~0.3 s of cache
+    // population on the one key with an expensive subtree, and the
+    // over-cap path drops a ≤2× constant on the subtree (59.6 s vs
+    // 78.7 s at the 30× probe corpus; α across the dispatch cliff
+    // 1.29 → 1.01). At deep over-cap scale the subtree is the dominant
+    // cost, which decides the trade. The cache is released before every
+    // return; it lives only within this call.
+    val cached = edges.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def releaseAll(): Unit = { cached.unpersist(false); releaseIterCaches() }
+    if (localMaxEdges > 0) {
+      // Bounded probe: capped at threshold + 1 rows, never an unbounded
+      // collect (a driver-sized decision needs only "over or under");
+      // the cast is per-row in the scan, not a job.
+      val probe = cached.select(col("a").cast("long").as("a"),
+                                col("b").cast("long").as("b"))
+        .limit(localMaxEdges + 1).collect()
+      if (probe.length <= localMaxEdges) {
+        // The driver path never re-reads the edges: labels come back as
+        // one broadcast join, so the cache can go now.
+        if (probe.isEmpty) {
+          releaseAll()
+          return nodes.select(col("id"), col("id").as("label"))
+        }
+        val labelOf = unionFindMinLabels(probe.map(r => (r.getLong(0), r.getLong(1))))
+        import s.implicits._
+        val mapDf = labelOf.toSeq.toDF("id", "uf_label")
+        // Broadcast the (non-singleton nodes only) label map back; nodes
+        // are never collected — a mostly-unique corpus has billions of
+        // nodes and a tiny edge list, and this stays one broadcast join.
+        releaseAll()
+        return nodes.join(broadcast(mapDf), Seq("id"), "left")
+          .select(col("id"),
+                  coalesce(col("uf_label"), col("id")).as("label"))
+      }
+    }
     // Round bound: caller-supplied diameter bound, or derived from the
     // node count (diameter < n, pointer jumping covers 2^k after k
     // rounds ⇒ ⌈log₂ n⌉ + 1 always converges; the probe exits earlier).
@@ -236,17 +273,11 @@ object Dedup {
       if (maxIters > 0) maxIters
       else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
         math.max(1L, nodes.count() - 1))).toInt + 1
-    // The symmetric edge frame is re-read every round. The edge SUBTREE
-    // is often the expensive part (a PPJoin prefix filter, an LSH
-    // banding...), and the naive union re-executes it once per branch —
-    // the r12 scale probe measured exactly that on an over-cap corpus
-    // (graph_connected_components at ~3× its edge-plan cost). Checkpoint
-    // the edge frame ONCE here (this path only runs past the local cap,
-    // where the probe already paid one execution; total stays 2, never
-    // 3+), let both union branches read the materialized frame, then
-    // checkpoint the symmetrized swap for the rounds and drop the raw
-    // edge blocks.
-    val cpEdges = cp(edges.select(col("a"), col("b")))
+    // Cut lineage for the rounds: one checkpoint of the (cache-fed)
+    // edge frame, then the raw cache is dropped — the rounds read the
+    // checkpointed symmetric frame, never the subtree.
+    val cpEdges = cp(cached)
+    cached.unpersist(false)
     val symRaw = cpEdges.select(col("a"), col("b"))
       .union(cpEdges.select(col("b").as("a"), col("a").as("b")))
     val sym = if (iters > 1) cp(symRaw) else symRaw
@@ -256,9 +287,7 @@ object Dedup {
     // scan, and the checkpoint is released before returning.
     if (iters > 1 && sym.isEmpty) {
       val identity = nodes.select(col("id"), col("id").as("label"))
-      s.sparkContext.getPersistentRDDs
-        .filter { case (id, _) => iterCacheIds.contains(id) }
-        .foreach { case (_, rdd) => rdd.unpersist(false) }
+      releaseIterCaches()
       return identity
     }
     var labels = nodes.select(col("id"), col("id").as("label"))
@@ -309,9 +338,7 @@ object Dedup {
     // still references; the result's own checkpoint is not in the tracked
     // set, so it survives the sweep
     val result = labels.localCheckpoint(true)
-    s.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => iterCacheIds.contains(id) }
-      .foreach { case (_, rdd) => rdd.unpersist(false) }
+    releaseIterCaches()
     result
   }
 
