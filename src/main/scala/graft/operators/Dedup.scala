@@ -167,7 +167,7 @@ object Dedup {
     * contraction bounds the graph, a local finisher ends it): if the edge
     * list fits on the driver (≤ localMaxEdges), components are solved
     * exactly by union-find in microseconds and labels return as one
-    * broadcast join — zero iterative rounds, and the edge checkpoint is
+    * broadcast join — zero iterative rounds, and the edge cache is
     * released before returning. The callers' edge lists are
     * already contractions (exact-dup chains, LSH pairs contracted to
     * identical-signature reps), so at 100 TB this path still covers every
@@ -232,11 +232,11 @@ object Dedup {
     // persist-first +0.30 s (cache build), eager checkpoint-first
     // +0.37 s (barrier job) — so the under-cap path pays ~0.3 s of cache
     // population on the one key with an expensive subtree, and the
-    // over-cap path drops a ≤2× constant on the subtree (59.6 s vs
-    // 78.7 s at the 30× probe corpus; α across the dispatch cliff
-    // 1.29 → 1.01). At deep over-cap scale the subtree is the dominant
-    // cost, which decides the trade. The cache is released before every
-    // return; it lives only within this call.
+    // over-cap path drops a ≤2× constant on the subtree (78.7 → 66.4 s
+    // at the 30× probe corpus with this variant — 59.6 s eager — and α
+    // across the dispatch cliff 1.29 → 1.06). At deep over-cap scale the
+    // subtree is the dominant cost, which decides the trade. The cache
+    // is released before every return; it lives only within this call.
     val cached = edges.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def releaseAll(): Unit = { cached.unpersist(false); releaseIterCaches() }
