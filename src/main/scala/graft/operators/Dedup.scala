@@ -156,12 +156,14 @@ object Dedup {
 
   /** Connected components over an undirected edge list, two-phase:
     *
-    * The edge subtree executes exactly once per PARTITION regardless of
-    * phase: a lazy partition-grain cache is installed before the
-    * dispatch probe (limit+collect, never unbounded), so the probe's own
-    * execution populates it and the over-cap iterative phase reads
-    * cached partitions instead of re-running the subtree — see the
-    * comment at the cache for the measured costs of the alternatives.
+    * The edge subtree executes exactly ONCE regardless of phase: a lazy
+    * instance-keyed localCheckpoint is installed before the dispatch
+    * probe (one fully-parallel count — its job IS the checkpoint
+    * finalization), and both the driver collect and the over-cap
+    * iterative phase read the finalized checkpoint instead of
+    * re-running the subtree — see the comment at the checkpoint for the
+    * measured costs of the alternatives and why instance-keying (vs the
+    * r12 plan-keyed persist) matters under concurrency.
     *
     * Phase dispatch (the CC-MR / production-dedup pattern — distributed
     * contraction bounds the graph, a local finisher ends it): if the edge
@@ -205,8 +207,8 @@ object Dedup {
     // session-global registry, which would also sweep caches a concurrent
     // query on the shared session created in the meantime.
     val iterCacheIds = scala.collection.mutable.ArrayBuffer[Int]()
-    def cp(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true)
+    def cp(df: DataFrame, eager: Boolean = true): DataFrame = {
+      val c = df.localCheckpoint(eager)
       c.queryExecution.analyzed.collectLeaves().foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           iterCacheIds += lr.rdd.id
@@ -220,51 +222,67 @@ object Dedup {
         .foreach { case (_, rdd) => rdd.unpersist(false) }
     // The edge SUBTREE is often the expensive part (a PPJoin prefix
     // filter, an LSH banding...) and must execute exactly ONCE on every
-    // path. The old bounded limit+collect probe paid a (partial)
-    // execution of the subtree that the over-cap path then repeated in
-    // full into its checkpoint — the r12 30× probe measured that double
-    // execution as roughly HALF of graph_connected_components' cost past
-    // the cap. A lazy partition-grain cache fixes it: the probe's own
-    // collect populates the cache for every partition it scans, and past
-    // the cap the iterative phase's checkpoint reads cached partitions
-    // instead of re-running the subtree. Measured on the PPJoin-fed
-    // graph_connected_components driver path at sf0.1: raw probe 1.41 s,
-    // persist-first +0.30 s (cache build), eager checkpoint-first
-    // +0.37 s (barrier job) — so the under-cap path pays ~0.3 s of cache
-    // population on the one key with an expensive subtree, and the
-    // over-cap path drops a ≤2× constant on the subtree (78.7 → 66.4 s
-    // at the 30× probe corpus with this variant — 59.6 s eager — and α
-    // across the dispatch cliff 1.29 → 1.06). At deep over-cap scale the
-    // subtree is the dominant cost, which decides the trade. The cache
-    // is released before every return; it lives only within this call.
-    val cached = edges.select(col("a"), col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def releaseAll(): Unit = { cached.unpersist(false); releaseIterCaches() }
-    if (localMaxEdges > 0) {
-      // Bounded probe: capped at threshold + 1 rows, never an unbounded
-      // collect (a driver-sized decision needs only "over or under");
-      // the cast is per-row in the scan, not a job.
+    // path. r12 used a plan-keyed DataFrame persist, which had two
+    // defects the r12 advisor flagged: CacheManager keys df.persist by
+    // analyzed plan, so two concurrent CC calls with identical edge
+    // plans shared one cache entry and the first to finish unpersisted
+    // it out from under the other; and nothing released the cache on an
+    // exception mid-call. r13 replaces it with a LAZY localCheckpoint:
+    // the checkpoint RDD is created and persist-registered immediately
+    // (so its id is tracked in iterCacheIds BEFORE any job can fail),
+    // is private to this call (instance-keyed — concurrent identical
+    // plans cannot interfere), and is finalized by the first action over
+    // it — the dispatch probe's count — computing every partition
+    // exactly once, fully parallel, for every downstream path. Measured
+    // under-cap at sf0.1 (PPJoin-fed graph_connected_components driver
+    // path): same-host A/B r12-persist 1.90 s vs this variant 1.68 s;
+    // over-cap at the 30× corpus this variant reads 65.5-68.1 s across
+    // three runs vs r12's recorded 66.4 s — time parity; the wins are
+    // isolation and exception safety, not speed. Every exit — normal or
+    // exceptional (the try/catch below) — releases the tracked ids; the
+    // cache lives only within this call.
+    val cached = cp(edges.select(col("a"), col("b")), eager = false)
+    // ids belonging to the edge cache alone, so the iterative path can
+    // drop it the moment the symmetric checkpoint supersedes it
+    val edgeCacheIds = iterCacheIds.toSet
+    def dropEdgeCache(): Unit =
+      s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => edgeCacheIds.contains(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(false) }
+    try {
+    // Dispatch probe = ONE fully-parallel count over the lazy checkpoint
+    // — this IS the finalization job, so every partition of the subtree
+    // computes exactly once with all cores on it. (The r12 probe was
+    // limit(cap+1).collect(): Spark's incremental limit runs its first
+    // job on ONE partition, which serializes an expensive subtree
+    // partition before the scale-up rounds kick in, and over-cap it
+    // collected cap+1 rows — ~16 MB — only to discard them. The count
+    // variant measured time-PARITY at the 30× over-cap corpus — the
+    // limit overhead is noise there — but it is strictly less work, and
+    // under-cap the driver collect below reads already-cached
+    // partitions.)
+    val edgeCount = cached.count()
+    if (edgeCount == 0) {
+      releaseIterCaches()
+      return nodes.select(col("id"), col("id").as("label"))
+    }
+    if (localMaxEdges > 0 && edgeCount <= localMaxEdges) {
+      // Bounded by the cap by construction — never an unbounded collect;
+      // the cast is per-row in the cached scan, not a job.
       val probe = cached.select(col("a").cast("long").as("a"),
                                 col("b").cast("long").as("b"))
-        .limit(localMaxEdges + 1).collect()
-      if (probe.length <= localMaxEdges) {
-        // The driver path never re-reads the edges: labels come back as
-        // one broadcast join, so the cache can go now.
-        if (probe.isEmpty) {
-          releaseAll()
-          return nodes.select(col("id"), col("id").as("label"))
-        }
-        val labelOf = unionFindMinLabels(probe.map(r => (r.getLong(0), r.getLong(1))))
-        import s.implicits._
-        val mapDf = labelOf.toSeq.toDF("id", "uf_label")
-        // Broadcast the (non-singleton nodes only) label map back; nodes
-        // are never collected — a mostly-unique corpus has billions of
-        // nodes and a tiny edge list, and this stays one broadcast join.
-        releaseAll()
-        return nodes.join(broadcast(mapDf), Seq("id"), "left")
-          .select(col("id"),
-                  coalesce(col("uf_label"), col("id")).as("label"))
-      }
+        .collect()
+      val labelOf = unionFindMinLabels(probe.map(r => (r.getLong(0), r.getLong(1))))
+      import s.implicits._
+      val mapDf = labelOf.toSeq.toDF("id", "uf_label")
+      // Broadcast the (non-singleton nodes only) label map back; nodes
+      // are never collected — a mostly-unique corpus has billions of
+      // nodes and a tiny edge list, and this stays one broadcast join.
+      // The driver path never re-reads the edges: the cache can go now.
+      releaseIterCaches()
+      return nodes.join(broadcast(mapDf), Seq("id"), "left")
+        .select(col("id"),
+                coalesce(col("uf_label"), col("id")).as("label"))
     }
     // Round bound: caller-supplied diameter bound, or derived from the
     // node count (diameter < n, pointer jumping covers 2^k after k
@@ -273,23 +291,14 @@ object Dedup {
       if (maxIters > 0) maxIters
       else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
         math.max(1L, nodes.count() - 1))).toInt + 1
-    // Cut lineage for the rounds: one checkpoint of the (cache-fed)
-    // edge frame, then the raw cache is dropped — the rounds read the
-    // checkpointed symmetric frame, never the subtree.
-    val cpEdges = cp(cached)
-    cached.unpersist(false)
-    val symRaw = cpEdges.select(col("a"), col("b"))
-      .union(cpEdges.select(col("b").as("a"), col("a").as("b")))
-    val sym = if (iters > 1) cp(symRaw) else symRaw
-    // Zero-edge graph: identity labeling, zero rounds. Common when a
-    // contraction stage upstream already absorbed every edge; the probe
-    // reads the just-materialized checkpoint, so it costs one cached
-    // scan, and the checkpoint is released before returning.
-    if (iters > 1 && sym.isEmpty) {
-      val identity = nodes.select(col("id"), col("id").as("label"))
-      releaseIterCaches()
-      return identity
-    }
+    // The rounds read the SYMMETRIC frame; once its eager checkpoint
+    // materializes (reading the finalized edge checkpoint, never the
+    // subtree), the one-directional edge cache is dead weight — drop it
+    // before the rounds so they don't carry 2× the edge bytes.
+    val symRaw = cached.select(col("a"), col("b"))
+      .union(cached.select(col("b").as("a"), col("a").as("b")))
+    val sym = if (iters > 1) { val c = cp(symRaw); dropEdgeCache(); c }
+              else symRaw
     var labels = nodes.select(col("id"), col("id").as("label"))
     var converged = false
     var round = 0
@@ -331,15 +340,17 @@ object Dedup {
       labels = next
       round += 1
     }
-    // Single-plan case: nothing was checkpointed, nothing to sweep —
-    // return the declarative plan as-is.
-    if (iterCacheIds.isEmpty) return labels
     // materialize the result BEFORE dropping the iteration caches it
     // still references; the result's own checkpoint is not in the tracked
     // set, so it survives the sweep
     val result = labels.localCheckpoint(true)
     releaseIterCaches()
     result
+    // Exception on ANY path (probe collect, a checkpoint job, a round,
+    // the node count) must not leak the tracked caches into the
+    // long-lived shared session: one failed key in a Verify/Bench board
+    // would otherwise carry the edge cache for the rest of the run.
+    } catch { case t: Throwable => releaseIterCaches(); throw t }
   }
 
   /** End-to-end near-duplicate removal — the composite a real corpus
