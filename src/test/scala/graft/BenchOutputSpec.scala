@@ -35,8 +35,9 @@ class BenchOutputSpec extends AnyFunSuite {
   }
 
   test("total line is <200 bytes and valid JSON under the full key map") {
+    // worst-case load formatting (three digits + sign) must still fit
     val line = Bench.totalLine(syntheticResults, "/root/testdata/sf0.1",
-      SparkEntry.queries.size)
+      SparkEntry.queries.size, loadStart = 132.25, loadEnd = -1.0)
     assert(line.getBytes("UTF-8").length < 200,
       s"total line is ${line.length} B — driver tail-parse may truncate it")
     val node = mapper.readTree(line)
@@ -48,6 +49,18 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(node.get("n").asInt() === SparkEntry.queries.size)
     assert(node.get("boardSize").asInt() === SparkEntry.queries.size)
     assert(!node.has("partial"))
+    // host-contention fields (r12 verdict ask #4): always present, so a
+    // reader can adjudicate a noisy total from the artifact alone
+    assert(math.abs(node.get("load1s").asDouble() - 132.25) < 1e-9)
+    assert(math.abs(node.get("load1e").asDouble() - (-1.0)) < 1e-9)
+  }
+
+  test("load1 reads a plausible value on this host") {
+    // /proc/loadavg exists on the build/driver hosts; -1 only on
+    // non-Linux. Either way the value must be a finite double.
+    val v = Bench.load1()
+    assert(!v.isNaN && !v.isInfinite)
+    assert(v >= -1.0 && v < 10000.0)
   }
 
   test("total line sums only non-negative timings") {
