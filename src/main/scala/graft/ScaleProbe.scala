@@ -1,10 +1,19 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Scaling-exponent probe (r11 verdict ask #1): times a curated key set
+/** Scaling-exponent probe (r11 verdict ask #1, extended r13 with MEMORY
+  * measurement per the r12 verdict's top ask): times a curated key set
   * at two corpus sizes on the SAME session config and reports each
-  * key's growth exponent alpha = ln(tB/tA) / ln(ratio) — t ∝ n^alpha.
+  * key's growth exponent alpha = ln(tB/tA) / ln(ratio) — t ∝ n^alpha —
+  * plus per-key BYTE metrics (total shuffle write, spill, peak per-task
+  * execution memory) and their exponents. At 100 TB the first thing to
+  * die is an executor OOM or a spill storm, and a key can be
+  * time-sublinear while its memory grows superlinearly (a broadcast
+  * that tracks corpus size, a fat collect_list cell) — the byte
+  * exponents catch what the time exponents cannot.
   *
   * Protocol per (dir, key): one untimed WARM run first (pays the JIT /
   * codegen / session-memo investment — codebooks, staged layouts,
@@ -12,7 +21,9 @@ import org.apache.spark.sql.SparkSession
   * thing that must scale), then min-of-2 timed runs. The warm (first)
   * run's time is also reported: for memoized keys it shows how the
   * INVESTMENT grows, which matters independently (an n^1.5 codebook
-  * training is fine; an n^2 one is not).
+  * training is fine; an n^2 one is not). Byte metrics come from the
+  * SECOND timed run only (counters reset right before it), so they are
+  * steady-state too.
   *
   * Reading the exponents: keys have a fixed ~0.1-0.2 s scheduling floor
   * that data growth does not touch, so CHEAP keys (tA under ~0.3 s)
@@ -22,6 +33,16 @@ import org.apache.spark.sql.SparkSession
   * count read ~1; banded/bucketed pair spaces read ~1 when bucket depth
   * is held; a missed bound (all-pairs, data-sized window, unbounded
   * fan-out) reads ~2 and is exactly what this probe exists to catch.
+  *
+  * Reading the BYTE exponents under local[32] with a FIXED partition
+  * count: total shuffle-write bytes should track the data (betaSw ≈ 1;
+  * ≥ 1.3 on a ≥ 64 MiB shuffle = a pair-space or fan-out blowup — the
+  * memory flag). Peak per-task execution memory ALSO reads ≈ 1 here
+  * because 10× data lands in the same 32 partitions — on a real
+  * cluster the task count would grow instead and per-task stay flat —
+  * so betaPx ≈ 1 is healthy in this rig and only betaPx markedly above
+  * 1, or spill appearing where there was none, signals a real per-task
+  * structure growing with the corpus.
   *
   * Usage: runMain graft.ScaleProbe <dirA> <dirB> <ratio> [keysCsv]
   * Output: one JSON line per key + a summary line (stdout).
@@ -58,6 +79,27 @@ object ScaleProbe {
     "win_distinct_running", "event_peak_concurrency",
     "agg_heavy_hitters_sketch", "pipeline_corpus_build")
 
+  /** Aggregates task-end metrics between resets. Listener events post
+    * asynchronously on the bus; snapshot() is called after a short
+    * drain pause (see the call site) — a probe tool tolerates the
+    * millisecond-grain slop that a grader could not. */
+  private final class MemListener extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val spill        = new AtomicLong // memory + disk spill bytes
+    val peakExec     = new AtomicLong // max over tasks
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakExec.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit = { shuffleWrite.set(0); spill.set(0); peakExec.set(0) }
+  }
+
+  private case class Mem(sw: Long, spill: Long, px: Long)
+
   def main(args: Array[String]): Unit = {
     val (dirA, dirB, ratio) = (args(0), args(1), args(2).toDouble)
     val keys: Seq[String] =
@@ -76,6 +118,8 @@ object ScaleProbe {
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val mem = new MemListener
+    spark.sparkContext.addSparkListener(mem)
 
     // session bring-up is not a scaling signal: JIT the common operator
     // shapes and touch both corpora's footers before any timing (same
@@ -100,19 +144,34 @@ object ScaleProbe {
     // driver's exact corpus layout).
     val results = (for (key <- keys) yield {
       val fn = SparkEntry.queries(key)
-      def probe(dir: String): (Double, Double) = {
+      def probe(dir: String): (Double, Double, Mem) = {
         val warm = time(fn, dir)
-        val t = math.min(time(fn, dir), time(fn, dir))
-        (warm, t)
+        val t1 = time(fn, dir)
+        // steady-state byte capture: reset right before the second timed
+        // run, then give the async listener bus a moment to drain
+        Thread.sleep(200); mem.reset()
+        val t2 = time(fn, dir)
+        Thread.sleep(200)
+        (warm, math.min(t1, t2),
+         Mem(mem.shuffleWrite.get, mem.spill.get, mem.peakExec.get))
       }
       try {
-        val (warmA, tA) = probe(dirA)
-        val (warmB, tB) = probe(dirB)
+        val (warmA, tA, mA) = probe(dirA)
+        val (warmB, tB, mB) = probe(dirB)
         val alpha = math.log(tB / tA) / math.log(ratio)
         val warmAlpha = math.log(warmB / warmA) / math.log(ratio)
-        println(f"""{"key":"$key","tA":$tA%.3f,"tB":$tB%.3f,"alpha":$alpha%.2f,"warmA":$warmA%.3f,"warmB":$warmB%.3f,"warmAlpha":$warmAlpha%.2f}""")
+        // byte exponents only when both sides are visible (≥ 1 MiB at A:
+        // below that the measurement is scheduling lint, not data)
+        def beta(a: Long, b: Long): String =
+          if (a >= (1L << 20) && b > 0) f"${math.log(b.toDouble / a) / math.log(ratio)}%.2f"
+          else "null"
+        println(f"""{"key":"$key","tA":$tA%.3f,"tB":$tB%.3f,"alpha":$alpha%.2f,""" +
+          f""""warmA":$warmA%.3f,"warmB":$warmB%.3f,"warmAlpha":$warmAlpha%.2f,""" +
+          s""""swA":${mA.sw},"swB":${mB.sw},"betaSw":${beta(mA.sw, mB.sw)},""" +
+          s""""spillA":${mA.spill},"spillB":${mB.spill},""" +
+          s""""pxA":${mA.px},"pxB":${mB.px},"betaPx":${beta(mA.px, mB.px)}}""")
         System.out.flush()
-        Some((key, tA, tB, alpha))
+        Some((key, tA, tB, alpha, mA, mB))
       } catch {
         case e: Throwable =>
           val msg = (e.getClass.getSimpleName + ": " +
@@ -124,10 +183,19 @@ object ScaleProbe {
       }
     }).flatten
     try spark.stop() catch { case _: Throwable => () }
-    val flagged = results.filter { case (_, tA, _, a) => a >= 1.3 && tA >= 0.2 }
+    val flagged = results.filter { case (_, tA, _, a, _, _) => a >= 1.3 && tA >= 0.2 }
+    // memory flags: superlinear shuffle on a non-trivial shuffle, or
+    // spill born at scale B where A had none (a partition structure that
+    // stopped fitting — benign at fixed partition count, but every such
+    // key deserves an eyeball)
+    val memFlagged = results.filter { case (_, _, _, _, mA, mB) =>
+      val betaSw = if (mA.sw > 0) math.log(mB.sw.toDouble / mA.sw) / math.log(ratio) else 0.0
+      (mA.sw >= (64L << 20) && betaSw >= 1.3) || (mA.spill == 0 && mB.spill > (256L << 20))
+    }
     println(s"""{"metric":"scale_probe","keys":${results.size},""" +
       s""""errors":${keys.size - results.size},""" +
       s""""ratio":$ratio,"flagged":[${flagged.map(f => "\"" + f._1 + "\"")
-        .mkString(",")}]}""")
+        .mkString(",")}],""" +
+      s""""memFlagged":[${memFlagged.map(f => "\"" + f._1 + "\"").mkString(",")}]}""")
   }
 }

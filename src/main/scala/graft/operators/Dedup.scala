@@ -402,7 +402,13 @@ object Dedup {
     val stage1 = sig
       .withColumn("rep1", min(col("doc_id")).over(Window.partitionBy(col("sig"))))
       .select(col("doc_id"), col("rep1"))
-    val contracted = minhashPairsOfSig(sig).filter(col("est_jaccard") >= 0.9)
+    // stage-2 candidates go through the density-adaptive banding
+    // (minhashPairs → bandingFor), not the fixed 4×4 layout — on a
+    // similarity-dense corpus the fixed layout's buckets overflow the
+    // stop cap and the non-identical near-dup edges silently vanish
+    // (the r13 cross-scale recall finding). The sig16 subtree is
+    // recomputed inside minhashPairs; see the no-checkpoint note above.
+    val contracted = minhashPairs(docs).filter(col("est_jaccard") >= 0.9)
       .join(stage1.select(col("doc_id").as("id1"), col("rep1").as("a")), "id1")
       .join(stage1.select(col("doc_id").as("id2"), col("rep1").as("b")), "id2")
       .select(col("a"), col("b"))
@@ -420,21 +426,124 @@ object Dedup {
     * pairs, so capping b bounds the pair space at any corpus size. */
   private val MaxBucket = 64
 
+  /** Density-adaptive banding layout: (bands b, rows-per-band r), both
+    * chosen from a MEASURED corpus-density probe — the r13 fix for the
+    * silent recall decay the cross-scale planted-pair spec caught
+    * (DedupRecallScaleSpec: recall 0.5 at 500 docs → 0.025 at 5 000 on
+    * the fixed 4×4 layout).
+    *
+    * Why fixed banding decays: a band bucket holds every doc agreeing on
+    * r signature components, and P(two docs agree on a band) = J^r — so
+    * expected bucket occupancy is n·E[J^r]. On a similarity-DENSE corpus
+    * (this synthetic one draws ~26-word docs from a 31-word vocabulary,
+    * so typical pairwise J ≈ 0.7) occupancy grows linearly with n until
+    * buckets cross the stop cap and their pairs are silently DROPPED —
+    * r = 4 puts ~24 % of ALL pairs in a shared band, which is already
+    * over the cap at 500 docs. The cure is never raising the cap (pair
+    * space is Σ bucket², quadratic in what the cap allows) but raising
+    * r so random-pair collisions die while target pairs survive:
+    * J=0.92^16 ≈ 0.26 per band vs 0.7^16 ≈ 0.003.
+    *
+    * The probe: up to 256 deterministically-sampled 16-component
+    * signatures (32 KB driver-side), mean estimated-J^r over sample
+    * pairs ≈ E[J^r], pick the smallest grid step whose expected bucket
+    * occupancy n·E[J^r] ≤ MaxBucket/2. Band count b rises with r to
+    * hold the design-point recall (catch probability at J = 0.9 is
+    * 1−(1−0.9^r)^b: 4×4 → 0.93, 8×8 → 0.97, 16×16 → 0.95, 32×32 →
+    * 0.66 — the last only fires on corpora where "near-dup" has lost
+    * meaning, and still bounds work). Tiny corpora (n ≤ 2·MaxBucket)
+    * skip the probe and keep the historical 4×4-over-16 layout, which
+    * pins every fixture spec bit-identical. est_jaccard always comes
+    * from the FIRST 16 components, so estimates are layout-invariant
+    * (component s of a longer signature equals the 16-long one's). */
+  private[graft] def bandingFor(docs: DataFrame): (Int, Int) =
+    bandingMemo.synchronized {
+      // one probe per (session, doc-frame plan): every key over the same
+      // corpus shares the decision instead of re-counting + re-sampling
+      // (~1.5 s at sf0.1). Session-weak so a stopped session cannot be
+      // pinned; semanticHash so byte-different but semantically-equal
+      // plans share.
+      val perKey = Option(bandingMemo.get(docs.sparkSession)).getOrElse {
+        val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+        bandingMemo.put(docs.sparkSession, m); m
+      }
+      perKey.getOrElseUpdate(
+        docs.queryExecution.analyzed.semanticHash(), probeBanding(docs))
+    }
+
+  private val bandingMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[Int, (Int, Int)]]()
+
+  private def probeBanding(docs: DataFrame): (Int, Int) = {
+    graft.functions.MinHashSig16.register(docs.sparkSession)
+    val n = docs.count()
+    if (n <= MaxBucket * 2L) return (4, 4)
+    val p = math.max(1L, n / 256)
+    val sample = docs.filter(col("ws").isNotNull)
+      .filter(pmod(xxhash64(col("doc_id")), lit(p)) === 0)
+      .select(col("doc_id"), expr("graft_minhash16(ws)").as("sig"))
+      .orderBy("doc_id").limit(256)
+      .collect().map(_.getSeq[Long](1).toArray)
+    // IDENTICAL-signature sample pairs (exact duplicates) are excluded
+    // from the occupancy mean: they contribute 1.0 at every r, so a
+    // corpus with any dup mass would escalate r without bound — yet no
+    // r separates identical docs. They are stop-bucket residents by
+    // design (dedup_exact / the cluster composite's stage-1 contraction
+    // own them); r exists to separate the J < 1 background.
+    def occupancy(r: Int): Double = {
+      var sum = 0.0; var cnt = 0
+      for (i <- sample.indices; j <- (i + 1) until sample.length) {
+        var eq = 0; var k = 0
+        while (k < 16) { if (sample(i)(k) == sample(j)(k)) eq += 1; k += 1 }
+        if (eq < 16) { sum += math.pow(eq / 16.0, r); cnt += 1 }
+      }
+      if (cnt == 0) 0.0 else n * sum / cnt
+    }
+    val r = Seq(4, 8, 16, 32).find(occupancy(_) <= MaxBucket / 2).getOrElse(32)
+    (if (r == 4) 4 else r, r)
+  }
+
   /** Core MinHash pipeline over (doc_id, ws: array<string>) — shared with
-    * the fixture-based spec.
+    * the fixture-based spec and the cross-scale recall spec.
     *
     * Shape: signatures are computed ONCE per doc (cached column, not
     * re-derived per band), buckets are formed by groupBy — not a
     * self-join — and pairs are generated inside each bucket with a
     * bounded nested transform. Oversized buckets are dropped (see
-    * MaxBucket); with a healthy shingle space they do not occur. */
+    * MaxBucket); the density-adaptive layout (bandingFor) keeps healthy
+    * near-dup buckets under the cap at any corpus density. */
   private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
-    graft.functions.MinHashSig16.register(docs.sparkSession)
-    minhashPairsOfSig(docs
-      // native one-pass signature (graft.functions.MinHashSig16) — equals
-      // transform(sequence(0,15), s -> array_min(transform(ws, w -> xxhash64(w, s))))
-      .withColumn("sig", expr("graft_minhash16(ws)"))
-      .select(col("doc_id"), col("sig")))
+    val (b, r) = bandingFor(docs)
+    minhashPairsAt(docs, b, r)
+  }
+
+  /** minhashPairs at an EXPLICIT layout — the incremental theorem spec
+    * compares the incremental run against the full run at the layout
+    * the standing index was built with. */
+  private[graft] def minhashPairsAt(docs: DataFrame, b: Int, r: Int): DataFrame =
+    pairsFromBands(bandRowsAt(docs, b, r))
+
+  /** (doc_id, sig, band, bh) band rows from (doc_id, ws) at layout
+    * (b bands × r rows): the banding signature has b·r components whose
+    * 16-prefix IS the estimate signature (MinHashSig16 components are
+    * layout-invariant), so est_jaccard stays comparable across layouts;
+    * band hash = xxhash64 over the band's r-component slice. */
+  private def bandRowsAt(df: DataFrame, b: Int, r: Int): DataFrame = {
+    graft.functions.MinHashSig16.register(df.sparkSession)
+    val withSig =
+      if (b * r == 16)
+        df.withColumn("esig", expr("graft_minhash16(ws)"))
+          .withColumn("sig", col("esig"))
+      else
+        df.withColumn("esig", expr(s"graft_minhash16(ws, ${b * r})"))
+          .withColumn("sig", expr("slice(esig, 1, 16)"))
+    withSig.select(col("doc_id"), col("sig"), explode(expr(
+        s"""transform(sequence(0, ${b - 1}), bd -> struct(bd AS band,
+           |  xxhash64(slice(esig, bd * $r + 1, $r)) AS bh))"""
+          .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
+              col("bb.bh").as("bh"))
   }
 
   /** INCREMENTAL near-dup MinHash — the day-2 shape of dedupNearMinhash,
@@ -454,34 +563,35 @@ object Dedup {
     * bucket groupBy shuffles standing band rows (at 100 TB the index
     * table is bucketed by (band, bh) so the merge is shuffle-free on
     * the standing side) and the pair space is Σ bucket² minus the
-    * hist×hist block. */
+    * hist×hist block.
+    *
+    * Banding layout: density-adaptive (bandingFor), decided ONCE at
+    * index build time from the STANDING half and baked into the index —
+    * the production contract for any persisted LSH index: every ingest
+    * must band with the layout the index was built at, and a layout
+    * change is an index rebuild (the staging key carries b and r, so a
+    * different decision lands in a different staging dir). The spec's
+    * incremental ≡ full theorem is asserted at this same layout. */
   def dedupNearMinhashIncremental(s: SparkSession, sf: String): DataFrame = {
     graft.functions.MinHashSig16.register(s)
     val docs = Tables.documents(s, sf).select(col("doc_id"), ws.as("ws"))
     val cut = broadcast(docs.agg(floor(max(col("doc_id")) / 2)
       .cast("long").as("cut")))
-    def bandRows(df: DataFrame): DataFrame = df
-      .withColumn("sig", expr("graft_minhash16(ws)"))
-      .select(col("doc_id"), col("sig"), explode(expr(
-        """transform(sequence(0, 3), b -> struct(b AS band,
-          |  xxhash64(element_at(sig, b*4+1), element_at(sig, b*4+2),
-          |           element_at(sig, b*4+3), element_at(sig, b*4+4)) AS bh))"""
-          .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
-              col("bb.bh").as("bh"))
+    def half(pred: org.apache.spark.sql.Column): DataFrame =
+      docs.crossJoin(cut).filter(pred).drop("cut")
+    val (b, r) = bandingFor(half(col("doc_id") <= col("cut")))
+    def bandRows(df: DataFrame): DataFrame = bandRowsAt(df, b, r)
     // Standing half staged once per session (Scratch.stagedDir
     // scaladoc): "built once and persisted" is the incremental key's
     // own premise — the signature family is deterministic and the
     // corpus immutable, so only the delta hash is per-ingest work.
-    val dir = graft.Scratch.stagedDir(s, s"minhash_standing:$sf",
+    val dir = graft.Scratch.stagedDir(s, s"minhash_standing:$sf:b$b:r$r",
         "graft_minhash_index_") { d =>
-      bandRows(docs.crossJoin(cut).filter(col("doc_id") <= col("cut"))
-          .drop("cut"))
+      bandRows(half(col("doc_id") <= col("cut")))
         .write.mode("overwrite").parquet(d)
     }
     val standing = s.read.parquet(dir).withColumn("fresh", lit(false))
-    val delta = bandRows(docs.crossJoin(cut)
-        .filter(col("doc_id") > col("cut")).drop("cut"))
+    val delta = bandRows(half(col("doc_id") > col("cut")))
       .withColumn("fresh", lit(true))
     standing.unionByName(delta)
       .groupBy(col("band"), col("bh"))
@@ -503,31 +613,37 @@ object Dedup {
       .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
   }
 
-  /** Band/bucket/pair stage over a precomputed (doc_id, sig) frame —
-    * split out so callers that already materialized signatures (the
-    * cluster composite) do not pay a second signature pass. */
-  private[graft] def minhashPairsOfSig(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), col("sig"),
-        explode(expr(
-          """transform(sequence(0, 3), b -> struct(b AS band,
-            |  xxhash64(element_at(sig, b*4+1), element_at(sig, b*4+2),
-            |           element_at(sig, b*4+3), element_at(sig, b*4+4)) AS bh))"""
-            .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+  /** Bucket + pair generation over (doc_id, sig, band, bh) band rows:
+    * groupBy id-only buckets (never an unbounded self-join), stop-cap
+    * filter, in-bucket pair transform over BARE ids, distinct, then the
+    * 16-component signatures join back for the estimate — so the
+    * zip_with estimate runs only on the DISTINCT surviving pairs (163 k
+    * at sf0.1) instead of every band's pair slot (10 M there; up to
+    * MaxBucket× more slots than pairs under crowded caps). At sf0.1 all
+    * three formulations tried (sig-carrying transform, bucket-key self-
+    * join, this) measure an equal ~2.4 s — the Σ bucket² pair space is
+    * the intrinsic cost — but est ∝ output is the right shape at crowded
+    * 100 TB caps. est_jaccard = matching fraction of the 16-component
+    * `sig`, whatever banding produced the bucket. */
+  private def pairsFromBands(bands: DataFrame): DataFrame = {
     val buckets = bands
       .groupBy(col("band"), col("bh"))
-      .agg(expr("sort_array(collect_list(struct(doc_id, sig)))").as("members"))
+      .agg(expr("sort_array(collect_list(doc_id))").as("members"))
       .filter(size(col("members")).between(2, MaxBucket))
-    buckets
+    val ids = buckets
       .select(explode(expr(
         """flatten(transform(members, (m1, i) ->
           |  transform(slice(members, i + 2, size(members)), m2 ->
-          |    struct(m1.doc_id AS id1, m2.doc_id AS id2,
-          |      size(filter(zip_with(m1.sig, m2.sig, (a, b) -> a = b),
-          |           x -> x)) AS n_eq))))""".stripMargin)).as("p"))
-      .select(col("p.id1"), col("p.id2"),
-              round(col("p.n_eq").cast("double") / 16.0, 4).as("est_jaccard"))
+          |    struct(m1 AS id1, m2 AS id2))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
+    val sigs = bands.select(col("doc_id"), col("sig")).dropDuplicates("doc_id")
+    ids
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
+          .cast("double") / 16.0, 4).as("est_jaccard"))
   }
 
   /** Max members per SimHash band bucket. Buckets are (source, band,
@@ -559,9 +675,18 @@ object Dedup {
     * narrow codegen'd recompute for zero cache management; a 100 TB
     * deployment materializes signatures to a table first and everything
     * downstream reads that. */
-  def dedupSimhash(s: SparkSession, sf: String): DataFrame = {
+  def dedupSimhash(s: SparkSession, sf: String): DataFrame =
+    simhashPairsOf(Tables.documents(s, sf))
+
+  /** Core of dedupSimhash over (doc_id, source, text) — shared with the
+    * cross-scale planted-pair recall spec (DedupRecallScaleSpec), which
+    * injects a corpus with planted near-dups at several collection
+    * sizes to pin that banding recall does not silently decay as
+    * buckets crowd the stop cap. */
+  private[graft] def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     graft.functions.SimHash48.register(s)
-    val sigs = Tables.documents(s, sf)
+    val sigs = docs
       .select(col("doc_id"), col("source"),
         // word hashes via built-in xxhash64, signature via the native
         // codegen expression (graft.functions.SimHash48) — the

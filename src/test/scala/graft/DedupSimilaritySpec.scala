@@ -135,12 +135,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // signatures and band hashes are pure functions of the word set, so
     // standing-index + delta-only hashing must reproduce EXACTLY the
     // full-corpus pair mining minus the hist×hist block (already mined
-    // when the standing index was built).
-    val cut = Tables.documents(spark, sfOracle)
-      .agg(floor(max(col("doc_id")) / 2).cast("long")).head().getLong(0)
-    val full = Dedup.dedupNearMinhash(spark, sfOracle)
+    // when the standing index was built). The comparison runs at the
+    // LAYOUT the index was built with (bandingFor on the standing half —
+    // every ingest must band at the index's layout; dedupNearMinhash
+    // itself derives its layout from the FULL corpus, which may differ).
+    val docs = Tables.documents(spark, sfOracle)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+    val cut = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+      .head().getLong(0)
+    val (b, r) = Dedup.bandingFor(docs.filter(col("doc_id") <= cut))
+    info(s"index layout at sf0.01 standing half: b=$b r=$r")
+    val full = Dedup.minhashPairsAt(docs, b, r)
       .filter(col("id1") > cut || col("id2") > cut)
     val inc = Dedup.dedupNearMinhashIncremental(spark, sfOracle)
+      .select("id1", "id2", "est_jaccard")
     assert(inc.count() > 0, "batch must surface near-dup candidates")
     assert(full.exceptAll(inc).isEmpty && inc.exceptAll(full).isEmpty,
       "incremental pair set must equal the batch-restricted full run")
