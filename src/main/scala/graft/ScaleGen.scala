@@ -21,16 +21,21 @@ import org.apache.spark.sql.functions._
   *  - calendar span is unchanged (ts/o_orderdate kept) — day-grain
   *    frames stay calendar-bounded while per-day density grows 10×;
   *  - document text is word-TAGGED then word-PERMUTED per copy, both
-  *    deterministic: ~15% of words get a copy-specific suffix (decided
-  *    by xxhash64(word, copy) — doc-INDEPENDENT, so two docs that were
-  *    near-dups of each other stay near-dups inside every copy: shared
-  *    words transform identically), then words are permuted by an
-  *    xxhash sort key. Tagging bounds the cross-copy word-set Jaccard
-  *    at (1−p)/(1+p) ≈ 0.74 < the 0.9 thresholds, and permutation
-  *    breaks shingles — without BOTH, a copy is a perfect near-dup of
-  *    its original (permutation alone leaves word SETS identical — the
-  *    first 10× run measured it: 48k near-dup edges at sf0.1 became
-  *    5.04M instead of ~480k, a 100× pair-space artifact, not scaling);
+  *    deterministic: each copy suffixes a GUARANTEED-size set of word
+  *    types (k lowest under a per-copy hash ranking, k sized so every
+  *    doc carries ≥ 2 tagged types — doc-INDEPENDENT, so two docs that
+  *    were near-dups of each other stay near-dups inside every copy:
+  *    shared words transform identically), then words are permuted by
+  *    an xxhash sort key. Guaranteed-count tagging bounds cross-copy
+  *    word-set Jaccard at (n−2)/(n+2) < 0.9 BY CONSTRUCTION (r12's
+  *    independent-per-type 15 % tagging only bounded it in
+  *    expectation: tag-count variance let three of thirty copies tag
+  *    one type and cross-copy J reach 0.9+, a pair-space artifact
+  *    growing ∝ copies² — see the tagging comment below), and
+  *    permutation breaks shingles — without BOTH, a copy is a perfect
+  *    near-dup of its original (permutation alone leaves word SETS
+  *    identical — the first 10× run measured it: 48k near-dup edges at
+  *    sf0.1 became 5.04M instead of ~480k);
   *    token counts and within-copy dup structure are preserved, so
   *    gates and dedup rates fire at the base corpus's rates;
   *  - embeddings get small deterministic per-copy noise and are
@@ -102,17 +107,51 @@ object ScaleGen {
         .withColumn("user_id", shift("user_id", i))
     }, "events")
 
-    // documents: per-copy deterministic word tagging (~15%, breaks word
-    // sets across copies, doc-independent so within-copy dup structure
-    // is exact) + word permutation (breaks shingles) — see scaladoc
-    write(copies(s.read.parquet(s"$base/documents.parquet")) { (df, i) =>
+    // documents: per-copy deterministic word-TYPE tagging with a
+    // GUARANTEED tag count + word permutation (breaks shingles).
+    // r12 tagged each type with independent probability 15 %
+    // (xxhash64(w, copy) % 100 < 15) — the EXPECTED cross-copy
+    // word-set Jaccard bound (1−p)/(1+p) ≈ 0.74 held, but over a
+    // 31-type vocabulary the per-copy tag count has stddev ≈ 2 and
+    // three of thirty copies tagged a SINGLE type, letting cross-copy
+    // J reach 0.9+ — qualifying pairs the dedup keys then mine, and
+    // the artifact grows ∝ copies² (measured: dedup_ngram_jaccard
+    // output 1 732 344 at 30× vs the 30 × 48 169 = 1 445 070 its
+    // within-copy structure produces; the excess drove the 100× probe
+    // exponents toward 2). r13: each copy tags the k lowest-ranked
+    // types under a per-copy hash ranking, k sized so every doc
+    // carries ≥ 2 tagged types (k = max(⌈0.15·V⌉, V − minDocTypes + 2))
+    // — then for ANY doc pair across copies i ≠ j the tag suffixes
+    // differ on ≥ 2 types and J ≤ (n−2)/(n+2) ≤ 0.875 < 0.9 by
+    // construction (typically far lower), while within-copy word-set
+    // structure stays EXACT (type-level tagging transforms shared
+    // words identically). Vocab is collected driver-side — a probe
+    // TOOL'S corpus has tool-scale vocabulary (31 base types here);
+    // the require() guards the assumption.
+    val docsBase = s.read.parquet(s"$base/documents.parquet")
+    val vocab = docsBase
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(vocab.length <= 100000,
+      s"ScaleGen tagging assumes a tool-scale vocabulary; got ${vocab.length}")
+    val minDocTypes = docsBase.filter(col("text").isNotNull)
+      .select(size(array_distinct(split(col("text"), " "))).as("n"))
+      .agg(min(col("n"))).head().getInt(0)
+    val kTag = math.max(math.ceil(vocab.length * 0.15).toInt,
+                        vocab.length - minDocTypes + 2)
+    def tagSetFor(i: Int): Array[String] =
+      vocab.sortBy(w => scala.util.hashing.MurmurHash3
+        .stringHash(s"$w:$i")).take(kTag)
+    write(copies(docsBase) { (df, i) =>
+      val tags = lit(tagSetFor(i))
       val permuted =
         if (i == 0) col("text")
         else concat_ws(" ",
           transform(
             array_sort(transform(
               transform(split(col("text"), " "),
-                w => when(pmod(xxhash64(w, lit(i)), lit(100)) < 15,
+                w => when(array_contains(tags, w),
                           concat(w, lit(s"q$i"))).otherwise(w)),
               w => struct(xxhash64(w, lit(i)).as("k"), w.as("w")))),
             p => p.getField("w")))

@@ -756,9 +756,6 @@ object Dedup {
     * identical either way (asserted in DedupSimilaritySpec). */
   def dedupNgramJaccard(s: SparkSession, sf: String): DataFrame = {
     val docs = jaccardDocs(s, sf)
-    // Catalyst's own estimated plan size — no job is triggered.
-    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
-      JaccardBlockJoinMaxBytes
     // The graded entry point must be EXACT at any scale: the capped
     // prefix path silently drops a pair whose only shared prefix token
     // sits in an over-cap bucket. exact = true lifts the occupancy
@@ -768,13 +765,47 @@ object Dedup {
     // corpus the price is Σ(over-cap bucket)², not the whole-source
     // block join the earlier wholesale fallback paid. The capped form
     // (exact = false) stays available as the approximate scale variant.
-    if (small) ngramJaccardBlockJoin(docs)
+    if (blockPairSpaceBounded(docs, JaccardBlockMaxRows))
+      ngramJaccardBlockJoin(docs)
     else ngramJaccardPrefixJoin(docs, exact = true)
   }
 
-  /** Plain-join path is optimal below this estimated input size (the
-    * role spark.sql.autoBroadcastJoinThreshold plays for join choice). */
-  private val JaccardBlockJoinMaxBytes = BigInt(64L << 20)
+  /** Dispatch predicate shared by the jaccard and containment
+    * quadratic-vs-prefix dispatches: is the per-source all-pairs space
+    * affordable? r12 dispatched on Catalyst's compressed-bytes plan
+    * estimate, and the 100× organic probe caught that mis-scaling
+    * spectacularly: low-entropy text compresses so well that a
+    * 500 000-doc corpus ESTIMATES 24 MB — under both old byte
+    * thresholds — so the quadratic block join ran at every organic
+    * scale (612 s at 100× vs the prefix path's 111 s, with 17-task
+    * parallelism strangled by the 10-source block structure). The
+    * quadratic driver was never bytes: it is the largest per-source
+    * BLOCK'S ROW COUNT (pair space Σ block²), so that is what the
+    * dispatch measures. The bytes estimate survives only as a
+    * zero-cost fast path: below 1 MB compressed no block can be
+    * catastrophic (every graded SF lands here, so the bench pays no
+    * new job); past it, one column-pruned groupBy-count scan decides —
+    * at 100 TB that statistic comes free from table metadata. */
+  private[graft] def blockPairSpaceBounded(docs: DataFrame,
+                                           maxRows: Long): Boolean = {
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(1L << 20)) return true
+    val maxBlock = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("bn"))
+      .agg(coalesce(max(col("bn")), lit(0L))).head().getLong(0)
+    maxBlock <= maxRows
+  }
+
+  /** Per-source block join is faster below this block size; above it
+    * the df-ordered prefix join wins. Measured warm on the organic
+    * ScaleGen corpora (fixed tagging), both paths row-identical:
+    * 250-row blocks (sf0.1) block 1.3 s vs prefix 2.2 s; 2 500 (10×)
+    * 6.0 vs 3.2 s; 7 500 (30×) 32.8 vs 21.0 s; 50 000 (100×) 612 vs
+    * 111 s — crossover between 250 and 2 500 rows. The same bound
+    * governs containment (its grid measured 1.28 vs 2.38 s at sf0.1,
+    * 24.8 vs 10.9 s at 10×, 119.7 vs 28.6 s at 30× — same crossover
+    * window). */
+  private val JaccardBlockMaxRows = 1024L
 
   /** Shared tokenization: hash words to 64-bit longs before pairing —
     * pairing then moves and intersects fixed-width longs instead of
@@ -836,15 +867,22 @@ object Dedup {
     *    graded corpus. */
   def dedupContainment(s: SparkSession, sf: String): DataFrame = {
     val docs = jaccardDocs(s, sf)
-    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
-      ContainmentGridMaxBytes
-    if (small) containmentGridJoin(docs) else containmentPrefixJoin(docs)
+    if (containmentPicksGrid(docs)) containmentGridJoin(docs)
+    else containmentPrefixJoin(docs)
   }
 
-  /** Grid/prefix crossover, from the r12 probe measurements (grid wins
-    * at 75 MB-estimated 10× corpus by ~1.4×; its α = 1.22 vs 0.98
-    * extrapolates the crossover to ~5-7× that size). */
-  private val ContainmentGridMaxBytes = BigInt(512L << 20)
+  /** The dispatch predicate, exposed so DispatchProbe can report what
+    * the threshold WOULD pick next to what actually measures faster.
+    * Row-count based since r13 — the r12 512 MB byte-estimate threshold
+    * had the mis-scaling blockPairSpaceBounded documents (compressed
+    * low-entropy text: a 500 k-doc corpus estimated 24 MB, so the grid
+    * ran at every organic scale); the grid's Σ block² cost is driven by
+    * block ROWS. Crossover validated by DispatchProbe on the fixed
+    * corpora (numbers in PROGRESS r13). */
+  private[graft] def containmentPicksGrid(docs: DataFrame): Boolean =
+    blockPairSpaceBounded(docs, ContainmentGridMaxRows)
+
+  private val ContainmentGridMaxRows = 1024L
 
   /** Exact all-pairs over the (source, chunk) fragment-replicate grid —
     * chunk count ⌈maxBlock/4096⌉ derived IN-PLAN from a broadcast
@@ -933,15 +971,37 @@ object Dedup {
     * candidates are deduped BEFORE the intersect so each surviving pair
     * is verified exactly once, then the arrays are fetched back with
     * two candidate-sized joins. */
-  /** One row per (doc, prefix token): under the fixed token order, two
-    * sets with J ≥ 0.9 must share a token among each set's first
-    * n − ⌈0.9·n⌉ + 1 elements — shared by the prefix join and the
-    * cap-trip probe. */
-  private def prefixTokens(docs: DataFrame): DataFrame =
-    docs.select(col("source"), col("doc_id"), col("n"),
-      explode(expr(
-        "slice(ws, 1, size(ws) - CAST(ceil(0.9D * size(ws)) AS INT) + 1)"))
-        .as("tok"))
+  /** One row per (doc, prefix token): under a fixed GLOBAL token order,
+    * two sets with J ≥ 0.9 must share a token among each set's first
+    * n − ⌈0.9·n⌉ + 1 elements (the PPJoin prefix lemma — any total
+    * order is correct; the order only decides candidate VOLUME).
+    *
+    * r13: the order is document-frequency ascending (tie-break token
+    * value), the canonical PPJoin choice, replacing the hash-value
+    * order inherited from the sorted signature. The hash order made
+    * every doc lead with the same globally-common tokens on a dense
+    * vocabulary — at the 100× organic corpus the exact mode
+    * pair-expanded those common-token buckets quadratically (a single
+    * dedup_ngram_jaccard-fed run measured ~16 min); df-ascending
+    * prefixes put each doc's RAREST tokens in its prefix, so bucket
+    * occupancy is bounded by the rare tokens' df and the same run
+    * collapses to posting-join scale. Costs one df aggregate + one
+    * per-doc sort (data-grain groupBy, never a global window), paid
+    * only on the prefix path — the block path under the dispatch
+    * threshold is untouched. */
+  private def prefixTokens(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), col("doc_id"),
+                          explode(col("ws")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "tok")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(expr("sort_array(collect_list(struct(df, tok)))").as("r"))
+      .select(col("source"), col("doc_id"), size(col("r")).as("n"),
+        posexplode(expr(
+          "slice(r, 1, size(r) - CAST(ceil(0.9D * size(r)) AS INT) + 1)")))
+      .select(col("source"), col("doc_id"), col("n"),
+              col("col.tok").as("tok"), (col("pos") + 1).as("i"))
+  }
 
   /** @param exact when true, over-cap buckets are ALSO pair-expanded
     *   (the occupancy filter drops its upper bound) — the result is
@@ -963,13 +1023,29 @@ object Dedup {
       val rows = pref.join(buckets.select(col("source"), col("tok")),
                            Seq("source", "tok"))
       rows.select(col("source"), col("tok"),
-                  col("doc_id").as("id1"), col("n").as("n1"))
+                  col("doc_id").as("id1"), col("n").as("n1"),
+                  col("i").as("i1"))
         .join(rows.select(col("source"), col("tok"),
-                          col("doc_id").as("id2"), col("n").as("n2")),
+                          col("doc_id").as("id2"), col("n").as("n2"),
+                          col("i").as("i2")),
               Seq("source", "tok"))
         .filter(col("id1") < col("id2"))
         .filter(greatest(col("n1"), col("n2")) <=
                 least(col("n1"), col("n2")) * 1.12)
+        // PPJoin positional filter (lossless): with both sets in the
+        // same global token order, a qualifying pair's FIRST shared
+        // token sits at positions (i1, i2) with every further shared
+        // token after it, so overlap ≤ 1 + min(n1−i1, n2−i2); J ≥ 0.9
+        // needs overlap ≥ ⌈0.9/1.9·(n1+n2)⌉. On a dense corpus this is
+        // the filter that tames the common-token buckets: docs whose
+        // rare-token budget is exhausted put COMMON tokens in their
+        // prefixes, those buckets grow ∝ corpus, and without the
+        // position bound their pair expansion is the dominant n² term
+        // (measured at the 100× organic probe: the cross-copy pairs it
+        // prunes all share their only prefix token at position ≥ 3 of
+        // one side).
+        .filter(lit(1) + least(col("n1") - col("i1"), col("n2") - col("i2"))
+          >= expr("CAST(ceil(0.9D / 1.9D * (n1 + n2)) AS INT)"))
         .select("source", "id1", "id2")
     }
     // exact mode = no upper cap: buckets with bn in [2, cap] plus those
