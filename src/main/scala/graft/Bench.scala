@@ -163,18 +163,32 @@ object Bench {
     * start (before the session exists — pure external load) and end:
     * same-code totals swing ~1.6× with external load on a shared host,
     * and these fields let the artifact adjudicate contention without a
-    * quiet-host re-run (r12 verdict ask). -1 = /proc/loadavg unreadable. */
+    * quiet-host re-run (r12 verdict ask). -1 = /proc/loadavg unreadable.
+    * `slowest` is the top-10 key → seconds map (2-decimal, cost
+    * descending): the driver keeps only a ~2 KB stdout TAIL of the
+    * cost-descending detail line, so precisely the expensive head — the
+    * keys a contended total must be attributed to — is what truncation
+    * drops; carrying the head inside the always-captured total line
+    * makes a hot artifact per-key attributable on its own (r13 verdict
+    * ask #2). Numbers are locale-pinned (Locale.ROOT): a
+    * decimal-comma default locale would emit invalid JSON and lose the
+    * whole bench metric to the driver's tail-parse. */
   private[graft] def totalLine(results: Seq[(String, Double)],
                                sfDir: String, boardSize: Int,
                                loadStart: Double = -1.0,
                                loadEnd: Double = -1.0): String = {
+    import java.util.Locale.ROOT
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErrors = results.map(_._2).count(_ < 0)
     val partial = if (results.size < boardSize) ""","partial":true""" else ""
-    val loads = f""","load1s":$loadStart%.2f,"load1e":$loadEnd%.2f"""
+    val loads = s""","load1s":${"%.2f".formatLocal(ROOT, loadStart)},""" +
+      s""""load1e":${"%.2f".formatLocal(ROOT, loadEnd)}"""
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + "%.2f".formatLocal(ROOT, v) }
+      .mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErrors,""" +
       s""""n":${results.size},"boardSize":$boardSize$partial$loads,""" +
-      s""""sf":"$sfDir"}"""
+      s""""slowest":$slowest,"sf":"$sfDir"}"""
   }
 }

@@ -18,6 +18,9 @@ import org.apache.spark.sql.SparkSession
   */
 object DispatchProbe {
   def main(args: Array[String]): Unit = {
+    // the JSON line below uses f"%.2f": pin the locale so a
+    // decimal-comma default cannot emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

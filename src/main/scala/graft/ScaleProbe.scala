@@ -101,6 +101,9 @@ object ScaleProbe {
   private case class Mem(sw: Long, spill: Long, px: Long)
 
   def main(args: Array[String]): Unit = {
+    // the per-key lines below use f"%.3f": on a decimal-comma default
+    // locale they would emit invalid JSON — pin the process locale
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val (dirA, dirB, ratio) = (args(0), args(1), args(2).toDouble)
     val keys: Seq[String] =
       if (args.length > 3 && args(3) == "all") SparkEntry.queries.keys.toSeq.sorted

@@ -7,7 +7,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * (round-10 verdict asks #1a/#7). The driver captures only a ~2 KB
   * stdout tail and parses the LAST line as JSON, so:
   *
-  *   1. the total line must stay <200 B and valid JSON under the FULL
+  *   1. the total line must stay well under the ~2 KB tail (<700 B,
+  *      including the slowest-10 head) and valid JSON under the FULL
   *      current key map (if the board ever grows a key whose name or
   *      count breaks this, the bench metric is silently lost — this
   *      spec fails first);
@@ -34,11 +35,11 @@ class BenchOutputSpec extends AnyFunSuite {
     }
   }
 
-  test("total line is <200 bytes and valid JSON under the full key map") {
+  test("total line is <700 bytes and valid JSON under the full key map") {
     // worst-case load formatting (three digits + sign) must still fit
     val line = Bench.totalLine(syntheticResults, "/root/testdata/sf0.1",
       SparkEntry.queries.size, loadStart = 132.25, loadEnd = -1.0)
-    assert(line.getBytes("UTF-8").length < 200,
+    assert(line.getBytes("UTF-8").length < 700,
       s"total line is ${line.length} B — driver tail-parse may truncate it")
     val node = mapper.readTree(line)
     assert(node.get("metric").asText() === "total")
@@ -53,6 +54,32 @@ class BenchOutputSpec extends AnyFunSuite {
     // reader can adjudicate a noisy total from the artifact alone
     assert(math.abs(node.get("load1s").asDouble() - 132.25) < 1e-9)
     assert(math.abs(node.get("load1e").asDouble() - (-1.0)) < 1e-9)
+  }
+
+  test("total line carries the slowest-10 head, cost-descending, no failures") {
+    // r13 verdict ask #1b: the driver's tail truncation drops the
+    // EXPENSIVE head of the detail line, so the total line itself must
+    // carry the top-10 — a contended total is then per-key attributable
+    // from the parsed artifact alone.
+    val rs = syntheticResults
+    val node = mapper.readTree(Bench.totalLine(rs, "sf", rs.size))
+    val slowest = node.get("slowest")
+    assert(slowest != null && slowest.isObject, "slowest field missing")
+    assert(slowest.size() === 10)
+    val expected = rs.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val it = slowest.fields()
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    while (it.hasNext) { val e = it.next(); got += e.getKey -> e.getValue.asDouble() }
+    assert(got.map(_._1).toSeq === expected.map(_._1),
+      "slowest keys are not the true top-10 in cost-descending order")
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 0.005 + 1e-9, s"slowest value $g drifted from $e")
+    }
+    // fewer keys than 10 → all of them; failed keys never appear
+    val small = mapper.readTree(
+      Bench.totalLine(Seq("a" -> 1.0, "b" -> -1.0, "c" -> 0.5), "sf", 3))
+    assert(small.get("slowest").size() === 2)
+    assert(!small.get("slowest").has("b"))
   }
 
   test("load1 reads a plausible value on this host") {
