@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   *  - document text is word-TAGGED then word-PERMUTED per copy, both
   *    deterministic: each copy suffixes a GUARANTEED-size set of word
   *    types (k lowest under a per-copy hash ranking, k sized so every
-  *    doc carries ≥ 2 tagged types — doc-INDEPENDENT, so two docs that
+  *    doc carries > m/19 tagged types, m its distinct-type count —
+  *    doc-INDEPENDENT, so two docs that
   *    were near-dups of each other stay near-dups inside every copy:
   *    shared words transform identically), then words are permuted by
   *    an xxhash sort key. Guaranteed-count tagging bounds cross-copy
-  *    word-set Jaccard at (n−2)/(n+2) < 0.9 BY CONSTRUCTION (r12's
+  *    word-set Jaccard at (m−t)/(m+t) < 0.9 BY CONSTRUCTION (r12's
   *    independent-per-type 15 % tagging only bounded it in
   *    expectation: tag-count variance let three of thirty copies tag
   *    one type and cross-copy J reach 0.9+, a pair-space artifact
@@ -120,9 +121,10 @@ object ScaleGen {
     // within-copy structure produces; the excess drove the 100× probe
     // exponents toward 2). r13: each copy tags the k lowest-ranked
     // types under a per-copy hash ranking, k sized so every doc
-    // carries ≥ 2 tagged types (k = max(⌈0.15·V⌉, V − minDocTypes + 2))
+    // carries t > m/19 tagged types of its m distinct types
+    // (k = max(⌈0.15·V⌉, V − minDocTypes + tFloor), tFloor below)
     // — then for ANY doc pair across copies i ≠ j the tag suffixes
-    // differ on ≥ 2 types and J ≤ (n−2)/(n+2) ≤ 0.875 < 0.9 by
+    // differ on ≥ t types and J ≤ (m−t)/(m+t) < 0.9 by
     // construction (typically far lower), while within-copy word-set
     // structure stays EXACT (type-level tagging transforms shared
     // words identically). Vocab is collected driver-side — a probe
@@ -138,8 +140,18 @@ object ScaleGen {
     val minDocTypes = docsBase.filter(col("text").isNotNull)
       .select(size(array_distinct(split(col("text"), " "))).as("n"))
       .agg(min(col("n"))).head().getInt(0)
+    // Per-doc tagged-type floor t sized from the J-bound, not a bare 2:
+    // a doc with m distinct types and t tagged types has cross-copy
+    // J = (m−t)/(m+t) < 0.9 iff t > m/19, and t = 2 only suffices while
+    // m ≤ 37 — on a base corpus with richer minimum doc vocabulary the
+    // copies² near-dup artifact this tagging exists to kill would
+    // silently return (r13 advisor). t > m/19 at m = minDocTypes also
+    // covers every larger doc: its tagged count grows one-for-one with
+    // m (t' ≥ tFloor + (m' − minDocTypes)) while the requirement grows
+    // only by (m' − minDocTypes)/19.
+    val tFloor = math.max(2, minDocTypes / 19 + 1)
     val kTag = math.max(math.ceil(vocab.length * 0.15).toInt,
-                        vocab.length - minDocTypes + 2)
+                        vocab.length - minDocTypes + tFloor)
     def tagSetFor(i: Int): Array[String] =
       vocab.sortBy(w => scala.util.hashing.MurmurHash3
         .stringHash(s"$w:$i")).take(kTag)

@@ -75,7 +75,13 @@ object MinHashSig16 {
       val n = exprs(1) match {
         case e if e.foldable && (e.dataType == org.apache.spark.sql.types.IntegerType ||
                                  e.dataType == org.apache.spark.sql.types.LongType) =>
-          e.eval().asInstanceOf[Number].intValue()
+          // a foldable-but-NULL literal (CAST(NULL AS INT)) passes the
+          // type check; surface the intended argument error, not an NPE
+          e.eval() match {
+            case n: Number => n.intValue()
+            case _ => throw new IllegalArgumentException(
+              "graft_minhash16 second argument must be an integer literal")
+          }
         case _ => throw new IllegalArgumentException(
           "graft_minhash16 second argument must be an integer literal")
       }

@@ -447,33 +447,50 @@ object Dedup {
     * The probe: up to 256 deterministically-sampled 16-component
     * signatures (32 KB driver-side), mean estimated-J^r over sample
     * pairs ≈ E[J^r], pick the smallest grid step whose expected bucket
-    * occupancy n·E[J^r] ≤ MaxBucket/2. Band count b rises with r to
-    * hold the design-point recall (catch probability at J = 0.9 is
-    * 1−(1−0.9^r)^b: 4×4 → 0.93, 8×8 → 0.97, 16×16 → 0.95, 32×32 →
-    * 0.66 — the last only fires on corpora where "near-dup" has lost
-    * meaning, and still bounds work). Tiny corpora (n ≤ 2·MaxBucket)
+    * occupancy n·E[J^r] ≤ MaxBucket/2. Band count b is then chosen
+    * INDEPENDENTLY of r (bandsFor) — the smallest b holding the
+    * design-point catch probability 1−(1−0.9^r)^b ≥ 0.95, floored at
+    * r: 4×4 → 0.986, 8×8 → 0.989, 16×16 → 0.962, 32-row → 86 bands →
+    * 0.95 (the r13 grid's b = r gave 32×32 → 0.66, and recall measured
+    * 0.85 at 50k docs — the decay the r14 decoupling removes). Tiny
+    * corpora (n ≤ 2·MaxBucket)
     * skip the probe and keep the historical 4×4-over-16 layout, which
     * pins every fixture spec bit-identical. est_jaccard always comes
     * from the FIRST 16 components, so estimates are layout-invariant
     * (component s of a longer signature equals the 16-long one's). */
-  private[graft] def bandingFor(docs: DataFrame): (Int, Int) =
-    bandingMemo.synchronized {
-      // one probe per (session, doc-frame plan): every key over the same
-      // corpus shares the decision instead of re-counting + re-sampling
-      // (~1.5 s at sf0.1). Session-weak so a stopped session cannot be
-      // pinned; semanticHash so byte-different but semantically-equal
-      // plans share.
-      val perKey = Option(bandingMemo.get(docs.sparkSession)).getOrElse {
-        val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+  private[graft] def bandingFor(docs: DataFrame): (Int, Int) = {
+    // one probe per (session, doc-frame plan): every key over the same
+    // corpus shares the decision instead of re-counting + re-sampling
+    // (~1.5 s at sf0.1). Session-weak so a stopped session cannot be
+    // pinned; semanticHash so byte-different but semantically-equal
+    // plans share. The probe (a count + bounded sample collect) runs
+    // OUTSIDE the lock — holding it would serialize concurrent callers
+    // over DIFFERENT corpora behind each other's Spark jobs (r13
+    // advisor); two concurrent first-callers on the SAME plan may both
+    // probe, and the deterministic probe makes the duplicate result
+    // identical, so last-write-wins is harmless. Memoization assumes
+    // the data under a plan is immutable for the session (true of every
+    // corpus table here) — a scratch table rewritten mid-session would
+    // reuse the stale layout until the session is replaced.
+    val key = docs.queryExecution.analyzed.semanticHash()
+    val perKey = bandingMemo.synchronized {
+      Option(bandingMemo.get(docs.sparkSession)).getOrElse {
+        val m = scala.collection.concurrent.TrieMap[Int, (Int, Int)]()
         bandingMemo.put(docs.sparkSession, m); m
       }
-      perKey.getOrElseUpdate(
-        docs.queryExecution.analyzed.semanticHash(), probeBanding(docs))
     }
+    perKey.get(key) match {
+      case Some(layout) => layout
+      case None =>
+        val layout = probeBanding(docs)
+        perKey.putIfAbsent(key, layout)
+        perKey(key)
+    }
+  }
 
   private val bandingMemo =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[Int, (Int, Int)]]()
+      scala.collection.concurrent.TrieMap[Int, (Int, Int)]]()
 
   private def probeBanding(docs: DataFrame): (Int, Int) = {
     graft.functions.MinHashSig16.register(docs.sparkSession)
@@ -501,7 +518,29 @@ object Dedup {
       if (cnt == 0) 0.0 else n * sum / cnt
     }
     val r = Seq(4, 8, 16, 32).find(occupancy(_) <= MaxBucket / 2).getOrElse(32)
-    (if (r == 4) 4 else r, r)
+    (bandsFor(r), r)
+  }
+
+  /** Band count for a probed rows-per-band, chosen INDEPENDENTLY of r
+    * (the r13 layout grid tied b = r, and at r = 32 the design-point
+    * catch probability 1−(1−0.9^r)^b collapsed to ≈ 0.66 — measured as
+    * recall sliding 0.95 → 0.85 from 5k to 50k docs while every
+    * determinism gate stayed green; r14 verdict ask #2). b is the
+    * smallest band count holding catch ≥ 0.95 at the J = 0.9 design
+    * point — b = ⌈ln 0.05 / ln(1−0.9^r)⌉: r=4→3, 8→6, 16→15, 32→86 —
+    * floored at r itself so no historical layout loses bands (more
+    * bands only ever ADD recall; r ≤ 16 layouts stay bit-identical to
+    * r13). Work stays bounded: candidate pair space is per-band
+    * occupancy-capped, so b scales it linearly, never quadratically,
+    * and signature length b·r ≤ 2752 stays within graft_minhash16's
+    * 4096-component bound (one cheap int-fold per extra component —
+    * each word's string hash is computed once). */
+  private[graft] def bandsFor(r: Int): Int = {
+    val catchTarget = 0.95
+    val perBand = math.pow(0.9, r)
+    val needed = math.ceil(math.log1p(-catchTarget) /
+      math.log1p(-perBand)).toInt
+    math.max(r, needed)
   }
 
   /** Core MinHash pipeline over (doc_id, ws: array<string>) — shared with
@@ -530,6 +569,12 @@ object Dedup {
     * layout-invariant), so est_jaccard stays comparable across layouts;
     * band hash = xxhash64 over the band's r-component slice. */
   private def bandRowsAt(df: DataFrame, b: Int, r: Int): DataFrame = {
+    // est_jaccard divides the 16-prefix match count by 16.0: a layout
+    // with b·r < 16 would slice a SHORT esig and silently understate
+    // every estimate, so callers' est ≥ 0.9 filters drop everything
+    require(b >= 1 && r >= 1 && b * r >= 16,
+      s"banding layout ($b bands × $r rows) must cover the 16-component " +
+        "estimate prefix (b·r >= 16)")
     graft.functions.MinHashSig16.register(df.sparkSession)
     val withSig =
       if (b * r == 16)
@@ -905,25 +950,60 @@ object Dedup {
         .select(col("source"), col("id1"), col("id2"), col("w1"), col("w2")))
   }
 
-  /** Prefix-filtered containment join — see the dispatch scaladoc. */
+  /** Prefix-filtered containment join — see the dispatch scaladoc.
+    *
+    * r14 shape (verdict ask #3 — the r13 form spilled 36 GB at the
+    * 100× corpus on its candidate-distinct and array-fetch shuffles):
+    * the posting side now carries each token's POSITION in the doc's
+    * df-ascending order, bought from the same per-doc ranked array the
+    * prefix is sliced from (one groupBy instead of r13's two token
+    * subtrees), so the PPJoin positional filter runs BEFORE the
+    * candidate distinct and the token-array fetch — the two shuffles
+    * that spilled are fed only positionally-plausible pairs instead of
+    * every raw posting hit.
+    *
+    * Positional filter (lossless): with every doc's tokens in the same
+    * global (df, tok) order, consider the EARLIEST shared token of a
+    * pair, at positions (ip, io): no shared token precedes it on
+    * either side and all others follow it on BOTH sides (the order is
+    * global), so inter ≤ 1 + min(np−ip, no−io); the gate
+    * round(inter/min(np,no), 6) ≥ 0.9 needs inter ≥ ⌈9·min/10⌉
+    * (integer form — exact at the boundary). For a qualifying pair the
+    * earliest shared token lies inside the SMALLER side's prefix
+    * (pigeonhole: inter ≥ 0.9·min means the min side's
+    * k = n − ⌈0.9n⌉ + 1 rarest tokens can't all be un-shared), so that
+    * candidate row both exists and carries the valid bound — keeping
+    * pairs where ANY row passes loses nothing, and spurious survivors
+    * only cost verification work. */
   private[graft] def containmentPrefixJoin(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("source"), col("doc_id"),
                           explode(col("ws")).as("tok"))
     // global document frequency — rarest-first prefixes minimize
     // posting-list hits; (df, tok) sort is fully deterministic
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val pref = tok.join(dfreq, "tok")
+    val ranked = tok.join(dfreq, "tok")
       .groupBy(col("source"), col("doc_id"))
       .agg(expr("sort_array(collect_list(struct(df, tok)))").as("r"))
-      .select(col("source"), col("doc_id"),
-        explode(expr(
-          "slice(r, 1, size(r) - CAST(ceil(0.9D * size(r)) AS INT) + 1)"))
-          .as("p"))
-      .select(col("source"), col("doc_id"), col("p.tok").as("tok"))
+    // every token with its 1-based rank — the posting side
+    val posting = ranked
+      .select(col("source"), col("doc_id"), size(col("r")).as("n"),
+        posexplode(expr("transform(r, x -> x.tok)")))
+      .select(col("source"), col("doc_id"), col("n"),
+              col("col").as("tok"), (col("pos") + 1).as("i"))
+    // the probing side = each doc's k = n − ⌈9n/10⌉ + 1 rarest tokens
+    // (the containment prefix lemma, threshold on the contained side)
+    val pref = posting.filter(col("i") <= col("n") -
+      expr("(9 * n + 9) DIV 10") + 1)
     val cands = pref
-      .join(tok.select(col("source"), col("tok"), col("doc_id").as("other")),
+      .select(col("source"), col("tok"), col("doc_id"),
+              col("n").as("np"), col("i").as("ip"))
+      .join(posting.select(col("source"), col("tok"),
+                           col("doc_id").as("other"),
+                           col("n").as("no"), col("i").as("io")),
             Seq("source", "tok"))
       .filter(col("doc_id") =!= col("other"))
+      .filter(lit(1) + least(col("np") - col("ip"), col("no") - col("io"))
+        >= expr("(9 * least(np, no) + 9) DIV 10"))
       .select(col("source"),
               least(col("doc_id"), col("other")).as("id1"),
               greatest(col("doc_id"), col("other")).as("id2"))
@@ -996,9 +1076,12 @@ object Dedup {
     tok.join(dfreq, "tok")
       .groupBy(col("source"), col("doc_id"))
       .agg(expr("sort_array(collect_list(struct(df, tok)))").as("r"))
+      // prefix length n − ⌈9n/10⌉ + 1 in integer arithmetic (the double
+      // ceil is fp-exact for n ≤ 1e5, but the integer form is exact at
+      // any n and one cast cheaper)
       .select(col("source"), col("doc_id"), size(col("r")).as("n"),
         posexplode(expr(
-          "slice(r, 1, size(r) - CAST(ceil(0.9D * size(r)) AS INT) + 1)")))
+          "slice(r, 1, size(r) - (9 * size(r) + 9) DIV 10 + 1)")))
       .select(col("source"), col("doc_id"), col("n"),
               col("col.tok").as("tok"), (col("pos") + 1).as("i"))
   }
@@ -1043,9 +1126,13 @@ object Dedup {
         // position bound their pair expansion is the dominant n² term
         // (measured at the 100× organic probe: the cross-copy pairs it
         // prunes all share their only prefix token at position ≥ 3 of
-        // one side).
+        // one side). The threshold ⌈9(n1+n2)/19⌉ is INTEGER arithmetic:
+        // the double form ceil(0.9/1.9·s) rounds UP by one at s
+        // divisible by 19 (s=133 → 64 vs the exact 63), which would
+        // drop a pair sitting exactly at J = 0.9 — a boundary the
+        // round-before-gate convention deliberately admits.
         .filter(lit(1) + least(col("n1") - col("i1"), col("n2") - col("i2"))
-          >= expr("CAST(ceil(0.9D / 1.9D * (n1 + n2)) AS INT)"))
+          >= expr("(9 * (n1 + n2) + 18) DIV 19"))
         .select("source", "id1", "id2")
     }
     // exact mode = no upper cap: buckets with bn in [2, cap] plus those
