@@ -98,6 +98,8 @@ object DotProduct {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((DotProduct.ident, DotProduct.info, DotProduct.builder))
+    ext.injectFunction((DotProductI8.ident, DotProductI8.info,
+                        DotProductI8.builder))
     ext.injectFunction((SimHash48.ident, SimHash48.info, SimHash48.builder))
     ext.injectFunction((MinHashSig16.ident, MinHashSig16.info, MinHashSig16.builder))
     ext.injectFunction((SortedIntersectSize.ident, SortedIntersectSize.info,

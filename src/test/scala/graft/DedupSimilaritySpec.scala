@@ -183,6 +183,54 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"grid (${grid.length} pairs) and prefix (${pref.length}) paths diverge")
   }
 
+  test("embed cosine: quantized-prescreen scale path equals the plain grid exactly") {
+    // dedupEmbedCosine cost-dispatches (plain float grid under the
+    // block threshold, int8-quantized grid above — the 4×-fewer-bytes
+    // 100 TB shape, r14). The dispatch must be invisible in the result:
+    // the quantization-error prescreen s1·s2·(qdot + (A1+A2)/2 + d/4)
+    // is a PROVEN upper bound on the true dot, so no pair at or above
+    // the rounded gate can be pruned, and survivors are re-verified
+    // with the exact float dot. Row-identity is asserted on both small
+    // corpora AND a planted fixture that exercises the survivor path
+    // (a high-cos pair), the boundary region, and the scale-0 (all
+    // zero) degenerate vector.
+    for (sf <- Seq(sfSmoke, sfOracle)) {
+      val e = Tables.embeddings(spark, sf)
+      val plain = Similarity.dedupEmbedCosinePlain(spark, e)
+        .collect().map(_.toSeq)
+      val quant = Similarity.dedupEmbedCosineQuantized(spark, e)
+        .collect().map(_.toSeq)
+      assert(plain.length == quant.length &&
+             plain.zip(quant).forall { case (a, b) => a == b },
+        s"plain (${plain.length} pairs) and quantized (${quant.length}) " +
+          s"paths diverge at $sf")
+    }
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) / 4.0).toFloat)
+    def norm(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val near = base.clone(); near(0) = near(0) + 0.05f // high cos (survivor)
+    val mid = Array.tabulate(64)(i =>               // partial overlap
+      (if (i < 32) base(i) else -base(63 - i)))
+    val planted = Seq(
+      (1L, norm(base).toSeq, 0L),
+      (2L, norm(near).toSeq, 0L),
+      (3L, norm(mid).toSeq, 0L),
+      (4L, Array.fill(64)(0.0f).toSeq, 0L), // scale-0 degenerate
+      (5L, norm(base.map(-_)).toSeq, 0L)    // anti-parallel (pruned)
+    ).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val p = Similarity.dedupEmbedCosinePlain(spark, planted)
+      .collect().map(_.toSeq)
+    val qz = Similarity.dedupEmbedCosineQuantized(spark, planted)
+      .collect().map(_.toSeq)
+    assert(p.nonEmpty, "planted fixture produced no qualifying pair")
+    assert(p.length == qz.length && p.zip(qz).forall { case (a, b) => a == b },
+      s"planted: plain ${p.mkString(";")} vs quantized ${qz.mkString(";")}")
+  }
+
   test("ann lsh: bucketing deterministic; same-bucket cosine beats global mean") {
     val res = Similarity.simAnnLsh(spark, sfSmoke)
     val sameBucketAvg = res.agg(avg("cos")).head().getDouble(0)
