@@ -196,11 +196,17 @@ object Dedup {
     *              pure overhead).
     * @param localMaxEdges driver-finisher threshold; 0 forces the
     *              iterative path (specs pin it that way).
+    * @param eagerEdges finalize the edge checkpoint at creation instead
+    *              of at the dispatch probe's count — measurement knob
+    *              for the eager-vs-lazy trade (CcProbe); lazy is the
+    *              shipped default (measured over-cap at the 30× organic
+    *              corpus, see CcProbe results in PROGRESS r14).
     * @return columns `id`, `label` (= min id of the component). */
   private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
                                          maxIters: Int,
                                          jump: Boolean = true,
-                                         localMaxEdges: Int = CcLocalMaxEdges): DataFrame = {
+                                         localMaxEdges: Int = CcLocalMaxEdges,
+                                         eagerEdges: Boolean = false): DataFrame = {
     val s = nodes.sparkSession
     // Track the EXACT persisted RDD behind each localCheckpoint (the
     // LogicalRDD the checkpointed frame plans to) — never a diff of the
@@ -241,7 +247,7 @@ object Dedup {
     // isolation and exception safety, not speed. Every exit — normal or
     // exceptional (the try/catch below) — releases the tracked ids; the
     // cache lives only within this call.
-    val cached = cp(edges.select(col("a"), col("b")), eager = false)
+    val cached = cp(edges.select(col("a"), col("b")), eager = eagerEdges)
     // ids belonging to the edge cache alone, so the iterative path can
     // drop it the moment the symmetric checkpoint supersedes it
     val edgeCacheIds = iterCacheIds.toSet
@@ -902,14 +908,14 @@ object Dedup {
     *    among ANY k = |A| − ⌈0.9·|A|⌉ + 1 distinct tokens of A at
     *    least one is in B (pigeonhole, order-independent) — so each
     *    doc probes the posting list with only its k RAREST tokens
-    *    (df from one token aggregate), candidates are distinct-ed and
+    *    (df from one token aggregate), candidates are POSITION-filtered
+    *    (the r14 rework — see containmentPrefixJoin), distinct-ed and
     *    verified exactly. Candidate work Σ prefix(t)·df(t) instead of
-    *    Σ block²: α = 0.98 vs the grid's 1.22, but a ~2.4× constant
-    *    (index build + posting shuffle), measured crossover ≈ 40×
-    *    sf0.1 — hence the 512 MB estimated-size threshold, ~7× the
-    *    probe corpus, safely past where the grid's quadratic term
-    *    overtakes. DedupSimilaritySpec pins both paths equal on the
-    *    graded corpus. */
+    *    Σ block²: r14 quiet-host numbers 11.7 s at 10× vs the grid's
+    *    22.3, 16.0 vs 118.9 at 30×, 47.4 s at 100× (the r13 form read
+    *    107.1 s), α(10×→100×) = 0.55. DedupSimilaritySpec pins both
+    *    paths equal on the graded corpus and DispatchProbe re-asserted
+    *    row-equality at 10×/30×. */
   def dedupContainment(s: SparkSession, sf: String): DataFrame = {
     val docs = jaccardDocs(s, sf)
     if (containmentPicksGrid(docs)) containmentGridJoin(docs)
@@ -1008,6 +1014,15 @@ object Dedup {
               least(col("doc_id"), col("other")).as("id1"),
               greatest(col("doc_id"), col("other")).as("id2"))
       .distinct()
+    // Deliberately NO join-strategy hint on the array fetch: a forced
+    // SHUFFLE_HASH build on the docs side zeroed the sort spill but
+    // measured 47 → 60 s at the 100× corpus (and 2.4× worse on the
+    // jaccard twin) — the default sort-merge plan's external sort of
+    // the output-proportional stream IS the fast path here, and the
+    // per-stage probe (StageSpillProbe) shows its true DISK spill is
+    // ~1.75 GB at 35 M output pairs (the headline "36 GB" was
+    // memoryBytesSpilled accounting — cumulative in-memory sizes of
+    // spilled aggregate maps, ~10× the bytes that touch disk).
     containmentVerify(cands
       .join(docs.select(col("source"), col("doc_id").as("id1"),
                         col("ws").as("w1")), Seq("source", "id1"))
