@@ -481,15 +481,25 @@ object Similarity {
   /** Nearest-centroid assignment: argmax dot, tiebreak LOWER centroid
     * id — expressed as a max_by hash aggregate (struct ordering key,
     * -cent_id for the ascending tiebreak) rather than a row_number
-    * window: a partial-aggregatable shape with no per-vector sort. */
+    * window: a partial-aggregatable shape with no per-vector sort.
+    *
+    * The aggregate's input rows carry ONLY (vec_id, cent_id, cdot) —
+    * 24 B — and the embedding is joined back afterwards by the unique
+    * vec_id. The r13 form carried the 256 B embedding through the
+    * n×C-row expansion into a first() aggregate, i.e. C redundant
+    * copies of every vector through the partial agg's hash map: at the
+    * 100× corpus (200k vectors, C ≈ 450) that was ~23 GB of aggregate
+    * input and the key's dominant spill (per-stage probed); the narrow
+    * form's agg state is a constant few bytes per vector. Result is
+    * identical — max_by is unchanged and the join key is unique. */
   private def assignCells(s: SparkSession, vecs: DataFrame,
                           cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
+      .select(col("vec_id"), col("cent_id"),
               dot(s)("embedding", "cv").as("cdot"))
       .groupBy(col("vec_id"))
-      .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cent_id"),
-           first(col("embedding")).as("embedding"))
+      .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cent_id"))
+      .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("cent_id"), col("vec_id"), col("embedding"))
 
   /** Spherical k-means coarse quantizer shared by the IVF index and
