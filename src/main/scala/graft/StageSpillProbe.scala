@@ -35,10 +35,17 @@ object StageSpillProbe {
           val sw = m.shuffleWriteMetrics.bytesWritten
           val spillM = m.memoryBytesSpilled
           val spillD = m.diskBytesSpilled
-          if (spillM + spillD > 0 || sw > (64L << 20)) {
+          val ms = (for {
+            s0 <- ev.stageInfo.submissionTime
+            c0 <- ev.stageInfo.completionTime
+          } yield c0 - s0).getOrElse(-1L)
+          // wall-time threshold too: a SLOW stage with no spill and a
+          // small shuffle (a wide aggregate, an interpreted expression)
+          // is exactly what per-key attribution needs to see
+          if (spillM + spillD > 0 || sw > (64L << 20) || ms > 500) {
             val name = ev.stageInfo.name.replace("\"", "'").take(120)
             rows.add(s"""{"stage":${ev.stageInfo.stageId},"name":"$name",""" +
-              s""""tasks":${ev.stageInfo.numTasks},"sw":$sw,""" +
+              s""""tasks":${ev.stageInfo.numTasks},"ms":$ms,"sw":$sw,""" +
               s""""spillMem":$spillM,"spillDisk":$spillD,""" +
               s""""input":${m.inputMetrics.bytesRead},""" +
               s""""sr":${m.shuffleReadMetrics.totalBytesRead}}""")

@@ -596,12 +596,27 @@ object Dedup {
       s"banding layout ($b bands × $r rows) must cover the 16-component " +
         "estimate prefix (b·r >= 16)")
     graft.functions.MinHashSig16.register(df.sparkSession)
+    // The signature is the per-row hot loop (b·r components × words),
+    // and a small corpus arrives as ONE parquet split — every signature
+    // would compute on one core (per-stage probed at sf0.1's 86×32
+    // layout: 4.3 s in a single-task stage, the whole key's critical
+    // path). When the input is narrower than half the session's
+    // shuffle parallelism, one tiny exchange of (doc_id, ws) fans the
+    // signature stage out; already-wide scans (the organic corpora,
+    // any real cluster read) skip the extra shuffle. Output is
+    // partitioning-independent (pure per-row signatures, bucket
+    // groupBy downstream) — the 4-vs-32 parallelism sweep gates it.
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val fanned =
+      if (df.rdd.getNumPartitions < math.max(2, target / 2))
+        df.repartition(target)
+      else df
     val withSig =
       if (b * r == 16)
-        df.withColumn("esig", expr("graft_minhash16(ws)"))
+        fanned.withColumn("esig", expr("graft_minhash16(ws)"))
           .withColumn("sig", col("esig"))
       else
-        df.withColumn("esig", expr(s"graft_minhash16(ws, ${b * r})"))
+        fanned.withColumn("esig", expr(s"graft_minhash16(ws, ${b * r})"))
           .withColumn("sig", expr("slice(esig, 1, 16)"))
     withSig.select(col("doc_id"), col("sig"), explode(expr(
         s"""transform(sequence(0, ${b - 1}), bd -> struct(bd AS band,
