@@ -43,7 +43,16 @@ object StageSpillProbe {
           // small shuffle (a wide aggregate, an interpreted expression)
           // is exactly what per-key attribution needs to see
           if (spillM + spillD > 0 || sw > (64L << 20) || ms > 500) {
-            val name = ev.stageInfo.name.replace("\"", "'").take(120)
+            // full JSON string escaping — stage names are callsite-
+            // derived and may carry backslashes (Windows-style paths in
+            // callsites) or control chars; a lone quote-replace would
+            // emit an invalid line and break the probe's consumer
+            val name = ev.stageInfo.name.take(120).flatMap {
+              case '"'           => "\\\""
+              case '\\'          => "\\\\"
+              case c if c < ' '  => f"\\u${c.toInt}%04x"
+              case c             => c.toString
+            }
             rows.add(s"""{"stage":${ev.stageInfo.stageId},"name":"$name",""" +
               s""""tasks":${ev.stageInfo.numTasks},"ms":$ms,"sw":$sw,""" +
               s""""spillMem":$spillM,"spillDisk":$spillD,""" +

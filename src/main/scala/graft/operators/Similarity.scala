@@ -289,10 +289,16 @@ object Similarity {
   private[graft] def embedPicksPlainGrid(e: DataFrame): Boolean = {
     if (e.queryExecution.optimizedPlan.stats.sizeInBytes <=
         BigInt(1L << 20)) return true
-    val maxBlock = e.groupBy(col("label"))
-      .agg(count(lit(1)).as("bn"))
-      .agg(coalesce(max(col("bn")), lit(0L))).head().getLong(0)
-    maxBlock <= EmbedGridMaxRows
+    // Past the fast path the decision costs one groupBy-count scan —
+    // PlanMemo-memoized per (session, plan, data version) so repeated
+    // dedupEmbedCosine calls in a session probe once, and a rewritten
+    // corpus re-probes (r14 advisor).
+    graft.PlanMemo.cached(e, "embedGrid") {
+      val maxBlock = e.groupBy(col("label"))
+        .agg(count(lit(1)).as("bn"))
+        .agg(coalesce(max(col("bn")), lit(0L))).head().getLong(0)
+      maxBlock <= EmbedGridMaxRows
+    }
   }
 
   /** Float-grid threshold: blocks past this ship 4× their bytes through

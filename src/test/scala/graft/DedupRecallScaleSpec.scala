@@ -194,8 +194,16 @@ class DedupRecallScaleSpec extends SparkSpecBase {
       "docs — Hamming-0 pairs are being dropped (band-bucket crowding?)")
     assert(e2 >= 0.95, s"simhash exact-copy recall $e2 under 0.95 at the " +
       "larger corpus — band buckets crossing SimhashMaxBucket")
-    assert(s1 >= 0.15 && s2 >= 0.15,
-      s"1-word-swap recall ($s1, $s2) collapsed below the canary floor")
+    // Resolution canary, asserted per the r14 verdict ask #6: 1-word
+    // swaps are BELOW 48-bit SimHash's resolution on short docs (a
+    // documented non-goal — dedupSimhash's scaladoc routes that class
+    // to the MinHash family), but the floor catches silent signature
+    // decay: measured 0.275 across rounds, a collapse toward 0 means
+    // the signature broke, not just resolution.
+    assert(s1 >= 0.2 && s2 >= 0.2,
+      s"1-word-swap recall ($s1, $s2) collapsed below the 0.2 canary " +
+        "floor — the SimHash signature itself regressed (resolution on " +
+        "short docs is a non-goal, but it was 0.275 when pinned)")
   }
 
   test("semdedup planted-duplicate recall holds 0.85 at BOTH collection sizes") {
