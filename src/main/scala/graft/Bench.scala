@@ -16,8 +16,25 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** (steal ticks, total ticks) from /proc/stat's aggregate cpu line —
+    * the contention channel loadavg CANNOT see: on a virtualized host a
+    * noisy hypervisor neighbor steals cycles from every vCPU while the
+    * guest's runqueue (loadavg) stays near zero. Measured on this
+    * host: keys inflating 10× at load1 = 0.7 with nonzero steal — the
+    * exact signature of the driver-board anomalies r12–r14 adjudicated
+    * by re-running. Sampled at bench start and end; the delta fraction
+    * goes into the total line so the artifact carries proof. */
+  private[graft] def cpuTicks(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      if (f.length >= 8) Some((f(7), f.sum)) else None
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val loadStart = load1()
+    val ticksStart = cpuTicks()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -124,13 +141,18 @@ object Bench {
     // stop() itself must never kill the metric (a lingering streaming or
     // bucketed-table resource throwing here would lose the whole bench).
     val loadEnd = load1()
+    val steal = (for {
+      (s0, t0) <- ticksStart
+      (s1, t1) <- cpuTicks()
+      if t1 > t0
+    } yield (s1 - s0).toDouble / (t1 - t0)).getOrElse(-1.0)
     try spark.stop() catch { case _: Throwable => () }
     // Per-query detail goes on its OWN line, first: the full map is ~8 KB
     // and the driver captures only a ~2 KB stdout tail, so the LAST line
     // must be short (<200 B) to always be captured whole and parse clean.
     println(detailLine(results, sfDir))
     println(totalLine(results, sfDir, SparkEntry.queries.size,
-                      loadStart, loadEnd))
+                      loadStart, loadEnd, steal))
     System.out.flush()
   }
 
@@ -176,14 +198,21 @@ object Bench {
   private[graft] def totalLine(results: Seq[(String, Double)],
                                sfDir: String, boardSize: Int,
                                loadStart: Double = -1.0,
-                               loadEnd: Double = -1.0): String = {
+                               loadEnd: Double = -1.0,
+                               steal: Double = -1.0): String = {
     import java.util.Locale.ROOT
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErrors = results.map(_._2).count(_ < 0)
     val partial = if (results.size < boardSize) ""","partial":true""" else ""
+    // `steal` = hypervisor-stolen fraction of ALL cpu ticks across the
+    // bench window (from /proc/stat cpu[7]) — the contention channel
+    // the load averages cannot see; -1 = unreadable. A run with high
+    // steal indicts the HOST for an inflated total the way load1s does
+    // for guest-side neighbors.
     val loads = s""","load1s":${"%.2f".formatLocal(ROOT, loadStart)},""" +
-      s""""load1e":${"%.2f".formatLocal(ROOT, loadEnd)}"""
+      s""""load1e":${"%.2f".formatLocal(ROOT, loadEnd)},""" +
+      s""""steal":${"%.4f".formatLocal(ROOT, steal)}"""
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + "%.2f".formatLocal(ROOT, v) }
       .mkString("{", ",", "}")

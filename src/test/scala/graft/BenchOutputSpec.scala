@@ -54,6 +54,18 @@ class BenchOutputSpec extends AnyFunSuite {
     // reader can adjudicate a noisy total from the artifact alone
     assert(math.abs(node.get("load1s").asDouble() - 132.25) < 1e-9)
     assert(math.abs(node.get("load1e").asDouble() - (-1.0)) < 1e-9)
+    // hypervisor steal fraction (r15): the channel loadavg cannot see;
+    // default -1 when not passed/unreadable
+    assert(math.abs(node.get("steal").asDouble() - (-1.0)) < 1e-9)
+    val withSteal = mapper.readTree(Bench.totalLine(syntheticResults, "sf",
+      SparkEntry.queries.size, 0.5, 0.6, steal = 0.0171))
+    assert(math.abs(withSteal.get("steal").asDouble() - 0.0171) < 1e-9)
+  }
+
+  test("cpuTicks reads plausible steal/total tick counts on this host") {
+    Bench.cpuTicks().foreach { case (steal, total) =>
+      assert(steal >= 0L && total > 0L && steal <= total)
+    }
   }
 
   test("total line carries the slowest-10 head, cost-descending, no failures") {
