@@ -56,6 +56,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", hostHeapDefault)}",
+  // Pin the initial heap to the max: ParallelGC grows the heap lazily and
+  // the growth phase of a ~400-query board pays repeated expansion GCs.
+  // Same principle as sizing the heap itself — commit what the batch
+  // workload will use (steal-clean A/B: ~149 s without vs ~131 s with,
+  // three samples each, sf0.1 full board).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", hostHeapDefault)}",
+  // 762 query executions generate thousands of codegen classes; the JIT's
+  // default 240 MB code cache can fill mid-board, silently stopping
+  // compilation for the rest of the run. 512 MB is cheap (virtual
+  // reservation) and removes the cliff.
+  "-XX:ReservedCodeCacheSize=512m",
   // Throughput collector for batch analytics (guide §5): G1's concurrent
   // marking competes with 32 busy task threads and its pause-time goal
   // buys nothing in a non-interactive bench/ETL JVM. Same board, same
